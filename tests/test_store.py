@@ -1,0 +1,116 @@
+"""GridStore E2E tests — the system-test behavioral contract
+(FIXTURES.md §8; reference tests/system/test_chirps.py:192-313)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import _tall, daily
+from zarr_climate_etl_ipfs_spark.sources.store import GridStore, StoreError
+
+
+@pytest.fixture
+def store(tmp_path, desc, spark, initial_df):
+    s = GridStore(tmp_path, desc, spark)
+    s.write_initial(initial_df)
+    yield s
+    s.destroy()
+
+
+def _point(df, t, lat, lon):
+    rows = (
+        df.filter(
+            (F.col("time") == F.lit(t))
+            & (F.col("latitude") == lat)
+            & (F.col("longitude") == lon)
+        )
+        .select("data")
+        .collect()
+    )
+    assert len(rows) == 1, f"expected exactly one cell, got {len(rows)}"
+    return rows[0]["data"]
+
+
+def test_initial_write_point_roundtrip(store, initial_pdf):
+    """Scenario 1: initial write → exact float32 point read-back
+    (test_chirps.py:192-235)."""
+    t = dt.datetime(2021, 10, 1)
+    src = initial_pdf[
+        (initial_pdf.time == t)
+        & (initial_pdf.latitude == 20.0)
+        & (initial_pdf.longitude == 110.0)
+    ]["data"].iloc[0]
+    assert _point(store.dataset(), t, 20.0, 110.0) == src  # exact float32 equality
+
+
+def test_initial_row_count_and_schema(store, desc, initial_df):
+    ds = store.dataset()
+    assert ds.count() == 138 * 16
+    assert [f.name for f in ds.schema.fields] == desc.schema().fieldNames()
+    assert dict(ds.dtypes)["data"] == "float"
+
+
+def test_pure_append(store, spark, desc):
+    """Scenario 2: contiguous append passes and is readable."""
+    times = daily("2022-02-01", 5)
+    pdf = _tall(times, seed=3)
+    update = spark.createDataFrame(pdf, schema=desc.schema())
+    res = store.update(update)
+    assert res == {"inserts": 0, "appends": 5}
+    ds = store.dataset()
+    assert ds.count() == (138 + 5) * 16
+    assert ds.agg(F.max("time")).first()[0] == dt.datetime(2022, 2, 5)
+
+
+def test_append_with_hole_rejected(store, spark, desc):
+    """Scenario 2b: append with missing bridge day raises
+    (test_chirps.py:293-313)."""
+    times = daily("2022-02-02", 4)  # skips 2022-02-01
+    pdf = _tall(times, seed=4)
+    update = spark.createDataFrame(pdf, schema=desc.schema())
+    with pytest.raises(StoreError, match="append bridge broken"):
+        store.update(update)
+
+
+def test_mixed_update_insert_and_append(store, spark, desc, complex_update_df, complex_update_pdf):
+    """Scenario 4: the canonical complex update — 24 inserts + 36 appends,
+    but the appends here don't bridge (2022-02-01 follows 2022-01-31) — they
+    do bridge. Inserted values must replace originals exactly; untouched
+    neighbors must survive."""
+    res = store.update(complex_update_df)
+    assert res == {"inserts": 24, "appends": 36}
+    ds = store.dataset()
+    assert ds.count() == (138 + 36) * 16  # inserts replace, appends extend
+    # inserted value replaced
+    t = dt.datetime(2021, 10, 10)
+    src = complex_update_pdf[
+        (complex_update_pdf.time == t)
+        & (complex_update_pdf.latitude == 10.0)
+        & (complex_update_pdf.longitude == 100.0)
+    ]["data"].iloc[0]
+    assert _point(ds, t, 10.0, 100.0) == src
+    # neighbor day (2021-10-11, not in update) retains original value
+    assert ds.filter(F.col("time") == dt.datetime(2021, 10, 11)).count() == 16
+
+
+def test_insert_skipped_without_allow_overwrite(tmp_path, spark, initial_df, complex_update_df, desc):
+    """Scenario 5: allow_overwrite=False → inserts skipped with a warning,
+    appends still applied (publish.py:287-293)."""
+    from dataclasses import replace
+
+    ro = replace(desc, dataset_name="fake_obs_ro", allow_overwrite=False)
+    s = GridStore(tmp_path, ro, spark)
+    s.write_initial(initial_df)
+    res = s.update(complex_update_df)
+    assert res == {"inserts": 0, "appends": 36}
+    s.destroy()
+
+
+def test_versions_and_properties(store):
+    v = store.versions()
+    assert [e["action"] for e in v] == ["initial"]
+    props = store.properties()
+    assert props["update_in_progress"] is False

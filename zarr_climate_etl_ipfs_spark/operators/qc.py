@@ -1,0 +1,186 @@
+"""Quality-check operator pack — the reference's distinctive "query" workload
+(SURVEY.md §2.11, Q1-Q6) as reusable DataFrame assertions.
+
+  Q1 time contiguity        → operators.updates.check_cadence
+  Q2 sampled value scan     → :func:`sample_value_check`
+  Q3 dtype check            → :func:`check_dtype`
+  Q4/A5 NaN binomial test   → :func:`nan_binomial_check`
+  Q6 round-trip comparison  → :func:`compare_datasets`
+
+Reference locations: utils/publish.py:513-602 (pre-parse), 698-894 (post-parse),
+977-1028 (binomial), utils/errors.py:1-14 (NanFrequencyMismatchError).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+from zarr_climate_etl_ipfs_spark.functions.scalars import is_extreme, is_infinityish
+
+
+class NanFrequencyMismatchError(ValueError):
+    """Port of utils/errors.py:1-14."""
+
+
+class QualityCheckError(AssertionError):
+    """Raised when a pre/post-parse QC gate fails (utils/publish.py:124-180)."""
+
+
+def check_dtype(df: DataFrame, desc: DatasetDescriptor) -> None:
+    """Q3: stored dtype must equal the declared float32 (publish.py:526-532)."""
+    actual = dict(df.dtypes).get(desc.data_var)
+    if actual != "float":
+        raise QualityCheckError(
+            f"data var {desc.data_var!r} must be float (float32), got {actual!r}"
+        )
+
+
+def sample_value_check(
+    df: DataFrame,
+    desc: DatasetDescriptor,
+    n: int = 100,
+    fraction: float = 1.0,
+    seed: int = 42,
+) -> None:
+    """Q2: spot-check random cells for unexpected NaN/NULL and extreme values.
+
+    The reference walks a lazily-shuffled coordinate product
+    (publish.py:541-575, 1031-1065); distributed equivalent: a seeded
+    ``sample(fraction).limit(n)`` — at cluster scale pass a fraction sized so
+    ``rows*fraction ≈ 20n`` to avoid scanning everything. Raises on violation.
+    """
+    var = F.col(desc.data_var)
+    sample = df.select(var.alias("v")).sample(False, fraction, seed).limit(n)
+    pred = is_infinityish(F.col("v"))
+    if not desc.has_nans:
+        pred = pred | F.col("v").isNull() | F.isnan(F.col("v"))
+    bounds = desc.extreme_bounds()
+    if bounds is not None:
+        pred = pred | is_extreme(F.col("v"), bounds)
+    bad = sample.filter(pred)
+    n_bad = bad.count()
+    if n_bad:
+        examples = [r["v"] for r in bad.limit(5).collect()]
+        raise QualityCheckError(
+            f"{n_bad} sampled values failed NaN/∞/extreme checks, e.g. {examples}"
+        )
+
+
+def binom_test_pvalue(k: int, n: int, p: float) -> float:
+    """Two-sided exact binomial test p-value (minlike method) — the test that
+    statsmodels' ``proportion_confint(method="binom_test")`` inverts
+    (publish.py:586-599). Pure math (log-pmf sums), no scipy dependency.
+    """
+    if n == 0:
+        return 1.0
+    p = min(max(p, 0.0), 1.0)
+    if p in (0.0, 1.0):
+        expect_k = 0 if p == 0.0 else n
+        return 1.0 if k == expect_k else 0.0
+
+    def logpmf(i: int) -> float:
+        return (
+            math.lgamma(n + 1)
+            - math.lgamma(i + 1)
+            - math.lgamma(n - i + 1)
+            + i * math.log(p)
+            + (n - i) * math.log1p(-p)
+        )
+
+    lk = logpmf(k)
+    thresh = lk + 1e-7
+    total = 0.0
+    for i in range(n + 1):
+        li = logpmf(i)
+        if li <= thresh:
+            total += math.exp(li)
+    return min(total, 1.0)
+
+
+def nan_binomial_check(
+    df: DataFrame,
+    desc: DatasetDescriptor,
+    alpha: float = 1e-5,
+    sample_per_step: int = 5000,
+    seed: int = 42,
+) -> DataFrame:
+    """Q4/A5: per-time-step NaN share must be statistically consistent with
+    ``desc.expected_nan_frequency`` (publish.py:977-1028: 5000 cells/step,
+    alpha 1e-5).
+
+    Distributed plan: deterministic per-step subsample (hash-mod filter — no
+    shuffle beyond the groupBy), per-step (n, nan_count) aggregation, then the
+    exact binomial test as an Arrow-batched pandas UDF over the *aggregated*
+    rows (one row per time step — metadata scale, never cell scale).
+
+    Returns the offending steps ``(time, n, nan_count, share, p_value)``;
+    raises NanFrequencyMismatchError if any exist.
+    """
+    time_dim, var = desc.time_dim, desc.data_var
+    cell_rank = F.pmod(
+        F.xxhash64(*[F.col(d) for d in desc.dims[1:]], F.lit(seed)), F.lit(1_000_000)
+    )
+    # keep ~sample_per_step cells per step: estimate cells/step from one step
+    per_step = df.groupBy(time_dim).count().agg(F.max("count")).first()[0] or 1
+    keep = min(1_000_000, max(1, int(1_000_000 * sample_per_step / per_step)))
+    is_nan = (F.col(var).isNull() | F.isnan(var)).cast("long")
+    counts = (
+        df.filter(cell_rank < keep)
+        .groupBy(time_dim)
+        .agg(F.count("*").alias("n"), F.sum(is_nan).alias("nan_count"))
+    )
+
+    expected = float(desc.expected_nan_frequency)
+
+    @F.pandas_udf(T.DoubleType())
+    def pvalue(k: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series(
+            [binom_test_pvalue(int(ki), int(ni), expected) for ki, ni in zip(k, n)]
+        )
+
+    offenders = (
+        counts.withColumn("share", F.col("nan_count") / F.col("n"))
+        .withColumn("p_value", pvalue("nan_count", "n"))
+        .filter(F.col("p_value") < F.lit(alpha))
+        .orderBy(time_dim)
+    )
+    bad = offenders.limit(10).collect()
+    if bad:
+        raise NanFrequencyMismatchError(
+            f"NaN frequency drifted from expected {expected} (alpha={alpha}) at "
+            f"{len(bad)}+ time steps, first: "
+            + ", ".join(f"{r[time_dim]}→{r['share']:.4f} (p={r['p_value']:.2e})" for r in bad[:3])
+        )
+    return offenders
+
+
+def compare_datasets(
+    source: DataFrame,
+    written: DataFrame,
+    desc: DatasetDescriptor,
+    tolerance: float = 1e-4,
+) -> DataFrame:
+    """Q6/J3: round-trip value comparison between a source sample and the
+    published table — equi-join on the dim key, NaN/∞ matching rules and the
+    1e-4 tolerance from utils/publish.py:857-894, 24 (10e-5).
+
+    Returns mismatching rows (empty == pass). Join is on the full dim key so
+    Catalyst can broadcast the (small) source sample against the big table.
+    """
+    dims = desc.dims
+    var = desc.data_var
+    s = source.select(*dims, F.col(var).alias("_src"))
+    w = written.select(*dims, F.col(var).alias("_out"))
+    j = F.broadcast(s).join(w, dims, "left")
+    src, out = F.col("_src"), F.col("_out")
+    both_nan = (src.isNull() | F.isnan(src)) & (out.isNull() | F.isnan(out))
+    both_inf = is_infinityish(src) & is_infinityish(out)
+    close = F.abs(src - out) <= F.lit(tolerance)
+    ok = both_nan | both_inf | close
+    return j.filter(~F.coalesce(ok, F.lit(False)))

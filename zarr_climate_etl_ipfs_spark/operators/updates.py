@@ -1,0 +1,150 @@
+"""Incremental-update semantics — the heart of the reference engine.
+
+Re-expresses (SURVEY.md §2.3 J1, §2.5 W1-W4, §2.11 Q5):
+  - utils/publish.py:303-330  ``prepare_update_times``  → :func:`split_update_times`
+  - utils/publish.py:432-495  ``calculate_update_time_ranges`` → :func:`contiguous_ranges`
+  - utils/publish.py:604-652  ``update_quality_check``  → :func:`validate_update`
+  - utils/publish.py:654-696  ``are_times_in_expected_order`` → :func:`check_cadence`
+
+Everything is a DataFrame-in / DataFrame-out transformation on *key* frames
+(one column, the time dim) — at 100 TB the distinct time keys are tiny compared
+to the data (a century of hourly steps < 1M rows), so these run as cheap
+shuffles or even broadcasts while the heavy cell data never moves.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split_update_times(
+    existing_times: DataFrame, update_times: DataFrame, time_dim: str = "time"
+) -> tuple[DataFrame, DataFrame]:
+    """Partition update keys into (inserts, appends).
+
+    inserts = update ∩ existing (overwrite already-published steps),
+    appends = update − existing (new steps), both sorted ascending —
+    exactly utils/publish.py:303-330 but as a left-semi / left-anti join pair,
+    which Spark executes as one broadcast of the (small) existing key set.
+    """
+    u = update_times.select(time_dim).distinct()
+    e = F.broadcast(existing_times.select(time_dim).distinct())
+    inserts = u.join(e, time_dim, "left_semi").orderBy(time_dim)
+    appends = u.join(e, time_dim, "left_anti").orderBy(time_dim)
+    return inserts, appends
+
+
+def contiguous_ranges(
+    times: DataFrame, expected_delta: dt.timedelta, time_dim: str = "time"
+) -> DataFrame:
+    """Group sorted time keys into contiguous runs — gaps-and-islands.
+
+    Port of the shift/compare scheme in utils/publish.py:432-495: a step is a
+    range start when ``t - lag(t) != delta``; a running sum of start flags is
+    the island id; min/max per island are the (start, end) pairs the region
+    writer needs. Returns ``(range_id, range_start, range_end, n_steps)``.
+
+    The single-partition window over *distinct keys only* is fine at scale
+    (see module docstring); the cell data is never pulled through it.
+    """
+    w = Window.orderBy(time_dim)
+    secs = int(expected_delta.total_seconds())
+    flagged = (
+        times.select(time_dim)
+        .distinct()
+        .withColumn(
+            "_is_start",
+            F.when(
+                F.col(time_dim).cast("long") - F.lag(F.col(time_dim)).over(w).cast("long")
+                == F.lit(secs),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("range_id", F.sum("_is_start").over(w))
+    )
+    return (
+        flagged.groupBy("range_id")
+        .agg(
+            F.min(time_dim).alias("range_start"),
+            F.max(time_dim).alias("range_end"),
+            F.count("*").alias("n_steps"),
+        )
+        .orderBy("range_id")
+    )
+
+
+def check_cadence(
+    times: DataFrame,
+    expected_delta: dt.timedelta,
+    time_dim: str = "time",
+    cadence_bounds: tuple[dt.timedelta, dt.timedelta] | None = None,
+) -> DataFrame:
+    """Return the rows violating the expected time cadence (empty == ok).
+
+    Port of utils/publish.py:654-696: consecutive deltas must equal
+    ``expected_delta``, or fall within ``cadence_bounds`` for irregular feeds
+    (utils/attributes.py:250-257).
+    """
+    w = Window.orderBy(time_dim)
+    delta = F.col(time_dim).cast("long") - F.lag(F.col(time_dim)).over(w).cast("long")
+    df = times.select(time_dim).distinct().withColumn("_delta_s", delta)
+    if cadence_bounds is not None:
+        lo, hi = (int(b.total_seconds()) for b in cadence_bounds)
+        bad = ~F.col("_delta_s").between(lo, hi)
+    else:
+        bad = F.col("_delta_s") != int(expected_delta.total_seconds())
+    return df.filter(F.col("_delta_s").isNotNull() & bad)
+
+
+@dataclass
+class UpdateValidation:
+    ok: bool
+    errors: list[str]
+
+
+def validate_update(
+    existing_times: DataFrame,
+    update_times: DataFrame,
+    expected_delta: dt.timedelta,
+    time_dim: str = "time",
+    dataset_start: dt.datetime | None = None,
+    cadence_bounds: tuple[dt.timedelta, dt.timedelta] | None = None,
+) -> UpdateValidation:
+    """Pre-write guards, port of utils/publish.py:604-652 (Q5):
+
+      1. update is non-empty;
+      2. no update step precedes ``dataset_start`` (publish.py:626-639);
+      3. the first *append* lands exactly one delta after the current end
+         (the "append bridge", publish.py:643-648 / W4), unless
+         ``cadence_bounds`` declares the feed irregular.
+
+    One job: all six scalars come from two tiny aggregations.
+    """
+    errors: list[str] = []
+    u = update_times.select(time_dim).distinct()
+    stats = u.agg(
+        F.count("*").alias("n"), F.min(time_dim).alias("lo"), F.max(time_dim).alias("hi")
+    ).first()
+    if stats["n"] == 0:
+        return UpdateValidation(False, ["empty update"])
+    if dataset_start is not None and stats["lo"] < dataset_start:
+        errors.append(
+            f"update contains steps before dataset start {dataset_start}: {stats['lo']}"
+        )
+    _, appends = split_update_times(existing_times, u, time_dim)
+    arow = appends.agg(F.min(time_dim).alias("first_append")).first()
+    if arow["first_append"] is not None and cadence_bounds is None:
+        erow = existing_times.agg(F.max(time_dim).alias("end")).first()
+        if erow["end"] is not None:
+            expected_next = erow["end"] + expected_delta
+            if arow["first_append"] != expected_next:
+                errors.append(
+                    "append bridge broken: existing ends at "
+                    f"{erow['end']}, first append is {arow['first_append']}, "
+                    f"expected {expected_next}"
+                )
+    return UpdateValidation(not errors, errors)

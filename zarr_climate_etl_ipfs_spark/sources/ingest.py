@@ -1,0 +1,109 @@
+"""Ingest canonicalization — raw rows → the canonical tall table.
+
+Replaces the reference's transform stage (SURVEY.md §3.2): rename the data
+variable (metadata.py:621-644), standardize longitudes (convenience.py:516-534),
+mask the missing-value sentinel (chirps.py:118-122), decode CF time
+(transform.py:570-596), enforce the declared schema/dtype
+(publish.py:526-532), and order columns to the standard dim order
+(transform.py:656 transpose ≈ select order in the tall model).
+
+The file-format readers (NetCDF/GRIB via kerchunk, S7-S10) are replaced by
+:func:`read_binary_gridded`: Spark's ``binaryFile`` source + an
+``mapInPandas`` decode hook. The xarray/netCDF4 decode itself is pluggable —
+those libraries aren't in this container, so the default decoder raises
+NotImplementedError and tests inject a deterministic fake; the Spark-side
+plumbing (schema, batching, partitioning) is real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+from zarr_climate_etl_ipfs_spark.functions.scalars import (
+    cf_decode_time,
+    mask_sentinel,
+    normalize_longitude,
+)
+
+
+def canonicalize(
+    df: DataFrame,
+    desc: DatasetDescriptor,
+    source_var: str | None = None,
+    cf_epoch: str | None = None,
+    cf_unit_seconds: int = 86400,
+    standardize_lon: bool = True,
+) -> DataFrame:
+    """Normalize an arbitrary-but-compatible DataFrame to the canonical schema.
+
+    Steps (each a no-op when already canonical):
+      1. P7 rename: ``source_var`` → ``desc.data_var`` (tolerates existing name,
+         metadata.py:633-641);
+      2. F2 CF time decode when ``cf_epoch`` given and the time column is numeric;
+      3. F1 longitude remap to [-180, 180);
+      4. F6 sentinel → NULL;
+      5. Q3 dtype enforcement: value cast to float32, dims to declared types;
+      6. P5/P6 projection to exactly the declared columns in dim order.
+    """
+    var = desc.data_var
+    if source_var and source_var != var and source_var in df.columns:
+        df = df.withColumnRenamed(source_var, var)
+    if var not in df.columns:
+        raise ValueError(f"data var {var!r} not found in {df.columns}")
+
+    td = desc.time_dim
+    if cf_epoch is not None and dict(df.dtypes).get(td) not in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn(td, cf_decode_time(F.col(td), cf_epoch, cf_unit_seconds))
+    if standardize_lon and "longitude" in df.columns:
+        df = df.withColumn("longitude", normalize_longitude("longitude"))
+    if desc.missing_value is not None:
+        df = df.withColumn(var, mask_sentinel(F.col(var), desc.missing_value))
+
+    schema = desc.schema()
+    cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    return df.select(*cols)
+
+
+#: decoder contract: (path, content) -> iterable of dict rows
+Decoder = Callable[[str, bytes], Iterator[dict[str, Any]]]
+
+
+def default_decoder(path: str, content: bytes) -> Iterator[dict[str, Any]]:
+    """NetCDF/GRIB decode requires xarray/cfgrib — not available in this
+    container. Inject a real decoder in production; tests inject a fake."""
+    raise NotImplementedError(
+        "binary gridded decode needs xarray/netCDF4/cfgrib; pass decoder="
+    )
+
+
+def read_binary_gridded(
+    spark: SparkSession,
+    path_glob: str,
+    desc: DatasetDescriptor,
+    decoder: Decoder = default_decoder,
+) -> DataFrame:
+    """S7/S8 replacement: distributed ingest of binary gridded files.
+
+    ``binaryFile`` rows (one per file) are decoded executor-side by an
+    Arrow-batched ``mapInPandas`` — each file's cells become tall rows. File
+    parallelism is the partitioning unit, matching the reference's
+    file-at-a-time kerchunk scan (transform.py:113-178) but distributed.
+    """
+    schema = desc.schema()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = schema.fieldNames()
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rows = list(decoder(row["path"], row["content"]))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return binary.mapInPandas(decode, schema=schema)
