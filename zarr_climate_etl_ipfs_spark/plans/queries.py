@@ -1,0 +1,807 @@
+"""The operator-inventory query catalog.
+
+One entry per implemented operator from SURVEY.md §2, each as
+  - a Spark-first DataFrame program ``(spark, sf_dir) -> DataFrame``, and
+  - an ANSI-SQL oracle string DuckDB runs on the same parquet tables.
+
+Conventions (driver contract, see repo README):
+  - every computed column is aliased identically on both sides;
+  - float aggregates are rounded (4 decimals) on both sides so engine-order
+    summation noise can't flip the value hash;
+  - sessions are timezone-pinned to UTC by ``session.tune``.
+
+Scale notes are attached per query: the point of each plan is that it would
+still be the right plan at 100 TB (broadcasts for dims, partial aggregation,
+no driver-side loops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.session import tune
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    fn: SparkQuery
+    oracle: str | None  # None → driver records a weaker rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(wrapped, oracle)
+        return wrapped
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The events table stores TIMESTAMP(NANOS), which Spark reads as long
+    # nanos under spark.sql.legacy.parquet.nanosAsLong (set by session.tune).
+    # Convert to a microsecond timestamp — the same truncation DuckDB applies.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Flagship + scans/filters (SURVEY §2.2 P1-P3)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary. Pure map-side-combinable
+    hash aggregate over a pushed-down scan — the canonical 100 TB-safe shape
+    (partial agg per partition, tiny shuffle of 4-ish groups)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "point_select",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    ORDER BY l_linenumber
+    """,
+)
+def point_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 exact point select (reference: ds.sel(lat,lon,time),
+    utils/publish.py:562). The key predicate reaches the parquet scan as a
+    pushed filter; the scalar subquery is one tiny pre-job."""
+    li = t(spark, sf_dir, "lineitem")
+    min_key = t(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
+    return (
+        li.filter(F.col("l_orderkey") == F.lit(min_key))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_linenumber")
+    )
+
+
+@q(
+    "time_slice",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 time-slice filter (ds.sel(time=slice(a,b)), publish.py:817-822).
+    BETWEEN on the time column → partition pruning on a date-partitioned
+    table; here, parquet min/max row-group skipping."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "label_list_filter",
+    """
+    SELECT CAST(l_shipdate AS DATE) AS ship_day,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS qty
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) IN (DATE '1996-03-15', DATE '1997-01-01', DATE '1998-06-30')
+    GROUP BY ship_day
+    ORDER BY ship_day
+    """,
+)
+def label_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 label-list filter (ds.sel(time=[...]), publish.py:419): an IN list
+    of time labels, compiled to an isin predicate that reaches the scan."""
+    li = t(spark, sf_dir, "lineitem").withColumn("ship_day", F.to_date("l_shipdate"))
+    days = ["1996-03-15", "1997-01-01", "1998-06-30"]
+    return (
+        li.filter(F.col("ship_day").isin([F.lit(d).cast("date") for d in [*days]]))
+        .groupBy("ship_day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .orderBy("ship_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 J1-J4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "update_key_split",
+    """
+    WITH existing AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ), update_keys AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+    )
+    SELECT day, 'insert' AS kind FROM update_keys WHERE day IN (SELECT day FROM existing)
+    UNION ALL
+    SELECT day, 'append' AS kind FROM update_keys WHERE day NOT IN (SELECT day FROM existing)
+    ORDER BY day
+    """,
+)
+def update_key_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's insert/append key partition
+    (prepare_update_times, publish.py:303-330) on order days: semi join →
+    inserts, anti join → appends. Catalyst broadcasts the key sets."""
+    o = t(spark, sf_dir, "orders")
+    existing = (
+        o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select(F.to_date("o_orderdate").alias("day"))
+        .distinct()
+    )
+    update = (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+        .select(F.to_date("o_orderdate").alias("day"))
+        .distinct()
+    )
+    inserts = update.join(F.broadcast(existing), "day", "left_semi").withColumn(
+        "kind", F.lit("insert")
+    )
+    appends = update.join(F.broadcast(existing), "day", "left_anti").withColumn(
+        "kind", F.lit("append")
+    )
+    return inserts.unionByName(appends).orderBy("day")
+
+
+@q(
+    "dim_broadcast_join",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY region, nation
+    """,
+)
+def dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — shared-dimension join (identical_dims ≈ broadcast dim table,
+    SURVEY §2.3). nation/region are broadcast explicitly; customer is small
+    enough for AQE to broadcast at these SFs but would shuffle-hash at 100 TB
+    — exactly the right fallback, so no hint on it."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .orderBy("region", "nation")
+    )
+
+
+@q(
+    "asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           s.ts AS last_signup_ts
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — as-of (nearest-backward) join, the reference's nearest-time
+    alignment (publish.py:483-493). Spark has no ASOF operator; the
+    scale-correct plan is the union-and-window trick: tag both sides, sort
+    within user partitions by time, carry the last seen right-side timestamp
+    forward. One shuffle on user_id, no range explosion."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("signup_ts"), F.lit(1).alias("side")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("signup_ts"),
+        F.lit(0).alias("side"),
+    )
+    unioned = purchases.unionByName(signups)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "qc_value_compare",
+    """
+    WITH li AS (
+      SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charged
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN ABS(o_totalprice - charged) > 0.01 THEN 1 ELSE 0 END) AS n_mismatch
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def qc_value_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/Q6 — cross-dataset value comparison with tolerance
+    (check_written_value, publish.py:857-894): recompute order totals from
+    lineitem, equi-join on the key, count tolerance violations."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
+                2,
+            ).alias("charged")
+        )
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.abs(F.col("o_totalprice") - F.col("charged")) > 0.01, 1).otherwise(0)
+            ).alias("n_mismatch"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4 A1-A6)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "bbox_extent",
+    """
+    SELECT event_type,
+           ROUND(MIN(value), 3) AS min_value,
+           ROUND(MAX(value), 3) AS max_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bbox_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — spatial-extent min/max with rounding (bbox_coords,
+    convenience.py:444-464)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 3).alias("min_value"),
+            F.round(F.max("value"), 3).alias("max_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "temporal_extent",
+    """
+    SELECT event_type, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def temporal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 — temporal extent + per-dim distinct counts
+    (convenience.py:281-306, metadata.py:359-365)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "null_frequency",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CASE WHEN value > 400 THEN 1.0 ELSE 0.0 END), 4) AS nan_share
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def null_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — NaN-share estimate (publish.py:1016-1021): sentinel condition
+    (value > 400 plays the NaN role) averaged per group; computed exactly —
+    cheap in Spark where the reference had to sample."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.when(F.col("value") > 400, 1.0).otherwise(0.0)), 4).alias(
+                "nan_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "extent_union",
+    """
+    WITH a AS (SELECT MIN(value) lo, MAX(value) hi FROM events WHERE event_type = 'click'),
+         b AS (SELECT MIN(value) lo, MAX(value) hi FROM events WHERE event_type = 'view')
+    SELECT ROUND(LEAST(a.lo, b.lo), 3) AS union_lo,
+           ROUND(GREATEST(a.hi, b.hi), 3) AS union_hi
+    FROM a, b
+    """,
+)
+def extent_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — extent union via least/greatest over two extent rows
+    (metadata.py:540-542 np.minimum/np.maximum)."""
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").agg(
+        F.min("value").alias("a_lo"), F.max("value").alias("a_hi")
+    )
+    b = e.filter(F.col("event_type") == "view").agg(
+        F.min("value").alias("b_lo"), F.max("value").alias("b_hi")
+    )
+    return a.crossJoin(b).select(
+        F.round(F.least("a_lo", "b_lo"), 3).alias("union_lo"),
+        F.round(F.greatest("a_hi", "b_hi"), 3).alias("union_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5 W1-W4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "gaps_islands",
+    """
+    WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+    flagged AS (
+      SELECT day,
+             CASE WHEN day - LAG(day) OVER (ORDER BY day) = 1 THEN 0 ELSE 1 END AS is_start
+      FROM days
+    ), grouped AS (
+      SELECT day, SUM(is_start) OVER (ORDER BY day) AS range_id FROM flagged
+    )
+    SELECT range_id, MIN(day) AS range_start, MAX(day) AS range_end, COUNT(*) AS n_days
+    FROM grouped GROUP BY range_id ORDER BY range_id
+    """,
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — contiguous-range detection (calculate_update_time_ranges,
+    publish.py:432-495): the gaps-and-islands pattern over distinct keys.
+    The global window runs on the distinct *days* (metadata scale), never on
+    the fact rows."""
+    days = t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("day")).distinct()
+    w = Window.orderBy("day")
+    flagged = days.withColumn(
+        "is_start",
+        F.when(F.datediff(F.col("day"), F.lag("day").over(w)) == 1, 0).otherwise(1),
+    ).withColumn("range_id", F.sum("is_start").over(w))
+    return (
+        flagged.groupBy("range_id")
+        .agg(
+            F.min("day").alias("range_start"),
+            F.max("day").alias("range_end"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("range_id")
+    )
+
+
+@q(
+    "cadence_violations",
+    """
+    WITH deltas AS (
+      SELECT user_id,
+             EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS n_violations,
+           ROUND(MAX(gap_s), 1) AS max_gap_s
+    FROM deltas WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+)
+def cadence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — time-contiguity validation (are_times_in_expected_order,
+    publish.py:654-696): per-key lag deltas vs an expected cadence, keyed
+    windows partition cleanly across executors."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = e.withColumn(
+        "gap_s", F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum(F.when(F.col("gap_s") > 3600, 1).otherwise(0)).alias("n_violations"),
+            F.round(F.max("gap_s"), 1).alias("max_gap_s"),
+        )
+        .filter(F.col("n_violations") > 0)
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "next_date",
+    """
+    WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+    first_two AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM days),
+    delta AS (
+      SELECT DATEDIFF('day', MIN(day), MAX(day)) AS d FROM first_two WHERE rn <= 2
+    )
+    SELECT MAX(days.day) + CAST(delta.d AS INTEGER) AS next_expected_day
+    FROM days, delta GROUP BY delta.d
+    """,
+)
+def next_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — next-date derivation (convenience.py:387-413): infer the cadence
+    from the first two steps, add it to the last."""
+    days = t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("day")).distinct()
+    first_two = days.orderBy("day").limit(2).agg(
+        F.datediff(F.max("day"), F.min("day")).alias("d")
+    )
+    return (
+        days.agg(F.max("day").alias("last_day"))
+        .crossJoin(first_two)
+        .select(F.date_add(F.col("last_day"), F.col("d")).alias("next_expected_day"))
+    )
+
+
+@q(
+    "window_rank",
+    """
+    SELECT nation, c_name, acctbal, rk FROM (
+      SELECT n_name AS nation, c_name, ROUND(c_acctbal, 2) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rk <= 3
+    ORDER BY nation, rk
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (absent in the reference, §2.5 'Spark covers natively'):
+    top-3 customers per nation, deterministic tie-break on the key."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("nation", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (SURVEY §2.6), set ops (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "topk_revenue",
+    """
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey LIMIT 10
+    """,
+)
+def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O — top-k with deterministic tie-break. Spark plans this as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+@q(
+    "set_ops_keys",
+    """
+    SELECT n_nationkey AS nationkey, 'both' AS membership
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS membership
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    ORDER BY membership, nationkey
+    """,
+)
+def set_ops_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 — key-set intersection/difference (publish.py:327-328)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).withColumn("membership", F.lit("both"))
+    only = c.exceptAll(s).withColumn("membership", F.lit("customer_only"))
+    return both.unionByName(only).orderBy("membership", "nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8 F1-F10)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "lon_normalize",
+    """
+    SELECT event_type,
+           ROUND(AVG(((value * 3 + 180) % 360 + 360) % 360 - 180), 4) AS avg_norm_lon,
+           ROUND(MIN(((value * 3 + 180) % 360 + 360) % 360 - 180), 4) AS min_norm_lon,
+           ROUND(MAX(((value * 3 + 180) % 360 + 360) % 360 - 180), 4) AS max_norm_lon
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def lon_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — longitude standardization (convenience.py:516-534) applied to a
+    pseudo-longitude; the double-mod formula is engine-portable."""
+    from zarr_climate_etl_ipfs_spark.functions.scalars import normalize_longitude
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "norm", normalize_longitude(F.col("value") * 3)
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg("norm"), 4).alias("avg_norm_lon"),
+            F.round(F.min("norm"), 4).alias("min_norm_lon"),
+            F.round(F.max("norm"), 4).alias("max_norm_lon"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "date_buckets",
+    """
+    SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY month ORDER BY month
+    """,
+)
+def date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F5 — date→string folder naming (convenience.py:120-146): calendar
+    bucketing, the same expression the store uses for partition keys."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .orderBy("month")
+    )
+
+
+@q(
+    "regex_date_extract",
+    """
+    WITH named AS (
+      SELECT 'chirps_' || STRFTIME(o_orderdate, '%Y%m%d') || '.nc' AS fname FROM orders
+    )
+    SELECT SUBSTR(REGEXP_EXTRACT(fname, '([0-9]{8})', 1), 1, 4) AS file_year,
+           COUNT(*) AS n_files
+    FROM named GROUP BY file_year ORDER BY file_year
+    """,
+)
+def regex_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — date-from-filename regex recovery (publish.py:959-968): build the
+    provider-style filename, then parse the date back out of it."""
+    named = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("chirps_"), F.date_format("o_orderdate", "yyyyMMdd"), F.lit(".nc")
+        ).alias("fname")
+    )
+    return (
+        named.select(
+            F.substring(F.regexp_extract("fname", r"([0-9]{8})", 1), 1, 4).alias("file_year")
+        )
+        .groupBy("file_year")
+        .agg(F.count("*").alias("n_files"))
+        .orderBy("file_year")
+    )
+
+
+@q(
+    "json_props",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — JSON attr handling (metadata.py:820-833): extract typed values
+    from the free-form props map."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.max("k").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "extreme_bounds",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS qty_violations,
+           SUM(CASE WHEN l_extendedprice > 100000 OR l_extendedprice <= 0 THEN 1 ELSE 0 END)
+             AS price_violations
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def extreme_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/Q2 — unit-keyed extreme-value bounds check (attributes.py:323-326,
+    publish.py:566-575) as a counting predicate."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0)).alias(
+                "qty_violations"
+            ),
+            F.sum(
+                F.when((F.col("l_extendedprice") > 100000) | (F.col("l_extendedprice") <= 0), 1)
+                .otherwise(0)
+            ).alias("price_violations"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "snap_to_grid",
+    """
+    SELECT ROUND((ROUND(value / 25) * 25), 1) AS grid_value, COUNT(*) AS n
+    FROM events GROUP BY grid_value ORDER BY grid_value
+    """,
+)
+def snap_to_grid_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — nearest-with-tolerance as deterministic grid snap
+    (SURVEY §7 'nearest semantics'): closed-form lattice rounding."""
+    from zarr_climate_etl_ipfs_spark.functions.scalars import snap_to_grid
+
+    return (
+        t(spark, sf_dir, "events")
+        .select(F.round(snap_to_grid(F.col("value"), 0.0, 25.0), 1).alias("grid_value"))
+        .groupBy("grid_value")
+        .agg(F.count("*").alias("n"))
+        .orderBy("grid_value")
+    )

@@ -22,6 +22,9 @@ TUNING: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few pandas-UDF paths (ingest, CI math).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events table stores TIMESTAMP(NANOS); Spark rejects it by
+    # default. Read as long nanos and convert (sources: loader in plans/queries).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
