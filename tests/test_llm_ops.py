@@ -1,0 +1,187 @@
+"""Tests for the LLM-pipeline operators: text analysis, dedup, similarity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.operators import dedup, similarity, textanalysis
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# -- text analysis -----------------------------------------------------------
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text", textanalysis.token_count("text").alias("n")).collect()
+    for r in rows[:50]:
+        assert r["n"] == len(r["text"].split()), r["doc_id"]
+
+
+def test_token_count_empty_string(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("one two",)], "text string")
+    got = [r["n"] for r in df.select(textanalysis.token_count("text").alias("n")).collect()]
+    assert got == [0, 0, 2]
+
+
+def test_quality_score_bounds(docs):
+    stats = docs.select(textanalysis.quality_score("text").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("different",)], "text string"
+    )
+    fps = [r["fp"] for r in df.select(textanalysis.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_predict_language_deterministic(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the house and it is big",), ("el gato es un animal de la casa",)],
+        "text string",
+    )
+    langs = [r["l"] for r in df.select(textanalysis.predict_language("text").alias("l")).collect()]
+    assert langs[0] == "en"
+    assert langs[1] == "es"
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_removes_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha  beta gamma"), (3, "unique doc here")],
+        "doc_id long, text string",
+    )
+    kept = dedup.dedup_exact(df, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["dup_ids"] == [1, 2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = df.select(dedup.shingles("text", 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == []
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = " ".join(f"word{i}" for i in range(30))  # 28 shingles
+    near = base.replace("word15", "changed")  # jaccard ≈ 25/31 ≈ 0.8
+    far = "completely different content with no overlap whatsoever in any shingle xyz"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    cands = dedup.lsh_candidate_pairs(df, "doc_id", "text", n_hashes=16, bands=8)
+    pairset = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairset
+    assert (1, 3) not in pairset and (2, 3) not in pairset
+    jac = dedup.jaccard_pairs(df, cands, "doc_id", "text")
+    row = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}[(1, 2)]
+    assert 0.6 < row < 1.0
+
+
+def test_dedup_minhash_keeps_lower_id(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(10, base), (20, base), (30, "other words entirely distinct from those")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_minhash(df, "doc_id", "text").collect())
+    assert kept == [10, 30]
+
+
+def test_simhash_near_duplicates(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w30", "w30x")  # one word differs
+    far = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = dedup.simhash_near_duplicates(df, "doc_id", "text", max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_md5int_portable_against_duckdb():
+    import duckdb
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([("abc",), ("xyz",), ("",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", dedup.md5int(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        dd = duckdb.sql(f"SELECT CAST(concat('0x', substr(md5('{s}'),1,14)) AS BIGINT)").fetchone()[0]
+        assert h == dd, s
+
+
+# -- similarity --------------------------------------------------------------
+
+
+def test_brute_force_topk_self_is_top(spark, embeddings):
+    query = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.brute_force_topk(embeddings, query, k=5).collect()
+    assert top[0]["vec_id"] == 0  # self-similarity = 1.0 is rank 1
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    assert len(top) == 5
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_brute_force_matches_numpy(spark, embeddings):
+    pdf = embeddings.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy())
+    q = mat[pdf.vec_id.tolist().index(0)]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-sims)[:5]
+    expected_ids = pdf["vec_id"].to_numpy()[order].tolist()
+    query = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, query, k=5).collect()]
+    assert got == expected_ids
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    """LSH top-10 must recover most of the exact top-10 (recall ≥ 0.5 on
+    this small corpus with 3 bands)."""
+    query = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(embeddings, query, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.lsh_topk(embeddings, query, k=10).collect()}
+    assert len(exact & approx) >= 5
+
+
+def test_embedding_near_duplicates_finds_planted(spark, embeddings):
+    """Plant a near-identical copy of vec 0 and expect the pair out."""
+    pdf = embeddings.limit(50).toPandas()
+    v0 = np.array(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float32)
+    noisy = (v0 + np.float32(0.001)).tolist()
+    extra = pdf.iloc[[0]].copy()
+    extra["vec_id"] = 99999
+    extra["embedding"] = [noisy]
+    df = spark.createDataFrame(pd.concat([pdf, extra]), schema=embeddings.schema)
+    pairs = similarity.embedding_near_duplicates(df, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 99999) in got

@@ -1,0 +1,271 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families (BASELINE.json north star), all shuffle-conscious:
+
+  exact          hash-groupBy on a normalized fingerprint — one shuffle of
+                 (hash, id), never of document bodies
+  minhash + LSH  shingle → minhash signature → band buckets → candidate
+                 pairs only within buckets (the 100 TB-safe near-dup join:
+                 no O(n²) cross join ever materializes)
+  simhash        64-bit sign-aggregated fingerprint; near-dups differ in
+                 few bits, bucketed by rotated prefixes
+  n-gram Jaccard exact set overlap on candidate pairs (verification stage
+                 after LSH, or standalone at small scale)
+  embedding      cosine > threshold within LSH-ish buckets (see
+                 operators/similarity.py for the bucketing)
+
+Portable hashing: `md5int` (56 bits of md5) is reproducible across engines
+(used by the oracle-checked queries); xxhash64 is the fast JVM-side default
+for production paths where cross-engine determinism isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.operators.textanalysis import fingerprint, words
+
+
+def md5int(c: Column) -> Column:
+    """First 56 bits of md5 as a non-negative bigint — engine-portable
+    (DuckDB: CAST('0x' || substr(md5(x),1,14) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    (fingerprint, n_dups, keep_id, dup_ids)."""
+    fp = df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative of each fingerprint group.
+
+    Window-free formulation: min(id) per fingerprint then semi-join — two
+    metadata-size shuffles, bodies move zero times."""
+    keyed = df.withColumn("_fp", fingerprint(text_col))
+    keep = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, [ "_fp", id_col], "left_semi").drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle set (distinct)."""
+    ws = words(text)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " ")
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(text: Column | str, n_hashes: int = 16, portable: bool = True) -> Column:
+    """MinHash signature: for each hash function i, min over shingles of
+    h(shingle ‖ i). One expression tree, no explode — the shingle array stays
+    inside the row until the signature (n_hashes longs) leaves it."""
+    sh = shingles(text)
+
+    def h(s: Column, i: int) -> Column:
+        salted = F.concat(s, F.lit(f"#{i}"))
+        return md5int(salted) if portable else F.xxhash64(salted)
+
+    def hasher(i: int):
+        # single-arg lambda: a 2-arg lambda would make transform() pass the
+        # array index as the second argument, clobbering the salt
+        return lambda s: h(s, i)
+
+    mins = [
+        F.array_min(F.transform(sh, hasher(i))).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b, with band agreement count).
+
+    Plan shape: signature (map-side) → explode to (band, band_hash, id) —
+    n·bands small rows — → groupBy bucket → pairs within bucket. The only
+    quadratic term is within-bucket, which LSH keeps tiny; the shuffle key is
+    (band, band_hash) so hot buckets can be salted if a degenerate corpus
+    (all-identical docs) shows up.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(text_col, n_hashes).alias("sig")
+    )
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    buckets = band_rows.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda a, i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids")), lambda b: F.struct(
+                            a.alias("id_a"), b.alias("id_b")
+                        )
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands_agree"))
+
+
+def jaccard_pairs(
+    df: DataFrame, candidates: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle sets back on
+    and compute |A∩B| / |A∪B| with array ops — verification stage after LSH."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(0.0)
+        )
+        .select("id_a", "id_b", "inter", "uni", "jaccard")
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dedup: LSH candidates → exact Jaccard ≥ threshold → drop the
+    higher id of each surviving pair (greedy, deterministic)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
+    dups = (
+        jaccard_pairs(df, cands, id_col, text_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """SimHash: per word-feature hash, sum ±1 per bit position weighted by
+    presence, sign → bit. Implemented as bit-position aggregation over the
+    word array — JVM-side, no explode."""
+    ws = F.array_distinct(words(text))
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+
+    def bit(i: int) -> Column:
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    def bit_sum(i: int) -> Column:
+        # +1 when bit i set else -1, summed over features
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(bit(i)) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(bit_sum(i) > 0, bit(i)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash with pigeonhole blocking: the 64 bits are
+    split into ``max_hamming + 1`` blocks — a pair within the hamming budget
+    must agree *exactly* on at least one block, so bucketing per block has
+    perfect recall. Join key is (block_idx, block_bits): linear shuffle,
+    quadratic only within a bucket, exact hamming verified in-bucket."""
+    n_blocks = max_hamming + 1
+    bits_per_block = 64 // n_blocks
+    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftrightunsigned("sh", b * bits_per_block)
+                .bitwiseAND(F.shiftleft(F.lit(1).cast("long"), bits_per_block) - 1)
+                .alias("block_bits"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    bucketed = sh.select("id", "sh", F.explode(blocks).alias("bb")).select(
+        "id", "sh", F.col("bb.block").alias("block"), F.col("bb.block_bits").alias("block_bits")
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block", "block_bits")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block", "block_bits")
+    return (
+        a.join(b, ["block", "block_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for LLM training-data pipelines (BASELINE.json
+north star: beyond-reference operators on the documents table).
+
+All column-level transforms are JVM-side expressions (split/filter/aggregate
+higher-order functions) — no Python UDFs — so they codegen and scale linearly
+with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the heuristic language identifier.
+#: Deliberately small and hard-coded: the point is the *operator shape*
+#: (vectorized per-language scoring), not lexical coverage.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "para", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}\-]"
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: words plus punctuation marks counted
+    separately (a cheap, deterministic proxy for BPE tokenizers)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(words(text)) + F.length(c) - F.length(F.regexp_replace(c, PUNCT_RE, ""))
+
+
+def avg_word_length(text: Column | str) -> Column:
+    ws = words(text)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(ws) > 0, total / F.size(ws))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    ws = words(text)
+    sw = STOPWORDS[lang]
+    hits = F.size(F.filter(ws, lambda w: F.lower(w).isin(sw)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        F.length(c) > 0,
+        (F.length(c) - F.length(F.regexp_replace(c, PUNCT_RE, ""))) / F.length(c),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + word-shape sanity.
+
+    The shape mirrors production quality filters (Gopher/C4-style rules):
+    each rule contributes a bounded penalty; the score is 1 - Σ penalties.
+    """
+    ws = words(text)
+    n_words = F.size(ws)
+    awl = F.coalesce(avg_word_length(text), F.lit(0.0))
+    len_penalty = F.when(n_words < 10, 0.5).when(n_words > 5000, 0.3).otherwise(0.0)
+    wordlen_penalty = F.when((awl < 2.0) | (awl > 12.0), 0.3).otherwise(0.0)
+    punct_penalty = F.when(punct_ratio(text) > 0.2, 0.2).otherwise(0.0)
+    return F.greatest(F.lit(0.0), F.lit(1.0) - len_penalty - wordlen_penalty - punct_penalty)
+
+
+def language_scores(text: Column | str) -> Column:
+    """Map of lang → stopword-hit ratio; argmax is the predicted language."""
+    pairs = [
+        F.struct(F.lit(lang).alias("lang"), stopword_ratio(text, lang).alias("score"))
+        for lang in STOPWORDS
+    ]
+    return F.array(*pairs)
+
+
+def predict_language(text: Column | str) -> Column:
+    """Heuristic n-gram/stopword language ID: the language whose stopword
+    list matches the most tokens (deterministic tie-break on lang name)."""
+    scores = language_scores(text)
+    best = F.array_max(
+        F.transform(scores, lambda s: F.struct(s["score"].alias("score"), s["lang"].alias("lang")))
+    )
+    return best["lang"]
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text —
+    the exact-dedup key. Engine-portable (md5 is standard)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass document profile: token/char counts, quality, language."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_chars_measured": F.length(c),
+            "avg_word_len": avg_word_length(c),
+            "punct_ratio": punct_ratio(c),
+            "quality": quality_score(c),
+            "lang_pred": predict_language(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

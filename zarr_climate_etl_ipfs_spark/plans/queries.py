@@ -805,3 +805,536 @@ def snap_to_grid_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("grid_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (beyond-reference: LLM-pipeline operators on documents)
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+_PUNCT_SQL = r"'[.,;:!?''\"()\[\]{}\-]'"
+
+
+@q(
+    "token_stats",
+    f"""
+    WITH toks AS (
+      SELECT lang, LEN({_WORDS_SQL}) AS n_tokens FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) aggregated per language."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import token_count
+
+    d = t(spark, sf_dir, "documents").withColumn("n_tokens", token_count("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH m AS (
+      SELECT source,
+             LEN({_WORDS_SQL}) AS n_words,
+             CAST(LIST_SUM(LIST_TRANSFORM({_WORDS_SQL}, w -> LENGTH(w))) AS DOUBLE)
+               / LEN({_WORDS_SQL}) AS awl,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, {_PUNCT_SQL}, '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS punct_ratio
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(awl), 4) AS avg_word_len,
+           ROUND(AVG(punct_ratio), 4) AS avg_punct_ratio,
+           ROUND(AVG(GREATEST(0.0, 1.0
+             - (CASE WHEN n_words < 10 THEN 0.5 WHEN n_words > 5000 THEN 0.3 ELSE 0.0 END)
+             - (CASE WHEN awl < 2.0 OR awl > 12.0 THEN 0.3 ELSE 0.0 END)
+             - (CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END))), 4) AS avg_quality
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/word-shape/punctuation heuristics) per source."""
+    from zarr_climate_etl_ipfs_spark.operators import textanalysis as ta
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumns(
+            {
+                "awl": ta.avg_word_length("text"),
+                "pr": ta.punct_ratio("text"),
+                "quality": ta.quality_score("text"),
+            }
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("awl"), 4).alias("avg_word_len"),
+            F.round(F.avg("pr"), 4).alias("avg_punct_ratio"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lang_scores_sql() -> str:
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import STOPWORDS
+
+    parts = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS([{lst}], LOWER(x)))) AS DOUBLE)"
+            f" / LEN(w) AS s_{lang}"
+        )
+    return ",\n             ".join(parts)
+
+
+@q(
+    "language_id",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_lang_scores_sql()}
+      FROM (SELECT lang, {_WORDS_SQL} AS w FROM documents)
+    ), pred AS (
+      SELECT lang,
+             CASE
+               WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+               WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+               WHEN s_en >= s_de THEN 'en'
+               ELSE 'de'
+             END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax, ties → lexicographically
+    largest code) cross-tabulated against the labeled language."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import predict_language
+
+    d = t(spark, sf_dir, "documents").withColumn("lang_pred", predict_language("text"))
+    return d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n")).orderBy(
+        "lang", "lang_pred"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (exact, portable minhash+LSH, n-gram jaccard)
+# ---------------------------------------------------------------------------
+
+_FP_SQL = r"MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))"
+_SHINGLES_SQL = (
+    f"CASE WHEN LEN({_WORDS_SQL}) >= 3 THEN "
+    f"LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN({_WORDS_SQL}) - 1), "
+    f"i -> ARRAY_TO_STRING(({_WORDS_SQL})[i:i+2], ' '))) "
+    "ELSE [] END"
+)
+_MD5INT_SQL = "CAST(CONCAT('0x', SUBSTR(MD5({x}), 1, 14)) AS BIGINT)"
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT {_FP_SQL}) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT {_FP_SQL}) AS n_exact_dups
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: normalized-md5 fingerprint cardinality per
+    language (operators/dedup.py dedup_exact is the removal form)."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import fingerprint
+
+    d = t(spark, sf_dir, "documents").withColumn("fp", fingerprint("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "minhash_signatures",
+    f"""
+    WITH sh AS (
+      SELECT lang, {_SHINGLES_SQL} AS grams FROM documents
+    ), sigs AS (
+      SELECT lang,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#0'")})) AS mh0,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#1'")})) AS mh1,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#2'")})) AS mh2,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#3'")})) AS mh3
+      FROM sh WHERE LEN(grams) > 0
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(mh0) AS min_mh0, MIN(mh1) AS min_mh1,
+           MIN(mh2) AS min_mh2, MIN(mh3) AS min_mh3,
+           COUNT(DISTINCT CONCAT(mh0, ',', mh1, ',', mh2, ',', mh3)) AS n_distinct_sigs
+    FROM sigs GROUP BY lang ORDER BY lang
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash signatures (md5-derived hash family) — verified
+    bit-for-bit against the oracle's independent implementation."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import minhash_signature, shingles
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "sig", minhash_signature("text", n_hashes=4, portable=True)
+    ).filter(F.size(shingles("text")) > 0)
+    cols = {f"mh{i}": F.col("sig")[i] for i in range(4)}
+    d = d.withColumns(cols)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[F.min(f"mh{i}").alias(f"min_mh{i}") for i in range(4)],
+            F.countDistinct(
+                F.concat_ws(",", *[F.col(f"mh{i}") for i in range(4)])
+            ).alias("n_distinct_sigs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
+    ), ex AS (
+      SELECT doc_id, UNNEST(grams) AS g FROM sh
+    ), sizes AS (
+      SELECT doc_id, LEN(grams) AS n FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (threshold 0.8) — finds the corpus's
+    planted near-duplicates. Plan: explode shingles → count shared grams per
+    pair (shuffle keyed by gram, quadratic only within one gram's postings,
+    the textbook inverted-index join) → jaccard from set sizes."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), shingles("text").alias("grams")
+    )
+    ex = d.select("doc_id", F.explode("grams").alias("g"))
+    sizes = d.select("doc_id", F.size("grams").alias("n"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "g")
+    b = ex.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "minhash_lsh_neardups",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
+    ), sigs AS (
+      SELECT doc_id, grams,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#0'")})) AS mh0,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#1'")})) AS mh1,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#2'")})) AS mh2,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#3'")})) AS mh3,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#4'")})) AS mh4,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#5'")})) AS mh5,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#6'")})) AS mh6,
+             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#7'")})) AS mh7
+      FROM sh WHERE LEN(grams) > 0
+    ), bands AS (
+      SELECT doc_id, 0 AS band, CONCAT(mh0, ',', mh1) AS band_key FROM sigs
+      UNION ALL SELECT doc_id, 1, CONCAT(mh2, ',', mh3) FROM sigs
+      UNION ALL SELECT doc_id, 2, CONCAT(mh4, ',', mh5) FROM sigs
+      UNION ALL SELECT doc_id, 3, CONCAT(mh6, ',', mh7) FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b,
+             CAST(LEN(LIST_INTERSECT(sa.grams, sb.grams)) AS DOUBLE)
+               / (LEN(sa.grams) + LEN(sb.grams) - LEN(LIST_INTERSECT(sa.grams, sb.grams)))
+               AS jaccard
+      FROM cands JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+    FROM verified WHERE jaccard >= 0.8 ORDER BY id_a, id_b
+    """,
+)
+def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup, end to end and *deterministically portable*:
+    md5-family minhash (8 hashes, 4 bands of 2), band-bucket candidate join,
+    exact-jaccard verification at 0.8 — both engines compute identical
+    signatures, so the oracle checks the whole LSH pipeline, not just its
+    output shape. The banded join is the 100 TB path (no cross join)."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import minhash_signature, shingles
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            shingles("text").alias("grams"),
+            minhash_signature("text", n_hashes=8, portable=True).alias("sig"),
+        )
+        .filter(F.size("grams") > 0)
+    )
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", F.col("sig")[2 * b], F.col("sig")[2 * b + 1]
+                        ).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    cands = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = d.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = d.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = inter / (F.size("grams_a") + F.size("grams_b") - inter)
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "knn_brute_force",
+    """
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+                                        CAST(qvec AS DOUBLE[])), 6) AS cosine
+    FROM embeddings, q
+    ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for one query vector: broadcast query, codegen'd
+    zip_with/aggregate dot product, TakeOrderedAndProject (no shuffle)."""
+    from zarr_climate_etl_ipfs_spark.functions.vectors import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    return (
+        emb.crossJoin(qv)
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qvec")).alias("_c"),
+        )
+        .orderBy(F.col("_c").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_c", 6).alias("cosine"))
+    )
+
+
+@q(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scan, blocked by the label column (the
+    metadata-blocking baseline; operators/similarity.py has the LSH-banded
+    variant for unlabeled corpora). Join key = label keeps the pair space
+    linear-ish; cosine verified exactly."""
+    from zarr_climate_etl_ipfs_spark.functions.vectors import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_c", cos)
+        .filter(F.col("_c") >= 0.35)
+        .select("id_a", "id_b", F.round("_c", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + rollup (streaming-adjacent batch, multi-level agg)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH(ts - LAG(ts) OVER w) > 1800 OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             EPOCH(MAX(ts) - MIN(ts)) AS duration_s
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           MAX(n_events) AS max_session_events,
+           ROUND(AVG(duration_s), 2) AS avg_session_duration_s
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) as batch gaps-and-islands per
+    user — the batch twin of streaming session windows
+    (streaming/incremental.py has the readStream form)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(ws))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts").cast("double") - F.min("ts").cast("double")).alias("duration_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.avg("duration_s"), 2).alias("avg_session_duration_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (rollup) — absent in the reference (§2.4),
+    native in Spark: per-nation, per-region subtotals and grand total in one
+    pass (partial aggregation handles all levels map-side)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "o_totalprice")
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
+    )
