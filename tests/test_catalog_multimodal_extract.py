@@ -1,0 +1,147 @@
+"""Tests: STAC-style catalog lifecycle, multimodal plumbing, extractors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import _tall, daily
+from zarr_climate_etl_ipfs_spark import multimodal
+from zarr_climate_etl_ipfs_spark.plans.catalog import (
+    StacCatalog,
+    bbox_geometry,
+    spatial_extent,
+    temporal_extent,
+    union_extent,
+)
+from zarr_climate_etl_ipfs_spark.sources.extractors import (
+    FTPExtractor,
+    HTTPExtractor,
+    RetryPolicy,
+    distributed_fetch,
+)
+
+# -- catalog -----------------------------------------------------------------
+
+
+def test_extents(initial_df, desc):
+    assert spatial_extent(initial_df) == [100.0, 10.0, 130.0, 40.0]
+    lo, hi = temporal_extent(initial_df)
+    assert lo.startswith("2021-09-16") and hi.startswith("2022-01-31")
+
+
+def test_union_extent():
+    assert union_extent([0, 0, 10, 10], [-5, 2, 8, 20]) == [-5, 0, 10, 20]
+
+
+def test_bbox_geometry_closed_ring():
+    g = bbox_geometry([0.0, 0.0, 1.0, 2.0])
+    ring = g["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) == 5
+
+
+def test_catalog_lifecycle(tmp_path, desc, initial_df, spark):
+    cat = StacCatalog(tmp_path / "stac")
+    coll = cat.create_or_update_collection(desc, initial_df)
+    assert coll["extent"]["spatial"]["bbox"] == [[100.0, 10.0, 130.0, 40.0]]
+
+    item1 = cat.register_item(desc, initial_df, data_href="/data/v1")
+    assert item1["id"] == "fake_obs-v1" and item1["links"] == []
+
+    # re-publish with wider data → extent union + version chain
+    wider = spark.createDataFrame(
+        _tall(daily("2022-02-01", 3), seed=9), schema=desc.schema()
+    ).withColumn("latitude", F.col("latitude") - 50.0)
+    cat.create_or_update_collection(desc, wider)
+    coll2 = cat.create_or_update_collection(desc, initial_df)
+    assert coll2["extent"]["spatial"]["bbox"] == [[100.0, -40.0, 130.0, 40.0]]
+
+    item2 = cat.register_item(desc, wider, data_href="/data/v2")
+    assert item2["links"] == [{"rel": "prev", "href": "./v1.json"}]
+    latest = cat.latest_item(desc.dataset_name)
+    assert latest["id"] == "fake_obs-v2"
+    history = cat.item_history(desc.dataset_name)
+    assert [it["id"] for it in history] == ["fake_obs-v2", "fake_obs-v1"]
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark):
+    payloads = [(1, b"aaaa"), (2, b"zzzzzzzz"), (3, b"")]
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    out = multimodal.extract_features(
+        df, decoder=multimodal.deterministic_fake_decoder
+    ).orderBy("doc_id").collect()
+    assert [r["decode_ok"] for r in out] == [True, True, True]
+    assert len(out[0]["feature"]) == 8
+    # deterministic: same content → same feature
+    again = multimodal.extract_features(
+        df, decoder=multimodal.deterministic_fake_decoder
+    ).orderBy("doc_id").collect()
+    assert out[0]["feature"] == again[0]["feature"]
+
+
+def test_multimodal_default_decoder_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, content binary")
+    with pytest.raises(Exception, match="PIL|decode"):
+        multimodal.extract_features(df).collect()
+
+
+def test_multimodal_corrupt_payload_isolated(spark):
+    def flaky(content: bytes, meta) -> np.ndarray:
+        if content == b"bad":
+            raise ValueError("corrupt blob")
+        return np.ones(4, dtype=np.float32)
+
+    df = spark.createDataFrame([(1, b"ok"), (2, b"bad")], "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in multimodal.extract_features(df, decoder=flaky).collect()}
+    assert out[1]["decode_ok"] and out[1]["feature"] == [1.0] * 4
+    assert not out[2]["decode_ok"] and "corrupt" in out[2]["error"]
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"v")], "doc_id long, content binary")
+    df = multimodal.attach_media_meta(df, "video", "mp4").withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(3500).cast("long")),
+    )
+    frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+
+
+# -- extractors --------------------------------------------------------------
+
+
+def test_http_get_links_filter():
+    html = '<a href="f1.nc">x</a> <A HREF="f2.txt">y</A> <a id="z" href="f3.nc">'
+    links = HTTPExtractor.get_links(html, lambda h: h.endswith(".nc"))
+    assert links == {"f1.nc", "f3.nc"}
+
+
+def test_ftp_find_pattern():
+    listing = ["chirps_2003.nc", "chirps_2004.nc", "readme.txt"]
+    assert FTPExtractor().find(listing, r"chirps_\d{4}\.nc") == [
+        "chirps_2003.nc",
+        "chirps_2004.nc",
+    ]
+
+
+def test_retry_policy_delays():
+    http = RetryPolicy()
+    assert list(http.delays())[:3] == [1.0, 2.0, 4.0]
+    s3 = RetryPolicy(tries=5, backoff=1.0, exponential=False)
+    assert list(s3.delays()) == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_distributed_fetch_with_fake(spark, tmp_path):
+    def fake_fetcher(url: str, dest: str) -> str:
+        if "bad" in url:
+            raise ConnectionError("host unreachable")
+        return f"{dest}/{url.split('/')[-1]}"
+
+    urls = ["http://x/a.nc", "http://x/bad.nc", "http://x/c.nc"]
+    out = {r["url"]: r for r in distributed_fetch(spark, urls, str(tmp_path), fake_fetcher).collect()}
+    assert out["http://x/a.nc"]["ok"] and out["http://x/a.nc"]["path"].endswith("a.nc")
+    assert not out["http://x/bad.nc"]["ok"] and "unreachable" in out["http://x/bad.nc"]["error"]

@@ -1,0 +1,136 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (BASELINE.json north star): media payloads are ``binary`` columns with
+a typed metadata struct alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages so payload bytes
+stream through executors in columnar batches and never transit the driver.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are pluggable: :data:`default_image_decoder` raises
+NotImplementedError with the dependency name, and tests inject deterministic
+fakes. The Spark-side plumbing — schema, batch shape, partition sizing — is
+real and tested (SURVEY.md build brief: stub the decode, make the plumbing
+real).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried next to every media payload
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+#: decoder contract: raw bytes + meta dict -> float feature vector
+Decoder = Callable[[bytes, dict[str, Any]], np.ndarray]
+
+
+def default_image_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (not in this container); "
+        "inject decoder= with a real kernel in production"
+    )
+
+
+def deterministic_fake_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """Test stand-in: an 8-dim feature derived from byte statistics —
+    deterministic, content-sensitive, shaped like a real embedding."""
+    arr = np.frombuffer(content, dtype=np.uint8).astype(np.float32)
+    if arr.size == 0:
+        return np.zeros(8, dtype=np.float32)
+    return np.array(
+        [
+            arr.mean(),
+            arr.std(),
+            arr.min(),
+            arr.max(),
+            float(arr.size),
+            arr[:16].sum(),
+            arr[-16:].sum(),
+            float(int(arr.sum()) % 997),
+        ],
+        dtype=np.float32,
+    )
+
+
+def attach_media_meta(df: DataFrame, media_type: str, fmt: str | None = None) -> DataFrame:
+    """Wrap a binary column with the typed metadata struct."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: Decoder = default_image_decoder,
+) -> DataFrame:
+    """Decode + featurize media payloads via Arrow-batched mapInPandas.
+
+    Per-row failures are captured, not fatal (decode_ok/error columns):
+    at 100 TB a corrupt blob must not kill the stage. Batch size is governed
+    by spark.sql.execution.arrow.maxRecordsPerBatch; payload bytes stay
+    executor-side end to end.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    feat = decoder(row[content_col], {})
+                    out.append((row[id_col], feat.tolist(), True, None))
+                except NotImplementedError:
+                    raise
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    out.append((row[id_col], None, False, str(e)[:200]))
+            yield pd.DataFrame(out, columns=["doc_id", "feature", "decode_ok", "error"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    derived from duration metadata — the explode happens before decode so
+    frame decoding parallelizes across the cluster, not inside one task."""
+    n_frames = (F.col("media_meta.duration_ms") / every_ms).cast("int")
+    return df.withColumn(
+        "frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))))
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)

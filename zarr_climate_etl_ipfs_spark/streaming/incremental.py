@@ -1,0 +1,116 @@
+"""Incremental-update streaming — SURVEY.md §2.9.
+
+The reference's update loop is a hand-rolled incremental-batch analog of a
+stream:
+
+  new-data poll (convenience.py:482-513)  → file-source offset tracking
+  append-bridge guard (publish.py:626-648) → event-time ordering/watermark
+  inserts gated by allow_overwrite
+    (publish.py:287-294)                   → foreachBatch + merge (late data)
+  cadence bounds (attributes.py:250-257)   → watermark delay
+
+Here those are actual Structured Streaming constructs:
+
+  - :func:`stream_ingest` — file-source ``readStream`` over a landing
+    directory with ``Trigger.AvailableNow``: each invocation processes
+    exactly the files not seen before (the checkpoint is the offset log,
+    replacing the reference's newest-file-date comparison) and upserts them
+    through the GridStore's insert/append split.
+  - :func:`windowed_stats` — watermarked tumbling-window aggregation over
+    event time, the streaming twin of the per-time-step QC aggregates (A5).
+  - :func:`session_stats` — built-in session windows (gap-based), the
+    streaming twin of the batch sessionize query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+from zarr_climate_etl_ipfs_spark.sources.store import GridStore
+
+
+def stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    store: GridStore,
+    checkpoint_dir: str,
+) -> None:
+    """Incrementally publish parquet files landing in ``landing_dir``.
+
+    ``Trigger.AvailableNow`` + checkpoint = process-new-files-then-stop, the
+    streaming-native version of the reference's extract→check-new→parse loop.
+    Each micro-batch goes through ``GridStore.update`` (foreachBatch is the
+    documented Spark pattern for merge-style sinks), so the insert/append
+    split, Q5 guards and allow_overwrite gating all apply to late data.
+    """
+    desc = store.desc
+    schema = desc.schema()
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            if store.has_existing():
+                store.update(batch_df)
+            else:
+                store.write_initial(batch_df)
+
+    (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_stats(
+    events: DataFrame,
+    time_col: str,
+    value_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (works on both batch and
+    streaming frames): per-window count / mean / null-share — the per-step
+    QC statistics (A5) with late-data tolerance = the watermark delay,
+    mirroring update_cadence_bounds (attributes.py:250-257)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    isnull = F.col(value_col).isNull() | F.isnan(value_col)
+    return df.groupBy(F.window(time_col, window).alias("w")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(value_col), 4).alias("mean_value"),
+        F.round(F.avg(isnull.cast("double")), 4).alias("null_share"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+        "mean_value",
+        "null_share",
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    time_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation (gap-based), streaming-capable: Spark's
+    built-in session_window replaces the custom applyInPandasWithState the
+    reference's irregular-cadence feeds would otherwise need."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(time_col), gap).alias("s"), F.col(key_col)
+    ).agg(F.count("*").alias("n_events")).select(
+        key_col,
+        F.col("s.start").alias("session_start"),
+        F.col("s.end").alias("session_end"),
+        "n_events",
+    )
