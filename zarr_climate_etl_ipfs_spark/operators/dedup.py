@@ -69,35 +69,72 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingle set (distinct)."""
-    ws = words(text)
+    """Word k-gram shingle set (distinct) from raw text. When the word array
+    is (or can be) a materialized column, use :func:`shingles_from_words`:
+    embedding the split inside the per-index lambda re-runs the regex split
+    for every shingle position (O(words²) per row)."""
+    return shingles_from_words(words(text), k)
+
+
+def shingles_from_words(ws: Column | str, k: int = 3) -> Column:
+    ws = F.col(ws) if isinstance(ws, str) else ws
     n = F.size(ws)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " ")
-    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(text: Column | str, n_hashes: int = 16, portable: bool = True) -> Column:
-    """MinHash signature: for each hash function i, min over shingles of
-    h(shingle ‖ i). One expression tree, no explode — the shingle array stays
-    inside the row until the signature (n_hashes longs) leaves it."""
-    sh = shingles(text)
+    """MinHash signature from raw text. Prefer :func:`minhash_from_shingles`
+    over a materialized shingle column when the shingles are reused —
+    embedding ``shingles(text)`` once per hash duplicates the split/slice
+    subtree n_hashes times (Catalyst does not CSE across aggregate lambdas)."""
+    return minhash_from_shingles(shingles(text), n_hashes, portable)
 
-    def h(s: Column, i: int) -> Column:
-        salted = F.concat(s, F.lit(f"#{i}"))
-        return md5int(salted) if portable else F.xxhash64(salted)
 
-    def hasher(i: int):
-        # single-arg lambda: a 2-arg lambda would make transform() pass the
-        # array index as the second argument, clobbering the salt
-        return lambda s: h(s, i)
+#: affine MinHash family h_i(x) = (a_i·base(x) + b_i) mod p over a 28-bit
+#: base hash: one md5 per shingle (not per shingle×hash), the rest is integer
+#: arithmetic any engine reproduces exactly. p prime < 2^28 keeps a·base+b
+#: within 2^56 — no int64 overflow on either engine.
+MINHASH_BASE_MOD = 268435456  # 2^28
+MINHASH_PRIME = 268435399
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((i * 2654435761 + 1) % MINHASH_PRIME or 1, (i * 40503 + 7) % MINHASH_PRIME)
+        for i in range(n_hashes)
+    ]
+
+
+def shingle_bases(sh: Column, portable: bool = True) -> Column:
+    """28-bit base hash per shingle — materialize this as a column before
+    :func:`minhash_from_bases` so the md5 runs once per shingle, not once
+    per shingle×hash (Catalyst does not CSE across aggregate lambdas)."""
+    if portable:
+        return F.transform(sh, lambda s: md5int(s) % MINHASH_BASE_MOD)
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_BASE_MOD)))
+
+
+def minhash_from_bases(bases: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: min over shingle bases of (a_i·b + b_i) mod p per
+    hash i. Pure integer arithmetic over an already-hashed array — no
+    explode, the array stays inside the row until the signature leaves it."""
+
+    def hasher(a: int, b: int):
+        return lambda base: (F.lit(a) * base + F.lit(b)) % MINHASH_PRIME
 
     mins = [
-        F.array_min(F.transform(sh, hasher(i))).alias(f"mh{i}") for i in range(n_hashes)
+        F.array_min(F.transform(bases, hasher(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
     ]
     return F.array(*mins)
+
+
+def minhash_from_shingles(sh: Column, n_hashes: int = 16, portable: bool = True) -> Column:
+    """One-expression convenience; for reuse-heavy plans materialize
+    :func:`shingle_bases` first."""
+    return minhash_from_bases(shingle_bases(sh, portable), n_hashes)
 
 
 def lsh_candidate_pairs(

@@ -52,7 +52,14 @@ def avg_word_length(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    ws = words(text)
+    return stopword_ratio_from_words(words(text), lang)
+
+
+def stopword_ratio_from_words(ws: Column, lang: str = "en") -> Column:
+    """Variant over a pre-materialized words column: when several per-language
+    scores are computed from the same text, split once — Catalyst does not
+    CSE the split across separate lambda subtrees, so the from-words form is
+    ~n_langs× cheaper."""
     sw = STOPWORDS[lang]
     hits = F.size(F.filter(ws, lambda w: F.lower(w).isin(sw)))
     return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
@@ -82,9 +89,15 @@ def quality_score(text: Column | str) -> Column:
 
 
 def language_scores(text: Column | str) -> Column:
-    """Map of lang → stopword-hit ratio; argmax is the predicted language."""
+    """Array of (lang, stopword-hit ratio); argmax is the predicted language."""
+    return language_scores_from_words(words(text))
+
+
+def language_scores_from_words(ws: Column) -> Column:
     pairs = [
-        F.struct(F.lit(lang).alias("lang"), stopword_ratio(text, lang).alias("score"))
+        F.struct(
+            F.lit(lang).alias("lang"), stopword_ratio_from_words(ws, lang).alias("score")
+        )
         for lang in STOPWORDS
     ]
     return F.array(*pairs)
@@ -92,8 +105,13 @@ def language_scores(text: Column | str) -> Column:
 
 def predict_language(text: Column | str) -> Column:
     """Heuristic n-gram/stopword language ID: the language whose stopword
-    list matches the most tokens (deterministic tie-break on lang name)."""
-    scores = language_scores(text)
+    list matches the most tokens (deterministic tie-break: lexicographically
+    largest lang code wins ties)."""
+    return predict_language_from_words(words(text))
+
+
+def predict_language_from_words(ws: Column) -> Column:
+    scores = language_scores_from_words(ws)
     best = F.array_max(
         F.transform(scores, lambda s: F.struct(s["score"].alias("score"), s["lang"].alias("lang")))
     )

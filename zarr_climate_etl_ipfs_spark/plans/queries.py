@@ -59,6 +59,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Loader for compute-heavy derivation stages (shingling, hashing,
+    vector math): the test tables are single parquet files → one input
+    partition, which would serialize per-row CPU work on one core. An
+    explicit repartition to cluster width is the correct plan at any scale
+    when downstream cost is CPU-bound rather than scan-bound."""
+    return t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Flagship + scans/filters (SURVEY §2.2 P1-P3)
 # ---------------------------------------------------------------------------
@@ -832,7 +841,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) aggregated per language."""
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import token_count
 
-    d = t(spark, sf_dir, "documents").withColumn("n_tokens", token_count("text"))
+    d = t_wide(spark, sf_dir, "documents").withColumn("n_tokens", token_count("text"))
     return (
         d.groupBy("lang")
         .agg(
@@ -873,7 +882,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.operators import textanalysis as ta
 
     d = (
-        t(spark, sf_dir, "documents")
+        t_wide(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .withColumns(
             {
@@ -932,10 +941,19 @@ def _lang_scores_sql() -> str:
 )
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-hit argmax, ties → lexicographically
-    largest code) cross-tabulated against the labeled language."""
-    from zarr_climate_etl_ipfs_spark.operators.textanalysis import predict_language
+    largest code) cross-tabulated against the labeled language. The word
+    array is materialized once per row; the five per-language scores derive
+    from that column (5× cheaper than inlining the split per score)."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import (
+        predict_language_from_words,
+        words,
+    )
 
-    d = t(spark, sf_dir, "documents").withColumn("lang_pred", predict_language("text"))
+    d = (
+        t_wide(spark, sf_dir, "documents")
+        .withColumn("w", words("text"))
+        .withColumn("lang_pred", predict_language_from_words(F.col("w")))
+    )
     return d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n")).orderBy(
         "lang", "lang_pred"
     )
@@ -955,6 +973,24 @@ _SHINGLES_SQL = (
 _MD5INT_SQL = "CAST(CONCAT('0x', SUBSTR(MD5({x}), 1, 14)) AS BIGINT)"
 
 
+def _minhash_sql(n_hashes: int) -> tuple[str, str]:
+    """(bases expression, mh-column list) generated from the same constants
+    the Spark side uses: one md5 base hash per shingle, affine family
+    (a·h+b mod p) on top — bit-identical across engines."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import (
+        MINHASH_BASE_MOD,
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
+    bases = f"LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x='s')} % {MINHASH_BASE_MOD})"
+    cols = ",\n             ".join(
+        f"LIST_MIN(LIST_TRANSFORM(bases, b -> ({a} * b + {c}) % {MINHASH_PRIME})) AS mh{i}"
+        for i, (a, c) in enumerate(minhash_coeffs(n_hashes))
+    )
+    return bases, cols
+
+
 @q(
     "dedup_exact",
     f"""
@@ -970,7 +1006,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     language (operators/dedup.py dedup_exact is the removal form)."""
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import fingerprint
 
-    d = t(spark, sf_dir, "documents").withColumn("fp", fingerprint("text"))
+    d = t_wide(spark, sf_dir, "documents").withColumn("fp", fingerprint("text"))
     return (
         d.groupBy("lang")
         .agg(
@@ -987,13 +1023,12 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS (
       SELECT lang, {_SHINGLES_SQL} AS grams FROM documents
+    ), based AS (
+      SELECT lang, {_minhash_sql(4)[0]} AS bases FROM sh WHERE LEN(grams) > 0
     ), sigs AS (
       SELECT lang,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#0'")})) AS mh0,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#1'")})) AS mh1,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#2'")})) AS mh2,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#3'")})) AS mh3
-      FROM sh WHERE LEN(grams) > 0
+             {_minhash_sql(4)[1]}
+      FROM based
     )
     SELECT lang, COUNT(*) AS n_docs,
            MIN(mh0) AS min_mh0, MIN(mh1) AS min_mh1,
@@ -1003,13 +1038,25 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable MinHash signatures (md5-derived hash family) — verified
-    bit-for-bit against the oracle's independent implementation."""
-    from zarr_climate_etl_ipfs_spark.operators.dedup import minhash_signature, shingles
+    """Portable MinHash signatures (md5 base + affine family) — verified
+    bit-for-bit against the oracle's independent implementation. Shingles
+    and base hashes are materialized once; the 4 hash lambdas are integer
+    arithmetic over the bases column."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import (
+        minhash_from_bases,
+        shingle_bases,
+        shingles_from_words,
+    )
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
-    d = t(spark, sf_dir, "documents").withColumn(
-        "sig", minhash_signature("text", n_hashes=4, portable=True)
-    ).filter(F.size(shingles("text")) > 0)
+    d = (
+        t_wide(spark, sf_dir, "documents")
+        .withColumn("w", words("text"))
+        .withColumn("grams", shingles_from_words("w"))
+        .filter(F.size("grams") > 0)
+        .withColumn("bases", shingle_bases(F.col("grams")))
+        .withColumn("sig", minhash_from_bases(F.col("bases"), n_hashes=4))
+    )
     cols = {f"mh{i}": F.col("sig")[i] for i in range(4)}
     d = d.withColumns(cols)
     return (
@@ -1053,10 +1100,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted near-duplicates. Plan: explode shingles → count shared grams per
     pair (shuffle keyed by gram, quadratic only within one gram's postings,
     the textbook inverted-index join) → jaccard from set sizes."""
-    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles
+    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles_from_words
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
-    d = t(spark, sf_dir, "documents").select(
-        F.col("doc_id"), shingles("text").alias("grams")
+    d = t_wide(spark, sf_dir, "documents").withColumn("w", words("text")).select(
+        F.col("doc_id"), shingles_from_words("w").alias("grams")
     )
     ex = d.select("doc_id", F.explode("grams").alias("g"))
     sizes = d.select("doc_id", F.size("grams").alias("n"))
@@ -1085,17 +1133,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
+    ), based AS (
+      SELECT doc_id, grams, {_minhash_sql(8)[0]} AS bases FROM sh WHERE LEN(grams) > 0
     ), sigs AS (
       SELECT doc_id, grams,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#0'")})) AS mh0,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#1'")})) AS mh1,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#2'")})) AS mh2,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#3'")})) AS mh3,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#4'")})) AS mh4,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#5'")})) AS mh5,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#6'")})) AS mh6,
-             LIST_MIN(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x="s || '#7'")})) AS mh7
-      FROM sh WHERE LEN(grams) > 0
+             {_minhash_sql(8)[1]}
+      FROM based
     ), bands AS (
       SELECT doc_id, 0 AS band, CONCAT(mh0, ',', mh1) AS band_key FROM sigs
       UNION ALL SELECT doc_id, 1, CONCAT(mh2, ',', mh3) FROM sigs
@@ -1122,48 +1165,52 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-jaccard verification at 0.8 — both engines compute identical
     signatures, so the oracle checks the whole LSH pipeline, not just its
     output shape. The banded join is the 100 TB path (no cross join)."""
-    from zarr_climate_etl_ipfs_spark.operators.dedup import minhash_signature, shingles
+    from zarr_climate_etl_ipfs_spark.operators.dedup import (
+        minhash_from_bases,
+        shingle_bases,
+        shingles_from_words,
+    )
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = (
-        t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            shingles("text").alias("grams"),
-            minhash_signature("text", n_hashes=8, portable=True).alias("sig"),
-        )
+        t_wide(spark, sf_dir, "documents")
+        .withColumn("w", words("text"))
+        .select("doc_id", shingles_from_words("w").alias("grams"))
         .filter(F.size("grams") > 0)
+        .withColumn("bases", shingle_bases(F.col("grams")))
+        .withColumn("sig", minhash_from_bases(F.col("bases"), n_hashes=8))
     )
+    # Carry grams through the band explode: the verification stage then has
+    # both shingle sets in-row after the self-join — no join back to the
+    # source, so shingling+hashing runs once per side instead of twice
+    # (signatures+grams per doc are small; at 100 TB you'd persist this
+    # projection as a stage table and get the same single-computation shape).
     bands = d.select(
         "doc_id",
+        "grams",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", F.col("sig")[2 * b], F.col("sig")[2 * b + 1]
-                        ).alias("band_key"),
+                    F.concat_ws(
+                        ",", F.lit(b), F.col("sig")[2 * b], F.col("sig")[2 * b + 1]
                     )
                     for b in range(4)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_key")
-    a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("id_b"), "band", "band_key")
-    cands = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        ).alias("band_key"),
     )
-    ga = d.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = d.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"), "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"), "band_key"
+    )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     jac = inter / (F.size("grams_a") + F.size("grams_b") - inter)
     return (
-        cands.join(ga, "id_a")
-        .join(gb, "id_b")
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .filter(jac >= 0.8)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
@@ -1193,7 +1240,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate dot product, TakeOrderedAndProject (no shuffle)."""
     from zarr_climate_etl_ipfs_spark.functions.vectors import cosine_similarity
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_wide(spark, sf_dir, "embeddings")
     qv = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     )
@@ -1229,7 +1276,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-ish; cosine verified exactly."""
     from zarr_climate_etl_ipfs_spark.functions.vectors import cosine_similarity
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_wide(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
     cos = cosine_similarity(F.col("va"), F.col("vb"))
