@@ -41,12 +41,18 @@ def cf_decode_time(raw: Column | str, epoch: str, unit_seconds: int = 86400) -> 
     )
 
 
+def _as_epoch_seconds(c: Column) -> Column:
+    # NTZ timestamps can't cast straight to long; route through the session-tz
+    # timestamp (sessions are pinned to UTC, so wall-clock is preserved)
+    return c.cast("timestamp").cast("long")
+
+
 def cf_encode_time(ts: Column | str, epoch: str, unit_seconds: int = 86400) -> Column:
     """Timestamp → CF numeric time (inverse of :func:`cf_decode_time`)."""
     c = F.col(ts) if isinstance(ts, str) else ts
-    return (c.cast("long") - F.lit(epoch).cast("timestamp").cast("long")) / F.lit(
-        unit_seconds
-    )
+    return (
+        _as_epoch_seconds(c) - F.lit(epoch).cast("timestamp").cast("long")
+    ) / F.lit(unit_seconds)
 
 
 def is_infinityish(value: Column | str) -> Column:

@@ -1385,3 +1385,156 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference-surface operators: P4 nearest, F2 CF time, W4 bridge,
+# A5 binomial gate
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "nearest_tolerance",
+    """
+    WITH targets AS (
+      SELECT CAST(t AS DOUBLE) AS target FROM (VALUES (50.0), (199.5), (444.25)) v(t)
+    ),
+    ranked AS (
+      SELECT target, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY target
+                                ORDER BY ABS(value - target), event_id) AS rk
+      FROM events, targets
+      WHERE ABS(value - target) <= 5.0
+    )
+    SELECT target, event_id, value
+    FROM ranked WHERE rk = 1
+    ORDER BY target
+    """,
+)
+def nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/J2 — nearest-with-tolerance lookup, the general (non-lattice) form
+    of xarray's sel(method="nearest", tolerance=...) (publish.py:864): rank
+    candidates within the tolerance band by distance, keep the closest,
+    deterministic tie-break. The tolerance predicate prunes before the
+    ranking window, so the window sees only the band, never the full table;
+    the target list is a broadcast values-relation."""
+    e = t(spark, sf_dir, "events")
+    targets = spark.createDataFrame([(50.0,), (199.5,), (444.25,)], "target double")
+    w = Window.partitionBy("target").orderBy(F.abs(F.col("value") - F.col("target")), "event_id")
+    return (
+        e.crossJoin(F.broadcast(targets))
+        .filter(F.abs(F.col("value") - F.col("target")) <= 5.0)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("target", "event_id", "value")
+        .orderBy("target")
+    )
+
+
+@q(
+    "cf_time_roundtrip",
+    """
+    WITH encoded AS (
+      SELECT o_orderkey,
+             EPOCH(o_orderdate - TIMESTAMP '1990-01-01 00:00:00') / 86400.0 AS cf_days
+      FROM orders
+    ), decoded AS (
+      SELECT o_orderkey, cf_days,
+             TIMESTAMP '1990-01-01 00:00:00'
+               + TO_SECONDS(CAST(cf_days * 86400 AS BIGINT)) AS ts_back
+      FROM encoded
+    )
+    SELECT CAST(EXTRACT(YEAR FROM ts_back) AS INTEGER) AS yr,
+           COUNT(*) AS n,
+           ROUND(AVG(cf_days), 4) AS avg_cf_days
+    FROM decoded GROUP BY yr ORDER BY yr
+    """,
+)
+def cf_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — CF-convention time codec round-trip ("days since epoch" ↔
+    timestamp; transform.py:570-596, metadata.py:677-709): encode order
+    dates against a 1990 epoch, decode back, aggregate per decoded year.
+    Exercises both directions of the ingest codec as one verifiable query."""
+    from zarr_climate_etl_ipfs_spark.functions.scalars import cf_decode_time, cf_encode_time
+
+    o = t(spark, sf_dir, "orders")
+    enc = o.select(
+        "o_orderkey", cf_encode_time("o_orderdate", "1990-01-01 00:00:00").alias("cf_days")
+    )
+    dec = enc.withColumn("ts_back", cf_decode_time(F.col("cf_days"), "1990-01-01 00:00:00"))
+    return (
+        dec.groupBy(F.year("ts_back").alias("yr"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("cf_days"), 4).alias("avg_cf_days"))
+        .orderBy("yr")
+    )
+
+
+@q(
+    "append_bridge_check",
+    """
+    WITH existing AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS cur_end FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ), appends AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS first_append FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT cur_end, first_append,
+           CAST(first_append - cur_end AS INTEGER) AS gap_days,
+           CAST(first_append - cur_end AS INTEGER) = 1 AS bridge_ok
+    FROM existing, appends
+    """,
+)
+def append_bridge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — the append-bridge precondition (publish.py:643-648): last
+    existing step and first appended step must be exactly one delta apart.
+    Two tiny aggregations, one row out — the same shape validate_update
+    runs before every store append."""
+    o = t(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    existing = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).agg(
+        F.max(day).alias("cur_end")
+    )
+    appends = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).agg(
+        F.min(day).alias("first_append")
+    )
+    return existing.crossJoin(appends).select(
+        "cur_end",
+        "first_append",
+        F.datediff("first_append", "cur_end").alias("gap_days"),
+        (F.datediff("first_append", "cur_end") == 1).alias("bridge_ok"),
+    )
+
+
+@q("nan_binomial_gate", None)  # p-value math is not SQL-expressible → rows-only
+def nan_binomial_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/Q4 — the per-time-step binomial NaN-frequency test
+    (publish.py:977-1028) on the events table: treat value>480 as the
+    "NaN" condition (~2% base rate), test each day's share against the
+    global rate with the exact binomial test (alpha 1e-5) in an
+    Arrow-batched pandas UDF over per-day aggregates (metadata scale)."""
+    from pyspark.sql import types as T
+
+    from zarr_climate_etl_ipfs_spark.operators.qc import binom_test_pvalue
+
+    e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    is_nanish = (F.col("value") > 480).cast("long")
+    counts = e.groupBy("day").agg(
+        F.count("*").alias("n"), F.sum(is_nanish).alias("k")
+    )
+    totals = counts.agg(F.sum("n").alias("tn"), F.sum("k").alias("tk")).first()
+    p0 = (totals["tk"] or 0) / totals["tn"]
+
+    def _pvalue(k, n):
+        import pandas as pd  # executor-side
+
+        return pd.Series([binom_test_pvalue(int(ki), int(ni), p0) for ki, ni in zip(k, n)])
+
+    pvalue = F.pandas_udf(_pvalue, T.DoubleType())
+
+    return (
+        counts.withColumn("share", F.round(F.col("k") / F.col("n"), 4))
+        .withColumn("p_value", F.round(pvalue("k", "n"), 8))
+        .withColumn("flagged", F.col("p_value") < 1e-5)
+        .orderBy("day")
+    )

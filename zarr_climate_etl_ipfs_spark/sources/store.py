@@ -59,12 +59,21 @@ class GridStore:
     """One published dataset at ``root/<dataset_name>/``: a partitioned parquet
     table + ``_meta/`` (properties.json, versions.jsonl)."""
 
-    def __init__(self, root: str | Path, desc: DatasetDescriptor, spark: SparkSession):
+    def __init__(
+        self,
+        root: str | Path,
+        desc: DatasetDescriptor,
+        spark: SparkSession,
+        compression: str = "zstd",
+    ):
         self.desc = desc
         self.spark = spark
         self.root = Path(root) / desc.dataset_name
         self.data_path = self.root / "data"
         self.meta_path = self.root / "_meta"
+        # F14 (metadata.py:803-818): the Blosc-or-none choice becomes the
+        # parquet codec option; "uncompressed" is the IPFS-dedup analog.
+        self.compression = compression
 
     # -- open / existence (S11) ---------------------------------------------
 
@@ -122,7 +131,7 @@ class GridStore:
         self.meta_path.mkdir(parents=True, exist_ok=True)
         self._flag_update(True, append_only=False)
         out = self._layout(self._with_bucket(df.select(*self.desc.schema().fieldNames())))
-        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(str(self.data_path))
+        out.write.mode("overwrite").option("compression", self.compression).partitionBy(_BUCKET_COL).parquet(str(self.data_path))
         self._flag_update(False, append_only=False)
         self._log_version("initial", df)
 
@@ -132,7 +141,7 @@ class GridStore:
             return
         self._flag_update(True, append_only=True)
         out = self._layout(self._with_bucket(df.select(*self.desc.schema().fieldNames())))
-        out.write.mode("append").partitionBy(_BUCKET_COL).parquet(str(self.data_path))
+        out.write.mode("append").option("compression", self.compression).partitionBy(_BUCKET_COL).parquet(str(self.data_path))
         self._flag_update(False, append_only=True)
         self._log_version("append", df)
 
@@ -164,7 +173,7 @@ class GridStore:
         staging = self.root / "_staging_insert"
         if staging.exists():
             shutil.rmtree(staging)
-        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(str(staging))
+        out.write.mode("overwrite").option("compression", self.compression).partitionBy(_BUCKET_COL).parquet(str(staging))
         for b in touched:
             src = staging / f"{_BUCKET_COL}={b}"
             dst = self.data_path / f"{_BUCKET_COL}={b}"
