@@ -114,3 +114,44 @@ def test_versions_and_properties(store):
     assert [e["action"] for e in v] == ["initial"]
     props = store.properties()
     assert props["update_in_progress"] is False
+
+
+def test_time_travel_versions(store, spark, desc, initial_pdf):
+    """S12: a version is readable after later inserts rewrite its buckets
+    (manifest version ↔ IPFS CID)."""
+    t = dt.datetime(2021, 10, 10)
+    v1 = store.current_version()
+    original_value = _point(store.dataset(), t, 10.0, 100.0)
+
+    # overwrite that day via insert
+    pdf = _tall([t], seed=99)
+    update = spark.createDataFrame(pdf, schema=desc.schema())
+    store.update(update)
+    v2 = store.current_version()
+    assert v2 == v1 + 1
+
+    new_value = _point(store.dataset(), t, 10.0, 100.0)
+    old_value = _point(store.dataset(version=v1), t, 10.0, 100.0)
+    assert old_value == original_value
+    assert new_value != original_value
+    assert [e["version"] for e in store.versions()] == [1, 2]
+
+
+def test_time_sliced_prunes_and_matches(store):
+    sl = store.time_sliced(dt.datetime(2021, 10, 1), dt.datetime(2021, 10, 31))
+    assert sl.count() == 31 * 16
+    # out-of-range slice is empty
+    assert store.time_sliced(dt.datetime(2030, 1, 1), dt.datetime(2030, 2, 1)).count() == 0
+
+
+def test_vacuum_reclaims_old_files(store, spark, desc):
+    t = dt.datetime(2021, 11, 1)
+    update = spark.createDataFrame(_tall([t], seed=5), schema=desc.schema())
+    store.update(update)
+    n_before = sum(1 for _ in store.data_path.rglob("*.parquet"))
+    removed = store.vacuum()
+    n_after = sum(1 for _ in store.data_path.rglob("*.parquet"))
+    assert removed > 0 and n_after == n_before - removed
+    # latest still fully readable, exactly one manifest left
+    assert store.dataset().count() == 138 * 16
+    assert [e["version"] for e in store.versions()] == [store.current_version()]

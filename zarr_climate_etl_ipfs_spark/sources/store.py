@@ -2,17 +2,25 @@
 
 The reference writes Zarr with three update modes (utils/publish.py:240-397):
 initial (mode="w"), append (append_dim=time), and region-insert
-(region={time: slice}). Here the store is a time-bucket-partitioned Parquet
-table and the modes become:
+(region={time: slice}). Here the store is a time-bucket-partitioned parquet
+table with a **manifest log** — a minimal Delta-style commit protocol:
 
-  initial → overwrite the table            (write_initial_zarr, publish.py:240-261)
-  append  → mode("append")                 (append_to_dataset, publish.py:373-397)
-  insert  → dynamic partition overwrite of only the affected time buckets
-            (insert_into_dataset, publish.py:332-371) — the W1 contiguous
-            ranges tell us which buckets to rewrite; within each bucket we
-            keep rows whose time is NOT being replaced (anti-join) and union
-            the replacement rows, so the rewrite granularity exactly matches
-            the update keys, never clobbering neighbors (SURVEY.md §7 risk #3).
+  - data files are immutable; every write lands new files via a staging
+    directory and then commits a manifest (the list of live files);
+  - initial  → manifest v1 = the new files          (write_initial_zarr)
+  - append   → manifest vN = vN-1 + new files        (append_to_dataset)
+  - insert   → rewritten buckets' files replace the old ones *in the
+    manifest only* — the old files stay on disk       (insert_into_dataset)
+  - readers resolve a manifest and read exactly its files, so a version is
+    readable forever until :meth:`vacuum` reclaims unreferenced files. This
+    is the Spark-native mapping of the reference's IPFS-CID time travel
+    (S12, zarr_hash_to_dataset, utils/transform.py:541-558): manifest
+    version ↔ CID, latest version ↔ IPNS pointer.
+
+Commit atomicity: the manifest file is written once, last; a crash mid-write
+leaves orphan data files (vacuumable) but never a half-visible table. The
+reference's ``update_in_progress`` flag protocol (publish.py:153-180) is kept
+as informational properties for parity.
 
 Scale design: partition grain (descriptor.time_bucket) is the analog of the
 Zarr time-chunk spec (chirps.py:26-28). A bucket holds one calendar unit of
@@ -21,13 +29,8 @@ cells; at CHIRPS-0.05 scale (2000×7200 grid, daily) a "month" bucket is
 pre-write repartition, matching the reference's 100-200 MB chunk target
 (docs/etl_developers_manual.md:137). Sort-within-partitions by (lat, lon)
 gives row-group min/max stats → lat/lon predicate pushdown approximates
-Z-order locality.
-
-Transactional semantics: the reference brackets writes with
-``update_in_progress`` metadata flags readers can observe mid-write
-(publish.py:153-180). Parquet dynamic-overwrite is atomic per partition but
-not per commit; we keep the reference's flag protocol (as properties.json)
-for parity and document that Delta/Iceberg would subsume it (SURVEY.md §4).
+Z-order locality. Manifest-level bucket pruning (``time_sliced``) plays the
+role of Delta data skipping.
 """
 
 from __future__ import annotations
@@ -55,9 +58,15 @@ class StoreError(RuntimeError):
     pass
 
 
+def _bucket_of(relpath: str) -> str:
+    """Partition value from a relative file path 'time_bucket=X/part-…'."""
+    head = relpath.split("/", 1)[0]
+    return head.split("=", 1)[1] if "=" in head else ""
+
+
 class GridStore:
-    """One published dataset at ``root/<dataset_name>/``: a partitioned parquet
-    table + ``_meta/`` (properties.json, versions.jsonl)."""
+    """One published dataset at ``root/<dataset_name>/``: immutable parquet
+    files + ``_meta/`` (manifests/v*.json, properties.json)."""
 
     def __init__(
         self,
@@ -71,41 +80,91 @@ class GridStore:
         self.root = Path(root) / desc.dataset_name
         self.data_path = self.root / "data"
         self.meta_path = self.root / "_meta"
+        self.manifest_path = self.meta_path / "manifests"
         # F14 (metadata.py:803-818): the Blosc-or-none choice becomes the
         # parquet codec option; "uncompressed" is the IPFS-dedup analog.
         self.compression = compression
 
-    # -- open / existence (S11) ---------------------------------------------
+    # -- manifest log --------------------------------------------------------
+
+    def current_version(self) -> int:
+        if not self.manifest_path.exists():
+            return 0
+        vs = [int(p.stem[1:]) for p in self.manifest_path.glob("v*.json")]
+        return max(vs, default=0)
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        v = version if version is not None else self.current_version()
+        p = self.manifest_path / f"v{v}.json"
+        if v == 0 or not p.exists():
+            raise StoreError(f"no manifest v{v} at {self.manifest_path}")
+        return json.loads(p.read_text())
+
+    def _commit(self, action: str, files: list[str], df: DataFrame) -> int:
+        td = self.desc.time_dim
+        rng = df.agg(
+            F.min(td).alias("lo"), F.max(td).alias("hi"), F.count("*").alias("n")
+        ).first()
+        v = self.current_version() + 1
+        self.manifest_path.mkdir(parents=True, exist_ok=True)
+        manifest = {
+            "version": v,
+            "action": action,
+            "files": sorted(files),
+            "time_start": str(rng["lo"]),
+            "time_end": str(rng["hi"]),
+            "rows": rng["n"],
+        }
+        tmp = self.manifest_path / f".v{v}.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        tmp.rename(self.manifest_path / f"v{v}.json")  # the commit point
+        self.set_properties(
+            update_date_range=[str(rng["lo"]), str(rng["hi"])],
+            update_previous_end_date=str(rng["hi"]),
+        )
+        return v
+
+    def versions(self) -> list[dict[str, Any]]:
+        """Version log, oldest first (Delta history / IPNS chain analog)."""
+        if not self.manifest_path.exists():
+            return []
+        out = []
+        for p in sorted(self.manifest_path.glob("v*.json"), key=lambda p: int(p.stem[1:])):
+            m = json.loads(p.read_text())
+            out.append({k: m[k] for k in ("version", "action", "time_start", "time_end", "rows")})
+        return out
+
+    # -- open / existence (S11, S12) ----------------------------------------
 
     def has_existing(self) -> bool:
-        return self.data_path.exists() and any(self.data_path.iterdir())
+        return self.current_version() > 0
 
-    def dataset(self) -> DataFrame:
-        """Open the published table (StoreInterface.dataset, store.py:154-170).
-
-        The partition column is re-derivable, so we drop it from the logical
-        view; partition pruning still applies because filters on the time dim
-        are rewritten onto the bucket by ``_with_bucket`` on the write side
-        and by readers using :meth:`time_sliced`.
-        """
-        if not self.has_existing():
-            raise StoreError(f"no dataset at {self.data_path}")
-        return self.spark.read.parquet(str(self.data_path)).drop(_BUCKET_COL)
+    def dataset(self, version: int | None = None) -> DataFrame:
+        """Open the table at a version (default: latest) — S11, and S12's
+        CID time travel when ``version`` is given."""
+        m = self.manifest(version)
+        paths = [str(self.data_path / f) for f in m["files"]]
+        df = self.spark.read.option("basePath", str(self.data_path)).parquet(*paths)
+        return df.drop(_BUCKET_COL)
 
     def time_sliced(self, start: dt.datetime, end: dt.datetime) -> DataFrame:
-        """P1 time-slice with explicit bucket pruning: the bucket predicate is
-        derived from the time predicate so the scan only lists the touched
-        partitions even though readers filter on the raw time column."""
+        """P1 time-slice with manifest-level bucket pruning: only files whose
+        bucket overlaps [start, end] are even listed — the Delta-data-skipping
+        analog of the reference's binary file search (O4/Q7)."""
         td = self.desc.time_dim
-        df = self.spark.read.parquet(str(self.data_path))
         fmt = _BUCKET_FMT[self.desc.time_bucket]
-        lo = start.strftime(fmt.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d"))
-        hi = end.strftime(fmt.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d"))
-        return (
-            df.filter(F.col(_BUCKET_COL).between(lo, hi))
-            .filter(F.col(td).between(F.lit(start), F.lit(end)))
-            .drop(_BUCKET_COL)
-        )
+        py_fmt = fmt.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
+        lo, hi = start.strftime(py_fmt), end.strftime(py_fmt)
+        m = self.manifest()
+        paths = [
+            str(self.data_path / f)
+            for f in m["files"]
+            if lo <= _bucket_of(f) <= hi
+        ]
+        if not paths:
+            return self.dataset().filter(F.lit(False))
+        df = self.spark.read.option("basePath", str(self.data_path)).parquet(*paths)
+        return df.filter(F.col(td).between(F.lit(start), F.lit(end))).drop(_BUCKET_COL)
 
     # -- write modes (S13-S16) ----------------------------------------------
 
@@ -124,66 +183,79 @@ class GridStore:
             _BUCKET_COL, *sort_cols, self.desc.time_dim
         )
 
+    def _stage_files(self, df: DataFrame) -> list[str]:
+        """Write df into a staging dir, move the part files into the live
+        partition dirs (unique job-scoped names — no collisions), return the
+        relative paths. Files become *live* only when a manifest commits."""
+        staging = self.root / "_staging"
+        if staging.exists():
+            shutil.rmtree(staging)
+        out = self._layout(self._with_bucket(df.select(*self.desc.schema().fieldNames())))
+        out.write.mode("overwrite").option("compression", self.compression).partitionBy(
+            _BUCKET_COL
+        ).parquet(str(staging))
+        moved: list[str] = []
+        for part_dir in staging.glob(f"{_BUCKET_COL}=*"):
+            dst_dir = self.data_path / part_dir.name
+            dst_dir.mkdir(parents=True, exist_ok=True)
+            for f in part_dir.glob("*.parquet"):
+                dst = dst_dir / f.name
+                f.rename(dst)
+                moved.append(f"{part_dir.name}/{f.name}")
+        shutil.rmtree(staging)
+        return moved
+
     def write_initial(self, df: DataFrame, dry_run: bool = False) -> None:
-        """S13: full overwrite."""
+        """S13: full (re)publish — a fresh manifest referencing only the new
+        files; prior versions stay readable until vacuum."""
         if dry_run:
             return
         self.meta_path.mkdir(parents=True, exist_ok=True)
         self._flag_update(True, append_only=False)
-        out = self._layout(self._with_bucket(df.select(*self.desc.schema().fieldNames())))
-        out.write.mode("overwrite").option("compression", self.compression).partitionBy(_BUCKET_COL).parquet(str(self.data_path))
+        files = self._stage_files(df)
+        self._commit("initial", files, df)
         self._flag_update(False, append_only=False)
-        self._log_version("initial", df)
 
     def append(self, df: DataFrame, dry_run: bool = False) -> None:
         """S14: extend along the time dim (update_is_append_only=True)."""
         if dry_run:
             return
         self._flag_update(True, append_only=True)
-        out = self._layout(self._with_bucket(df.select(*self.desc.schema().fieldNames())))
-        out.write.mode("append").option("compression", self.compression).partitionBy(_BUCKET_COL).parquet(str(self.data_path))
+        prev = self.manifest()["files"]
+        files = self._stage_files(df)
+        self._commit("append", prev + files, df)
         self._flag_update(False, append_only=True)
-        self._log_version("append", df)
 
     def insert(self, df: DataFrame, dry_run: bool = False) -> None:
-        """S15: overwrite existing time steps in place.
-
-        Only the buckets containing replaced steps are rewritten (dynamic
-        partition overwrite); untouched rows in those buckets are carried
-        over via an anti-join on the time key.
-        """
+        """S15: overwrite existing time steps in place — only the buckets
+        containing replaced steps are rewritten; untouched rows in those
+        buckets are carried over via an anti-join on the time key. The old
+        bucket files leave the manifest but stay on disk (time travel)."""
         if dry_run:
             return
         td = self.desc.time_dim
         update = self._with_bucket(df.select(*self.desc.schema().fieldNames()))
         replaced_times = update.select(td).distinct()
-        touched = [r[0] for r in update.select(_BUCKET_COL).distinct().collect()]
-        existing = self.spark.read.parquet(str(self.data_path)).filter(
-            F.col(_BUCKET_COL).isin(touched)
-        )
-        keep = existing.join(F.broadcast(replaced_times), td, "left_anti")
-        out = self._layout(keep.unionByName(update))
+        touched = {r[0] for r in update.select(_BUCKET_COL).distinct().collect()}
+        prev = self.manifest()["files"]
+        touched_paths = [
+            str(self.data_path / f) for f in prev if _bucket_of(f) in touched
+        ]
         self._flag_update(True, append_only=False)
-        # Reading and overwriting the same partitions in one job is unsafe
-        # (lazy scan races partition deletion), so: stage the rewritten
-        # buckets, then swap directories. This is the hand-rolled version of
-        # the commit a transactional table format performs; the in-progress
-        # flag brackets the non-atomic window exactly as the reference's
-        # update_in_progress does (publish.py:153-180).
-        staging = self.root / "_staging_insert"
-        if staging.exists():
-            shutil.rmtree(staging)
-        out.write.mode("overwrite").option("compression", self.compression).partitionBy(_BUCKET_COL).parquet(str(staging))
-        for b in touched:
-            src = staging / f"{_BUCKET_COL}={b}"
-            dst = self.data_path / f"{_BUCKET_COL}={b}"
-            if src.exists():
-                if dst.exists():
-                    shutil.rmtree(dst)
-                src.rename(dst)
-        shutil.rmtree(staging)
+        if touched_paths:
+            existing = self.spark.read.option("basePath", str(self.data_path)).parquet(
+                *touched_paths
+            )
+            keep = existing.join(F.broadcast(replaced_times), td, "left_anti").drop(
+                _BUCKET_COL
+            )
+            combined = keep.unionByName(df.select(*self.desc.schema().fieldNames()))
+        else:
+            combined = df.select(*self.desc.schema().fieldNames())
+        files = self._stage_files(combined)
+        untouched = [f for f in prev if _bucket_of(f) not in touched]
+        self._commit("insert", untouched + files, df)
         self._flag_update(False, append_only=False)
-        self._log_version("insert", df)
 
     def update(self, df: DataFrame, dry_run: bool = False) -> dict[str, int]:
         """The parse orchestration (publish.py:265-397 ``update_zarr``):
@@ -206,8 +278,8 @@ class GridStore:
             raise StoreError("; ".join(val.errors))
         inserts, appends = split_update_times(existing_times, update_times, td)
         # Materialize the key lists now: they are metadata-scale (distinct
-        # time steps), and the write phase must not re-execute plans that
-        # scan the pre-write file listing (the insert swaps files out).
+        # time steps), and the write phase must not re-execute plans built
+        # over the pre-write manifest.
         ins_keys = [r[td] for r in inserts.collect()]
         app_keys = [r[td] for r in appends.collect()]
         if ins_keys and not desc.allow_overwrite:
@@ -216,8 +288,27 @@ class GridStore:
             self.insert(df.filter(F.col(td).isin(ins_keys)), dry_run)
         if app_keys:
             self.append(df.filter(F.col(td).isin(app_keys)), dry_run)
-        self.spark.catalog.refreshByPath(str(self.data_path))
         return {"inserts": len(ins_keys), "appends": len(app_keys)}
+
+    def vacuum(self) -> int:
+        """Delete data files referenced by no manifest ≤ current — after
+        which only the latest version is readable (Delta VACUUM analog).
+        Returns the number of files removed."""
+        live = set(self.manifest()["files"])
+        removed = 0
+        for part_dir in self.data_path.glob(f"{_BUCKET_COL}=*"):
+            for f in part_dir.glob("*.parquet"):
+                rel = f"{part_dir.name}/{f.name}"
+                if rel not in live:
+                    f.unlink()
+                    removed += 1
+            if not any(part_dir.iterdir()):
+                part_dir.rmdir()
+        # retire older manifests — they may now reference deleted files
+        for p in self.manifest_path.glob("v*.json"):
+            if int(p.stem[1:]) < self.current_version():
+                p.unlink()
+        return removed
 
     # -- metadata (S16/S17, M7) ---------------------------------------------
 
@@ -247,32 +338,6 @@ class GridStore:
         self.set_properties(
             update_in_progress=in_progress, update_is_append_only=append_only
         )
-
-    def _log_version(self, action: str, df: DataFrame) -> None:
-        td = self.desc.time_dim
-        rng = df.agg(F.min(td).alias("lo"), F.max(td).alias("hi"), F.count("*").alias("n")).first()
-        self.meta_path.mkdir(parents=True, exist_ok=True)
-        with (self.meta_path / "versions.jsonl").open("a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "action": action,
-                        "time_start": str(rng["lo"]),
-                        "time_end": str(rng["hi"]),
-                        "rows": rng["n"],
-                    }
-                )
-                + "\n"
-            )
-        self.set_properties(
-            update_date_range=[str(rng["lo"]), str(rng["hi"])], update_previous_end_date=str(rng["hi"])
-        )
-
-    def versions(self) -> list[dict[str, Any]]:
-        p = self.meta_path / "versions.jsonl"
-        if not p.exists():
-            return []
-        return [json.loads(line) for line in p.read_text().splitlines() if line]
 
     def destroy(self) -> None:
         if self.root.exists():
