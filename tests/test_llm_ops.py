@@ -185,3 +185,21 @@ def test_embedding_near_duplicates_finds_planted(spark, embeddings):
     pairs = similarity.embedding_near_duplicates(df, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 99999) in got
+
+
+def test_ivf_topk_recall_and_exactness(spark, embeddings):
+    """IVF with all cells probed == exact; with fewer probes, high recall."""
+    assigned, centroids = similarity.ivf_index(embeddings, n_cells=8)
+    assert assigned.select("cell").distinct().count() <= 8
+    query = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, query, k=10).collect()]
+    # probing every cell must reproduce the exact result
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(assigned, centroids, query, k=10, n_probe=8).collect()]
+    assert full == exact
+    # probing half the cells keeps most of the top-k on this corpus
+    half = {r["vec_id"] for r in
+            similarity.ivf_topk(assigned, centroids, query, k=10, n_probe=4).collect()}
+    assert len(half & set(exact)) >= 5

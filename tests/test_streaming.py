@@ -85,3 +85,46 @@ def test_session_stats_batch(spark):
     df = spark.createDataFrame(rows, "ts timestamp, user long")
     out = session_stats(df, "ts", "user").orderBy("user", "session_start").collect()
     assert [(r["user"], r["n_events"]) for r in out] == [(1, 2), (1, 1), (2, 1)]
+
+
+def test_running_anomaly_detector_state_across_batches(tmp_path, spark):
+    """applyInPandasWithState: Welford state persists across two AvailableNow
+    runs — the second batch's anomaly is judged against the first batch's
+    distribution."""
+    from zarr_climate_etl_ipfs_spark.streaming.incremental import running_anomaly_detector
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run_batch(rows, batch_file):
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(
+            str(src)
+        )
+        (
+            running_anomaly_detector(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # batch 1: 50 calm values around 10
+    rows1 = [(1, t0 + dt.timedelta(minutes=i), 10.0 + (i % 5) * 0.1) for i in range(50)]
+    run_batch(rows1, "b1")
+    # batch 2: one wild outlier + one calm value
+    rows2 = [(1, t0 + dt.timedelta(hours=2), 500.0), (1, t0 + dt.timedelta(hours=2, minutes=1), 10.2)]
+    run_batch(rows2, "b2")
+
+    got = spark.read.parquet(str(out)).orderBy("n_total").collect()
+    assert [r["n_batch"] for r in got] == [50, 2]
+    assert got[0]["n_anomalies"] == 0
+    assert got[1]["n_anomalies"] == 1  # the 500.0 against batch-1 stats
+    assert got[1]["n_total"] == 52

@@ -11,8 +11,10 @@ Two tiers (BASELINE.json north star):
                 100 TB path: shuffle keys are (band, sig), never a cross
                 join.
 
-An IVF variant (k-means coarse quantizer) is intentionally deferred: the
-hyperplane LSH gives the same plan shape without an iterative training job.
+Plus an IVF (inverted-file) tier: a k-means coarse quantizer (pyspark.ml,
+trained on a sample) assigns each vector to a cell; queries probe only the
+``n_probe`` nearest cells — search cost ∝ n_probe/n_cells of the corpus,
+the FAISS-IVF plan shape expressed as a broadcast semi-join on cell ids.
 All vector math is JVM-side (functions/vectors.py).
 """
 
@@ -179,3 +181,119 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed bucket search
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(
+    candidates: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float = 1.0,
+):
+    """Train the IVF coarse quantizer (k-means over a sample) and assign
+    every vector to its nearest centroid cell.
+
+    Returns (assigned_df with a ``cell`` column, centroids: list[list[float]]).
+    Training runs on a sample (``train_fraction``) — at 100 TB you train on
+    ~1M vectors and assign the rest in one codegen'd pass; assignment is a
+    per-row argmin over a broadcast centroid array, no shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = candidates if train_fraction >= 1.0 else candidates.sample(train_fraction, seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features")
+    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("_features")))
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assigned = assign_ivf_cell(candidates, centroids, vec_col)
+    return assigned, centroids
+
+
+def assign_ivf_cell(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> Column:
+    """Add a ``cell`` column: index of the nearest centroid (L2), computed as
+    a broadcast-free pure expression over the inlined centroid literals."""
+    v = F.col(vec_col)
+
+    def dist2(c: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = F.array(
+        *[F.struct(dist2(c).alias("d"), F.lit(i).alias("i")) for i, c in enumerate(centroids)]
+    )
+    return df.withColumn("cell", F.array_min(pairs)["i"])
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: score each query against the centroids, probe the
+    ``n_probe`` nearest cells, exact cosine only within those cells.
+
+    Search cost ∝ n_probe/n_cells of the corpus; the probed-cell filter is a
+    broadcast semi-join on the tiny (query, cell) relation, so the big side
+    is one pruned scan — the same shape FAISS IVF gives on a single node.
+    """
+    probed = assign_probe_cells(query, centroids, n_probe, vec_col, query_id_col)
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .select(
+            query_id_col,
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def assign_probe_cells(
+    query: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, cell, _qvec) rows for the n_probe nearest cells per query."""
+    v = F.col(vec_col)
+
+    def dist2(c: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = F.array_sort(
+        F.array(
+            *[F.struct(dist2(c).alias("d"), F.lit(i).alias("i")) for i, c in enumerate(centroids)]
+        )
+    )
+    probes = F.slice(pairs, 1, n_probe)
+    return query.select(
+        query_id_col,
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.transform(probes, lambda s: s["i"])).alias("cell"),
+    )

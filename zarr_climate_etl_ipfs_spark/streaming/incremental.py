@@ -114,3 +114,60 @@ def session_stats(
         F.col("s.end").alias("session_end"),
         "n_events",
     )
+
+
+def running_anomaly_detector(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+    output_mode: str = "append",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running mean/variance (Welford) carried across micro-batches,
+    emitting counts of z-score anomalies per batch.
+
+    This is the §2.9 capability the reference lacks entirely (its update
+    loop is stateless between runs): arbitrary user state keyed by group,
+    checkpointed with the stream. State is three scalars per key — the
+    100 TB shape, state size ∝ keys, never events.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, n_total long, mean double, "
+        "n_batch long, n_anomalies long"
+    )
+    state_schema = "n long, mean double, m2 double"
+
+    def detect(key, pdf_iter, state: GroupState):
+        import pandas as pd  # executor-side
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        n_batch = 0
+        n_anoms = 0
+        for pdf in pdf_iter:
+            for v in pdf[value_col].astype(float):
+                n_batch += 1
+                if n >= 10 and m2 > 0:
+                    std = (m2 / n) ** 0.5
+                    if abs(v - mean) > z_threshold * std:
+                        n_anoms += 1
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            [[key[0], n, mean, n_batch, n_anoms]],
+            columns=[key_col, "n_total", "mean", "n_batch", "n_anomalies"],
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
