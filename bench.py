@@ -40,13 +40,17 @@ def main() -> None:
     # not session startup
     REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
 
+    # min-of-N per query: the host shows multi-second contention spikes that
+    # would otherwise dominate single-shot numbers
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, qd in REGISTRY.items():
-        t0 = time.perf_counter()
-        df = qd.fn(spark, sf_dir)
-        n = df.count() if name.startswith("_") else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            len(qd.fn(spark, sf_dir).collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -56,6 +60,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
             }
         )
     )
