@@ -174,13 +174,25 @@ class GridStore:
 
     def _layout(self, df: DataFrame) -> DataFrame:
         """Pre-write layout: one shuffle keyed by bucket (the storage grain),
-        rows sorted by (lat, lon, time) inside each file for row-group
-        min-max locality — the repartition+sortWithinPartitions analog of the
-        reference's pre-write ``.chunk(requested_dask_chunks)``
-        (publish.py:251-256)."""
-        sort_cols = [c for c in ("latitude", "longitude") if c in df.columns]
+        rows sorted inside each file for row-group min-max locality — the
+        repartition+sortWithinPartitions analog of the reference's pre-write
+        ``.chunk(requested_dask_chunks)`` (publish.py:251-256).
+
+        Spatial sort key: the Morton/Z-order index when both lat and lon are
+        present (row groups then bound *both* coordinates, so either-axis
+        predicates prune — operators/scale.zorder_index), else plain column
+        order."""
+        if "latitude" in df.columns and "longitude" in df.columns:
+            from zarr_climate_etl_ipfs_spark.operators.scale import zorder_index
+
+            return (
+                df.withColumn("_z", zorder_index("latitude", "longitude"))
+                .repartition(F.col(_BUCKET_COL))
+                .sortWithinPartitions(_BUCKET_COL, "_z", self.desc.time_dim)
+                .drop("_z")
+            )
         return df.repartition(F.col(_BUCKET_COL)).sortWithinPartitions(
-            _BUCKET_COL, *sort_cols, self.desc.time_dim
+            _BUCKET_COL, self.desc.time_dim
         )
 
     def _stage_files(self, df: DataFrame) -> list[str]:
