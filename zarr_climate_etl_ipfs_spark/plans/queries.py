@@ -50,11 +50,23 @@ def q(name: str, oracle: str | None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # The events table stores TIMESTAMP(NANOS), which Spark reads as long
-    # nanos under spark.sql.legacy.parquet.nanosAsLong (set by session.tune).
-    # Convert to a microsecond timestamp — the same truncation DuckDB applies.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)  # schema resolution may raise on nanos
+    except Exception as e:
+        # The events table stores TIMESTAMP(NANOS), which Spark rejects
+        # unless legacy.parquet.nanosAsLong is set (session.tune does; this
+        # retry covers sessions that cached a read before tune ran).
+        if "TIMESTAMP(NANOS" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.catalog.refreshByPath(path)
+        df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)
+    # long nanos → microsecond timestamp, the same truncation DuckDB applies;
+    # integer division (div) — double division loses sub-ms precision.
+    if name == "events" and dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
