@@ -1654,3 +1654,120 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Checklist breadth: U3 union-concat, P5-P7 projection/rename, tumbling window
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "union_concat",
+    """
+    WITH part_a AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    ), part_b AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+    ), unioned AS (
+      SELECT * FROM part_a UNION ALL SELECT * FROM part_b
+    )
+    SELECT CAST(EXTRACT(YEAR FROM day) AS INTEGER) AS yr,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT day) AS n_days,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM unioned GROUP BY yr ORDER BY yr
+    """,
+)
+def union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/S9 — multi-source concat along the time axis (unionByName; the
+    reference's MultiZarr combine + append write, transform.py:93,
+    publish.py:391). Overlapping ranges deliberately duplicate rows — the
+    count vs distinct-day spread shows exactly where the overlap lands."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select(
+        F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp")).select(
+        F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    return (
+        a.unionByName(b)
+        .groupBy(F.year("day").alias("yr"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("day").alias("n_days"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("yr")
+    )
+
+
+@q(
+    "rename_project",
+    """
+    SELECT l_orderkey AS order_key,
+           l_linenumber AS line_no,
+           ROUND(l_quantity, 2) AS qty,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price
+    FROM lineitem
+    WHERE l_orderkey <= (SELECT MIN(o_orderkey) + 100 FROM orders)
+    ORDER BY order_key, line_no
+    """,
+)
+def rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6/P7 — variable rename + column projection in standard order
+    (rename_data_variable metadata.py:621-644; drop_vars publish.py:359;
+    transpose = select order in the tall model, transform.py:656)."""
+    li = t(spark, sf_dir, "lineitem")
+    lo = t(spark, sf_dir, "orders").agg((F.min("o_orderkey") + 100).alias("m")).first()["m"]
+    return (
+        li.filter(F.col("l_orderkey") <= lo)
+        .withColumnRenamed("l_orderkey", "order_key")
+        .withColumnRenamed("l_linenumber", "line_no")
+        .select(
+            "order_key",
+            "line_no",
+            F.round("l_quantity", 2).alias("qty"),
+            # floor(x*100+0.5)/100: explicit half-up that both engines compute
+            # identically (their ROUND()s disagree on exact half-cents)
+            (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5) / 100).alias(
+                "net_price"
+            ),
+        )
+        .orderBy("order_key", "line_no")
+    )
+
+
+@q(
+    "tumbling_window_stats",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY window_start ORDER BY window_start
+    """,
+)
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — tumbling event-time windows as a batch query (the streaming
+    twin is streaming/incremental.windowed_stats over readStream): Spark's
+    window() aligns with DuckDB's time_bucket on epoch-aligned intervals."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            # sum, not mean: a mean of 2-decimal inputs can land exactly on a
+            # rounding boundary where engine ulp differences flip the digit
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value", "n_users")
+        .orderBy("window_start")
+    )
