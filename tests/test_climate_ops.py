@@ -1,0 +1,113 @@
+"""Tests for the xarray-workload climate operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.operators import climate
+
+
+@pytest.fixture(scope="module")
+def grid_df(spark):
+    """2 years daily × 2×2 grid with a known seasonal signal + cell offset."""
+    rows = []
+    d0 = dt.datetime(2020, 1, 1)
+    for d in range(731):
+        t = d0 + dt.timedelta(days=d)
+        doy = t.timetuple().tm_yday
+        for i, lat in enumerate((10.0, 20.0)):
+            for j, lon in enumerate((100.0, 110.0)):
+                v = 10.0 * i + j + float(doy % 10)  # deterministic, period-10
+                rows.append((t, np.float32(lat), np.float32(lon), np.float32(v)))
+    pdf = pd.DataFrame(rows, columns=["time", "latitude", "longitude", "v"])
+    return spark.createDataFrame(pdf)
+
+
+def test_climatology_reproduces_signal(grid_df):
+    clim = climate.climatology(grid_df, "v", freq="dayofyear")
+    # cell (10,100): value = doy%10 exactly → climatological std 0, mean = doy%10
+    row = clim.filter(
+        (F.col("latitude") == 10.0) & (F.col("longitude") == 100.0) & (F.col("period") == 5)
+    ).first()
+    assert row["clim_mean"] == pytest.approx(5 % 10, abs=1e-6)
+    assert row["clim_std"] == pytest.approx(0.0, abs=1e-6)
+    assert row["n"] == 2  # two years contribute doy=5
+
+
+def test_anomaly_zero_for_pure_signal(grid_df):
+    an = climate.anomaly(grid_df, "v", freq="dayofyear")
+    stats = an.agg(F.max(F.abs("anomaly")).alias("m")).first()
+    assert stats["m"] == pytest.approx(0.0, abs=1e-5)  # signal is purely periodic
+
+
+def test_anomaly_detects_perturbation(spark, grid_df):
+    pdf = grid_df.toPandas()
+    # spike one day at one cell
+    mask = (
+        (pdf.time == dt.datetime(2021, 6, 1))
+        & (pdf.latitude == 10.0)
+        & (pdf.longitude == 100.0)
+    )
+    pdf.loc[mask, "v"] = 100.0
+    df = spark.createDataFrame(pdf)
+    an = climate.anomaly(df, "v", freq="dayofyear")
+    top = an.orderBy(F.col("anomaly").desc()).first()
+    assert top["time"] == dt.datetime(2021, 6, 1)
+    assert top["latitude"] == 10.0 and top["longitude"] == 100.0
+    assert top["anomaly"] > 40
+
+
+def test_rolling_time_agg(spark):
+    rows = [
+        (dt.datetime(2020, 1, 1) + dt.timedelta(days=d), np.float32(1.0), np.float32(1.0), np.float32(d))
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["time", "latitude", "longitude", "v"])
+    )
+    out = climate.rolling_time_agg(df, "v", days=3).orderBy("time").collect()
+    # day 0: mean(0)=0; day 2: mean(0,1,2)=1; day 9: mean(7,8,9)=8
+    assert out[0]["rolling_mean_3d"] == 0.0
+    assert out[2]["rolling_mean_3d"] == 1.0
+    assert out[9]["rolling_mean_3d"] == 8.0
+    assert out[9]["rolling_sum_3d"] == 24.0
+
+
+def test_rolling_skips_gap_days(spark):
+    """Range frame is on event time: a data gap shrinks the window."""
+    days = [0, 1, 5]
+    rows = [
+        (dt.datetime(2020, 1, 1) + dt.timedelta(days=d), np.float32(1.0), np.float32(1.0), np.float32(10.0))
+        for d in days
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["time", "latitude", "longitude", "v"])
+    )
+    out = climate.rolling_time_agg(df, "v", days=3).orderBy("time").collect()
+    assert out[1]["rolling_sum_3d"] == 20.0  # days 0+1
+    assert out[2]["rolling_sum_3d"] == 10.0  # day 5 alone (gap > 3d)
+
+
+def test_coarsen(grid_df):
+    out = climate.coarsen(grid_df, "v", lat_step=30.0, lon_step=30.0)
+    # lats {10,20}→block 0, lons {100,110}→block 90: one 30° block
+    assert out.select("latitude", "longitude").distinct().count() == 1
+    row = out.filter(F.col("time") == dt.datetime(2020, 1, 6)).first()
+    assert row["n_cells"] == 4
+    doy = 6 % 10
+    assert row["v"] == pytest.approx((0 + 1 + 10 + 11) / 4 + doy, abs=1e-5)
+
+
+def test_resample_time(grid_df):
+    out = climate.resample_time(grid_df, "v", grain="month")
+    assert out.filter(F.col("period") == "2020-01").count() == 4  # one row per cell
+    row = out.filter(
+        (F.col("period") == "2020-02") & (F.col("latitude") == 10.0) & (F.col("longitude") == 100.0)
+    ).first()
+    assert row["n"] == 29  # leap February
+    assert row["v_min"] >= 0.0 and row["v_max"] <= 9.0

@@ -1771,3 +1771,90 @@ def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n", "sum_value", "n_users")
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Climate-analysis workloads (xarray built-ins a reference user runs)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rolling_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY day
+    )
+    SELECT day,
+           ROUND(SUM(rev) OVER (ORDER BY day
+                                RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                          AND CURRENT ROW), 2) AS rolling_7d_rev,
+           COUNT(*) OVER (ORDER BY day
+                          RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                    AND CURRENT ROW) AS n_days_in_window
+    FROM daily ORDER BY day
+    """,
+)
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time aggregation (ds.rolling(time=7).sum() on the tall model):
+    event-time RANGE frame so calendar gaps shrink the window. Pre-aggregate
+    to days first — the window then runs over distinct days (metadata
+    scale), not fact rows."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        daily.withColumn("rolling_7d_rev", F.round(F.sum("rev").over(w), 2))
+        .withColumn("n_days_in_window", F.count("*").over(w))
+        .select("day", "rolling_7d_rev", "n_days_in_window")
+        .orderBy("day")
+    )
+
+
+@q(
+    "climatology_anomaly",
+    """
+    WITH clim AS (
+      SELECT event_type, EXTRACT(HOUR FROM ts) AS hod,
+             AVG(value) AS clim_mean, COUNT(*) AS n
+      FROM events GROUP BY event_type, hod
+    ), joined AS (
+      SELECT e.event_type, e.value, c.clim_mean
+      FROM events e JOIN clim c
+        ON e.event_type = c.event_type AND EXTRACT(HOUR FROM e.ts) = c.hod
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN ABS(value - clim_mean) > 150 THEN 1 ELSE 0 END) AS n_anomalous,
+           ROUND(SUM(GREATEST(value - clim_mean, 0.0)), 2) + 0.0 AS pos_anomaly_sum
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+)
+def climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climatology + anomaly (groupby('time.hour').mean() and ds − clim) in
+    one window pass: partition by (key, hour-of-day), subtract the partition
+    mean — no join back to the climatology table."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.hour("ts"))
+    an = e.withColumn("anom", F.col("value") - F.avg("value").over(w))
+    return (
+        an.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.abs("anom") > 150, 1).otherwise(0)).alias("n_anomalous"),
+            # +0.0 normalizes IEEE negative zero, which engines print apart
+            (F.round(F.sum(F.greatest("anom", F.lit(0.0))), 2) + F.lit(0.0)).alias(
+                "pos_anomaly_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
