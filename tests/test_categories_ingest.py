@@ -150,3 +150,44 @@ def test_read_binary_gridded_default_decoder_raises(tmp_path, spark):
     df = read_binary_gridded(spark, str(tmp_path / "*.bin"), desc)
     with pytest.raises(Exception, match="xarray|decoder"):
         df.collect()
+
+
+def test_ensemble_category_store_roundtrip(tmp_path, spark):
+    """5-D ensemble data: members are just one more dim column."""
+    desc = DatasetDescriptor(
+        dataset_name="fake_ens", data_var="t2m", dataset_category="ensemble"
+    )
+    assert desc.dims == ["forecast_reference_time", "step", "ensemble", "latitude", "longitude"]
+    rows = []
+    for d in range(3):
+        for member in (0, 1, 2):
+            rows.append(
+                (
+                    dt.datetime(2022, 1, 1) + dt.timedelta(days=d),
+                    3600,
+                    member,
+                    np.float32(10.0),
+                    np.float32(100.0),
+                    np.float32(d * 10 + member),
+                )
+            )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["forecast_reference_time", "step", "ensemble", "latitude", "longitude", "t2m"],
+        ),
+        schema=desc.schema(),
+    )
+    store = GridStore(tmp_path, desc, spark)
+    store.write_initial(df)
+    ds = store.dataset()
+    assert ds.count() == 9
+    # ensemble-mean reduction (the standard ENS workload)
+    m = (
+        ds.groupBy("forecast_reference_time")
+        .agg(F.avg("t2m").alias("ens_mean"))
+        .orderBy("forecast_reference_time")
+        .collect()
+    )
+    assert [r["ens_mean"] for r in m] == [1.0, 11.0, 21.0]
+    store.destroy()

@@ -111,3 +111,46 @@ def test_resample_time(grid_df):
     ).first()
     assert row["n"] == 29  # leap February
     assert row["v_min"] >= 0.0 and row["v_max"] <= 9.0
+
+
+def test_fill_time_gaps_linear(spark):
+    rows = [
+        (dt.datetime(2020, 1, 1), np.float32(1.0), np.float32(1.0), np.float32(10.0)),
+        (dt.datetime(2020, 1, 4), np.float32(1.0), np.float32(1.0), np.float32(40.0)),
+        (dt.datetime(2020, 1, 5), np.float32(1.0), np.float32(1.0), np.float32(50.0)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["time", "latitude", "longitude", "v"])
+    )
+    out = climate.fill_time_gaps(df, "v").orderBy("time").collect()
+    assert [r["time"].day for r in out] == [1, 2, 3, 4, 5]
+    assert [r["was_gap"] for r in out] == [False, True, True, False, False]
+    # linear between 10 (day1) and 40 (day4): day2=20, day3=30
+    assert [r["v"] for r in out] == [10.0, 20.0, 30.0, 40.0, 50.0]
+
+
+def test_fill_time_gaps_ffill(spark):
+    rows = [
+        (dt.datetime(2020, 1, 1), np.float32(1.0), np.float32(1.0), np.float32(7.0)),
+        (dt.datetime(2020, 1, 3), np.float32(1.0), np.float32(1.0), np.float32(9.0)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["time", "latitude", "longitude", "v"])
+    )
+    out = climate.fill_time_gaps(df, "v", method="ffill").orderBy("time").collect()
+    assert [r["v"] for r in out] == [7.0, 7.0, 9.0]
+
+
+def test_fill_time_gaps_per_cell_independent(spark):
+    rows = [
+        (dt.datetime(2020, 1, 1), np.float32(1.0), np.float32(1.0), np.float32(1.0)),
+        (dt.datetime(2020, 1, 3), np.float32(1.0), np.float32(1.0), np.float32(3.0)),
+        (dt.datetime(2020, 1, 1), np.float32(2.0), np.float32(1.0), np.float32(5.0)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["time", "latitude", "longitude", "v"])
+    )
+    out = climate.fill_time_gaps(df, "v")
+    # cell (1,1): 3 rows (1 gap filled); cell (2,1): single point, no gaps
+    assert out.filter(F.col("latitude") == 1.0).count() == 3
+    assert out.filter(F.col("latitude") == 2.0).count() == 1

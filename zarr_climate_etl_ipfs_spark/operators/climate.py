@@ -131,3 +131,74 @@ def resample_time(
         F.max(value_col).alias(f"{value_col}_max"),
         F.count(value_col).alias("n"),
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    value_col: str,
+    expected_delta_s: int = 86400,
+    time_col: str = "time",
+    space_cols: tuple[str, ...] = ("latitude", "longitude"),
+    method: str = "linear",  # linear|ffill
+) -> DataFrame:
+    """Gap filling (xarray ``resample().interpolate()`` / ``interpolate_na``):
+    materialize the missing time steps per cell and impute their values.
+
+    Plan: per cell, generate the full expected time sequence from that
+    cell's min..max (sequence+explode over the per-cell span row), left
+    join observations back (per-cell keys), then impute via last/next
+    non-null window values: ffill carries the previous observation, linear
+    interpolates between the bracketing observations by elapsed-time
+    fraction. One shuffle on the cell key; the windows run per cell.
+
+    Returns the dense frame with ``was_gap`` marking imputed rows.
+    """
+    spans = df.groupBy(*space_cols).agg(
+        F.min(time_col).alias("_lo"), F.max(time_col).alias("_hi")
+    )
+    dense = spans.select(
+        *space_cols,
+        F.explode(
+            F.sequence(
+                F.col("_lo"),
+                F.col("_hi"),
+                F.expr(f"INTERVAL {expected_delta_s} SECONDS"),
+            )
+        ).alias(time_col),
+    )
+    obs = df.select(*space_cols, time_col, F.col(value_col).alias("_obs"))
+    joined = dense.join(obs, [*space_cols, time_col], "left")
+
+    w = Window.partitionBy(*space_cols).orderBy(time_col)
+    prev_val = F.last("_obs", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_val = F.first("_obs", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_t = F.last(F.when(F.col("_obs").isNotNull(), F.col(time_col)), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_t = F.first(F.when(F.col("_obs").isNotNull(), F.col(time_col)), ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    if method == "ffill":
+        filled = F.coalesce(F.col("_obs"), prev_val)
+    elif method == "linear":
+        span = next_t.cast("long") - prev_t.cast("long")
+        frac = F.when(
+            span > 0, (F.col(time_col).cast("long") - prev_t.cast("long")) / span
+        ).otherwise(F.lit(0.0))
+        filled = F.coalesce(
+            F.col("_obs"),
+            (prev_val + (next_val - prev_val) * frac).cast("float"),
+            prev_val,
+            next_val,
+        )
+    else:
+        raise ValueError("method must be linear|ffill")
+    return (
+        joined.withColumn("was_gap", F.col("_obs").isNull())
+        .withColumn(value_col, filled)
+        .drop("_obs")
+    )

@@ -1858,3 +1858,33 @@ def climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "cube_revenue",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (absent in the reference, §2.4): all four grouping
+    combinations in one pass, partial-aggregated map-side like rollup."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("status", "priority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())
+    )
