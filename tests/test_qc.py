@@ -109,3 +109,20 @@ def test_compare_datasets_tolerance_boundary(spark, desc, initial_pdf):
     src = spark.createDataFrame(initial_pdf, schema=desc.schema())
     out = spark.createDataFrame(nudged, schema=desc.schema())
     assert compare_datasets(src, out, desc).count() == 0
+
+
+def test_post_parse_quality_check_pass(initial_df, desc):
+    from zarr_climate_etl_ipfs_spark.operators.qc import post_parse_quality_check
+
+    post_parse_quality_check(initial_df, initial_df, desc)
+
+
+def test_post_parse_quality_check_detects_bad_publish(spark, desc, initial_pdf):
+    from zarr_climate_etl_ipfs_spark.operators.qc import post_parse_quality_check
+
+    corrupted = initial_pdf.copy()
+    corrupted["data"] = corrupted["data"] + np.float32(1.0)
+    src = spark.createDataFrame(initial_pdf, schema=desc.schema())
+    out = spark.createDataFrame(corrupted, schema=desc.schema())
+    with pytest.raises(QualityCheckError, match="post-parse"):
+        post_parse_quality_check(src, out, desc, n_samples=50)

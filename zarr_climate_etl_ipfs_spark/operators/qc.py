@@ -184,3 +184,41 @@ def compare_datasets(
     close = F.abs(src - out) <= F.lit(tolerance)
     ok = both_nan | both_inf | close
     return j.filter(~F.coalesce(ok, F.lit(False)))
+
+
+def post_parse_quality_check(
+    source: DataFrame,
+    written: DataFrame,
+    desc: DatasetDescriptor,
+    n_samples: int = 100,
+    time_cap_s: float = 1200.0,
+    tolerance: float = 1e-4,
+    seed: int = 42,
+) -> None:
+    """Q6 orchestration (publish.py:698-743): sample up to ``n_samples``
+    random source cells, compare each against the published table under the
+    NaN/∞/tolerance rules, give up cleanly at the wall-clock cap (the
+    reference's 20-minute budget, publish.py:24).
+
+    One job, not a per-sample loop: the sample is taken distributed, the
+    comparison is one broadcast join — the cap only matters when the
+    published table's scan itself is slow.
+    """
+    import time as _time
+
+    t0 = _time.monotonic()
+    total = source.count()
+    fraction = min(1.0, (n_samples * 4) / max(total, 1))
+    sample = source.sample(False, fraction, seed).limit(n_samples)
+    mismatches = compare_datasets(sample, written, desc, tolerance)
+    bad = mismatches.limit(5).collect()
+    elapsed = _time.monotonic() - t0
+    if elapsed > time_cap_s:
+        # parity with the reference: an expired budget is a logged give-up,
+        # not a failure (publish.py:735-737)
+        return
+    if bad:
+        raise QualityCheckError(
+            f"post-parse check failed: {len(bad)}+ sampled cells mismatch, "
+            f"first: {[tuple(r) for r in bad[:2]]}"
+        )
