@@ -40,11 +40,38 @@ def main() -> None:
     # not session startup
     REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
 
+    # Headline subset by default (one per workload family, weighted toward
+    # the heavy ones); BENCH_ALL=1 runs the whole catalog.
+    HEADLINE = [
+        "pricing_summary",
+        "dim_broadcast_join",
+        "local_supplier_volume",
+        "update_key_split",
+        "asof_join",
+        "gaps_islands",
+        "sessionize",
+        "topk_revenue",
+        "rolling_revenue",
+        "climatology_anomaly",
+        "token_stats",
+        "language_id",
+        "dedup_exact",
+        "minhash_signatures",
+        "minhash_lsh_neardups",
+        "ngram_jaccard_pairs",
+        "knn_brute_force",
+        "embedding_neardup_pairs",
+    ]
+    selected = (
+        REGISTRY
+        if os.environ.get("BENCH_ALL")
+        else {k: REGISTRY[k] for k in HEADLINE if k in REGISTRY}
+    )
     # min-of-N per query: the host shows multi-second contention spikes that
     # would otherwise dominate single-shot numbers
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name, qd in REGISTRY.items():
+    for name, qd in selected.items():
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
