@@ -336,7 +336,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN ABS(o_totalprice - charged) > 0.01 THEN 1 ELSE 0 END) AS n_mismatch
+           CAST(SUM(CASE WHEN ABS(o_totalprice - charged) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
     FROM orders JOIN li ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -495,7 +495,7 @@ def extent_union(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN day - LAG(day) OVER (ORDER BY day) = 1 THEN 0 ELSE 1 END AS is_start
       FROM days
     ), grouped AS (
-      SELECT day, SUM(is_start) OVER (ORDER BY day) AS range_id FROM flagged
+      SELECT day, CAST(SUM(is_start) OVER (ORDER BY day) AS BIGINT) AS range_id FROM flagged
     )
     SELECT range_id, MIN(day) AS range_start, MAX(day) AS range_end, COUNT(*) AS n_days
     FROM grouped GROUP BY range_id ORDER BY range_id
@@ -533,7 +533,7 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_gaps,
-           SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS n_violations,
+           CAST(SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
            ROUND(MAX(gap_s), 1) AS max_gap_s
     FROM deltas WHERE gap_s IS NOT NULL
     GROUP BY user_id
@@ -781,9 +781,10 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS qty_violations,
-           SUM(CASE WHEN l_extendedprice > 100000 OR l_extendedprice <= 0 THEN 1 ELSE 0 END)
-             AS price_violations
+           CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS qty_violations,
+           CAST(SUM(CASE WHEN l_extendedprice > 100000 OR l_extendedprice <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS price_violations
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -1518,36 +1519,58 @@ def append_bridge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("nan_binomial_gate", None)  # p-value math is not SQL-expressible → rows-only
+@q(
+    "nan_binomial_gate",
+    """
+    WITH counts AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN value > 480 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM events GROUP BY day
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(k) AS BIGINT) AS tk FROM counts
+    )
+    SELECT day, n, k,
+           ROUND(k * 1.0 / n, 4) AS share,
+           ROUND((k - n * (tk * 1.0 / tn))
+                 / SQRT(n * (tk * 1.0 / tn) * (1 - tk * 1.0 / tn)), 4) AS z,
+           COALESCE(ABS((k - n * (tk * 1.0 / tn))
+               / SQRT(n * (tk * 1.0 / tn) * (1 - tk * 1.0 / tn))) > 4.42, FALSE) AS flagged
+    FROM counts, tot
+    ORDER BY day
+    """,
+)
 def nan_binomial_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5/Q4 — the per-time-step binomial NaN-frequency test
-    (publish.py:977-1028) on the events table: treat value>480 as the
-    "NaN" condition (~2% base rate), test each day's share against the
-    global rate with the exact binomial test (alpha 1e-5) in an
-    Arrow-batched pandas UDF over per-day aggregates (metadata scale)."""
-    from pyspark.sql import types as T
+    """A5/Q4 — the per-time-step NaN-frequency gate (publish.py:977-1028) on
+    the events table: treat value>480 as the "NaN" condition (~2% base
+    rate), test each day's share against the global rate with the normal
+    approximation z-score (|z| > 4.42 ~ alpha 1e-5 two-sided). The exact
+    binomial test lives in operators/qc.py:75 as the library API; the
+    catalog entry uses the z-gate so both engines share the arithmetic.
 
-    from zarr_climate_etl_ipfs_spark.operators.qc import binom_test_pvalue
-
+    Single plan: the global (tn, tk) totals are a 1-row aggregate
+    broadcast-cross-joined in — no driver-side .first() job."""
     e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     is_nanish = (F.col("value") > 480).cast("long")
-    counts = e.groupBy("day").agg(
-        F.count("*").alias("n"), F.sum(is_nanish).alias("k")
+    counts = e.groupBy("day").agg(F.count("*").alias("n"), F.sum(is_nanish).alias("k"))
+    totals = counts.agg(F.sum("n").alias("tn"), F.sum("k").alias("tk"))
+
+    # try_divide: degenerate corpora (tk==0 or tk==tn) make the variance 0;
+    # DuckDB yields NULL on x/0, so the Spark side must too (ANSI mode raises).
+    p0 = F.col("tk") / F.col("tn")
+    z = F.try_divide(
+        F.col("k") - F.col("n") * p0, F.sqrt(F.col("n") * p0 * (1 - p0))
     )
-    totals = counts.agg(F.sum("n").alias("tn"), F.sum("k").alias("tk")).first()
-    p0 = (totals["tk"] or 0) / totals["tn"]
-
-    def _pvalue(k, n):
-        import pandas as pd  # executor-side
-
-        return pd.Series([binom_test_pvalue(int(ki), int(ni), p0) for ki, ni in zip(k, n)])
-
-    pvalue = F.pandas_udf(_pvalue, T.DoubleType())
-
     return (
-        counts.withColumn("share", F.round(F.col("k") / F.col("n"), 4))
-        .withColumn("p_value", F.round(pvalue("k", "n"), 8))
-        .withColumn("flagged", F.col("p_value") < 1e-5)
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "day",
+            "n",
+            "k",
+            F.round(F.col("k") / F.col("n"), 4).alias("share"),
+            F.round(z, 4).alias("z"),
+            F.coalesce(F.abs(z) > 4.42, F.lit(False)).alias("flagged"),
+        )
         .orderBy("day")
     )
 
@@ -1834,7 +1857,8 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN ABS(value - clim_mean) > 150 THEN 1 ELSE 0 END) AS n_anomalous,
+           CAST(SUM(CASE WHEN ABS(value - clim_mean) > 150 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalous,
            ROUND(SUM(GREATEST(value - clim_mean, 0.0)), 2) + 0.0 AS pos_anomaly_sum
     FROM joined GROUP BY event_type ORDER BY event_type
     """,
