@@ -133,6 +133,59 @@ def test_retry_policy_delays():
     assert list(http.delays())[:3] == [1.0, 2.0, 4.0]
     s3 = RetryPolicy(tries=5, backoff=1.0, exponential=False)
     assert list(s3.delays()) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    capped = RetryPolicy(tries=4, max_sleep=2.5)
+    assert list(capped.delays()) == [1.0, 2.0, 2.5, 2.5]
+
+
+def test_s3_extractor_retries_then_raises(tmp_path):
+    """S6: 5 tries, linear backoff, FileNotFoundError on exhaustion
+    (reference extractor.py:312-397)."""
+    from zarr_climate_etl_ipfs_spark.sources.extractors import S3Extractor
+
+    calls = []
+
+    def failing_fetch(src, dest):
+        calls.append(src)
+        raise ConnectionError("503")
+
+    ex = S3Extractor(
+        fetch_fn=failing_fetch,
+        retry=RetryPolicy(tries=5, backoff=30.0, exponential=False, max_sleep=0.0),
+    )
+    with pytest.raises(FileNotFoundError, match="too many"):
+        ex.request("s3://bucket/key.nc", tmp_path / "key.nc")
+    assert len(calls) == 5
+    # default (un-injected) policy carries the reference's linear 30 s ramp
+    assert list(S3Extractor(fetch_fn=failing_fetch).retry.delays()) == [
+        30.0, 60.0, 90.0, 120.0, 150.0,
+    ]
+
+
+def test_s3_extractor_success_and_path_validation(tmp_path):
+    from zarr_climate_etl_ipfs_spark.sources.extractors import S3Extractor
+
+    def ok_fetch(src, dest):
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        dest.write_bytes(b"data")
+
+    ex = S3Extractor(fetch_fn=ok_fetch)
+    assert ex.request("s3://bucket/key.nc", tmp_path / "key.nc")
+    assert (tmp_path / "key.nc").read_bytes() == b"data"
+    with pytest.raises(ValueError, match="not an S3 path"):
+        ex.request("http://bucket/key.nc", tmp_path / "x")
+
+
+def test_extractor_scheme_dispatch():
+    from zarr_climate_etl_ipfs_spark.sources.extractors import (
+        S3Extractor,
+        extractor_for,
+    )
+
+    assert isinstance(extractor_for("s3://b/k"), S3Extractor)
+    assert isinstance(extractor_for("https://h/p"), HTTPExtractor)
+    assert isinstance(extractor_for("ftp://h/p"), FTPExtractor)
+    with pytest.raises(ValueError, match="no extractor"):
+        extractor_for("gopher://h/p")
 
 
 def test_distributed_fetch_with_fake(spark, tmp_path):

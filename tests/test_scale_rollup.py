@@ -25,6 +25,22 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (9, "orphan")], "k long, v string")
+    right = spark.createDataFrame([(1, "n1"), (2, "n2")], "k long, name string")
+    out = scale.salted_join(left, right, "k", how="left").collect()
+    assert len(out) == 3  # orphan survives exactly once, not salt× times
+    assert sum(1 for r in out if r["name"] is None) == 1
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "n1")], "k long, name string")
+    for how in ("right", "full", "outer", "left_semi"):
+        with pytest.raises(ValueError, match="inner/left"):
+            scale.salted_join(left, right, "k", how=how)
+
+
 def test_two_phase_count_matches(spark):
     df = spark.range(0, 5000).select((F.col("id") % 3).alias("k"))
     got = {r["k"]: r["n"] for r in scale.two_phase_count(df, "k").collect()}

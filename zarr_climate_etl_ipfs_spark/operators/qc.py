@@ -212,13 +212,15 @@ def post_parse_quality_check(
     sample = source.sample(False, fraction, seed).limit(n_samples)
     mismatches = compare_datasets(sample, written, desc, tolerance)
     bad = mismatches.limit(5).collect()
-    elapsed = _time.monotonic() - t0
-    if elapsed > time_cap_s:
-        # parity with the reference: an expired budget is a logged give-up,
-        # not a failure (publish.py:735-737)
-        return
+    # A detected discrepancy always fails — the reference's budget only
+    # abandons *further sampling*, never an already-found mismatch
+    # (publish.py:735-737).
     if bad:
         raise QualityCheckError(
             f"post-parse check failed: {len(bad)}+ sampled cells mismatch, "
             f"first: {[tuple(r) for r in bad[:2]]}"
         )
+    if _time.monotonic() - t0 > time_cap_s:
+        # expired budget with nothing found so far: logged give-up on any
+        # further confirmation passes, not a failure
+        return

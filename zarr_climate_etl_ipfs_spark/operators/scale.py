@@ -30,8 +30,24 @@ def salted_join(
     still matters when the skew is in a *hash aggregation* feeding the join,
     or when AQE is unavailable (streaming state, custom partitioners).
     Result equals a plain join (verified in tests).
+
+    Only inner/left joins are allowed: replicating the right side salt×
+    would multiply unmatched right rows under right/full outer semantics.
+    The salt is derived deterministically (xxhash64 over the left row), so
+    task retries and AQE re-plans reproduce the same bucket assignment —
+    F.rand can re-deal rows across attempts. Rows that are full duplicates
+    share a bucket; for corpora where the hot key's rows are *identical*,
+    include a unique id column in the frame before salting.
     """
-    lsalt = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: a "
+            "salt-replicated right side breaks right/full outer semantics"
+        )
+    lsalt = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int"),
+    )
     rsalt = right.crossJoin(
         F.broadcast(
             left.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
@@ -47,7 +63,10 @@ def two_phase_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
     form is the template for aggregates without map-side combine (e.g.
     collect_list-ish accumulations)."""
     pre = (
-        df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
+        )
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_c"))
     )
