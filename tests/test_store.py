@@ -155,3 +155,17 @@ def test_vacuum_reclaims_old_files(store, spark, desc):
     # latest still fully readable, exactly one manifest left
     assert store.dataset().count() == 138 * 16
     assert [e["version"] for e in store.versions()] == [store.current_version()]
+
+
+def test_update_with_10k_distinct_times_plan_safe(store, spark, desc):
+    """Key routing must stay join-based: a 10k-key update routed through
+    isin() literal lists would bloat the plan tree; the semi-join form keeps
+    plan size O(1) in key count. 138 overwrites + 9,862 appends."""
+    times = daily("2021-09-16", 10_000)  # covers all 138 existing + bridges
+    pdf = _tall(times, seed=7)
+    update = spark.createDataFrame(pdf, schema=desc.schema())
+    res = store.update(update)
+    assert res == {"inserts": 138, "appends": 9_862}
+    ds = store.dataset()
+    assert ds.count() == 10_000 * 16
+    assert ds.select("time").distinct().count() == 10_000

@@ -289,18 +289,21 @@ class GridStore:
         if not val.ok:
             raise StoreError("; ".join(val.errors))
         inserts, appends = split_update_times(existing_times, update_times, td)
-        # Materialize the key lists now: they are metadata-scale (distinct
-        # time steps), and the write phase must not re-execute plans built
-        # over the pre-write manifest.
-        ins_keys = [r[td] for r in inserts.collect()]
-        app_keys = [r[td] for r in appends.collect()]
-        if ins_keys and not desc.allow_overwrite:
-            ins_keys = []  # warn-and-skip semantics (publish.py:287-293)
-        if ins_keys:
-            self.insert(df.filter(F.col(td).isin(ins_keys)), dry_run)
-        if app_keys:
-            self.append(df.filter(F.col(td).isin(app_keys)), dry_run)
-        return {"inserts": len(ins_keys), "appends": len(app_keys)}
+        # Route rows by broadcast semi-join against the key frames — a 100k+
+        # key isin() literal list would bloat the plan tree, a semi join
+        # stays O(1) plan size at any key count. Re-executing these plans
+        # during the write phase is safe: dataset() pins concrete parquet
+        # paths at build time, and committed files are immutable until
+        # vacuum, so the pre-write snapshot stays readable throughout.
+        n_ins = inserts.count()
+        n_app = appends.count()
+        if n_ins and not desc.allow_overwrite:
+            n_ins = 0  # warn-and-skip semantics (publish.py:287-293)
+        if n_ins:
+            self.insert(df.join(F.broadcast(inserts), td, "left_semi"), dry_run)
+        if n_app:
+            self.append(df.join(F.broadcast(appends), td, "left_semi"), dry_run)
+        return {"inserts": n_ins, "appends": n_app}
 
     def vacuum(self) -> int:
         """Delete data files referenced by no manifest ≤ current — after
