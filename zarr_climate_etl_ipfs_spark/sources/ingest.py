@@ -9,10 +9,10 @@ mask the missing-value sentinel (chirps.py:118-122), decode CF time
 
 The file-format readers (NetCDF/GRIB via kerchunk, S7-S10) are replaced by
 :func:`read_binary_gridded`: Spark's ``binaryFile`` source + an
-``mapInPandas`` decode hook. The xarray/netCDF4 decode itself is pluggable —
-those libraries aren't in this container, so the default decoder raises
-NotImplementedError and tests inject a deterministic fake; the Spark-side
-plumbing (schema, batching, partitioning) is real.
+``mapInPandas`` decode hook. Classic NetCDF3 decodes for real via the pure
+numpy reader in :mod:`~zarr_climate_etl_ipfs_spark.sources.netcdf3`
+(``netcdf3_decoder(desc)``); NetCDF4/HDF5 and GRIB decoders need
+xarray/cfgrib (absent in this container) and stay injectable.
 """
 
 from __future__ import annotations
@@ -70,13 +70,22 @@ def canonicalize(
     return df.select(*cols)
 
 
-#: decoder contract: (path, content) -> iterable of dict rows
-Decoder = Callable[[str, bytes], Iterator[dict[str, Any]]]
+#: decoder contract: (path, content) -> iterable of dict rows, or a whole
+#: pandas DataFrame (the vectorized fast path — no per-cell Python loop)
+Decoder = Callable[[str, bytes], "Iterator[dict[str, Any]] | pd.DataFrame"]
 
 
 def default_decoder(path: str, content: bytes) -> Iterator[dict[str, Any]]:
-    """NetCDF/GRIB decode requires xarray/cfgrib — not available in this
-    container. Inject a real decoder in production; tests inject a fake."""
+    """Classic NetCDF3 decodes natively (pure numpy, sources/netcdf3.py);
+    NetCDF4/HDF5 and GRIB need xarray/cfgrib, absent in this container —
+    inject a decoder for those formats."""
+    from zarr_climate_etl_ipfs_spark.sources.netcdf3 import NetCDF3Error
+
+    if content[:3] == b"CDF":
+        raise NetCDF3Error(
+            "NetCDF3 bytes: build the decoder with netcdf3_decoder(desc) — it "
+            "needs the descriptor to name the data variable"
+        )
     raise NotImplementedError(
         "binary gridded decode needs xarray/netCDF4/cfgrib; pass decoder="
     )
@@ -101,9 +110,14 @@ def read_binary_gridded(
         cols = schema.fieldNames()
         for pdf in batches:
             for _, row in pdf.iterrows():
-                rows = list(decoder(row["path"], row["content"]))
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                out = decoder(row["path"], row["content"])
+                if isinstance(out, pd.DataFrame):
+                    if len(out):
+                        yield out[cols]
+                else:
+                    rows = list(out)
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
 
     binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
     return binary.mapInPandas(decode, schema=schema)
