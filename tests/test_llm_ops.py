@@ -109,6 +109,33 @@ def test_dedup_minhash_keeps_lower_id(spark):
     assert kept == [10, 30]
 
 
+def test_lsh_degenerate_corpus_star_links(spark):
+    """1k identical docs land in one LSH bucket: with the bucket cap the
+    pair stage emits 999 star links (rep ↔ member), not 499,500 all-pairs,
+    and dedup still collapses the corpus to one representative + outlier."""
+    base = "the very same document body repeated many times over and over again"
+    rows = [(i, base) for i in range(1000)] + [(5000, "an entirely different outlier text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = dedup.lsh_candidate_pairs(df, "doc_id", "text", n_hashes=8, bands=4, bucket_cap=64)
+    pairs = cands.collect()
+    assert len(pairs) == 999  # linear, not quadratic
+    assert all(r["id_a"] == 0 for r in pairs)  # star on the min id
+    kept = sorted(r["doc_id"] for r in dedup.dedup_minhash(df, "doc_id", "text").collect())
+    assert kept == [0, 5000]
+
+
+def test_lsh_small_buckets_still_all_pairs(spark):
+    """Under the cap the exhaustive within-bucket pair listing is unchanged."""
+    base = " ".join(f"word{i}" for i in range(30))
+    docs = [(i, base) for i in (1, 2, 3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(df, "doc_id", "text", n_hashes=8, bands=4).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_simhash_near_duplicates(spark):
     base = " ".join(f"w{i}" for i in range(60))
     near = base.replace("w30", "w30x")  # one word differs

@@ -143,14 +143,23 @@ def lsh_candidate_pairs(
     text_col: str,
     n_hashes: int = 16,
     bands: int = 4,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b, with band agreement count).
 
     Plan shape: signature (map-side) → explode to (band, band_hash, id) —
     n·bands small rows — → groupBy bucket → pairs within bucket. The only
-    quadratic term is within-bucket, which LSH keeps tiny; the shuffle key is
-    (band, band_hash) so hot buckets can be salted if a degenerate corpus
-    (all-identical docs) shows up.
+    quadratic term is within-bucket, which LSH keeps tiny for real corpora.
+
+    Degenerate corpora (thousands of identical docs land in ONE bucket) are
+    the straggler hazard: all-pairs inside a b-row bucket is b²/2 rows from
+    a single task. Buckets larger than ``bucket_cap`` therefore switch from
+    all-pairs to *star linking* — every member pairs with the bucket's min
+    id only. For dedup that preserves the connected component (each dup
+    still reaches the representative, exactly what :func:`dedup_minhash`
+    consumes) while the work stays linear in bucket size; what it gives up
+    is only the exhaustive pair *listing* inside oversized buckets, which at
+    those sizes is O(b²) noise nobody should materialize.
     """
     rows_per_band = n_hashes // bands
     sig = df.select(
@@ -178,10 +187,18 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
-    buckets = band_rows.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    ).filter(F.size("ids") > 1)
-    pairs = buckets.select(
+    # Window and groupBy below share the (band, band_hash) partitioning, so
+    # Catalyst plans one exchange for the bucket stage, not two.
+    w = Window.partitionBy("band", "band_hash")
+    sized = band_rows.withColumn("_n", F.count("*").over(w)).withColumn(
+        "_rep", F.min("id").over(w)
+    )
+    small_buckets = (
+        sized.filter((F.col("_n") > 1) & (F.col("_n") <= bucket_cap))
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    small_pairs = small_buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -195,6 +212,11 @@ def lsh_candidate_pairs(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
+    star_pairs = (
+        sized.filter((F.col("_n") > bucket_cap) & (F.col("id") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    pairs = small_pairs.unionByName(star_pairs)
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands_agree"))
 
 

@@ -1092,11 +1092,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
     ), ex AS (
       SELECT doc_id, UNNEST(grams) AS g FROM sh
+    ), kept AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM ex
+      ) WHERE df <= 64
     ), sizes AS (
-      SELECT doc_id, LEN(grams) AS n FROM sh
+      SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY id_a, id_b
     )
     SELECT id_a, id_b,
@@ -1110,9 +1114,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (threshold 0.8) — finds the corpus's
-    planted near-duplicates. Plan: explode shingles → count shared grams per
-    pair (shuffle keyed by gram, quadratic only within one gram's postings,
-    the textbook inverted-index join) → jaccard from set sizes."""
+    planted near-duplicates. Plan: explode shingles → document-frequency cap
+    → count shared grams per pair (shuffle keyed by gram, quadratic only
+    within one gram's postings, the textbook inverted-index join) → jaccard
+    from set sizes over the capped shingle space.
+
+    The DF cap (drop grams present in > 64 docs) is the hot-key guard: a
+    stop-gram appearing in every document would otherwise put the whole
+    corpus in one posting list and the pair count quadratic in corpus size.
+    Capped grams carry no dedup signal — near-dups still share their rare
+    grams — and the oracle applies the identical cap, so the jaccard is
+    exact over the same filtered representation. (For corpora with many
+    *byte-identical* docs, run exact dedup first — that family is linear.)
+    """
     from zarr_climate_etl_ipfs_spark.operators.dedup import shingles_from_words
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
@@ -1120,9 +1134,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), shingles_from_words("w").alias("grams")
     )
     ex = d.select("doc_id", F.explode("grams").alias("g"))
-    sizes = d.select("doc_id", F.size("grams").alias("n"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "g")
-    b = ex.select(F.col("doc_id").alias("id_b"), "g")
+    kept = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("df") <= 64)
+        .drop("df")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "g")
+    b = kept.select(F.col("doc_id").alias("id_b"), "g")
     inter = (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
