@@ -62,10 +62,9 @@ def main() -> None:
         "knn_brute_force",
         "embedding_neardup_pairs",
     ]
+    run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (
-        REGISTRY
-        if os.environ.get("BENCH_ALL")
-        else {k: REGISTRY[k] for k in HEADLINE if k in REGISTRY}
+        REGISTRY if run_all else {k: REGISTRY[k] for k in HEADLINE if k in REGISTRY}
     )
     # min-of-N per query: the host shows multi-second contention spikes that
     # would otherwise dominate single-shot numbers
@@ -79,18 +78,51 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "query_catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs,
-            }
-        )
-    )
+
+    # DuckDB on the same parquet + oracle SQL: the round-over-round baseline,
+    # recorded next to Spark so regressions are visible without a judge
+    # re-run. BENCH_DUCKDB=0 skips it.
+    duck: dict[str, float] = {}
+    if os.environ.get("BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        con = duckdb.connect()
+        tables = (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split()
+        for tname in tables:
+            p = f"{sf_dir}/{tname}.parquet"
+            if Path(p).exists():
+                con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+        for name, qd in selected.items():
+            if not qd.oracle:
+                continue
+            try:
+                t0 = time.perf_counter()
+                con.execute(qd.oracle).fetchall()
+                duck[name] = round(time.perf_counter() - t0, 4)
+            except Exception:  # noqa: BLE001 — a baseline gap, not a bench failure
+                pass
+
+    out = {
+        # metric name carries the population: headline-subset totals and
+        # full-catalog totals are not comparable numbers
+        "metric": (
+            "query_catalog_total_runtime" if run_all else "query_catalog_headline_runtime"
+        ),
+        "value": total,
+        "unit": "sec",
+        "subset": "all" if run_all else "headline",
+        "n_queries": len(selected),
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": runs,
+    }
+    if duck:
+        out["duckdb_queries"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 4)
+    print(json.dumps(out))
     spark.stop()
 
 

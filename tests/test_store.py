@@ -169,3 +169,27 @@ def test_update_with_10k_distinct_times_plan_safe(store, spark, desc):
     ds = store.dataset()
     assert ds.count() == 10_000 * 16
     assert ds.select("time").distinct().count() == 10_000
+
+
+def test_column_encoding_gardening_roundtrip(store):
+    """M6 (metadata.py:835-946): whitelist-constrained per-column encoding
+    edit, metadata-only, round-trips through the properties file."""
+    store.update_column_encoding("time", {"units": "days since 2021-09-16"})
+    store.update_column_encoding("time", {"calendar": "proleptic_gregorian"})
+    store.update_column_encoding("latitude", {"dtype": "float32"})
+    enc = store.column_encodings()
+    assert enc["time"] == {"units": "days since 2021-09-16", "calendar": "proleptic_gregorian"}
+    assert enc["latitude"] == {"dtype": "float32"}
+    store.remove_column_encoding("time", "calendar")
+    assert store.column_encodings()["time"] == {"units": "days since 2021-09-16"}
+    # removing an absent key is a no-op, like attrs.pop(key, None)
+    store.remove_column_encoding("latitude", "missing")
+
+
+def test_column_encoding_gardening_guards(store):
+    with pytest.raises(ValueError, match="no changes"):
+        store._modify_column_encoding("time")
+    with pytest.raises(ValueError, match="invalid key"):
+        store.update_column_encoding("time", {"totally_made_up": 1})
+    with pytest.raises(ValueError, match="coordinate dimensions"):
+        store.update_column_encoding("data", {"dtype": "float64"})  # data var -> re-parse

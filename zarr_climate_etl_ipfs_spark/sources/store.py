@@ -349,6 +349,69 @@ class GridStore:
         self.meta_path.mkdir(parents=True, exist_ok=True)
         self._props_file().write_text(json.dumps(cur, indent=2, sort_keys=True, default=str))
 
+    # -- per-column encoding gardening (M6) ----------------------------------
+
+    #: the reference's whitelisted encoding fields (metadata.py:20-45) —
+    #: xarray-side + zarr-side names, kept verbatim so a migrator's existing
+    #: gardening calls keep their validation behavior
+    COLUMN_ENCODING_FIELDS: tuple[str, ...] = (
+        "dtype", "scale_factor", "add_offset", "_FillValue", "missing_value",
+        "chunksizes", "zlib", "complevel", "shuffle", "fletcher32",
+        "contiguous", "units", "calendar",
+        "chunks", "compressor", "filters", "order", "fill_value",
+        "object_codec", "dimension_separator",
+    )
+
+    def column_encodings(self) -> dict[str, dict[str, Any]]:
+        """Per-coordinate-column encoding metadata (the .zarray/.zattrs
+        analog), stored inside the table properties."""
+        raw = self.properties().get("column_encodings", "{}")
+        return json.loads(raw) if isinstance(raw, str) else raw
+
+    def update_column_encoding(self, column: str, update_key: dict[str, Any]) -> None:
+        """M6 gardening (metadata.py:835-870): insert/update one encoding
+        key on a coordinate column."""
+        self._modify_column_encoding(column, update_key=update_key, remove_key=None)
+
+    def remove_column_encoding(self, column: str, remove_key: str) -> None:
+        """M6 gardening (metadata.py:853-867): drop one encoding key from a
+        coordinate column."""
+        self._modify_column_encoding(column, update_key=None, remove_key=remove_key)
+
+    def _modify_column_encoding(
+        self,
+        column: str,
+        update_key: dict[str, Any] | None = None,
+        remove_key: str | None = None,
+    ) -> None:
+        """The reference's _modify_array_encoding rules (metadata.py:869-946),
+        minus the physical rewrite: in the tall-parquet model a coordinate
+        column's encoding is table metadata, so gardening is a metadata-only
+        commit instead of a delete-recreate of the array. The guard rails are
+        kept verbatim: no-op calls error, keys must be whitelisted, and only
+        coordinate dimensions may be gardened — data-variable changes mean a
+        re-parse (write_initial), exactly as the reference insists."""
+        if not any([update_key, remove_key]):
+            raise ValueError("no changes to the column encoding were specified")
+        if update_key:
+            bad = [k for k in update_key if k not in self.COLUMN_ENCODING_FIELDS]
+            if bad:
+                raise ValueError(f"invalid key {bad[0]} for column encoding")
+        if column not in self.desc.dims:
+            raise ValueError(
+                f"target column {column} is not in this dataset's list of "
+                f"coordinate dimensions: {self.desc.dims}; data-variable "
+                "encodings require a re-parse"
+            )
+        encodings = self.column_encodings()
+        enc = dict(encodings.get(column, {}))
+        if update_key:
+            enc.update(update_key)
+        if remove_key:
+            enc.pop(remove_key, None)
+        encodings[column] = enc
+        self.set_properties(column_encodings=encodings)
+
     def _flag_update(self, in_progress: bool, append_only: bool) -> None:
         self.set_properties(
             update_in_progress=in_progress, update_is_append_only=append_only
