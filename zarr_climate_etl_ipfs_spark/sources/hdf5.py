@@ -1,0 +1,619 @@
+"""Pure-numpy HDF5 (NetCDF4) reader — decodes the reference's real fixtures.
+
+The reference ingests NetCDF4 via kerchunk/h5py (utils/transform.py:204-209);
+neither library is in this container, but HDF5 is a published, stable format
+(the HDF5 File Format Specification, The HDF Group) and the subset netCDF4
+writes is small. This module implements exactly that subset from the spec
+with stdlib struct/zlib + numpy:
+
+  - superblocks v0/v1 (symbol-table root) and v2/v3 (root object header);
+  - object headers v1 and v2 (``OHDR``), with continuation blocks;
+  - compact links (link message), v1 symbol-table groups (group B-tree v1 +
+    ``SNOD`` + local heap);
+  - dense attributes: fractal heap (``FRHP``/``FHDB``) walked through the
+    attribute-name v2 B-tree (``BTHD``/``BTLF`` record type 8);
+  - datatypes: fixed ints, IEEE floats, fixed strings;
+  - data layouts: compact, contiguous, and chunked v3 with the chunk
+    B-tree v1 (``TREE`` node type 1), deflate + shuffle filters.
+
+Out of scope (raise ``HDF5Error`` where encountered): dense links, variable-
+length types, compound data reads, v4 chunk indexes. netCDF4-classic files —
+including the reference's own system fixtures (tests/system/data/*.nc) —
+don't use them for coordinate/data variables.
+
+This is a reader built from the public specification; no h5py/kerchunk code
+was consulted or translated.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+MAGIC = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+class HDF5Error(ValueError):
+    """Malformed or out-of-subset HDF5 bytes."""
+
+
+# message type ids (spec IV.A.2)
+_MSG_DATASPACE = 1
+_MSG_LINK_INFO = 2
+_MSG_DATATYPE = 3
+_MSG_FILL_OLD = 4
+_MSG_FILL = 5
+_MSG_LINK = 6
+_MSG_LAYOUT = 8
+_MSG_FILTERS = 11
+_MSG_ATTRIBUTE = 12
+_MSG_CONTINUATION = 16
+_MSG_SYMBOL_TABLE = 17
+_MSG_ATTR_INFO = 21
+
+
+@dataclass
+class _Datatype:
+    cls: int
+    size: int
+    bits0: int
+    # float layouts are validated as standard IEEE; ints carry signedness
+
+    def numpy_dtype(self) -> np.dtype:
+        order = ">" if (self.bits0 & 0x01) else "<"
+        if self.cls == 0:  # fixed-point
+            sign = "i" if (self.bits0 & 0x08) else "u"
+            return np.dtype(f"{order}{sign}{self.size}")
+        if self.cls == 1:  # floating-point
+            return np.dtype(f"{order}f{self.size}")
+        if self.cls == 3:  # string
+            return np.dtype(f"S{self.size}")
+        raise HDF5Error(f"unsupported datatype class {self.cls} for data read")
+
+
+@dataclass
+class H5Var:
+    name: str
+    shape: tuple[int, ...]
+    dtype: _Datatype
+    attrs: dict[str, Any]
+    layout_class: int  # 0 compact, 1 contiguous, 2 chunked
+    data_addr: int = UNDEF  # contiguous address / chunk-btree address
+    data_size: int = 0
+    compact: bytes = b""
+    chunk_shape: tuple[int, ...] = ()
+    filters: tuple[tuple[int, tuple[int, ...]], ...] = ()  # (filter_id, client_vals)
+
+
+@dataclass
+class HDF5File:
+    attrs: dict[str, Any]
+    variables: dict[str, H5Var]
+    _content: bytes = field(repr=False, default=b"")
+
+    def read(self, name: str) -> np.ndarray:
+        v = self.variables[name]
+        dt = v.dtype.numpy_dtype()
+        if v.layout_class == 0:
+            arr = np.frombuffer(v.compact, dtype=dt, count=int(np.prod(v.shape)) or 1)
+        elif v.layout_class == 1:
+            if v.data_addr == UNDEF:  # never written: all fill
+                raise HDF5Error(f"{name}: contiguous data not allocated")
+            n = int(np.prod(v.shape)) if v.shape else 1
+            arr = np.frombuffer(self._content, dtype=dt, count=n, offset=v.data_addr)
+        else:
+            arr = _read_chunked(self._content, v, dt)
+            return arr
+        out = arr.reshape(v.shape)
+        return out.astype(dt.newbyteorder("=")) if dt.byteorder == ">" else out
+
+
+# ---------------------------------------------------------------------------
+# low-level helpers
+# ---------------------------------------------------------------------------
+
+
+def _u(b: bytes, off: int, n: int) -> int:
+    return int.from_bytes(b[off : off + n], "little")
+
+
+def _apply_filters(raw: bytes, v: H5Var, mask: int) -> bytes:
+    """Reverse the filter pipeline (spec IV.A.2.l): filters applied in order
+    at write time are reversed back-to-front; a set mask bit means the
+    filter was skipped for this chunk."""
+    out = raw
+    for i in range(len(v.filters) - 1, -1, -1):
+        fid, vals = v.filters[i]
+        if mask & (1 << i):
+            continue
+        if fid == 1:  # deflate
+            out = zlib.decompress(out)
+        elif fid == 2:  # shuffle: byte-transpose with element size vals[0]
+            esize = vals[0] if vals else v.dtype.size
+            a = np.frombuffer(out, dtype="u1")
+            n = len(a) // esize
+            out = a[: n * esize].reshape(esize, n).T.tobytes() + a[n * esize :].tobytes()
+        elif fid == 3:  # fletcher32 checksum: strip trailing 4 bytes
+            out = out[:-4]
+        else:
+            raise HDF5Error(f"unsupported filter id {fid}")
+    return out
+
+
+def _read_chunked(content: bytes, v: H5Var, dt: np.dtype) -> np.ndarray:
+    ndims = len(v.shape)
+    full = np.zeros(v.shape, dtype=dt.newbyteorder("="))
+
+    def walk(addr: int) -> None:
+        if addr == UNDEF:
+            return
+        if content[addr : addr + 4] != b"TREE":
+            raise HDF5Error("expected v1 B-tree node for chunk index")
+        node_type, level = content[addr + 4], content[addr + 5]
+        if node_type != 1:
+            raise HDF5Error(f"chunk B-tree with node type {node_type}")
+        entries = _u(content, addr + 6, 2)
+        p = addr + 8 + 16  # skip left/right sibling addresses
+        key_size = 8 + 8 * (ndims + 1)
+        for _ in range(entries):
+            chunk_nbytes = _u(content, p, 4)
+            mask = _u(content, p + 4, 4)
+            offsets = [
+                _u(content, p + 8 + 8 * i, 8) for i in range(ndims)
+            ]  # final key element (byte offset within element) is always 0
+            child = _u(content, p + key_size, 8)
+            if level > 0:
+                walk(child)
+            else:
+                raw = _apply_filters(content[child : child + chunk_nbytes], v, mask)
+                chunk = np.frombuffer(raw, dtype=dt, count=int(np.prod(v.chunk_shape)))
+                chunk = chunk.reshape(v.chunk_shape)
+                sel = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(offsets, v.chunk_shape, v.shape)
+                )
+                trim = tuple(slice(0, s.stop - s.start) for s in sel)
+                full[sel] = chunk[trim]
+            p += key_size + 8
+    walk(v.data_addr)
+    return full
+
+
+# ---------------------------------------------------------------------------
+# object headers
+# ---------------------------------------------------------------------------
+
+
+def _messages(content: bytes, addr: int) -> list[tuple[int, int, int]]:
+    """All (type, offset, size) messages of the object header at ``addr``,
+    following continuations; supports v1 and v2 headers."""
+    msgs: list[tuple[int, int, int]] = []
+    if content[addr : addr + 4] == b"OHDR":
+        flags = content[addr + 5]
+        p = addr + 6
+        if flags & 0x20:
+            p += 8  # access/mod/change/birth times (4 x int32)... spec: 4 fields
+            p += 8
+        if flags & 0x10:
+            p += 4  # max compact / min dense
+        size_bytes = 1 << (flags & 0x3)
+        size = _u(content, p, size_bytes)
+        p += size_bytes
+        blocks = [(p, p + size)]
+        bi = 0
+        while bi < len(blocks):
+            q, end = blocks[bi]
+            bi += 1
+            while q < end - 3:
+                mtype = content[q]
+                msize = _u(content, q + 1, 2)
+                q += 4
+                if flags & 0x04:
+                    q += 2
+                if mtype == _MSG_CONTINUATION:
+                    caddr, clen = struct.unpack_from("<QQ", content, q)
+                    # OCHK signature + checksum bracket the continuation
+                    blocks.append((caddr + 4, caddr + clen - 4))
+                else:
+                    msgs.append((mtype, q, msize))
+                q += msize
+        return msgs
+    # v1: no signature
+    if content[addr] != 1:
+        raise HDF5Error(f"unrecognized object header at {addr}")
+    nmsgs = _u(content, addr + 2, 2)
+    hsize = _u(content, addr + 8, 4)
+    blocks = [(addr + 16, addr + 16 + hsize)]
+    bi = 0
+    while bi < len(blocks) and len(msgs) < nmsgs:
+        q, end = blocks[bi]
+        bi += 1
+        while q + 8 <= end and len(msgs) < nmsgs:
+            mtype = _u(content, q, 2)
+            msize = _u(content, q + 2, 2)
+            q += 8
+            if mtype == _MSG_CONTINUATION:
+                caddr, clen = struct.unpack_from("<QQ", content, q)
+                blocks.append((caddr, caddr + clen))
+            else:
+                msgs.append((mtype, q, msize))
+            q += msize
+    return msgs
+
+
+# ---------------------------------------------------------------------------
+# datatype / dataspace / attribute decoding
+# ---------------------------------------------------------------------------
+
+
+def _parse_datatype(d: bytes) -> _Datatype:
+    cls = d[0] & 0x0F
+    size = _u(d, 4, 4)
+    return _Datatype(cls=cls, size=size, bits0=d[1])
+
+
+def _parse_dataspace(d: bytes) -> tuple[int, ...]:
+    ver = d[0]
+    rank = d[1]
+    off = 8 if ver == 1 else 4
+    return tuple(_u(d, off + 8 * i, 8) for i in range(rank))
+
+
+def _decode_attr_value(dt: _Datatype, shape: tuple[int, ...], raw: bytes) -> Any:
+    n = int(np.prod(shape)) if shape else 1
+    if dt.cls == 3:
+        return raw[: dt.size * n].split(b"\x00")[0].decode("utf-8", errors="replace")
+    if dt.cls in (0, 1):
+        arr = np.frombuffer(raw, dtype=dt.numpy_dtype(), count=n)
+        vals = arr.astype(arr.dtype.newbyteorder("=")).tolist()
+        return vals if shape else vals[0]
+    return None  # references / compound / vlen: present but undecoded
+
+
+def _parse_attribute(d: bytes) -> tuple[str, Any]:
+    ver = d[0]
+    if ver == 1:  # name/datatype/dataspace each padded to 8 bytes
+        nsz, dtsz, dssz = struct.unpack_from("<HHH", d, 2)
+        p = 8
+        name = d[p : p + nsz].split(b"\x00")[0].decode()
+        p += (nsz + 7) & ~7
+        dt = _parse_datatype(d[p : p + dtsz])
+        p += (dtsz + 7) & ~7
+        shape = _parse_dataspace(d[p : p + dssz])
+        p += (dssz + 7) & ~7
+    elif ver in (2, 3):  # packed; v3 adds the name-encoding byte
+        nsz, dtsz, dssz = struct.unpack_from("<HHH", d, 2)
+        p = 9 if ver == 3 else 8
+        name = d[p : p + nsz].split(b"\x00")[0].decode()
+        p += nsz
+        dt = _parse_datatype(d[p : p + dtsz])
+        p += dtsz
+        shape = _parse_dataspace(d[p : p + dssz])
+        p += dssz
+    else:
+        raise HDF5Error(f"attribute message v{ver}")
+    return name, _decode_attr_value(dt, shape, d[p:])
+
+
+def _dense_attributes(content: bytes, d: bytes) -> dict[str, Any]:
+    """Attribute-info message → walk the name v2 B-tree, resolve managed
+    fractal-heap IDs into the root direct block (spec III.D/III.G)."""
+    fl = d[1]
+    q = 2 + (2 if fl & 1 else 0)
+    fheap, name_bt = struct.unpack_from("<QQ", d, q)
+    if fheap == UNDEF or name_bt == UNDEF:
+        return {}
+    blocks, off_size = _heap_direct_blocks(content, fheap)
+
+    if content[name_bt : name_bt + 4] != b"BTHD":
+        raise HDF5Error("bad v2 B-tree header")
+    rec_size = _u(content, name_bt + 10, 2)
+    depth = _u(content, name_bt + 12, 2)
+    if depth != 0:
+        raise HDF5Error("multi-level attribute B-tree not supported")
+    leaf = _u(content, name_bt + 16, 8)
+    nrec = _u(content, name_bt + 24, 2)
+    if content[leaf : leaf + 4] != b"BTLF":
+        raise HDF5Error("bad v2 B-tree leaf")
+    out: dict[str, Any] = {}
+    p = leaf + 6
+    for _ in range(nrec):
+        rec = content[p : p + rec_size]
+        p += rec_size
+        heap_off = int.from_bytes(rec[1 : 1 + off_size], "little")
+        heap_len = int.from_bytes(rec[1 + off_size : 1 + off_size + 2], "little")
+        msg = _heap_read(content, blocks, heap_off)[:heap_len]
+        name, value = _parse_attribute(msg)
+        out[name] = value
+    return out
+
+
+def _heap_direct_blocks(content: bytes, fheap: int) -> tuple[list[tuple[int, int, int]], int]:
+    """Walk a fractal heap's doubling table (spec III.G): returns
+    ``[(heap_offset, size, file_addr), ...]`` for every allocated direct
+    block, plus the heap-offset byte width. The root is either one direct
+    block (``FHDB``) or an indirect block (``FHIB``) whose rows point at
+    direct blocks — row r blocks are ``start`` bytes for r<2, doubling
+    after."""
+    if content[fheap : fheap + 4] != b"FRHP":
+        raise HDF5Error("bad fractal heap signature")
+    io_filter_len = _u(content, fheap + 7, 2)
+    p = fheap + 4 + 1 + 2 + 2 + 1 + 4 + 96
+    width, start_sz, max_direct, max_heap_bits, _snr, root_blk, cur_rows = struct.unpack_from(
+        "<HQQHHQH", content, p
+    )
+    off_size = (max_heap_bits + 7) // 8
+    if io_filter_len:
+        raise HDF5Error("filtered fractal heap blocks not supported")
+
+    def block_at(addr: int) -> tuple[int, int]:
+        if content[addr : addr + 4] != b"FHDB":
+            raise HDF5Error("expected fractal heap direct block")
+        boff = _u(content, addr + 5 + 8, off_size)
+        return boff, addr
+
+    blocks: list[tuple[int, int, int]] = []
+    if cur_rows == 0:  # root is a single direct block
+        boff, addr = block_at(root_blk)
+        blocks.append((boff, max(start_sz, 1), addr))
+        return blocks, off_size
+
+    if content[root_blk : root_blk + 4] != b"FHIB":
+        raise HDF5Error("expected root indirect block")
+    max_direct_rows = (max_direct.bit_length() - start_sz.bit_length()) + 2
+    if cur_rows > max_direct_rows:
+        raise HDF5Error("nested indirect fractal heap blocks not supported")
+    q = root_blk + 4 + 1 + 8 + off_size
+    for row in range(cur_rows):
+        row_sz = start_sz if row < 2 else start_sz << (row - 1)
+        for _ in range(width):
+            child = struct.unpack_from("<Q", content, q)[0]
+            q += 8
+            if child == UNDEF:
+                continue
+            boff, addr = block_at(child)
+            blocks.append((boff, row_sz, addr))
+    return blocks, off_size
+
+
+def _heap_read(content: bytes, blocks: list[tuple[int, int, int]], heap_off: int) -> bytes:
+    """Resolve a managed heap ID's offset to file bytes: heap-linear offsets
+    count from each block's signature position (matching the direct-block
+    ``block offset`` header field)."""
+    for boff, bsz, addr in blocks:
+        if boff <= heap_off < boff + bsz:
+            return content[addr + (heap_off - boff) :]
+    raise HDF5Error(f"heap offset {heap_off} outside allocated direct blocks")
+
+
+# ---------------------------------------------------------------------------
+# groups
+# ---------------------------------------------------------------------------
+
+
+def _compact_links(content: bytes, msgs) -> dict[str, int]:
+    links: dict[str, int] = {}
+    for mtype, off, msize in msgs:
+        if mtype != _MSG_LINK:
+            continue
+        d = content[off : off + msize]
+        fl = d[1]
+        q = 2
+        ltype = 0
+        if fl & 0x08:
+            ltype = d[q]
+            q += 1
+        if fl & 0x04:
+            q += 8
+        if fl & 0x10:
+            q += 1
+        lsz = 1 << (fl & 0x3)
+        nlen = _u(d, q, lsz)
+        q += lsz
+        name = d[q : q + nlen].decode()
+        q += nlen
+        if ltype == 0:  # hard link → object header address
+            links[name] = struct.unpack_from("<Q", d, q)[0]
+    return links
+
+
+def _symbol_table_links(content: bytes, d: bytes) -> dict[str, int]:
+    """v1 group: symbol-table message → group B-tree v1 + local heap."""
+    btree, heap = struct.unpack_from("<QQ", d, 0)
+    if content[heap : heap + 4] != b"HEAP":
+        raise HDF5Error("bad local heap")
+    heap_data = struct.unpack_from("<Q", content, heap + 24)[0]
+    links: dict[str, int] = {}
+
+    def walk(addr: int) -> None:
+        sig = content[addr : addr + 4]
+        if sig == b"TREE":
+            level = content[addr + 5]
+            entries = _u(content, addr + 6, 2)
+            p = addr + 24 + 8  # header + key0
+            for _ in range(entries):
+                child = _u(content, p, 8)
+                walk(child) if level > 0 else walk(child)
+                p += 16  # child + next key
+        elif sig == b"SNOD":
+            nsyms = _u(content, addr + 6, 2)
+            p = addr + 8
+            for _ in range(nsyms):
+                name_off = _u(content, p, 8)
+                oh = _u(content, p + 8, 8)
+                name = content[heap_data + name_off :].split(b"\x00")[0].decode()
+                links[name] = oh
+                p += 40
+        else:
+            raise HDF5Error(f"unexpected node {sig!r} in group tree")
+
+    walk(btree)
+    return links
+
+
+# ---------------------------------------------------------------------------
+# top level
+# ---------------------------------------------------------------------------
+
+
+def parse_hdf5(content: bytes) -> HDF5File:
+    if content[:8] != MAGIC:
+        raise HDF5Error("not an HDF5 file")
+    sb_ver = content[8]
+    if sb_ver in (0, 1):
+        # root symbol-table entry sits after the fixed superblock fields
+        off = 24 + 4 * 8 if sb_ver == 0 else 24 + 4 * 8 + 4  # v1 adds 2+2 reserved
+        root_oh = struct.unpack_from("<Q", content, off + 8)[0]
+    elif sb_ver in (2, 3):
+        root_oh = struct.unpack_from("<Q", content, 36)[0]
+    else:
+        raise HDF5Error(f"superblock v{sb_ver}")
+
+    root_msgs = _messages(content, root_oh)
+    root_attrs = _collect_attrs(content, root_msgs)
+    links = _compact_links(content, root_msgs)
+    if not links:
+        for mtype, off, msize in root_msgs:
+            if mtype == _MSG_SYMBOL_TABLE:
+                links = _symbol_table_links(content, content[off : off + msize])
+    variables: dict[str, H5Var] = {}
+    for name, addr in links.items():
+        v = _parse_dataset(content, name, addr)
+        if v is not None:
+            variables[name] = v
+    return HDF5File(attrs=root_attrs, variables=variables, _content=content)
+
+
+def _collect_attrs(content: bytes, msgs) -> dict[str, Any]:
+    attrs: dict[str, Any] = {}
+    for mtype, off, msize in msgs:
+        if mtype == _MSG_ATTRIBUTE:
+            name, value = _parse_attribute(content[off : off + msize])
+            attrs[name] = value
+        elif mtype == _MSG_ATTR_INFO:
+            attrs.update(_dense_attributes(content, content[off : off + msize]))
+    return attrs
+
+
+def _parse_dataset(content: bytes, name: str, addr: int) -> H5Var | None:
+    msgs = _messages(content, addr)
+    shape: tuple[int, ...] | None = None
+    dtype: _Datatype | None = None
+    layout_class = -1
+    data_addr, data_size, compact = UNDEF, 0, b""
+    chunk_shape: tuple[int, ...] = ()
+    filters: list[tuple[int, tuple[int, ...]]] = []
+    for mtype, off, msize in msgs:
+        d = content[off : off + msize]
+        if mtype == _MSG_DATASPACE:
+            shape = _parse_dataspace(d)
+        elif mtype == _MSG_DATATYPE:
+            dtype = _parse_datatype(d)
+        elif mtype == _MSG_LAYOUT:
+            ver = d[0]
+            if ver != 3:
+                raise HDF5Error(f"data layout v{ver}")
+            layout_class = d[1]
+            if layout_class == 0:
+                csize = _u(d, 2, 2)
+                compact = d[4 : 4 + csize]
+            elif layout_class == 1:
+                data_addr, data_size = struct.unpack_from("<QQ", d, 2)
+            elif layout_class == 2:
+                ndims = d[2]  # stored as rank+1
+                data_addr = struct.unpack_from("<Q", d, 3)[0]
+                chunk_shape = tuple(
+                    _u(d, 11 + 4 * i, 4) for i in range(ndims - 1)
+                )
+            else:
+                raise HDF5Error(f"layout class {layout_class}")
+        elif mtype == _MSG_FILTERS:
+            ver = d[0]
+            nf = d[1]
+            p = 8 if ver == 1 else 2
+            for _ in range(nf):
+                fid = _u(d, p, 2)
+                if ver == 1 or fid >= 256:
+                    name_len = _u(d, p + 2, 2)
+                else:
+                    name_len = 0
+                flags_nvals_off = p + 4
+                nvals = _u(d, flags_nvals_off + 2, 2)
+                p = flags_nvals_off + 4 + name_len
+                vals = tuple(_u(d, p + 4 * i, 4) for i in range(nvals))
+                p += 4 * nvals
+                if ver == 1 and nvals % 2 == 1:
+                    p += 4  # v1 pads odd client-value counts
+                filters.append((fid, vals))
+    if shape is None or dtype is None or layout_class < 0:
+        return None  # a subgroup or non-dataset object
+    attrs = _collect_attrs(content, msgs)
+    return H5Var(
+        name=name,
+        shape=shape,
+        dtype=dtype,
+        attrs=attrs,
+        layout_class=layout_class,
+        data_addr=data_addr,
+        data_size=data_size,
+        compact=compact,
+        chunk_shape=chunk_shape,
+        filters=tuple(filters),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoder adapter (S7 for NetCDF4 bytes)
+# ---------------------------------------------------------------------------
+
+
+def netcdf4_decoder(
+    desc,
+    data_var: str | None = None,
+    time_var: str = "time",
+    lat_var: str = "latitude",
+    lon_var: str = "longitude",
+):
+    """Decoder for :func:`~zarr_climate_etl_ipfs_spark.sources.ingest.
+    read_binary_gridded` over NetCDF4/HDF5 bytes — the same tall-row contract
+    as ``netcdf3_decoder``, CF time units read from the time variable's
+    attributes."""
+    import pandas as pd
+
+    from zarr_climate_etl_ipfs_spark.sources.netcdf3 import _cf_origin_and_seconds
+
+    def decode(path: str, content: bytes) -> pd.DataFrame:
+        h5 = parse_hdf5(content)
+        var = data_var or desc.data_var
+        for required in (var, time_var, lat_var, lon_var):
+            if required not in h5.variables:
+                raise HDF5Error(f"{path}: variable {required!r} not in file")
+        data = h5.read(var)
+        if data.shape != (
+            h5.variables[time_var].shape[0],
+            h5.variables[lat_var].shape[0],
+            h5.variables[lon_var].shape[0],
+        ):
+            raise HDF5Error(f"{path}: {var} is not (time, lat, lon)-shaped")
+        times_raw = h5.read(time_var).astype("float64")
+        units = h5.variables[time_var].attrs.get("units", "days since 1970-01-01")
+        origin, secs = _cf_origin_and_seconds(str(units))
+        times = origin + (times_raw * secs * 1e6).astype("timedelta64[us]")
+        lats = h5.read(lat_var).astype("float64")
+        lons = h5.read(lon_var).astype("float64")
+        nt, ny, nx = len(times), len(lats), len(lons)
+        return pd.DataFrame(
+            {
+                desc.time_dim: np.repeat(times, ny * nx),
+                "latitude": np.tile(np.repeat(lats, nx), nt),
+                "longitude": np.tile(lons, nt * ny),
+                desc.data_var: data.reshape(-1),
+            }
+        )
+
+    return decode

@@ -76,9 +76,11 @@ Decoder = Callable[[str, bytes], "Iterator[dict[str, Any]] | pd.DataFrame"]
 
 
 def default_decoder(path: str, content: bytes) -> Iterator[dict[str, Any]]:
-    """Classic NetCDF3 decodes natively (pure numpy, sources/netcdf3.py);
-    NetCDF4/HDF5 and GRIB need xarray/cfgrib, absent in this container —
-    inject a decoder for those formats."""
+    """Classic NetCDF3 (sources/netcdf3.py) and NetCDF4/HDF5
+    (sources/hdf5.py) decode natively — pure numpy, no xarray/h5py; both
+    decoders need the descriptor, so build them via ``netcdf3_decoder(desc)``
+    / ``netcdf4_decoder(desc)``. GRIB still needs cfgrib — inject a
+    decoder."""
     from zarr_climate_etl_ipfs_spark.sources.netcdf3 import NetCDF3Error
 
     if content[:3] == b"CDF":
@@ -86,8 +88,12 @@ def default_decoder(path: str, content: bytes) -> Iterator[dict[str, Any]]:
             "NetCDF3 bytes: build the decoder with netcdf3_decoder(desc) — it "
             "needs the descriptor to name the data variable"
         )
+    if content[:8] == b"\x89HDF\r\n\x1a\n":
+        raise NotImplementedError(
+            "NetCDF4/HDF5 bytes: build the decoder with netcdf4_decoder(desc)"
+        )
     raise NotImplementedError(
-        "binary gridded decode needs xarray/netCDF4/cfgrib; pass decoder="
+        "binary gridded decode needs a format decoder (GRIB: cfgrib); pass decoder="
     )
 
 
