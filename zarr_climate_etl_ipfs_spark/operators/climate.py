@@ -108,8 +108,12 @@ def coarsen(
     groupBy — map-side combinable, shuffle ∝ output grid size."""
     lat_b = (F.floor(F.col("latitude") / lat_step) * lat_step).cast("float").alias("latitude")
     lon_b = (F.floor(F.col("longitude") / lon_step) * lon_step).cast("float").alias("longitude")
+    # sum+count alongside the mean: sums compose across incremental refreshes
+    # (and across engines — a mean of few low-precision values rounds
+    # non-portably; the sum doesn't)
     return df.groupBy(F.col(time_col), lat_b, lon_b).agg(
         F.avg(value_col).alias(value_col),
+        F.sum(value_col).alias(f"{value_col}_sum"),
         F.count("*").alias("n_cells"),
     )
 
@@ -127,6 +131,7 @@ def resample_time(
         F.date_format(F.col(time_col), fmt).alias("period"), *space_cols
     ).agg(
         F.avg(value_col).alias(f"{value_col}_mean"),
+        F.sum(value_col).alias(f"{value_col}_sum"),
         F.min(value_col).alias(f"{value_col}_min"),
         F.max(value_col).alias(f"{value_col}_max"),
         F.count(value_col).alias("n"),

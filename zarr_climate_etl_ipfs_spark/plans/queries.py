@@ -1935,3 +1935,391 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: semi/anti-join shapes, climate resample/coarsen/
+# interpolation, portable simhash pairs, IVF ANN
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "order_priority_count",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shape EXISTS (orders with a late-shipping line item): LEFT
+    SEMI join — lineitem is scanned once, the semi join emits each
+    qualifying order exactly once (no post-join dedup), and the date filter
+    is pushed to the orders scan. At scale this is a shuffled semi join
+    keyed on orderkey, the minimal-width plan (only the join keys and group
+    column survive the scan)."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: LEFT ANTI join (U2's relational form) — customers with no
+    recent order, counted per nation. The anti join shuffles on custkey
+    (the date filter is pushed to the orders scan first); the nation dim is
+    broadcast. The classic data-completeness / churn probe."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: fact-fact join (orders⋈lineitem on orderkey) with
+    two broadcast dims, then top-20 by revenue. Catalyst reorders so the
+    date-filtered orders side drives the join; TakeOrderedAndProject caps
+    the sort at k=20 per partition (no full sort)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", F.round("_rev", 2).alias("revenue"))
+    )
+
+
+@q(
+    "resample_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS period, event_type,
+           ROUND(SUM(value), 2) AS value_sum,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           COUNT(value) AS n
+    FROM events
+    GROUP BY period, event_type
+    ORDER BY period, event_type
+    """,
+)
+def resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal downsampling (xarray ``resample(time='1D').mean()`` —
+    operators/climate.py resample_time): pure partial-aggregable groupBy
+    keyed on (day, series); shuffle width = output rows."""
+    from zarr_climate_etl_ipfs_spark.operators.climate import resample_time
+
+    e = t(spark, sf_dir, "events")
+    r = resample_time(e, "value", grain="day", time_col="ts", space_cols=("event_type",))
+    # the (sum, count) pair is verified rather than the mean: a mean of few
+    # low-precision values rounds on half-boundaries engines break apart
+    return r.select(
+        "period",
+        "event_type",
+        F.round("value_sum", 2).alias("value_sum"),
+        "value_min",
+        "value_max",
+        "n",
+    ).orderBy("period", "event_type")
+
+
+@q(
+    "coarsen_grid",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(FLOOR(((user_id % 10) * 0.5) / 1.0) * 1.0 AS REAL) AS latitude,
+           CAST(FLOOR((((user_id // 10) % 10) * 0.5) / 1.0) * 1.0 AS REAL) AS longitude,
+           ROUND(SUM(value), 2) AS value_sum,
+           COUNT(*) AS n_cells
+    FROM events
+    GROUP BY day, latitude, longitude
+    ORDER BY day, latitude, longitude
+    """,
+)
+def coarsen_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial block-mean pooling (xarray ``coarsen(lat=2, lon=2).mean()`` —
+    operators/climate.py coarsen) over a deterministic pseudo-grid derived
+    from user_id. Snap-to-block-origin keys make this a plain groupBy:
+    map-side combine, shuffle ∝ coarse grid size, no windowing."""
+    from zarr_climate_etl_ipfs_spark.operators.climate import coarsen
+
+    e = t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("day"),
+        ((F.col("user_id") % 10) * 0.5).alias("latitude"),
+        ((F.expr("user_id div 10") % 10) * 0.5).alias("longitude"),
+        "value",
+    )
+    c = coarsen(e, "value", lat_step=1.0, lon_step=1.0, time_col="day")
+    # verify the (sum, count) pair — it determines the mean and rounds
+    # portably, unlike a mean of ~8 two-decimal values, which lands exactly
+    # on round-half boundaries that engines break differently
+    return c.select(
+        "day",
+        "latitude",
+        "longitude",
+        F.round("value_sum", 2).alias("value_sum"),
+        "n_cells",
+    ).orderBy("day", "latitude", "longitude")
+
+
+@q(
+    "fill_gaps_interp",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 2) / COUNT(value) AS v
+      FROM events GROUP BY event_type, day
+    ), obs AS (
+      SELECT * FROM daily WHERE EXTRACT(DAY FROM day) % 5 <> 0
+    ), spans AS (
+      SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY event_type
+    ), dense AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM spans
+    ), j AS (
+      SELECT d.event_type, d.day, o.v AS obs_v
+      FROM dense d LEFT JOIN obs o ON d.event_type = o.event_type AND d.day = o.day
+    ), w AS (
+      SELECT *,
+        last_value(obs_v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(obs_v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        last_value(CASE WHEN obs_v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(CASE WHEN obs_v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT event_type, day,
+           CAST(COALESCE(obs_v,
+                         CAST(pv + (nv - pv) *
+                              (CASE WHEN epoch(nt) - epoch(pt) > 0
+                                    THEN CAST(epoch(day) - epoch(pt) AS DOUBLE)
+                                         / (epoch(nt) - epoch(pt))
+                                    ELSE 0.0 END) AS REAL),
+                         pv, nv) AS DOUBLE) AS value,
+           obs_v IS NULL AS was_gap
+    FROM w
+    ORDER BY event_type, day
+    """,
+)
+def fill_gaps_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap interpolation (xarray ``interpolate_na`` — operators/climate.py
+    fill_time_gaps): a daily series per event_type with every 5th day
+    removed is densified (per-series sequence+explode) and the holes are
+    linearly interpolated from the bracketing observations via ignore-null
+    windows. One shuffle on the series key; no driver-side looping."""
+    from zarr_climate_etl_ipfs_spark.operators.climate import fill_time_gaps
+
+    e = t(spark, sf_dir, "events")
+    # series value = round(sum,2)/count: both engines round the (stable) sum
+    # to the same decimal, then IEEE division gives bit-identical doubles —
+    # unlike round(avg,4), which lands means of few two-decimal values on
+    # half-boundaries the engines break differently
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg((F.round(F.sum("value"), 2) / F.count("value")).alias("value"))
+        .filter(F.dayofmonth("day") % 5 != 0)
+    )
+    filled = fill_time_gaps(
+        daily, "value", expected_delta_s=86400, time_col="day", space_cols=("event_type",)
+    )
+    return filled.select("event_type", "day", "value", "was_gap").orderBy(
+        "event_type", "day"
+    )
+
+
+_SIMHASH56_BITS_SQL = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(56)
+)
+
+
+@q(
+    "simhash_neardups",
+    f"""
+    WITH w AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT({_WORDS_SQL})) AS w FROM documents
+    ), h AS (
+      SELECT doc_id, {_MD5INT_SQL.format(x='w')} AS hv FROM w
+    ), sh AS (
+      SELECT doc_id, {_SIMHASH56_BITS_SQL} AS simhash FROM h GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over a 56-bit engine-portable hash (md5 word
+    features; operators/dedup.py simhash is the xxhash64 fast path). The
+    bit-majority vote is an explode + 56 conditional SUMs — one shuffle,
+    fully map-side-combinable. Pair generation is pigeonhole blocking:
+    hamming ≤ 2 means at least one of three 18-bit blocks matches exactly,
+    so candidates come from three equi-joins on (block, block_bits) — the
+    shuffle is linear in corpus size, quadratic only inside a bucket, and
+    exact hamming is verified in-bucket. No cross join at any scale."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+
+    d = t_wide(spark, sf_dir, "documents")
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    h = d.select(
+        "doc_id", F.explode(F.array_distinct(words("text"))).alias("w")
+    ).select("doc_id", md5int(F.col("w")).alias("hv"))
+    bitsums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(56)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(56):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    sh = bitsums.select("doc_id", sim.alias("simhash"))
+
+    n_blocks, bits_per_block = 3, 18
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftrightunsigned("simhash", b * bits_per_block)
+                .bitwiseAND(F.lit((1 << bits_per_block) - 1).cast("long"))
+                .alias("block_bits"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    bucketed = sh.select("doc_id", "simhash", F.explode(blocks).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.block").alias("block"), F.col("bb.block_bits").alias("block_bits")
+    )
+    a = bucketed.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "block_bits"
+    )
+    b = bucketed.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "block_bits"
+    )
+    return (
+        a.join(b, ["block", "block_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "ivf_knn",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT query_id, vec_id,
+             LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+                                    CAST(qvec AS DOUBLE[])) AS c
+      FROM embeddings, q
+    )
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank,
+           ROUND(c, 6) AS cosine
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py ivf_index/ivf_topk): k-means coarse
+    quantizer, per-query probe of the nearest cells, exact cosine inside
+    probed cells only. Run here with n_probe = n_cells so the result is
+    exactly the brute-force oracle (full recall); the recall/latency knob is
+    exercised with n_probe < n_cells in tests. At scale: train on a sample,
+    assignment is a codegen'd argmin over broadcast centroids, and the probe
+    filter is a broadcast semi-join — search cost ∝ n_probe/n_cells."""
+    from zarr_climate_etl_ipfs_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = t_wide(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, n_cells=8)
+    query = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(assigned, centroids, query, k=5, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
