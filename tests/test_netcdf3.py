@@ -155,3 +155,26 @@ def test_ingest_masks_sentinel_from_file(spark, tmp_path, nc_desc):
     out = canonicalize(raw, nc_desc).orderBy("longitude").collect()
     assert out[0]["precip"] == 5.0
     assert out[1]["precip"] is None  # sentinel → NULL (F6)
+
+
+def test_ingest_file_subset_predicates(spark, tmp_path, nc_desc):
+    """P8 (utils/transform.py:74-86): substring filters and extension
+    whitelist applied on the path column, before content decode."""
+    c1, _ = _grid_file(1, [10.0], [100.0], seed=5, t0_days=0.0)
+    c2, _ = _grid_file(1, [10.0], [100.0], seed=6, t0_days=1.0)
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "chirps_2021-09-16.nc").write_bytes(c1)
+    (tmp_path / "in" / "era5_2021-09-17.nc").write_bytes(c2)
+    (tmp_path / "in" / "readme.txt").write_bytes(b"not data")
+
+    def read(**kw):
+        return read_binary_gridded(
+            spark, str(tmp_path / "in" / "*"), nc_desc,
+            decoder=netcdf3_decoder(nc_desc), **kw,
+        )
+
+    # extension whitelist keeps the .txt file out of the decoder entirely
+    assert read(extensions=["nc"]).count() == 2
+    # substring membership (OR across filters), composed with the whitelist
+    assert read(extensions=[".nc"], file_filters=["chirps"]).count() == 1
+    assert read(extensions=[".nc"], file_filters=["chirps", "era5"]).count() == 2

@@ -17,7 +17,8 @@ xarray/cfgrib (absent in this container) and stay injectable.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+import functools
+from collections.abc import Callable, Iterator, Sequence
 from typing import Any
 
 import pandas as pd
@@ -102,6 +103,8 @@ def read_binary_gridded(
     path_glob: str,
     desc: DatasetDescriptor,
     decoder: Decoder = default_decoder,
+    file_filters: "Sequence[str] | None" = None,
+    extensions: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """S7/S8 replacement: distributed ingest of binary gridded files.
 
@@ -109,6 +112,13 @@ def read_binary_gridded(
     Arrow-batched ``mapInPandas`` — each file's cells become tall rows. File
     parallelism is the partitioning unit, matching the reference's
     file-at-a-time kerchunk scan (transform.py:113-178) but distributed.
+
+    ``file_filters`` / ``extensions`` are P8's file-subset predicates
+    (reference utils/transform.py:74-86) applied to the *path column before
+    content is decoded* — with ``pathGlobFilter``-style pruning this keeps
+    unwanted files from ever being read into executor memory. Substring
+    membership and extension whitelist semantics match
+    ``sources/listing.py`` (the driver-side listing analog).
     """
     schema = desc.schema()
 
@@ -126,4 +136,18 @@ def read_binary_gridded(
                         yield pd.DataFrame(rows, columns=cols)
 
     binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    if extensions:
+        exts = [e if e.startswith(".") else f".{e}" for e in extensions]
+        binary = binary.filter(
+            functools.reduce(
+                lambda a, b: a | b, [F.col("path").endswith(e) for e in exts]
+            )
+        )
+    if file_filters:
+        binary = binary.filter(
+            functools.reduce(
+                lambda a, b: a | b,
+                [F.col("path").contains(s) for s in file_filters],
+            )
+        )
     return binary.mapInPandas(decode, schema=schema)
