@@ -2323,3 +2323,136 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rank")
+
+
+@q(
+    "hash_sample",
+    """
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('sample:', CAST(doc_id AS VARCHAR))), 1, 14))
+               AS BIGINT) % 100 < 10
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key hash — the reproducible train/eval
+    split primitive (``rand()``-based sampling changes across retries and
+    engines; a hash-mod filter is stable, shardable, and pushes down as a
+    plain predicate). Salted with a purpose string so independent samples
+    ('sample:', 'eval:', …) are uncorrelated."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+
+    d = t(spark, sf_dir, "documents")
+    bucket = md5int(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        d.filter(bucket < 10)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("chars_sampled"))
+        .orderBy("lang")
+    )
+
+
+@q(
+    "dedup_keep_first",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id, {_FP_SQL} AS fp FROM documents
+    ), keep AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM keyed GROUP BY fp
+    )
+    SELECT k.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN kp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM keyed k LEFT JOIN keep kp ON k.fp = kp.fp AND k.doc_id = kp.doc_id
+    GROUP BY k.source
+    ORDER BY k.source
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *removal* form of exact dedup (operators/dedup.py dedup_exact):
+    keep the lowest-id representative per fingerprint group, report
+    kept-vs-total per source. Window-free min-id + semi-join plan: the two
+    shuffles move only (fingerprint, id) pairs, never document bodies."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import dedup_exact
+
+    d = t_wide(spark, sf_dir, "documents")
+    kept = dedup_exact(d, "doc_id", "text").groupBy("source").agg(
+        F.count("*").alias("n_kept")
+    )
+    totals = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "streaming_hourly_stats",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming as a first-class catalog entry: a file-source
+    ``readStream`` over the events table, tumbling 1-hour event-time windows
+    (streaming/incremental.py windowed_stats is the watermarked production
+    form), ``Trigger.AvailableNow`` + memory sink. Over static input the
+    available-now run drains everything, so the result is deterministic and
+    equals the batch oracle — the batch/streaming unification Spark
+    promises. At scale the same plan runs continuously with a watermark
+    bounding state."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        # file source wants a directory; the glob filter selects one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "value_sum",
+        )
+    )
+    sink = f"hourly_{uuid.uuid4().hex[:8]}"
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink).orderBy("window_start")
