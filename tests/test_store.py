@@ -193,3 +193,43 @@ def test_column_encoding_gardening_guards(store):
         store.update_column_encoding("time", {"totally_made_up": 1})
     with pytest.raises(ValueError, match="coordinate dimensions"):
         store.update_column_encoding("data", {"dtype": "float64"})  # data var -> re-parse
+
+
+def test_compact_consolidates_buckets(store, spark, desc):
+    """Maintenance: repeated appends accumulate one file per commit per
+    bucket; compact() rewrites crowded buckets into consolidated files,
+    preserves every row bit-for-bit, keeps prior versions readable until
+    vacuum, and is a no-op when nothing is crowded."""
+    # two appends into the same (monthly) buckets as the tail of the initial
+    for seed, start in ((11, "2022-02-01"), (12, "2022-02-04")):
+        upd = spark.createDataFrame(_tall(daily(start, 3), seed=seed), schema=desc.schema())
+        store.append(upd)
+    before = store.dataset()
+    rows_before = before.count()
+    sums_before = before.agg(F.sum(F.col("data").cast("double"))).first()[0]
+    by_bucket: dict[str, int] = {}
+    for f in store.manifest()["files"]:
+        b = f.split("/")[0]
+        by_bucket[b] = by_bucket.get(b, 0) + 1
+    assert max(by_bucket.values()) > 1  # something to compact
+    v_before = store.current_version()
+
+    rewritten = store.compact(max_files_per_bucket=1)
+    assert rewritten and all(n > 1 for n in rewritten.values())
+    after_by_bucket: dict[str, int] = {}
+    for f in store.manifest()["files"]:
+        b = f.split("/")[0]
+        after_by_bucket[b] = after_by_bucket.get(b, 0) + 1
+    assert all(n == 1 for n in after_by_bucket.values())
+    after = store.dataset()
+    assert after.count() == rows_before
+    assert after.agg(F.sum(F.col("data").cast("double"))).first()[0] == pytest.approx(
+        sums_before
+    )
+    # time travel: the pre-compact version still reads
+    assert store.dataset(version=v_before).count() == rows_before
+    # idempotent: nothing crowded now
+    assert store.compact(max_files_per_bucket=1) == {}
+    # vacuum reclaims the replaced small files
+    assert store.vacuum() > 0
+    assert store.dataset().count() == rows_before

@@ -100,7 +100,9 @@ class GridStore:
             raise StoreError(f"no manifest v{v} at {self.manifest_path}")
         return json.loads(p.read_text())
 
-    def _commit(self, action: str, files: list[str], df: DataFrame) -> int:
+    def _commit(
+        self, action: str, files: list[str], df: DataFrame, update_props: bool = True
+    ) -> int:
         td = self.desc.time_dim
         rng = df.agg(
             F.min(td).alias("lo"), F.max(td).alias("hi"), F.count("*").alias("n")
@@ -118,10 +120,11 @@ class GridStore:
         tmp = self.manifest_path / f".v{v}.json.tmp"
         tmp.write_text(json.dumps(manifest, indent=2))
         tmp.rename(self.manifest_path / f"v{v}.json")  # the commit point
-        self.set_properties(
-            update_date_range=[str(rng["lo"]), str(rng["hi"])],
-            update_previous_end_date=str(rng["hi"]),
-        )
+        if update_props:  # maintenance actions (compact) aren't data updates
+            self.set_properties(
+                update_date_range=[str(rng["lo"]), str(rng["hi"])],
+                update_previous_end_date=str(rng["hi"]),
+            )
         return v
 
     def versions(self) -> list[dict[str, Any]]:
@@ -304,6 +307,35 @@ class GridStore:
         if n_app:
             self.append(df.join(F.broadcast(appends), td, "left_semi"), dry_run)
         return {"inserts": n_ins, "appends": n_app}
+
+    def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
+        """Small-file compaction (Delta OPTIMIZE analog). Every append/insert
+        commit adds at least one file per touched bucket, so long-lived
+        incremental datasets accumulate many small files — the #1 read-path
+        tax at scale (per-file open cost, tiny row groups defeat min-max
+        pruning). Rewrite any bucket whose live file count exceeds the
+        target into freshly Z-order-sorted consolidated files and commit a
+        new manifest; prior versions stay readable until :meth:`vacuum`.
+
+        Returns {bucket: n_files_rewritten} for the compacted buckets.
+        """
+        prev = self.manifest()["files"]
+        by_bucket: dict[str, list[str]] = {}
+        for f in prev:
+            by_bucket.setdefault(_bucket_of(f), []).append(f)
+        crowded = {
+            b: fs for b, fs in by_bucket.items() if len(fs) > max_files_per_bucket
+        }
+        if not crowded:
+            return {}
+        paths = [str(self.data_path / f) for fs in crowded.values() for f in fs]
+        df = self.spark.read.option("basePath", str(self.data_path)).parquet(*paths)
+        self._flag_update(True, append_only=False)
+        new_files = self._stage_files(df)
+        keep = [f for f in prev if _bucket_of(f) not in crowded]
+        self._commit("compact", keep + new_files, df, update_props=False)
+        self._flag_update(False, append_only=False)
+        return {b: len(fs) for b, fs in crowded.items()}
 
     def vacuum(self) -> int:
         """Delete data files referenced by no manifest ≤ current — after
