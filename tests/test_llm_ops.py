@@ -147,6 +147,28 @@ def test_simhash_near_duplicates(spark):
     assert (1, 3) not in got
 
 
+def test_hamming_blocked_pairs_star_cap(spark):
+    """Hot-bucket guard: identical signatures beyond bucket_cap switch to
+    star linking — every member still pairs with the min-id representative
+    (component survives), with exact hamming on the emitted pairs."""
+    from pyspark.sql import functions as F
+
+    sigs = [(i, 0b1010101) for i in range(1, 8)] + [(99, 0b1010100)]
+    df = spark.createDataFrame(sigs, "id long, sh long")
+    got = dedup.hamming_blocked_pairs(df, max_hamming=2, bits=56, bucket_cap=3)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+    # star pairs: representative 1 linked to every other member of the hot bucket
+    for i in range(2, 8):
+        assert rows.get((1, i)) == 0
+    # non-hot doc still reachable through its own (block, bits) buckets
+    assert (1, 99) in rows and rows[(1, 99)] == 1
+    # exhaustive intra-bucket listing suppressed beyond the cap
+    assert (2, 3) not in rows
+
+    exact = dedup.hamming_blocked_pairs(df, max_hamming=2, bits=56, bucket_cap=None)
+    assert exact.count() == 7 * 6 // 2 + 7  # all pairs + the 99 links
+
+
 def test_md5int_portable_against_duckdb():
     import duckdb
 

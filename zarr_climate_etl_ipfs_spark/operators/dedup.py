@@ -293,17 +293,31 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_blocked_pairs(
+    sig_df: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sh",
+    max_hamming: int = 3,
+    bits: int = 64,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
-    """Near-dup pairs by simhash with pigeonhole blocking: the 64 bits are
-    split into ``max_hamming + 1`` blocks — a pair within the hamming budget
-    must agree *exactly* on at least one block, so bucketing per block has
-    perfect recall. Join key is (block_idx, block_bits): linear shuffle,
-    quadratic only within a bucket, exact hamming verified in-bucket."""
+    """Pairs within ``max_hamming`` of a ``bits``-wide signature, by
+    pigeonhole blocking: split the signature into ``max_hamming + 1``
+    blocks — a pair inside the budget must agree *exactly* on at least one
+    block, so bucketing per block has perfect recall. Join key is
+    (block_idx, block_bits): linear shuffle, quadratic only within a
+    bucket, exact hamming verified in-bucket.
+
+    ``bucket_cap`` is the hot-bucket guard for template-heavy corpora where
+    one block value collects thousands of documents: oversized buckets
+    switch from all-pairs to star linking against the bucket's min id
+    (connected components survive; the exhaustive in-bucket listing — b²/2
+    rows from one task — does not). ``None`` disables the cap for exact
+    pair enumeration.
+    """
     n_blocks = max_hamming + 1
-    bits_per_block = 64 // n_blocks
-    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    bits_per_block = bits // n_blocks
+    sh = sig_df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
     blocks = F.array(
         *[
             F.struct(
@@ -318,13 +332,51 @@ def simhash_near_duplicates(
     bucketed = sh.select("id", "sh", F.explode(blocks).alias("bb")).select(
         "id", "sh", F.col("bb.block").alias("block"), F.col("bb.block_bits").alias("block_bits")
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("block", "block_bits")
+        sized = bucketed.withColumn("_n", F.count("*").over(w)).withColumn(
+            "_rep", F.min("id").over(w)
+        )
+        bucketed = sized.filter(F.col("_n") <= bucket_cap).drop("_n", "_rep")
+        star = (
+            sized.filter((F.col("_n") > bucket_cap) & (F.col("id") != F.col("_rep")))
+            .join(
+                sh.select(F.col("id").alias("_rep"), F.col("sh").alias("sh_a")), "_rep"
+            )
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("id").alias("id_b"),
+                "sh_a",
+                F.col("sh").alias("sh_b"),
+            )
+        )
     a = bucketed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block", "block_bits")
     b = bucketed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block", "block_bits")
-    return (
+    pairs = (
         a.join(b, ["block", "block_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+    if bucket_cap is not None:
+        pairs = pairs.unionByName(star)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int | None = 4096,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit simhash (xxhash64 word features) —
+    :func:`hamming_blocked_pairs` does the pigeonhole block join."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    return hamming_blocked_pairs(
+        sh, max_hamming=max_hamming, bits=64, bucket_cap=bucket_cap
     )

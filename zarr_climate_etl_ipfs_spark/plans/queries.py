@@ -2253,36 +2253,13 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sh = bitsums.select("doc_id", sim.alias("simhash"))
 
-    n_blocks, bits_per_block = 3, 18
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("block"),
-                F.shiftrightunsigned("simhash", b * bits_per_block)
-                .bitwiseAND(F.lit((1 << bits_per_block) - 1).cast("long"))
-                .alias("block_bits"),
-            )
-            for b in range(n_blocks)
-        ]
-    )
-    bucketed = sh.select("doc_id", "simhash", F.explode(blocks).alias("bb")).select(
-        "doc_id", "simhash", F.col("bb.block").alias("block"), F.col("bb.block_bits").alias("block_bits")
-    )
-    a = bucketed.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "block_bits"
-    )
-    b = bucketed.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "block_bits"
-    )
-    return (
-        a.join(b, ["block", "block_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= 2)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
-    )
+    from zarr_climate_etl_ipfs_spark.operators.dedup import hamming_blocked_pairs
+
+    # bucket_cap=None: the oracle enumerates every pair, so the query must
+    # too; production corpora use the capped default (star linking)
+    return hamming_blocked_pairs(
+        sh, id_col="doc_id", sig_col="simhash", max_hamming=2, bits=56, bucket_cap=None
+    ).orderBy("id_a", "id_b")
 
 
 @q(
@@ -2456,3 +2433,60 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink).orderBy("window_start")
+
+
+@q(
+    "curation_pipeline",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, n_chars, {_FP_SQL} AS fp,
+             LEN({_WORDS_SQL}) AS n_words,
+             CAST(LIST_SUM(LIST_TRANSFORM({_WORDS_SQL}, w -> LENGTH(w))) AS DOUBLE)
+               / LEN({_WORDS_SQL}) AS awl,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, {_PUNCT_SQL}, '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS punct_ratio
+      FROM documents WHERE LENGTH(text) > 0
+    ), gated AS (
+      SELECT * FROM m
+      WHERE GREATEST(0.0, 1.0
+              - (CASE WHEN n_words < 10 THEN 0.5 WHEN n_words > 5000 THEN 0.3 ELSE 0.0 END)
+              - (CASE WHEN awl < 2.0 OR awl > 12.0 THEN 0.3 ELSE 0.0 END)
+              - (CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END)) >= 0.8
+    ), keep AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+    ), deduped AS (
+      SELECT g.* FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('train:', CAST(doc_id AS VARCHAR))), 1, 14))
+                 AS BIGINT) % 100 < 50
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation chain as ONE declarative plan:
+    quality gate → exact dedup (keep-first) → deterministic 50% train split
+    → per-language accounting. Each stage is the operator the catalog
+    verifies individually (text_quality, dedup_keep_first, hash_sample);
+    composed, Catalyst still sees a single DAG — the quality filter prunes
+    before the dedup shuffle, the dedup semi-join moves only (fp, id)
+    pairs, and the split is a pushed-down predicate. This is the shape a
+    100 TB corpus run takes: no materialization barriers between stages."""
+    from zarr_climate_etl_ipfs_spark.operators import textanalysis as ta
+    from zarr_climate_etl_ipfs_spark.operators.dedup import dedup_exact, md5int
+
+    d = (
+        t_wide(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .filter(ta.quality_score("text") >= 0.8)
+    )
+    deduped = dedup_exact(d, "doc_id", "text")
+    bucket = md5int(F.concat(F.lit("train:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        deduped.filter(bucket < 50)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_total"))
+        .orderBy("lang")
+    )
