@@ -2490,3 +2490,93 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_total"))
         .orderBy("lang")
     )
+
+
+@q(
+    "range_band_join",
+    """
+    WITH bands(band_id, lo, hi) AS (
+      SELECT * FROM (VALUES
+        (0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
+        (3, 30.0, 50.0), (4, 50.0, 1e9))
+    )
+    SELECT band_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/band) join: events matched to value intervals. Spark
+    has no range-join operator; the scale-correct plan for a small interval
+    table is BroadcastNestedLoopJoin — the fact side streams once, each row
+    probes the broadcast interval list, no shuffle and no explosion (the
+    intervals are disjoint). For large interval tables you'd bin first
+    (equi-join on a bucket key) — that path is date_buckets."""
+    e = t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0), (3, 30.0, 50.0), (4, 50.0, 1e9)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@q(
+    "value_percentiles",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
+           MAX(CASE WHEN rn = n THEN value END) AS p100
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributional stats via deterministic rank selection
+    (percentile_disc semantics — engine-portable, unlike interpolating
+    percentile variants whose interpolation rules differ). One shuffle on
+    the series key; the rank window runs per group. At 100 TB you'd reach
+    for approx_percentile (t-digest sketch, no global sort) — this is the
+    exact small-cardinality-group form."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(q * F.col("n")).cast("bigint"), F.col("value"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            pick(F.lit(0.5)).alias("p50"),
+            pick(F.lit(0.95)).alias("p95"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("p100"),
+        )
+        .orderBy("event_type")
+    )
