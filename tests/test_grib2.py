@@ -1,0 +1,141 @@
+"""GRIB2 reader/writer + ingest (S8; the reference's actual GRIB path is
+kerchunk.grib2.scan_grib, utils/transform.py:19, 211-253 — here decoded from
+the published WMO FM 92-XIV spec, template 3.0/4.0/5.0 subset)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+from zarr_climate_etl_ipfs_spark.sources.grib2 import (
+    GRIB2Error,
+    GRIB2Message,
+    grib2_decoder,
+    parse_grib2,
+    write_grib2,
+)
+from zarr_climate_etl_ipfs_spark.sources.ingest import canonicalize, read_binary_gridded
+from zarr_climate_etl_ipfs_spark.sources.store import GridStore
+
+
+def _slab(nj=4, ni=5, seed=0, t0=dt.datetime(2021, 9, 16), holes=False):
+    rng = np.random.RandomState(seed)
+    vals = np.round(rng.uniform(0, 50, (nj, ni)), 2)
+    if holes:
+        vals[1, 1] = np.nan
+        vals[3, 4] = np.nan
+    return GRIB2Message(
+        discipline=0,
+        parameter_category=1,  # moisture
+        parameter_number=8,  # total precipitation
+        level_type=1,
+        level=0,
+        ref_time=t0,
+        lats=np.linspace(40.0, 10.0, nj),
+        lons=np.linspace(100.0, 140.0, ni),
+        values=vals,
+    )
+
+
+def test_roundtrip_simple_packing():
+    msg = _slab()
+    out = parse_grib2(write_grib2([msg], bits_per_value=16, decimal_scale=2))
+    assert len(out) == 1
+    got = out[0]
+    assert (got.parameter_category, got.parameter_number) == (1, 8)
+    assert got.ref_time == msg.ref_time
+    np.testing.assert_allclose(got.lats, msg.lats, atol=1e-6)
+    np.testing.assert_allclose(got.lons, msg.lons, atol=1e-6)
+    # float32 reference value bounds the error: rel ~1e-7 of the scaled range
+    np.testing.assert_allclose(got.values, msg.values, atol=1e-3)
+
+
+def test_roundtrip_bitmap_and_multi_message():
+    msgs = [
+        _slab(seed=1, t0=dt.datetime(2021, 9, 16), holes=True),
+        _slab(seed=2, t0=dt.datetime(2021, 9, 17)),
+    ]
+    out = parse_grib2(write_grib2(msgs))
+    assert [m.ref_time.day for m in out] == [16, 17]
+    assert np.isnan(out[0].values[1, 1]) and np.isnan(out[0].values[3, 4])
+    mask = ~np.isnan(msgs[0].values)
+    np.testing.assert_allclose(out[0].values[mask], msgs[0].values[mask], atol=1e-3)
+
+
+def test_negative_coordinates_sign_magnitude():
+    msg = _slab()
+    msg.lats = np.linspace(10.0, -20.0, 4)  # crosses the equator
+    msg.lons = np.linspace(-91.875, -90.125, 5)  # western hemisphere
+    got = parse_grib2(write_grib2([msg]))[0]
+    np.testing.assert_allclose(got.lats, msg.lats, atol=1e-6)
+    np.testing.assert_allclose(got.lons, msg.lons, atol=1e-6)
+
+
+def test_parse_rejects_grib1_and_junk():
+    from zarr_climate_etl_ipfs_spark.sources.grib1 import write_grib1, GRIB1Message
+
+    g1 = write_grib1(
+        [
+            GRIB1Message(
+                parameter=61, level_type=1, level=0,
+                ref_time=dt.datetime(2021, 9, 16),
+                lats=np.array([10.0, 20.0]), lons=np.array([100.0, 110.0]),
+                values=np.ones((2, 2)),
+            )
+        ]
+    )
+    with pytest.raises(GRIB2Error, match="edition 1"):
+        parse_grib2(g1)
+    with pytest.raises(GRIB2Error, match="not a GRIB2"):
+        parse_grib2(b"CDF\x01 netcdf, not grib")
+
+
+@pytest.fixture
+def g2_desc():
+    return DatasetDescriptor(
+        dataset_name="g2_obs",
+        data_var="precip",
+        time_resolution="daily",
+        dataset_category="observation",
+        dataset_start_date=dt.datetime(2021, 9, 16),
+        missing_value=-9999.0,
+        time_bucket="month",
+    )
+
+
+def test_ingest_real_grib2_bytes_end_to_end(spark, tmp_path, g2_desc):
+    m1 = _slab(seed=3, t0=dt.datetime(2021, 9, 16))
+    m2 = _slab(seed=4, t0=dt.datetime(2021, 9, 17), holes=True)
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "f_16.grib2").write_bytes(write_grib2([m1]))
+    (tmp_path / "in" / "f_17.grib2").write_bytes(write_grib2([m2]))
+
+    raw = read_binary_gridded(
+        spark,
+        str(tmp_path / "in" / "*.grib2"),
+        g2_desc,
+        decoder=grib2_decoder(g2_desc, parameter=(1, 8)),
+    )
+    canon = canonicalize(raw, g2_desc)
+    store = GridStore(tmp_path / "store", g2_desc, spark)
+    store.write_initial(canon)
+
+    ds = store.dataset()
+    assert ds.count() == 2 * 4 * 5
+    got = ds.filter(
+        (F.col("time") == dt.datetime(2021, 9, 16))
+        & (F.col("latitude") == 30.0)
+        & (F.col("longitude") == 120.0)
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["precip"] == pytest.approx(m1.values[1, 2], abs=1e-3)
+    hole = ds.filter(
+        (F.col("time") == dt.datetime(2021, 9, 17))
+        & (F.col("latitude") == 30.0)
+        & (F.col("longitude") == 110.0)
+    ).collect()
+    assert len(hole) == 1 and hole[0]["precip"] is None

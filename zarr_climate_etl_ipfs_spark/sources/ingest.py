@@ -77,12 +77,13 @@ Decoder = Callable[[str, bytes], "Iterator[dict[str, Any]] | pd.DataFrame"]
 
 
 def default_decoder(path: str, content: bytes) -> Iterator[dict[str, Any]]:
-    """Classic NetCDF3 (sources/netcdf3.py), NetCDF4/HDF5 (sources/hdf5.py)
-    and GRIB1 (sources/grib1.py) decode natively — pure numpy, no
-    xarray/h5py/cfgrib; each decoder needs the descriptor, so build them via
-    ``netcdf3_decoder(desc)`` / ``netcdf4_decoder(desc)`` /
-    ``grib1_decoder(desc)``. GRIB2 complex packing still needs cfgrib —
-    inject a decoder."""
+    """Classic NetCDF3 (sources/netcdf3.py), NetCDF4/HDF5 (sources/hdf5.py),
+    GRIB1 (sources/grib1.py) and GRIB2 simple packing (sources/grib2.py)
+    decode natively — pure numpy, no xarray/h5py/cfgrib; each decoder needs
+    the descriptor, so build them via ``netcdf3_decoder(desc)`` /
+    ``netcdf4_decoder(desc)`` / ``grib1_decoder(desc)`` /
+    ``grib2_decoder(desc)``. GRIB2 complex/JPEG packing still needs an
+    injected cfgrib decoder."""
     from zarr_climate_etl_ipfs_spark.sources.netcdf3 import NetCDF3Error
 
     if content[:3] == b"CDF":
@@ -95,9 +96,10 @@ def default_decoder(path: str, content: bytes) -> Iterator[dict[str, Any]]:
             "NetCDF4/HDF5 bytes: build the decoder with netcdf4_decoder(desc)"
         )
     if content[:4] == b"GRIB":
+        edition = content[7] if len(content) > 7 else 0
         raise NotImplementedError(
-            "GRIB bytes: build the decoder with grib1_decoder(desc) "
-            "(edition 1; GRIB2 needs an injected cfgrib decoder)"
+            f"GRIB edition {edition} bytes: build the decoder with "
+            "grib1_decoder(desc) or grib2_decoder(desc)"
         )
     raise NotImplementedError(
         "binary gridded decode needs a format decoder; pass decoder="
