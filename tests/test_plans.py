@@ -1,0 +1,77 @@
+"""Physical-plan regression guards: the catalog's scale claims, asserted.
+
+Each query docstring in plans/queries.py states the intended plan shape
+(pushed-down scans, broadcast dims, semi/anti joins, banded pair joins).
+These tests pin the load-bearing properties so a refactor that silently
+degrades the plan — a lost pushdown, a cartesian product, a broadcast that
+became a shuffle — fails CI rather than a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 5 referenced columns — no full-width scan
+    assert "l_comment" not in plan and "l_partkey" not in plan
+
+
+def test_dim_join_broadcasts_small_side(spark):
+    plan = _plan(spark, "dim_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_and_anti_joins_planned_as_such(spark):
+    assert "LeftSemi" in _plan(spark, "order_priority_count")
+    assert "LeftAnti" in _plan(spark, "customers_without_orders")
+
+
+def test_range_band_join_is_broadcast_nested_loop(spark):
+    plan = _plan(spark, "range_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """The whole catalog: an unintended cross join is always a bug — the one
+    legitimate non-equi join broadcasts its tiny side instead."""
+    for name in REGISTRY:
+        if name == "streaming_hourly_stats":
+            continue  # streaming plans materialize on start(), not here
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_plan_hashes_once(spark):
+    """The CSE guard the docstrings promise: one md5 per shingle, not one
+    per shingle×hash — CollapseProject must not inline the bases column
+    into the four minhash lambdas."""
+    df = REGISTRY["minhash_signatures"].fn(spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5") == 1
+    assert optimized.count("array_min") == 4
+
+
+@pytest.mark.parametrize("name", ["update_key_split", "asof_join"])
+def test_key_routing_stays_join_based(spark, name):
+    """No isin() literal lists: key routing must be join-based so the plan
+    size stays O(1) in key count (10k-key regression in test_store)."""
+    plan = _plan(spark, name)
+    assert " IN (" not in plan

@@ -134,3 +134,82 @@ def test_contiguous_ranges_matches_model(spark, day_offsets):
         for r in contiguous_ranges(df, dt.timedelta(days=1)).collect()
     ]
     assert got == expected
+
+
+# -- GRIB codecs: encode∘decode identity within packing precision ------------
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=8, max_value=20),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_grib1_roundtrip_property(nj, ni, bits, dscale, seed):
+    import datetime as _dt
+
+    import numpy as np
+
+    from zarr_climate_etl_ipfs_spark.sources.grib1 import (
+        GRIB1Message,
+        parse_grib1,
+        write_grib1,
+    )
+
+    rng = np.random.RandomState(seed)
+    vals = np.round(rng.uniform(-20, 80, (nj, ni)), dscale)
+    msg = GRIB1Message(
+        parameter=61, level_type=1, level=0,
+        ref_time=_dt.datetime(2021, 9, 16),
+        lats=np.linspace(50.0, 10.0, nj), lons=np.linspace(-30.0, 30.0, ni),
+        values=vals,
+    )
+    got = parse_grib1(write_grib1([msg], bits_per_value=bits, decimal_scale=dscale))[0]
+    # max packing error: half a step of the binary scale, in value units
+    span = float(vals.max() - vals.min()) * 10.0**dscale
+    e = 0
+    while span / 2.0**e > (1 << bits) - 1:
+        e += 1
+    tol = (2.0**e / 10.0**dscale) * 0.51 + 1e-9
+    np.testing.assert_allclose(got.values, vals, atol=tol)
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=8, max_value=20),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_grib2_roundtrip_property(nj, ni, bits, seed):
+    import datetime as _dt
+
+    import numpy as np
+
+    from zarr_climate_etl_ipfs_spark.sources.grib2 import (
+        GRIB2Message,
+        parse_grib2,
+        write_grib2,
+    )
+
+    rng = np.random.RandomState(seed)
+    vals = np.round(rng.uniform(-20, 80, (nj, ni)), 2)
+    # a hole, unless the grid is a single row where masking risks all-NaN rows
+    vals[0, 0] = np.nan
+    msg = GRIB2Message(
+        discipline=0, parameter_category=1, parameter_number=8,
+        level_type=1, level=0, ref_time=_dt.datetime(2021, 9, 16),
+        lats=np.linspace(-10.0, -40.0, nj), lons=np.linspace(100.0, 160.0, ni),
+        values=vals,
+    )
+    got = parse_grib2(write_grib2([msg], bits_per_value=bits, decimal_scale=2))[0]
+    assert bool(np.isnan(got.values[0, 0]))
+    mask = ~np.isnan(vals)
+    span = float(np.nanmax(vals) - np.nanmin(vals)) * 100.0
+    e = 0
+    while span / 2.0**e > (1 << bits) - 1:
+        e += 1
+    tol = (2.0**e / 100.0) * 0.51 + float(np.nanmax(np.abs(vals))) * 1e-6 + 1e-9
+    np.testing.assert_allclose(got.values[mask], vals[mask], atol=tol)
