@@ -86,11 +86,17 @@ def main() -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # the round-1 lesson: DuckDB HUGEINT (integer SUM) hashes apart
+            # from Spark BIGINT even when values match — catch type drift here
+            otypes = [str(t) for t in con.sql(oracles[name]).types]
+            wide = [f"{c}:{t}" for c, t in zip(ocols, otypes) if "HUGEINT" in t or "DECIMAL" in t]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
             continue
         problems = []
+        if wide:
+            problems.append(f"oracle emits driver-hostile types: {wide} (CAST them)")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
