@@ -1,0 +1,120 @@
+"""Worked example: curating a training corpus at scale, end to end.
+
+The climate store (examples/chirps_like.py) is the reference-parity half of
+this engine; this example is the beyond-reference half — the operations a
+large-scale training-data pipeline runs over a document corpus, composed
+from the same operator library the query catalog verifies one by one:
+
+  stage                          → operator
+  ------------------------------------------------------------------
+  language identification        → textanalysis.predict_language
+  quality gate                   → textanalysis.quality_score
+  exact dedup (keep-first)       → dedup.dedup_exact
+  near-dup removal               → dedup.lsh_candidate_pairs (banded
+                                   MinHash LSH, capped hot buckets)
+                                   + dedup.dedup_minhash
+  simhash cross-check            → dedup.simhash_near_duplicates
+                                   (pigeonhole block join)
+  train/eval split               → deterministic md5-bucket filter
+  ANN neighbor audit             → similarity.ivf_index / ivf_topk
+  token accounting               → textanalysis.token_count
+
+Every stage is declarative DataFrame code — one Catalyst DAG per action,
+no driver-side loops — so the same script scales from this sf0.001 sample
+to a 1000-executor corpus run by changing only the input path.
+
+Run:  python examples/training_corpus.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.operators import textanalysis as ta
+from zarr_climate_etl_ipfs_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    md5int,
+    simhash_near_duplicates,
+)
+from zarr_climate_etl_ipfs_spark.operators.similarity import ivf_index, ivf_topk
+from zarr_climate_etl_ipfs_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training-corpus-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. profile: language, quality, tokens — one pass, all JVM-side
+    profiled = docs.withColumns(
+        {
+            "lang_pred": ta.predict_language("text"),
+            "quality": ta.quality_score("text"),
+            "n_tokens": ta.token_count("text"),
+        }
+    )
+
+    # 2. gates: language-confident + quality floor
+    gated = profiled.filter(F.col("quality") >= 0.8)
+    n_gated = gated.count()
+
+    # 3. exact dedup, keep lowest doc_id
+    exact = dedup_exact(gated, "doc_id", "text")
+    n_exact = exact.count()
+
+    # 4. near-dup removal: LSH candidates -> drop the higher id of each pair
+    pairs = lsh_candidate_pairs(exact, "doc_id", "text", n_hashes=16, bands=4)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    neardeduped = exact.join(losers, "doc_id", "left_anti")
+    n_near = neardeduped.count()
+
+    # 5. simhash cross-check (independent signal; report only)
+    sh_pairs = simhash_near_duplicates(neardeduped, "doc_id", "text", max_hamming=3)
+    n_sh = sh_pairs.count()
+
+    # 6. deterministic split: ~90% train / 10% eval, stable across reruns
+    bucket = md5int(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    train = neardeduped.filter(bucket < 90)
+    evals = neardeduped.filter(bucket >= 90)
+
+    # 7. token accounting per language
+    stats = (
+        train.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("lang_pred")
+    )
+
+    # 8. embedding-side audit: IVF ANN over the embeddings table
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = ivf_index(emb, n_cells=8)
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    knn = ivf_topk(assigned, centroids, queries, k=3, n_probe=2)
+
+    print(f"corpus:            {n0} docs")
+    print(f"quality-gated:     {n_gated}")
+    print(f"exact-deduped:     {n_exact}")
+    print(f"near-deduped:      {n_near}  (simhash flags {n_sh} residual pairs)")
+    print(f"train/eval:        {train.count()} / {evals.count()}")
+    print("per-language train stats:")
+    for r in stats.collect():
+        print(f"  {r['lang_pred']}: {r['docs']} docs, {r['tokens']} tokens")
+    print("IVF top-3 neighbors for 2 query vectors:")
+    for r in knn.collect():
+        print(f"  q{r['query_id']} -> vec {r['vec_id']} (cos {r['cosine']:.4f})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2580,3 +2580,34 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "nested_top_values",
+    """
+    SELECT event_type,
+           (list_sort(list(value), 'DESC'))[1:5] AS top_values,
+           LEN(list(value)) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def nested_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/array output type: per-series top-5 values as an array column
+    (the catalog's only collection-typed result — exercises the driver's
+    nested-value hashing). collect_list + sort_array + slice stays JVM-side;
+    note at scale an all-values collect_list per group is memory-bound — the
+    scalable form is the window top-k (window_rank) — this entry pins the
+    nested-type semantics, not the big-data plan."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 5).alias(
+                "top_values"
+            ),
+            F.count("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
