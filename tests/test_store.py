@@ -233,3 +233,29 @@ def test_compact_consolidates_buckets(store, spark, desc):
     # vacuum reclaims the replaced small files
     assert store.vacuum() > 0
     assert store.dataset().count() == rows_before
+
+
+def test_content_addressing_and_integrity(store, spark, desc):
+    """S23 analog: every manifest pins its files by sha256 with a Merkle-style
+    content digest over the set; verify_integrity catches corruption, and
+    carried-over files keep their digests across commits (CID stability)."""
+    m1 = store.manifest()
+    assert set(m1["file_digests"]) == set(m1["files"]) and m1["content_digest"]
+    store.verify_integrity()
+
+    upd = spark.createDataFrame(_tall(daily("2022-02-01", 2), seed=21), schema=desc.schema())
+    store.append(upd)
+    m2 = store.manifest()
+    # unchanged files keep their digest; the set digest changed
+    for f in m1["files"]:
+        assert m2["file_digests"][f] == m1["file_digests"][f]
+    assert m2["content_digest"] != m1["content_digest"]
+    store.verify_integrity()
+
+    # flip a byte in one live file → named failure
+    victim = store.data_path / m2["files"][0]
+    blob = bytearray(victim.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    victim.write_bytes(bytes(blob))
+    with pytest.raises(StoreError, match="content mismatch"):
+        store.verify_integrity()

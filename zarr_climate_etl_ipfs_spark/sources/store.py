@@ -36,6 +36,7 @@ role of Delta data skipping.
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
 import json
 import shutil
 from pathlib import Path
@@ -52,6 +53,24 @@ from zarr_climate_etl_ipfs_spark.operators.updates import (
 
 _BUCKET_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
 _BUCKET_COL = "time_bucket"
+
+
+def _sha256_file(p: Path) -> str:
+    h = hashlib.sha256()
+    with open(p, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _content_digest(file_digests: dict[str, str]) -> str:
+    """Digest over the sorted (path, digest) pairs: the manifest's Merkle
+    link to its entire file set."""
+    h = hashlib.sha256()
+    for f in sorted(file_digests):
+        h.update(f.encode())
+        h.update(file_digests[f].encode())
+    return h.hexdigest()
 
 
 class StoreError(RuntimeError):
@@ -113,10 +132,17 @@ class GridStore:
             "version": v,
             "action": action,
             "files": sorted(files),
+            # content addressing (the IPFS-CID analog, S23): every live file
+            # is pinned by digest, and the manifest digest commits to the
+            # whole file set — a Merkle link, so a manifest version names
+            # immutable content the way a CID does. Carried-over files reuse
+            # the prior manifest's digests (no rehash of unchanged data).
+            "file_digests": self._digests(files, v - 1),
             "time_start": str(rng["lo"]),
             "time_end": str(rng["hi"]),
             "rows": rng["n"],
         }
+        manifest["content_digest"] = _content_digest(manifest["file_digests"])
         tmp = self.manifest_path / f".v{v}.json.tmp"
         tmp.write_text(json.dumps(manifest, indent=2))
         tmp.rename(self.manifest_path / f"v{v}.json")  # the commit point
@@ -126,6 +152,36 @@ class GridStore:
                 update_previous_end_date=str(rng["hi"]),
             )
         return v
+
+    def _digests(self, files: list[str], prev_version: int) -> dict[str, str]:
+        """sha256 per live file, reusing the previous manifest's entries for
+        files it already pinned (immutable files never need rehashing)."""
+        prior: dict[str, str] = {}
+        if prev_version > 0:
+            try:
+                prior = self.manifest(prev_version).get("file_digests", {})
+            except StoreError:
+                prior = {}
+        out: dict[str, str] = {}
+        for f in sorted(files):
+            out[f] = prior.get(f) or _sha256_file(self.data_path / f)
+        return out
+
+    def verify_integrity(self, version: int | None = None) -> None:
+        """Recompute every pinned digest and compare — the content-addressed
+        read guarantee IPFS gives for free, enforced here explicitly.
+        Raises StoreError naming the first corrupted/missing file."""
+        m = self.manifest(version)
+        digests = m.get("file_digests", {})
+        for f in m["files"]:
+            p = self.data_path / f
+            if not p.exists():
+                raise StoreError(f"integrity: missing data file {f}")
+            want = digests.get(f)
+            if want and _sha256_file(p) != want:
+                raise StoreError(f"integrity: content mismatch for {f}")
+        if digests and m.get("content_digest") != _content_digest(digests):
+            raise StoreError("integrity: manifest content digest mismatch")
 
     def versions(self) -> list[dict[str, Any]]:
         """Version log, oldest first (Delta history / IPNS chain analog)."""
