@@ -2611,3 +2611,85 @@ def nested_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "asof_nearest",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, NULL::TIMESTAMP AS signup_ts, 1 AS side
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT NULL::BIGINT, user_id, ts, ts, 0 FROM events WHERE event_type = 'signup'
+    ), w AS (
+      SELECT *,
+        last_value(signup_ts IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_su,
+        first_value(signup_ts IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, side
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_su
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_su IS NULL THEN next_su
+             WHEN next_su IS NULL THEN prev_su
+             WHEN epoch(ts) - epoch(prev_su) <= epoch(next_su) - epoch(ts) THEN prev_su
+             ELSE next_su
+           END AS nearest_signup
+    FROM w
+    WHERE side = 1
+      AND ABS(epoch(ts) - epoch(CASE
+             WHEN prev_su IS NULL THEN next_su
+             WHEN next_su IS NULL THEN prev_su
+             WHEN epoch(ts) - epoch(prev_su) <= epoch(next_su) - epoch(ts) THEN prev_su
+             ELSE next_su
+           END)) <= 172800
+    ORDER BY event_id
+    """,
+)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2's full semantic — *nearest* match with tolerance (the reference's
+    ``method="nearest", tolerance=…`` alignment, publish.py:483-493), not
+    just backward as-of. Same union-and-window plan as asof_join but with
+    both an ignore-null look-back and look-forward; the closer side wins
+    (ties → earlier). One shuffle on the join key, no range explosion, and
+    the ±2-day tolerance filters after selection — rows with no signup in
+    range drop out, exactly xarray's tolerance semantics."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("signup_ts"), F.lit(1).alias("side"),
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias("signup_ts"), F.lit(0).alias("side"),
+    )
+    u = purchases.unionByName(signups)
+    back = (
+        Window.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = u.withColumn("prev_su", F.last("signup_ts", ignorenulls=True).over(back)).withColumn(
+        "next_su", F.first("signup_ts", ignorenulls=True).over(fwd)
+    )
+    ts_s = F.col("ts").cast("long")
+    prev_s, next_s = F.col("prev_su").cast("long"), F.col("next_su").cast("long")
+    nearest = (
+        F.when(F.col("prev_su").isNull(), F.col("next_su"))
+        .when(F.col("next_su").isNull(), F.col("prev_su"))
+        .when(ts_s - prev_s <= next_s - ts_s, F.col("prev_su"))
+        .otherwise(F.col("next_su"))
+    )
+    return (
+        w.filter(F.col("side") == 1)
+        .withColumn("nearest_signup", nearest)
+        .filter(F.abs(ts_s - F.col("nearest_signup").cast("long")) <= 172800)
+        .select("event_id", "user_id", "ts", "nearest_signup")
+        .orderBy("event_id")
+    )
