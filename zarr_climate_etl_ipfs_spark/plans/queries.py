@@ -2693,3 +2693,40 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "nearest_signup")
         .orderBy("event_id")
     )
+
+
+@q(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (P6's relational reshape): order counts fanned out to one
+    column per status. Spark's .pivot() with an explicit value list plans a
+    single pass of conditional aggregates — identical to the CASE-sum form,
+    no extra shuffle, no second scan to discover the pivot domain (always
+    pass the value list at scale)."""
+    o = t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid inside pivot
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
+    ).orderBy("o_orderpriority")
