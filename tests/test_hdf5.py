@@ -69,6 +69,18 @@ def test_initial_dataset_values_and_attrs():
     assert 0.0 <= float(real.min()) and float(real.max()) < 1000.0
 
 
+def test_v2_builtin_filter_description_offsets():
+    """v2 filter-pipeline descriptions of builtin filters (id < 256) have no
+    Name Length field: Flags sits at +2 and the client-value count at +4.
+    Regression: the old reader took the v1 offsets and parsed deflate as
+    (1, (0, 0, 0, 0, 0)); the real description is (1, (level,)). Benign for
+    deflate (client values unused) but fatal for shuffle, whose element size
+    is vals[0]."""
+    h5 = parse_hdf5(_fixture("chirps_initial_dataset_smaller.nc"))
+    filters = h5.variables["precip"].filters
+    assert filters == ((1, (5,)),), filters
+
+
 def test_append_subset_coordinates():
     """v2-superblock files (compact links, dense attributes in a fractal
     heap): int32 time coordinate and float32 axes decode exactly."""

@@ -156,17 +156,41 @@ def test_hamming_blocked_pairs_star_cap(spark):
     sigs = [(i, 0b1010101) for i in range(1, 8)] + [(99, 0b1010100)]
     df = spark.createDataFrame(sigs, "id long, sh long")
     got = dedup.hamming_blocked_pairs(df, max_hamming=2, bits=56, bucket_cap=3)
-    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+    rows = {(r["id_a"], r["id_b"]): (r["hamming"], r["is_star"]) for r in got.collect()}
     # star pairs: representative 1 linked to every other member of the hot bucket
     for i in range(2, 8):
-        assert rows.get((1, i)) == 0
+        assert rows.get((1, i)) == (0, True)
     # non-hot doc still reachable through its own (block, bits) buckets
-    assert (1, 99) in rows and rows[(1, 99)] == 1
+    assert (1, 99) in rows and rows[(1, 99)][0] == 1
     # exhaustive intra-bucket listing suppressed beyond the cap
     assert (2, 3) not in rows
 
     exact = dedup.hamming_blocked_pairs(df, max_hamming=2, bits=56, bucket_cap=None)
     assert exact.count() == 7 * 6 // 2 + 7  # all pairs + the 99 links
+    assert not any(r["is_star"] for r in exact.collect())
+
+
+def test_hamming_star_edges_survive_budget(spark):
+    """A hot-bucket member whose distance to the representative exceeds
+    max_hamming keeps its structural star link (flagged is_star=true) —
+    downstream connected-component dedup retains the bucket's linkage.
+    Regression for the round-2 recall loss where star edges were filtered
+    by hamming <= max_hamming."""
+    # 5 docs share block 0 (low 28 bits identical) but ids 4/5 differ from
+    # the rep (id 1) by 4 bits in the high block — beyond max_hamming=2.
+    low = 0b1111
+    far = (0b11110000 << 28) | low
+    sigs = [(1, low), (2, low), (3, low), (4, far), (5, far)]
+    df = spark.createDataFrame(sigs, "id long, sh long")
+    got = dedup.hamming_blocked_pairs(df, max_hamming=1, bits=56, bucket_cap=3)
+    rows = {(r["id_a"], r["id_b"]): (r["hamming"], r["is_star"]) for r in got.collect()}
+    # block 0 bucket holds all 5 -> hot; star links 1->{2..5} regardless of budget
+    assert rows.get((1, 4)) == (4, True)
+    assert rows.get((1, 5)) == (4, True)
+    assert (1, 2) in rows and (1, 3) in rows
+    # verified-only consumers can still filter the flag
+    verified = {k for k, (h, s) in rows.items() if not s or h <= 1}
+    assert (1, 4) not in verified
 
 
 def test_md5int_portable_against_duckdb():

@@ -26,8 +26,10 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver hashes values; emulate a tolerant canonical form
-        return f"{v:.6g}"
+        # repr-exact: the driver's hash is bit-strict, so any float that
+        # differs in the last ulp between engines must FAIL here too (the
+        # round-2 returned_items lesson — %.6g masked a half-boundary split)
+        return repr(v)
     if isinstance(v, list):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     return str(v)

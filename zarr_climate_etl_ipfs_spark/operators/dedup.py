@@ -312,8 +312,15 @@ def hamming_blocked_pairs(
     one block value collects thousands of documents: oversized buckets
     switch from all-pairs to star linking against the bucket's min id
     (connected components survive; the exhaustive in-bucket listing — b²/2
-    rows from one task — does not). ``None`` disables the cap for exact
-    pair enumeration.
+    rows from one task — does not). Star edges are emitted UNFILTERED with
+    ``is_star = true`` — a hot-bucket member whose distance to the
+    representative exceeds ``max_hamming`` keeps its structural link, so
+    downstream connected-component dedup retains the bucket's linkage even
+    when the rep is not within budget of every member (the over-merge is
+    the documented cap tradeoff; filter ``~is_star`` for verified-only
+    pairs). ``None`` disables the cap for exact pair enumeration.
+
+    Returns columns ``(id_a, id_b, hamming, is_star)``.
     """
     n_blocks = max_hamming + 1
     bits_per_block = bits // n_blocks
@@ -356,14 +363,33 @@ def hamming_blocked_pairs(
         a.join(b, ["block", "block_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
-    )
-    if bucket_cap is not None:
-        pairs = pairs.unionByName(star)
-    return (
-        pairs.dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .withColumn("is_star", F.lit(False))
+    )
+    if bucket_cap is None:
+        return pairs.select("id_a", "id_b", "hamming", "is_star")
+    # Star edges bypass the hamming filter: they are structural links that
+    # keep the hot bucket's component connected even when a member is not
+    # within budget of the representative. A verified (non-star) pair for
+    # the same ids wins the preference dedup below.
+    star_pairs = (
+        star.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("is_star", F.lit(True))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "sh_a", "sh_b", "hamming", "is_star")
+    )
+    return (
+        pairs.unionByName(star_pairs)
+        .withColumn(
+            "_pref",
+            F.row_number().over(
+                Window.partitionBy("id_a", "id_b").orderBy(F.col("is_star").cast("int"))
+            ),
+        )
+        .filter(F.col("_pref") == 1)
+        .select("id_a", "id_b", "hamming", "is_star")
     )
 
 

@@ -2017,7 +2017,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                          * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -2026,7 +2028,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
-    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                 * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) DESC,
+             c_custkey
     LIMIT 20
     """,
 )
@@ -2034,7 +2038,13 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10 shape: fact-fact join (orders⋈lineitem on orderkey) with
     two broadcast dims, then top-20 by revenue. Catalyst reorders so the
     date-filtered orders side drives the join; TakeOrderedAndProject caps
-    the sort at k=20 per partition (no full sort)."""
+    the sort at k=20 per partition (no full sort).
+
+    Revenue is summed in exact DECIMAL arithmetic on BOTH sides (Spark plan
+    and DuckDB oracle) so the per-group total — and hence the half-boundary
+    behaviour of ROUND(..., 2) — is engine- and order-independent; the final
+    value is cast back to DOUBLE so the driver's hash sees a float column
+    rather than engine-specific decimal rendering."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -2042,15 +2052,23 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
+    rev_term = F.col("l_extendedprice").cast("decimal(15,2)") * (
+        F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)")
+    )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .agg(F.sum(rev_term).alias("_rev"))
         .orderBy(F.col("_rev").desc(), "c_custkey")
         .limit(20)
-        .select("c_custkey", "c_name", "n_name", F.round("_rev", 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("_rev", 2).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -2257,9 +2275,13 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bucket_cap=None: the oracle enumerates every pair, so the query must
     # too; production corpora use the capped default (star linking)
-    return hamming_blocked_pairs(
-        sh, id_col="doc_id", sig_col="simhash", max_hamming=2, bits=56, bucket_cap=None
-    ).orderBy("id_a", "id_b")
+    return (
+        hamming_blocked_pairs(
+            sh, id_col="doc_id", sig_col="simhash", max_hamming=2, bits=56, bucket_cap=None
+        )
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @q(

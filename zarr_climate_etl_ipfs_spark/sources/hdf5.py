@@ -538,17 +538,25 @@ def _parse_dataset(content: bytes, name: str, addr: int) -> H5Var | None:
             p = 8 if ver == 1 else 2
             for _ in range(nf):
                 fid = _u(d, p, 2)
-                if ver == 1 or fid >= 256:
-                    name_len = _u(d, p + 2, 2)
+                if ver == 2 and fid < 256:
+                    # v2 descriptions of builtin filters (id < 256) omit the
+                    # Name Length field and the name entirely: Flags is at
+                    # p+2, Number of Client Data Values at p+4, values follow
+                    # immediately with no odd-count padding.
+                    nvals = _u(d, p + 4, 2)
+                    p += 6
+                    vals = tuple(_u(d, p + 4 * i, 4) for i in range(nvals))
+                    p += 4 * nvals
                 else:
-                    name_len = 0
-                flags_nvals_off = p + 4
-                nvals = _u(d, flags_nvals_off + 2, 2)
-                p = flags_nvals_off + 4 + name_len
-                vals = tuple(_u(d, p + 4 * i, 4) for i in range(nvals))
-                p += 4 * nvals
-                if ver == 1 and nvals % 2 == 1:
-                    p += 4  # v1 pads odd client-value counts
+                    # v1 (always) and v2 user-defined filters carry a name:
+                    # fid(2) name_len(2) flags(2) nvals(2) name values
+                    name_len = _u(d, p + 2, 2)
+                    nvals = _u(d, p + 6, 2)
+                    p = p + 8 + name_len
+                    vals = tuple(_u(d, p + 4 * i, 4) for i in range(nvals))
+                    p += 4 * nvals
+                    if ver == 1 and nvals % 2 == 1:
+                        p += 4  # v1 pads odd client-value counts
                 filters.append((fid, vals))
     if shape is None or dtype is None or layout_class < 0:
         return None  # a subgroup or non-dataset object
