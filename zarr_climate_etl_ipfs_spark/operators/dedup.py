@@ -187,34 +187,42 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
-    # Window and groupBy below share the (band, band_hash) partitioning, so
-    # Catalyst plans one exchange for the bucket stage, not two.
-    w = Window.partitionBy("band", "band_hash")
-    sized = band_rows.withColumn("_n", F.count("*").over(w)).withColumn(
-        "_rep", F.min("id").over(w)
-    )
-    small_buckets = (
-        sized.filter((F.col("_n") > 1) & (F.col("_n") <= bucket_cap))
-        .groupBy("band", "band_hash")
+    # One exchange total: a single collect_list aggregate per bucket serves
+    # BOTH branches — all-pairs below the cap and star links above it —
+    # branched with array expressions on the aggregated row. (Round 2 used a
+    # Window.partitionBy(band, band_hash) sizing pass before the groupBy;
+    # that cost an extra sort over every band row and was the measured 25%
+    # minhash_lsh_neardups regression. The array holds bucket-size longs —
+    # linear, one task per bucket, same placement the window needed anyway —
+    # only the b²/2 pair LISTING is capped.)
+    buckets = (
+        band_rows.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    small_pairs = small_buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda a, i: F.transform(
-                        F.slice("ids", i + 2, F.size("ids")), lambda b: F.struct(
-                            a.alias("id_a"), b.alias("id_b")
-                        )
-                    ),
+    small_pairs = (
+        buckets.filter(F.size("ids") <= bucket_cap)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a, i: F.transform(
+                            F.slice("ids", i + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
                 )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
     star_pairs = (
-        sized.filter((F.col("_n") > bucket_cap) & (F.col("id") != F.col("_rep")))
-        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+        buckets.filter(F.size("ids") > bucket_cap)
+        .select(
+            F.col("ids")[0].alias("id_a"),
+            F.explode(F.slice("ids", 2, F.size("ids"))).alias("id_b"),
+        )
     )
     pairs = small_pairs.unionByName(star_pairs)
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands_agree"))

@@ -1309,10 +1309,20 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan, blocked by the label column (the
     metadata-blocking baseline; operators/similarity.py has the LSH-banded
     variant for unlabeled corpora). Join key = label keeps the pair space
-    linear-ish; cosine verified exactly."""
+    linear-ish; cosine verified exactly.
+
+    Partitioning: hash-repartition by the JOIN KEY, not round-robin. Both
+    self-join branches then satisfy the join's distribution requirement, so
+    the only shuffle is this one — and because it is user-specified, AQE
+    cannot byte-coalesce it down to one task (the pair stage is CPU-bound
+    on 768-dim cosines while its shuffle bytes look tiny; AQE's size-based
+    coalescing was the round-2 +50% regression: measured 4.5-17.6s with
+    round-robin + AQE vs 1.3s with this plan at sf0.1)."""
     from zarr_climate_etl_ipfs_spark.functions.vectors import cosine_similarity
 
-    emb = t_wide(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "label"
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
     cos = cosine_similarity(F.col("va"), F.col("vb"))
