@@ -120,9 +120,14 @@ def validate_update(
       2. no update step precedes ``dataset_start`` (publish.py:626-639);
       3. the first *append* lands exactly one delta after the current end
          (the "append bridge", publish.py:643-648 / W4), unless
-         ``cadence_bounds`` declares the feed irregular.
+         ``cadence_bounds`` declares the feed irregular;
+      4. the append set itself is gap-free at the expected cadence — the
+         reference refuses a hole-bearing append during the aligned region
+         write (tests/system/test_chirps.py:293-313); here it is a count
+         identity on the same aggregation: a contiguous daily set spanning
+         [lo, hi] must hold exactly (hi − lo)/delta + 1 steps.
 
-    One job: all six scalars come from two tiny aggregations.
+    One job: all the scalars come from three tiny aggregations.
     """
     errors: list[str] = []
     u = update_times.select(time_dim).distinct()
@@ -136,7 +141,11 @@ def validate_update(
             f"update contains steps before dataset start {dataset_start}: {stats['lo']}"
         )
     _, appends = split_update_times(existing_times, u, time_dim)
-    arow = appends.agg(F.min(time_dim).alias("first_append")).first()
+    arow = appends.agg(
+        F.count("*").alias("n"),
+        F.min(time_dim).alias("first_append"),
+        F.max(time_dim).alias("last_append"),
+    ).first()
     if arow["first_append"] is not None and cadence_bounds is None:
         erow = existing_times.agg(F.max(time_dim).alias("end")).first()
         if erow["end"] is not None:
@@ -147,4 +156,13 @@ def validate_update(
                     f"{erow['end']}, first append is {arow['first_append']}, "
                     f"expected {expected_next}"
                 )
+        span_steps = (
+            round((arow["last_append"] - arow["first_append"]) / expected_delta) + 1
+        )
+        if span_steps != arow["n"]:
+            errors.append(
+                f"append set has internal gaps: {arow['n']} steps cover "
+                f"[{arow['first_append']}, {arow['last_append']}] which needs "
+                f"{span_steps} at delta {expected_delta}"
+            )
     return UpdateValidation(not errors, errors)
