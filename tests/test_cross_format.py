@@ -55,16 +55,19 @@ def test_three_formats_one_table(spark, tmp_path, xf_desc):
         ],
         bits_per_value=16, decimal_scale=2,
     )
-    g2 = write_grib2(
-        [
-            GRIB2Message(discipline=0, parameter_category=1, parameter_number=8,
-                         level_type=1, level=0, ref_time=t,
-                         lats=lats, lons=lons, values=data[i].astype("float64"))
-            for i, t in enumerate(days)
-        ],
-        bits_per_value=16, decimal_scale=2,
-    )
-    for name, payload in (("a.nc", nc), ("a.grib1", g1), ("a.grib2", g2)):
+    g2msgs = [
+        GRIB2Message(discipline=0, parameter_category=1, parameter_number=8,
+                     level_type=1, level=0, ref_time=t,
+                     lats=lats, lons=lons, values=data[i].astype("float64"))
+        for i, t in enumerate(days)
+    ]
+    g2 = write_grib2(g2msgs, bits_per_value=16, decimal_scale=2)
+    # same grid, complex packing with 2nd-order spatial differencing (5.3) —
+    # the encoding real ERA5/GFS feeds use; must canonicalize identically
+    g2c = write_grib2(g2msgs, decimal_scale=2, template=3, diff_order=2)
+    for name, payload in (
+        ("a.nc", nc), ("a.grib1", g1), ("a.grib2", g2), ("a.grib2c", g2c)
+    ):
         d = tmp_path / name.split(".")[-1]
         d.mkdir()
         (d / name).write_bytes(payload)
@@ -76,10 +79,13 @@ def test_three_formats_one_table(spark, tmp_path, xf_desc):
     t_nc = load("nc", netcdf3_decoder(xf_desc))
     t_g1 = load("grib1", grib1_decoder(xf_desc))
     t_g2 = load("grib2", grib2_decoder(xf_desc))
+    t_g2c = load("grib2c", grib2_decoder(xf_desc))
 
     key = ["time", "latitude", "longitude"]
     assert t_nc.count() == 2 * 4 * 5
-    for other, label in ((t_g1, "grib1"), (t_g2, "grib2")):
+    for other, label in (
+        (t_g1, "grib1"), (t_g2, "grib2"), (t_g2c, "grib2-complex-5.3")
+    ):
         j = t_nc.alias("a").join(other.alias("b"), key)
         assert j.count() == 2 * 4 * 5, label
         # bit-identical float32 values in every cell

@@ -66,6 +66,60 @@ def test_roundtrip_bitmap_and_multi_message():
     np.testing.assert_allclose(out[0].values[mask], msgs[0].values[mask], atol=1e-3)
 
 
+@pytest.mark.parametrize("template,order", [(2, 2), (3, 1), (3, 2)])
+def test_roundtrip_complex_packing(template, order):
+    """Templates 5.2 (group splitting) and 5.3 (spatial differencing of
+    order 1/2) — the encodings real ERA5/GFS GRIB2 feeds use. Smooth fields
+    exercise differencing's negative-gmin path; bitmapped holes compose."""
+    nj, ni = 8, 40
+    yy, xx = np.mgrid[0:nj, 0:ni]
+    vals = np.round(20 + 10 * np.sin(xx / 5.0) + 0.5 * yy, 2)  # smooth ramp
+    msg = _slab(nj=nj, ni=ni)
+    msg.values = vals
+    out = parse_grib2(
+        write_grib2([msg], decimal_scale=2, template=template, diff_order=order)
+    )[0]
+    np.testing.assert_allclose(out.values, vals, atol=1e-3)
+
+    holed = vals.copy()
+    holed[2, 7] = np.nan
+    holed[5, 31] = np.nan
+    msg.values = holed
+    out = parse_grib2(
+        write_grib2([msg], decimal_scale=2, template=template, diff_order=order)
+    )[0]
+    assert np.isnan(out.values[2, 7]) and np.isnan(out.values[5, 31])
+    mask = ~np.isnan(holed)
+    np.testing.assert_allclose(out.values[mask], holed[mask], atol=1e-3)
+
+
+def test_complex_packing_equals_simple_packing():
+    """The same slab encoded via 5.0, 5.2 and 5.3 decodes to identical
+    values (both are exact over the shared scaled-int pipeline)."""
+    msg = _slab(nj=6, ni=9, seed=7)
+    simple = parse_grib2(write_grib2([msg], template=0))[0].values
+    complex2 = parse_grib2(write_grib2([msg], template=2))[0].values
+    complex3 = parse_grib2(write_grib2([msg], template=3, diff_order=2))[0].values
+    np.testing.assert_array_equal(simple, complex2)
+    np.testing.assert_array_equal(simple, complex3)
+
+
+def test_complex_packing_rejects_missing_management():
+    """Missing-value management inside complex packing is out of scope —
+    the parser must say so rather than decode garbage."""
+    raw = bytearray(write_grib2([_slab()], template=2))
+    # find section 5 (skip 16-byte indicator+sec1 21 bytes+sec3 72 bytes...)
+    p = 16
+    while p < len(raw) - 4:
+        sec_len = int.from_bytes(raw[p : p + 4], "big")
+        if raw[p + 4] == 5:
+            raw[p + 22] = 1  # octet 23: primary missing value management
+            break
+        p += sec_len
+    with pytest.raises(GRIB2Error, match="missing value management"):
+        parse_grib2(bytes(raw))
+
+
 def test_negative_coordinates_sign_magnitude():
     msg = _slab()
     msg.lats = np.linspace(10.0, -20.0, 4)  # crosses the equator

@@ -11,15 +11,22 @@ without kerchunk/cfgrib, implementing the published WMO GRIB2 format
     microdegrees, scanning mode 0);
   - Section 4 product definition, template 4.0 (parameter
     category/number, level);
-  - Section 5 data representation, template 5.0 (simple packing:
-    IEEE-754 reference value R, binary scale E, decimal scale D,
-    B-bit integers; value = (R + X·2^E) / 10^D);
+  - Section 5 data representation:
+      template 5.0 — simple packing (IEEE-754 reference value R, binary
+        scale E, decimal scale D, B-bit integers;
+        value = (R + X·2^E) / 10^D);
+      template 5.2 — complex packing (general group splitting: per-group
+        reference values, widths and lengths, continuous bitstream);
+      template 5.3 — complex packing + spatial differencing of order 1/2
+        (ival/gmin extra descriptors, integration after group unpack) —
+        the encoding real ERA5/GFS feeds ship;
   - Section 6 bitmap (indicator 0 = present, 255 = none);
   - Section 7 data (big-endian bitstream, vectorized unpack);
   - Section 8 "7777"; multi-message concatenation.
 
-Out of scope (clear errors): complex/JPEG2000/PNG packing (templates
-5.2+), non-lat/lon grids, GRIB1 (see sources/grib1.py).
+Out of scope (clear errors): JPEG2000/PNG packing (5.40/5.41 need image
+codecs), complex-packing missing-value management (bitmaps cover the
+reference's products), non-lat/lon grids, GRIB1 (see sources/grib1.py).
 """
 
 from __future__ import annotations
@@ -124,15 +131,40 @@ def _parse_message(m: bytes) -> GRIB2Message:
             }
         elif sec_num == 5:
             tmpl = _u(s, 9, 2)
-            if tmpl != 0:
+            if tmpl not in (0, 2, 3):
                 raise GRIB2Error(f"data representation template 5.{tmpl} not supported")
             packing = {
+                "template": tmpl,
                 "n_points": _u(s, 5, 4),
                 "ref": struct.unpack(">f", s[11:15])[0],
                 "binary_scale": _s16(s, 15),
                 "decimal_scale": _s16(s, 17),
                 "bits": s[19],
             }
+            if tmpl in (2, 3):
+                if s[22] != 0:
+                    raise GRIB2Error(
+                        f"complex-packing missing value management {s[22]} not "
+                        "supported (use a section-6 bitmap)"
+                    )
+                packing.update(
+                    {
+                        "n_groups": _u(s, 31, 4),
+                        "width_ref": s[35],
+                        "width_bits": s[36],
+                        "length_ref": _u(s, 37, 4),
+                        "length_inc": s[41],
+                        "last_length": _u(s, 42, 4),
+                        "length_bits": s[46],
+                    }
+                )
+            if tmpl == 3:
+                packing["diff_order"] = s[47]
+                packing["extra_octets"] = s[48]
+                if packing["diff_order"] not in (1, 2):
+                    raise GRIB2Error(
+                        f"spatial differencing order {packing['diff_order']}"
+                    )
         elif sec_num == 6:
             indicator = s[5]
             if indicator == 0:
@@ -144,7 +176,12 @@ def _parse_message(m: bytes) -> GRIB2Message:
             if packing is None:
                 raise GRIB2Error("data section before data representation section")
             n = packing["n_points"]
-            if packing["bits"] == 0:
+            if packing["template"] in (2, 3):
+                x = _unpack_complex(s[5:], packing)
+                present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
+                    10.0 ** packing["decimal_scale"]
+                )
+            elif packing["bits"] == 0:
                 present = np.full(n, packing["ref"] / 10.0 ** packing["decimal_scale"])
             else:
                 x = _unpack_bits(s[5:], n, packing["bits"])
@@ -175,6 +212,105 @@ def _parse_message(m: bytes) -> GRIB2Message:
         values=values.reshape(nj, ni),
         attrs={k: packing[k] for k in ("binary_scale", "decimal_scale", "bits")},
     )
+
+
+def _read_block(bits: np.ndarray, pos: int, n: int, w: int) -> tuple[np.ndarray, int]:
+    """Read ``n`` big-endian unsigned ints of ``w`` bits each from a
+    0/1 bit array starting at bit ``pos``; returns (values, new_pos)."""
+    if w == 0:
+        return np.zeros(n, dtype=np.int64), pos
+    seg = bits[pos : pos + n * w].astype(np.int64).reshape(n, w)
+    weights = np.left_shift(1, np.arange(w - 1, -1, -1, dtype=np.int64))
+    return seg @ weights, pos + n * w
+
+
+def _byte_align(pos: int) -> int:
+    return (pos + 7) // 8 * 8
+
+
+def _signed_om(b: bytes, off: int, n: int) -> int:
+    """Sign-magnitude integer of ``n`` octets (GRIB2 convention: high bit
+    of the first octet is the sign)."""
+    raw = _u(b, off, n)
+    sign_bit = 1 << (8 * n - 1)
+    return -(raw & (sign_bit - 1)) if raw & sign_bit else raw
+
+
+def _unpack_complex(payload: bytes, packing: dict) -> np.ndarray:
+    """Templates 7.2 / 7.3: group-split data, optionally spatially
+    differenced. Layout (regulations 92.9.4 / g2clib g2_unpack7):
+
+      [7.3 only] ival1 [, ival2], gmin — ``extra_octets`` bytes each,
+        sign-magnitude, byte-aligned at the start;
+      NG group reference values, ``bits`` wide, padded to a byte;
+      NG group widths, ``width_bits`` wide (add ``width_ref``), padded;
+      NG scaled group lengths, ``length_bits`` wide
+        (len = ``length_ref`` + inc·scaled; the last group's true length
+        comes from the template), padded;
+      the values themselves: group g contributes length[g] deviations of
+        width[g] bits, one continuous bitstream.
+
+    For 7.3 the unpacked sequence is the ``diff_order``-th difference:
+    add ``gmin`` to every post-order value, splice ival1/ival2 in front,
+    then integrate order times.
+    """
+    tmpl = packing["template"]
+    n = packing["n_points"]
+    ng = packing["n_groups"]
+    pos_bytes = 0
+    if tmpl == 3:
+        od = packing["extra_octets"]
+        order = packing["diff_order"]
+        if od == 0:
+            raise GRIB2Error("template 5.3 with zero extra-descriptor octets")
+        ivals = [_signed_om(payload, i * od, od) for i in range(order)]
+        gmin = _signed_om(payload, order * od, od)
+        pos_bytes = (order + 1) * od
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    pos = pos_bytes * 8
+    refs, pos = _read_block(bits, pos, ng, packing["bits"])
+    pos = _byte_align(pos)
+    widths, pos = _read_block(bits, pos, ng, packing["width_bits"])
+    widths = widths + packing["width_ref"]
+    pos = _byte_align(pos)
+    scaled_len, pos = _read_block(bits, pos, ng, packing["length_bits"])
+    lengths = packing["length_ref"] + packing["length_inc"] * scaled_len
+    if ng > 0:
+        lengths[-1] = packing["last_length"]
+    pos = _byte_align(pos)
+    if int(lengths.sum()) != n:
+        raise GRIB2Error(
+            f"group lengths sum to {int(lengths.sum())}, expected {n} points"
+        )
+    out = np.empty(n, dtype=np.int64)
+    idx = 0
+    for g in range(ng):
+        ln, w = int(lengths[g]), int(widths[g])
+        if w == 0:
+            out[idx : idx + ln] = 0
+        else:
+            vals, pos = _read_block(bits, pos, ln, w)
+            out[idx : idx + ln] = vals
+        idx += ln
+    x = out + np.repeat(refs, lengths)
+    if tmpl == 3:
+        d = x
+        d[order:] += gmin
+        if order == 1:
+            # x[j] = d[j] + x[j-1], x[0] = ival1
+            d[0] = ivals[0]
+            x = np.cumsum(d)
+        else:
+            # x[j] = d[j] + 2x[j-1] - x[j-2]: integrate twice via the first
+            # difference y[j] = y[j-1] + d[j], y[1] = ival2 - ival1
+            y = np.empty(n, dtype=np.int64)
+            y[1:] = (ivals[1] - ivals[0]) + np.concatenate(
+                ([0], np.cumsum(d[2:]))
+            )
+            x = np.empty(n, dtype=np.int64)
+            x[0] = ivals[0]
+            x[1:] = ivals[0] + np.cumsum(y[1:])
+    return x
 
 
 def _s16(b: bytes, off: int) -> int:
@@ -214,14 +350,111 @@ def write_grib2(
     messages: list[GRIB2Message],
     bits_per_value: int = 16,
     decimal_scale: int = 2,
+    template: int = 0,
+    diff_order: int = 2,
 ) -> bytes:
-    """Concatenated GRIB2 messages with template 5.0 simple packing; NaNs
-    become a section-6 bitmap. Same lossy-at-precision contract as any real
-    GRIB product."""
-    return b"".join(_write_message(m, bits_per_value, decimal_scale) for m in messages)
+    """Concatenated GRIB2 messages; NaNs become a section-6 bitmap. Same
+    lossy-at-precision contract as any real GRIB product.
+
+    ``template`` selects the data representation: 0 = simple packing,
+    2 = complex packing (group splitting), 3 = complex packing with
+    spatial differencing of ``diff_order`` (1 or 2)."""
+    if template not in (0, 2, 3):
+        raise GRIB2Error(f"write_grib2 supports templates 0/2/3, not {template}")
+    return b"".join(
+        _write_message(m, bits_per_value, decimal_scale, template, diff_order)
+        for m in messages
+    )
 
 
-def _write_message(msg: GRIB2Message, bits_per_value: int, decimal_scale: int) -> bytes:
+def _om_bytes(v: int, n: int) -> bytes:
+    """Sign-magnitude encoding of ``v`` in ``n`` octets."""
+    raw = (abs(v) | (1 << (8 * n - 1))) if v < 0 else v
+    return raw.to_bytes(n, "big")
+
+
+def _bits_for(v: int) -> int:
+    return int(v).bit_length()
+
+
+def _vals_to_bits(vals: np.ndarray, w: int) -> np.ndarray:
+    """Big-endian bit expansion: (n,) ints → (n*w,) 0/1 array."""
+    return (
+        (vals[:, None] >> np.arange(w - 1, -1, -1, dtype=np.int64)) & 1
+    ).reshape(-1).astype(np.uint8)
+
+
+def _pad_byte(bits_arr: np.ndarray) -> np.ndarray:
+    pad = (-len(bits_arr)) % 8
+    if pad:
+        return np.concatenate([bits_arr, np.zeros(pad, dtype=np.uint8)])
+    return bits_arr
+
+
+def _encode_complex(
+    x: np.ndarray, template: int, diff_order: int, group_size: int = 32
+) -> tuple[dict, bytes]:
+    """Group-split encoding of non-negative scaled ints ``x`` (templates
+    5.2/5.3). Returns (template fields, section-7 payload)."""
+    n = x.size
+    head = b""
+    fields: dict = {}
+    v = x.astype(np.int64)
+    if template == 3:
+        order = diff_order
+        ivals = [int(v[i]) for i in range(order)]
+        d = np.diff(v, n=order).astype(np.int64)
+        gmin = int(d.min()) if d.size else 0
+        packv = np.zeros(n, dtype=np.int64)
+        packv[order:] = d - gmin
+        od = 4
+        head = b"".join(_om_bytes(i, od) for i in ivals) + _om_bytes(gmin, od)
+        fields.update({"diff_order": order, "extra_octets": od})
+        v = packv
+    ng = (n + group_size - 1) // group_size
+    lengths = np.full(ng, group_size, dtype=np.int64)
+    lengths[-1] = n - (ng - 1) * group_size
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    refs = np.minimum.reduceat(v, starts)
+    devs = v - np.repeat(refs, lengths)
+    max_dev = np.maximum.reduceat(devs, starts)
+    widths = np.array([_bits_for(int(m)) for m in max_dev], dtype=np.int64)
+    ref_bits = max((_bits_for(int(r)) for r in refs), default=1) or 1
+    width_bits = max((_bits_for(int(w)) for w in widths), default=1) or 1
+    fields.update(
+        {
+            "bits": ref_bits,
+            "n_groups": ng,
+            "width_ref": 0,
+            "width_bits": width_bits,
+            "length_ref": group_size,
+            "length_inc": 1,
+            "last_length": int(lengths[-1]),
+            "length_bits": 0,
+        }
+    )
+    stream = [_pad_byte(_vals_to_bits(refs, ref_bits))]
+    stream.append(_pad_byte(_vals_to_bits(widths, width_bits)))
+    # length_bits == 0: the scaled-lengths block is empty (all groups take
+    # the reference length; the last group's true length is in the template)
+    data_bits = [
+        _vals_to_bits(devs[starts[g] : starts[g] + lengths[g]], int(widths[g]))
+        for g in range(ng)
+        if widths[g] > 0
+    ]
+    if data_bits:
+        stream.append(_pad_byte(np.concatenate(data_bits)))
+    payload = head + np.packbits(np.concatenate(stream)).tobytes()
+    return fields, payload
+
+
+def _write_message(
+    msg: GRIB2Message,
+    bits_per_value: int,
+    decimal_scale: int,
+    template: int = 0,
+    diff_order: int = 2,
+) -> bytes:
     nj, ni = msg.values.shape
     flat = msg.values.reshape(-1)
     mask = ~np.isnan(flat)
@@ -287,15 +520,39 @@ def _write_message(msg: GRIB2Message, bits_per_value: int, decimal_scale: int) -
     sec4[29] = 0xFF
     sec4[30:34] = (0xFFFFFFFF).to_bytes(4, "big")
 
-    sec5 = (
-        (21).to_bytes(4, "big") + bytes([5])
-        + present.size.to_bytes(4, "big")
-        + (0).to_bytes(2, "big")  # template 5.0
-        + struct.pack(">f", rmin)
-        + _s16_bytes(e)
-        + _s16_bytes(decimal_scale)
-        + bytes([bits_per_value, 0])  # original field type: float
-    )
+    if template == 0:
+        sec5 = (
+            (21).to_bytes(4, "big") + bytes([5])
+            + present.size.to_bytes(4, "big")
+            + (0).to_bytes(2, "big")  # template 5.0
+            + struct.pack(">f", rmin)
+            + _s16_bytes(e)
+            + _s16_bytes(decimal_scale)
+            + bytes([bits_per_value, 0])  # original field type: float
+        )
+        packed = _pack_bits(x, bits_per_value)
+    else:
+        fields, packed = _encode_complex(x, template, diff_order)
+        sec5_len = 49 if template == 3 else 47
+        sec5 = (
+            sec5_len.to_bytes(4, "big") + bytes([5])
+            + present.size.to_bytes(4, "big")
+            + template.to_bytes(2, "big")
+            + struct.pack(">f", rmin)
+            + _s16_bytes(e)
+            + _s16_bytes(decimal_scale)
+            + bytes([fields["bits"], 0])
+            + bytes([1, 0])  # general group splitting; no missing mgmt
+            + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")  # missing substitutes
+            + fields["n_groups"].to_bytes(4, "big")
+            + bytes([fields["width_ref"], fields["width_bits"]])
+            + fields["length_ref"].to_bytes(4, "big")
+            + bytes([fields["length_inc"]])
+            + fields["last_length"].to_bytes(4, "big")
+            + bytes([fields["length_bits"]])
+        )
+        if template == 3:
+            sec5 += bytes([fields["diff_order"], fields["extra_octets"]])
 
     if has_bms:
         packed_map = np.packbits(mask.astype(np.uint8)).tobytes()
@@ -303,7 +560,6 @@ def _write_message(msg: GRIB2Message, bits_per_value: int, decimal_scale: int) -
     else:
         sec6 = (6).to_bytes(4, "big") + bytes([6, 255])
 
-    packed = _pack_bits(x, bits_per_value)
     sec7 = (5 + len(packed)).to_bytes(4, "big") + bytes([7]) + packed
 
     body = sec1 + bytes(sec3) + bytes(sec4) + sec5 + sec6 + sec7 + b"7777"
