@@ -61,6 +61,12 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "knn_brute_force",
         "embedding_neardup_pairs",
+        # round-3 additions (the r2 operators a user actually runs; n_queries
+        # records the population change — 18-query and 21-query totals are
+        # not comparable)
+        "simhash_neardups",
+        "ivf_knn",
+        "curation_pipeline",
     ]
     run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (

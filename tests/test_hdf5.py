@@ -81,6 +81,27 @@ def test_v2_builtin_filter_description_offsets():
     assert filters == ((1, (5,)),), filters
 
 
+def test_unreadable_attribute_skipped_with_warning():
+    """Attribute tolerance: a message the subset reader cannot decode (here
+    an unknown attribute version, the same path a newer-h5py VLEN attr
+    takes) is warn-skipped; it must not fail the object."""
+    from zarr_climate_etl_ipfs_spark.sources.hdf5 import _MSG_ATTRIBUTE, _collect_attrs
+
+    good = bytes([1, 0, 3, 0, 8, 0, 8, 0])  # v1 header: name=3, dt=8, ds=8
+    good += b"ok\x00" + b"\x00" * 5  # name padded to 8
+    good += bytes([0x10, 0x08, 0, 0, 4, 0, 0, 0])  # fixed-point dt, 4 bytes
+    good += bytes([1, 0, 0, 0, 0, 0, 0, 0])  # v1 dataspace rank 0
+    good += (7).to_bytes(4, "little")
+    bad = bytes([9]) + b"\x00" * 11  # attribute message v9 — unknown
+    content = good + bad
+    with pytest.warns(UserWarning, match="unreadable HDF5 attribute"):
+        attrs = _collect_attrs(
+            content,
+            [(_MSG_ATTRIBUTE, 0, len(good)), (_MSG_ATTRIBUTE, len(good), len(bad))],
+        )
+    assert attrs == {"ok": 7}
+
+
 def test_append_subset_coordinates():
     """v2-superblock files (compact links, dense attributes in a fractal
     heap): int32 time coordinate and float32 axes decode exactly."""

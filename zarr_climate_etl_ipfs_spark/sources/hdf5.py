@@ -19,7 +19,9 @@ with stdlib struct/zlib + numpy:
 Out of scope (raise ``HDF5Error`` where encountered): dense links, variable-
 length types, compound data reads, v4 chunk indexes. netCDF4-classic files —
 including the reference's own system fixtures (tests/system/data/*.nc) —
-don't use them for coordinate/data variables.
+don't use them for coordinate/data variables. An *attribute* the subset
+cannot decode (e.g. a VLEN string attr from newer h5py) is skipped with a
+warning rather than failing the file — only dataset decoding is strict.
 
 This is a reader built from the public specification; no h5py/kerchunk code
 was consulted or translated.
@@ -28,6 +30,7 @@ was consulted or translated.
 from __future__ import annotations
 
 import struct
+import warnings
 import zlib
 from dataclasses import dataclass, field
 from typing import Any
@@ -490,13 +493,20 @@ def parse_hdf5(content: bytes) -> HDF5File:
 
 
 def _collect_attrs(content: bytes, msgs) -> dict[str, Any]:
+    """Attributes are metadata, not data: an attribute the subset reader
+    cannot decode (VLEN strings from newer h5py, compound types, exotic
+    message versions) is skipped with a warning instead of failing the
+    whole file — the dataset decode path stays strict."""
     attrs: dict[str, Any] = {}
     for mtype, off, msize in msgs:
-        if mtype == _MSG_ATTRIBUTE:
-            name, value = _parse_attribute(content[off : off + msize])
-            attrs[name] = value
-        elif mtype == _MSG_ATTR_INFO:
-            attrs.update(_dense_attributes(content, content[off : off + msize]))
+        try:
+            if mtype == _MSG_ATTRIBUTE:
+                name, value = _parse_attribute(content[off : off + msize])
+                attrs[name] = value
+            elif mtype == _MSG_ATTR_INFO:
+                attrs.update(_dense_attributes(content, content[off : off + msize]))
+        except (HDF5Error, UnicodeDecodeError, struct.error, IndexError) as e:
+            warnings.warn(f"skipping unreadable HDF5 attribute: {e}", stacklevel=2)
     return attrs
 
 
