@@ -367,17 +367,38 @@ def hamming_blocked_pairs(
         )
     a = bucketed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block", "block_bits")
     b = bucketed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block", "block_bits")
+    joined = a.join(b, ["block", "block_bits"]).filter(F.col("id_a") < F.col("id_b"))
+    if bucket_cap is None:
+        # Exact path: dedupe map-side by emitting each pair only from its
+        # FIRST agreeing block — for every earlier block the two signatures
+        # must differ. Replaces a dropDuplicates shuffle over the (large)
+        # candidate set with a pure filter. (Unsafe under a cap: an earlier
+        # agreeing block may have been dropped as hot, which would orphan
+        # the pair — the capped path keeps the shuffle dedup.)
+        mask = F.shiftleft(F.lit(1).cast("long"), bits_per_block) - 1
+
+        def bv(c: Column, j: int) -> Column:
+            return F.shiftrightunsigned(c, j * bits_per_block).bitwiseAND(mask)
+
+        canon = F.lit(True)
+        for j in range(n_blocks):
+            canon = canon & (
+                (F.col("block") <= F.lit(j))
+                | (bv(F.col("sh_a"), j) != bv(F.col("sh_b"), j))
+            )
+        return (
+            joined.filter(canon)
+            .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming", F.lit(False).alias("is_star"))
+        )
     pairs = (
-        a.join(b, ["block", "block_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        joined.select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .withColumn("is_star", F.lit(False))
     )
-    if bucket_cap is None:
-        return pairs.select("id_a", "id_b", "hamming", "is_star")
     # Star edges bypass the hamming filter: they are structural links that
     # keep the hot bucket's component connected even when a member is not
     # within budget of the representative. A verified (non-star) pair for

@@ -195,6 +195,8 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     train_fraction: float = 1.0,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ):
     """Train the IVF coarse quantizer (k-means over a sample) and assign
     every vector to its nearest centroid cell.
@@ -203,12 +205,21 @@ def ivf_index(
     Training runs on a sample (``train_fraction``) — at 100 TB you train on
     ~1M vectors and assign the rest in one codegen'd pass; assignment is a
     per-row argmin over a broadcast centroid array, no shuffle.
+
+    ``max_iter``/``init_mode`` bound the training job count: every k-means
+    iteration (and each k-means|| init round) is a full Spark job, which
+    dominates wall-clock on small inputs and is the knob to watch on big
+    ones. IVF recall degrades gracefully with centroid quality — and with
+    full probing (n_probe = n_cells) results are exact regardless — so
+    ``init_mode="random", max_iter=2`` is usually enough for a partitioner.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = candidates if train_fraction >= 1.0 else candidates.sample(train_fraction, seed)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_features")
+    km = KMeans(
+        k=n_cells, seed=seed, featuresCol="_features", maxIter=max_iter, initMode=init_mode
+    )
     model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("_features")))
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     assigned = assign_ivf_cell(candidates, centroids, vec_col)

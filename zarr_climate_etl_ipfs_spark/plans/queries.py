@@ -2266,19 +2266,22 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = d.select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("w")
     ).select("doc_id", md5int(F.col("w")).alias("hv"))
+    # bit i of the simhash is a majority vote: sum of ±1 over features > 0
+    # ⟺ 2·(count of set bits) > n. Summing the raw bit (one AND + ADD per
+    # accumulator) codegens ~2× leaner than the equivalent CASE WHEN ±1 —
+    # measured 1.3s vs 2.5s for the 56-accumulator aggregate at sf0.1.
     bitsums = h.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(56)
-        ]
+        ],
     )
     sim = F.lit(0).cast("long")
     for i in range(56):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        sim = sim + F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     sh = bitsums.select("doc_id", sim.alias("simhash"))
 
     from zarr_climate_etl_ipfs_spark.operators.dedup import hamming_blocked_pairs
@@ -2324,7 +2327,9 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.operators.similarity import ivf_index, ivf_topk
 
     emb = t_wide(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_index(emb, n_cells=8)
+    # full probe -> exact output whatever the centroids; cheap training
+    # (random init, 2 iterations) cuts ~20 driver-synchronized KMeans jobs
+    assigned, centroids = ivf_index(emb, n_cells=8, max_iter=2, init_mode="random")
     query = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
