@@ -104,6 +104,23 @@ def test_complex_packing_equals_simple_packing():
     np.testing.assert_array_equal(simple, complex3)
 
 
+def test_statistical_product_template_4_8_roundtrip():
+    """PDT 4.8 (statistical processing over an interval — how real GRIB2
+    precip accumulations are labelled): parameter/level/values decode as
+    for 4.0, with the interval end and process surfaced in attrs."""
+    msg = _slab(seed=5)
+    msg.attrs = {
+        "interval_end": dt.datetime(2021, 9, 17, 6),
+        "statistical_process": 1,  # accumulation
+    }
+    out = parse_grib2(write_grib2([msg]))[0]
+    assert (out.parameter_category, out.parameter_number) == (1, 8)
+    assert out.ref_time == msg.ref_time
+    assert out.attrs["interval_end"] == dt.datetime(2021, 9, 17, 6)
+    assert out.attrs["statistical_process"] == 1
+    np.testing.assert_allclose(out.values, msg.values, atol=1e-3)
+
+
 def test_complex_packing_rejects_missing_management():
     """Missing-value management inside complex packing is out of scope —
     the parser must say so rather than decode garbage."""

@@ -193,6 +193,57 @@ def test_hamming_star_edges_survive_budget(spark):
     assert (1, 4) not in verified
 
 
+def _uf_components(n_edges):
+    """Reference union-find over a pair list — the ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_long_chain(spark):
+    """A 400-node chain — the diameter-bound worst case where naive label
+    propagation needs 400 rounds; star alternation must converge in
+    O(log n) (max_iterations=12 would already fail a propagation scheme)."""
+    edges = [(i, i + 1) for i in range(400)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = dedup.connected_components(df, max_iterations=12)
+    rows = got.collect()
+    assert len(rows) == 401
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_separate_clusters(spark):
+    edges = [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in dedup.connected_components(df).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
 def test_md5int_portable_against_duckdb():
     import duckdb
 

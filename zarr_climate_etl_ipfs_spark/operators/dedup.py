@@ -422,6 +422,93 @@ def hamming_blocked_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected pair graph — the step that
+    turns near-dup PAIRS into dedup GROUPS (keep one doc per component).
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014): every round is two
+    groupBy+join passes over the edge list, and the edge set contracts
+    toward per-component stars rooted at the minimum id in O(log n) rounds
+    — unlike naive label propagation, whose round count is the graph
+    DIAMETER (a 1M-long chain of near-dups would need 1M rounds; this
+    needs ~20). Each round localCheckpoints the edge list: iterative plans
+    otherwise stack lineage until Catalyst analysis dominates runtime.
+
+    Returns (id, component) for every node appearing in ``edges``, where
+    ``component`` is the smallest id in the node's component.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # undirected neighborhoods; for every neighbor v > u, connect v to
+        # min(N(u) ∪ {u})
+        und = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = und.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
+        return (
+            und.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct each edge big→small; connect every smaller neighbor (and
+        # u itself) to the minimum of the neighborhood
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edges = mins.select("u", F.col("m").alias("v"))
+        return (
+            nbr.unionByName(self_edges)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count("*").alias("n"),
+            # xor-fold of edge hashes: overflow-free under ANSI, and the
+            # edge list is distinct so the fold identifies the SET
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+    # converged: every edge points node → component root; roots map to themselves
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(e.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,

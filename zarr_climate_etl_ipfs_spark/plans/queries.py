@@ -2298,6 +2298,69 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
+    ), ex AS (
+      SELECT doc_id, UNNEST(grams) AS g FROM sh
+    ), kept AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM ex
+      ) WHERE df <= 64
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+    ), und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u WHERE n.v <> r.u
+    )
+    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS component,
+           u = LEAST(u, MIN(v)) AS is_canonical
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: connected components of the n-gram
+    Jaccard pair graph (operators/dedup.py connected_components — alternating
+    large-star/small-star, O(log n) rounds, localCheckpoint per round), each
+    doc labelled with its component root (min doc_id) and whether it is the
+    canonical keeper. This is the step a real corpus dedup runs after ANY
+    pair generator (LSH, simhash, embedding): transitively linked docs
+    dedupe as ONE group even when some pairs were never directly compared.
+    The oracle computes the same labels via a recursive transitive-closure
+    CTE — exact on the same pair graph."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return (
+        cc.select(
+            F.col("id").alias("doc_id"),
+            "component",
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "ivf_knn",
     """
     WITH q AS (

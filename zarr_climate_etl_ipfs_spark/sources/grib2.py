@@ -120,7 +120,12 @@ def _parse_message(m: bytes) -> GRIB2Message:
             grid = _parse_grid(s)
         elif sec_num == 4:
             tmpl = _u(s, 7, 2)
-            if tmpl != 0:
+            # 4.0 = analysis/forecast at a point in time; 4.8 = statistical
+            # processing over an interval (accumulations — real precip feeds
+            # like CHIRPS-adjacent GFS/ERA5 products ship 4.8). Octets 10-34
+            # are identical; 4.8 appends the interval-end time and the
+            # statistical-process descriptors, surfaced via attrs.
+            if tmpl not in (0, 8):
                 raise GRIB2Error(f"product definition template 4.{tmpl} not supported")
             product = {
                 "category": s[9],
@@ -129,6 +134,14 @@ def _parse_message(m: bytes) -> GRIB2Message:
                 "level_scale": s[23],
                 "level_value": _u(s, 24, 4),
             }
+            if tmpl == 8 and len(s) >= 46:
+                product["interval_end"] = dt.datetime(
+                    _u(s, 34, 2), s[36], s[37], s[38], s[39], s[40]
+                )
+                # octet 47 of the first interval spec: statistical process
+                # (0=avg, 1=accumulation, 2=max, 3=min, ...)
+                if len(s) >= 47:
+                    product["statistical_process"] = s[46]
         elif sec_num == 5:
             tmpl = _u(s, 9, 2)
             if tmpl not in (0, 2, 3):
@@ -198,6 +211,10 @@ def _parse_message(m: bytes) -> GRIB2Message:
         full = np.full(ni * nj, np.nan)
         full[bitmap[: ni * nj]] = values  # trim packbits byte padding
         values = full
+    attrs = {k: packing[k] for k in ("binary_scale", "decimal_scale", "bits")}
+    for k in ("interval_end", "statistical_process"):
+        if k in product:
+            attrs[k] = product[k]
     return GRIB2Message(
         discipline=discipline,
         parameter_category=product["category"],
@@ -210,7 +227,7 @@ def _parse_message(m: bytes) -> GRIB2Message:
         lats=grid["lats"],
         lons=grid["lons"],
         values=values.reshape(nj, ni),
-        attrs={k: packing[k] for k in ("binary_scale", "decimal_scale", "bits")},
+        attrs=attrs,
     )
 
 
@@ -503,11 +520,13 @@ def _write_message(
     sec3[67:71] = int(round(dj * 1e6)).to_bytes(4, "big")
     sec3[71] = 0  # scanning mode
 
-    sec4 = bytearray(34)
-    sec4[0:4] = (34).to_bytes(4, "big")
+    interval_end = msg.attrs.get("interval_end")
+    sec4_len = 58 if interval_end is not None else 34
+    sec4 = bytearray(sec4_len)
+    sec4[0:4] = sec4_len.to_bytes(4, "big")
     sec4[4] = 4
     sec4[5:7] = (0).to_bytes(2, "big")  # no coord values
-    sec4[7:9] = (0).to_bytes(2, "big")  # template 4.0
+    sec4[7:9] = (8 if interval_end is not None else 0).to_bytes(2, "big")
     sec4[9] = msg.parameter_category
     sec4[10] = msg.parameter_number
     sec4[11] = 0  # generating process: analysis
@@ -519,6 +538,18 @@ def _write_message(
     sec4[28] = 255  # second surface: missing
     sec4[29] = 0xFF
     sec4[30:34] = (0xFFFFFFFF).to_bytes(4, "big")
+    if interval_end is not None:  # template 4.8 statistical extension
+        ie = interval_end
+        sec4[34:36] = ie.year.to_bytes(2, "big")
+        sec4[36:42] = bytes([ie.month, ie.day, ie.hour, ie.minute, ie.second, 1])
+        sec4[42:46] = (0).to_bytes(4, "big")  # no missing values in process
+        sec4[46] = int(msg.attrs.get("statistical_process", 1))  # accumulation
+        sec4[47] = 2  # increment type: same start, process over interval
+        sec4[48] = 1  # time-range unit: hour
+        hours = max(int((ie - t).total_seconds() // 3600), 0)
+        sec4[49:53] = hours.to_bytes(4, "big")
+        sec4[53] = 255  # no time increment between successive fields
+        sec4[54:58] = (0).to_bytes(4, "big")
 
     if template == 0:
         sec5 = (
