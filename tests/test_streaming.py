@@ -11,9 +11,41 @@ from tests.conftest import _tall, daily
 from zarr_climate_etl_ipfs_spark.sources.store import GridStore
 from zarr_climate_etl_ipfs_spark.streaming.incremental import (
     session_stats,
+    stream_dedup,
     stream_ingest,
     windowed_stats,
 )
+
+
+def test_stream_dedup_matches_batch(tmp_path, spark):
+    """Watermarked streaming dedup (bounded state) agrees with the batch
+    dropDuplicates oracle when the event span fits one watermark."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    for m in range(30):
+        rows.append((m % 10, t0 + dt.timedelta(minutes=m), float(m)))  # key repeats 3x
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    src = tmp_path / "dups"
+    df.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema("k long, ts timestamp, v double").parquet(str(src))
+    out_dir = str(tmp_path / "out")
+    (
+        stream_dedup(stream, ["k"], "ts", watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 10
+    assert {r["k"] for r in got.collect()} == set(range(10))
+    # batch fallback: same key set
+    batch = stream_dedup(df, ["k"], "ts")
+    assert batch.count() == 10
 
 
 def test_stream_ingest_incremental(tmp_path, spark, desc):

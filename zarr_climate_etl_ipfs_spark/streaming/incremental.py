@@ -116,6 +116,31 @@ def session_stats(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication with bounded state: keep the first event per
+    key, expiring per-key state once the watermark passes it.
+
+    ``dropDuplicatesWithinWatermark`` is the 100 TB-stream form — a plain
+    streaming ``dropDuplicates`` would hold EVERY key ever seen in state
+    forever (an unbounded-memory leak on an unbounded stream); within-
+    watermark dedup only promises uniqueness among events whose arrival
+    skew is under the watermark delay, which is exactly the reference's
+    late-data contract (update_cadence_bounds, attributes.py:250-257).
+    Batch frames fall back to a global ``dropDuplicates`` — the two agree
+    whenever the data span fits one watermark (the AvailableNow test case).
+    """
+    if events.isStreaming:
+        return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return events.dropDuplicates(key_cols)
+
+
 def running_anomaly_detector(
     events: DataFrame,
     key_col: str = "user_id",
