@@ -69,6 +69,15 @@ def test_minhash_plan_hashes_once(spark):
     assert optimized.count("array_min") == 4
 
 
+def test_embedding_neardup_partitions_by_join_key(spark):
+    """The r2 regression guard: the self-join must be fed by a user
+    hash-repartition on the join key (AQE cannot byte-coalesce it under
+    one task), never a round-robin shuffle of the 768-float vectors."""
+    plan = _plan(spark, "embedding_neardup_pairs")
+    assert "hashpartitioning(label" in plan
+    assert "RoundRobinPartitioning" not in plan
+
+
 @pytest.mark.parametrize("name", ["update_key_split", "asof_join"])
 def test_key_routing_stays_join_based(spark, name):
     """No isin() literal lists: key routing must be join-based so the plan
