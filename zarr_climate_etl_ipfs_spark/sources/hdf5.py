@@ -86,11 +86,15 @@ class H5Var:
     dtype: _Datatype
     attrs: dict[str, Any]
     layout_class: int  # 0 compact, 1 contiguous, 2 chunked
-    data_addr: int = UNDEF  # contiguous address / chunk-btree address
+    data_addr: int = UNDEF  # contiguous address / chunk-index address
     data_size: int = 0
     compact: bytes = b""
     chunk_shape: tuple[int, ...] = ()
     filters: tuple[tuple[int, tuple[int, ...]], ...] = ()  # (filter_id, client_vals)
+    # layout-v4 chunk indexes (0 = layout v3: v1 B-tree at data_addr)
+    chunk_index: int = 0  # 1 single chunk, 2 implicit, 3 fixed array
+    single_nbytes: int = 0  # single-chunk: stored (possibly filtered) size
+    single_mask: int = 0  # single-chunk: filter mask
 
 
 @dataclass
@@ -148,9 +152,90 @@ def _apply_filters(raw: bytes, v: H5Var, mask: int) -> bytes:
     return out
 
 
+def _place_chunk(
+    full: np.ndarray, content: bytes, v: H5Var, dt: np.dtype,
+    offsets: list[int], addr: int, nbytes: int, mask: int,
+) -> None:
+    """Decode one stored chunk and copy its in-bounds region into ``full``."""
+    raw = _apply_filters(content[addr : addr + nbytes], v, mask)
+    chunk = np.frombuffer(raw, dtype=dt, count=int(np.prod(v.chunk_shape)))
+    chunk = chunk.reshape(v.chunk_shape)
+    sel = tuple(
+        slice(o, min(o + c, s)) for o, c, s in zip(offsets, v.chunk_shape, v.shape)
+    )
+    trim = tuple(slice(0, s.stop - s.start) for s in sel)
+    full[sel] = chunk[trim]
+
+
+def _chunk_grid(v: H5Var) -> list[list[int]]:
+    """Row-major chunk origins — the element order of v4 flat indexes."""
+    counts = [(s + c - 1) // c for s, c in zip(v.shape, v.chunk_shape)]
+    grid: list[list[int]] = [[]]
+    for dim, n in enumerate(counts):
+        grid = [g + [i * v.chunk_shape[dim]] for g in grid for i in range(n)]
+    return grid
+
+
+def _read_fixed_array(content: bytes, v: H5Var, dt: np.dtype, full: np.ndarray) -> None:
+    """Layout-v4 chunk index type 3 (spec III.K): FAHD header → FADB data
+    block holding one element per chunk in row-major grid order; client id 0
+    = plain addresses, 1 = (address, stored size, filter mask) for filtered
+    chunks. Paged data blocks (very large grids) are out of scope."""
+    fahd = v.data_addr
+    if content[fahd : fahd + 4] != b"FAHD":
+        raise HDF5Error("bad fixed-array header signature")
+    client = content[fahd + 5]
+    entry_size = content[fahd + 6]
+    page_bits = content[fahd + 7]
+    nelmts = _u(content, fahd + 8, 8)
+    dblk = _u(content, fahd + 16, 8)
+    if nelmts > (1 << page_bits):
+        raise HDF5Error("paged fixed-array data block not supported")
+    if content[dblk : dblk + 4] != b"FADB":
+        raise HDF5Error("bad fixed-array data block signature")
+    p = dblk + 6 + 8  # sig + version + client id + header address
+    grid = _chunk_grid(v)
+    if len(grid) != nelmts:
+        raise HDF5Error(f"fixed array holds {nelmts} entries, grid needs {len(grid)}")
+    raw_nbytes = int(np.prod(v.chunk_shape)) * v.dtype.size
+    for offsets in grid:
+        addr = _u(content, p, 8)
+        if client == 1:  # filtered: address + stored size + mask
+            nbytes = _u(content, p + 8, entry_size - 12)
+            mask = _u(content, p + entry_size - 4, 4)
+        else:
+            nbytes, mask = raw_nbytes, 0
+        if addr != UNDEF:
+            _place_chunk(full, content, v, dt, offsets, addr, nbytes, mask)
+        p += entry_size
+
+
 def _read_chunked(content: bytes, v: H5Var, dt: np.dtype) -> np.ndarray:
     ndims = len(v.shape)
     full = np.zeros(v.shape, dtype=dt.newbyteorder("="))
+    if v.chunk_index == 1:  # single chunk covering the whole dataset
+        nbytes = (
+            v.single_nbytes
+            if v.single_nbytes
+            else int(np.prod(v.chunk_shape)) * v.dtype.size
+        )
+        _place_chunk(
+            full, content, v, dt, [0] * ndims, v.data_addr, nbytes, v.single_mask
+        )
+        return full
+    if v.chunk_index == 2:  # implicit: unfiltered chunks, contiguous grid
+        if v.filters:
+            raise HDF5Error("implicit chunk index cannot carry filters")
+        raw_nbytes = int(np.prod(v.chunk_shape)) * v.dtype.size
+        for i, offsets in enumerate(_chunk_grid(v)):
+            _place_chunk(
+                full, content, v, dt, offsets, v.data_addr + i * raw_nbytes,
+                raw_nbytes, 0,
+            )
+        return full
+    if v.chunk_index == 3:  # fixed array
+        _read_fixed_array(content, v, dt, full)
+        return full
 
     def walk(addr: int) -> None:
         if addr == UNDEF:
@@ -517,6 +602,7 @@ def _parse_dataset(content: bytes, name: str, addr: int) -> H5Var | None:
     layout_class = -1
     data_addr, data_size, compact = UNDEF, 0, b""
     chunk_shape: tuple[int, ...] = ()
+    chunk_index, single_nbytes, single_mask = 0, 0, 0
     filters: list[tuple[int, tuple[int, ...]]] = []
     for mtype, off, msize in msgs:
         d = content[off : off + msize]
@@ -526,7 +612,7 @@ def _parse_dataset(content: bytes, name: str, addr: int) -> H5Var | None:
             dtype = _parse_datatype(d)
         elif mtype == _MSG_LAYOUT:
             ver = d[0]
-            if ver != 3:
+            if ver not in (3, 4):
                 raise HDF5Error(f"data layout v{ver}")
             layout_class = d[1]
             if layout_class == 0:
@@ -534,12 +620,36 @@ def _parse_dataset(content: bytes, name: str, addr: int) -> H5Var | None:
                 compact = d[4 : 4 + csize]
             elif layout_class == 1:
                 data_addr, data_size = struct.unpack_from("<QQ", d, 2)
-            elif layout_class == 2:
+            elif layout_class == 2 and ver == 3:
                 ndims = d[2]  # stored as rank+1
                 data_addr = struct.unpack_from("<Q", d, 3)[0]
                 chunk_shape = tuple(
                     _u(d, 11 + 4 * i, 4) for i in range(ndims - 1)
                 )
+            elif layout_class == 2:  # ver == 4: libver-latest chunk indexes
+                lay4_flags = d[2]
+                ndims = d[3]  # rank+1, the last dim is the element size
+                enc = d[4]
+                dims = [_u(d, 5 + enc * i, enc) for i in range(ndims)]
+                chunk_shape = tuple(dims[:-1])
+                p = 5 + enc * ndims
+                chunk_index = d[p]
+                p += 1
+                if chunk_index == 1:  # single chunk
+                    if lay4_flags & 0x02:  # filtered single chunk
+                        single_nbytes = _u(d, p, 8)
+                        single_mask = _u(d, p + 8, 4)
+                        p += 12
+                elif chunk_index == 2:  # implicit: contiguous chunk grid
+                    pass
+                elif chunk_index == 3:  # fixed array
+                    p += 1  # page bits (re-read from the FAHD header)
+                else:
+                    raise HDF5Error(
+                        f"layout-v4 chunk index type {chunk_index} not supported "
+                        "(extensible array / v2 B-tree need a growing dataset)"
+                    )
+                data_addr = struct.unpack_from("<Q", d, p)[0]
             else:
                 raise HDF5Error(f"layout class {layout_class}")
         elif mtype == _MSG_FILTERS:
@@ -582,6 +692,9 @@ def _parse_dataset(content: bytes, name: str, addr: int) -> H5Var | None:
         compact=compact,
         chunk_shape=chunk_shape,
         filters=tuple(filters),
+        chunk_index=chunk_index,
+        single_nbytes=single_nbytes,
+        single_mask=single_mask,
     )
 
 
