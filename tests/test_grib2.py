@@ -121,6 +121,119 @@ def test_statistical_product_template_4_8_roundtrip():
     np.testing.assert_allclose(out.values, msg.values, atol=1e-3)
 
 
+def test_ensemble_template_4_1_roundtrip():
+    """PDT 4.1 (individual ensemble member): perturbation number, ensemble
+    type/size and forecast lead time all survive the roundtrip — the
+    product labelling the reference's `ensemble` dataset category ingests
+    (utils/attributes.py:223-247, utils/transform.py:210-218)."""
+    msgs = []
+    for member in (0, 1, 2):
+        m = _slab(seed=10 + member)
+        m.ensemble_member = member
+        m.forecast_seconds = 6 * 3600
+        m.attrs = {"ensemble_type": 3, "ensemble_size": 3}
+        msgs.append(m)
+    out = parse_grib2(write_grib2(msgs))
+    assert [m.ensemble_member for m in out] == [0, 1, 2]
+    for got, want in zip(out, msgs):
+        assert got.forecast_seconds == 6 * 3600
+        assert got.attrs["ensemble_type"] == 3
+        assert got.attrs["ensemble_size"] == 3
+        np.testing.assert_allclose(got.values, want.values, atol=1e-3)
+
+
+def test_ensemble_statistical_template_4_11_roundtrip():
+    """PDT 4.11 = ensemble member + statistical interval: both the member
+    number and the 4.8-style interval/process fields decode (they are
+    shifted 3 octets past the ensemble block)."""
+    m = _slab(seed=21)
+    m.ensemble_member = 7
+    m.forecast_seconds = 2 * 86400
+    m.attrs = {
+        "ensemble_type": 2,
+        "ensemble_size": 11,
+        "interval_end": dt.datetime(2021, 9, 18, 12),
+        "statistical_process": 0,  # average
+    }
+    out = parse_grib2(write_grib2([m]))[0]
+    assert out.ensemble_member == 7
+    assert out.forecast_seconds == 2 * 86400
+    assert out.attrs["interval_end"] == dt.datetime(2021, 9, 18, 12)
+    assert out.attrs["statistical_process"] == 0
+    assert out.attrs["ensemble_size"] == 11
+    np.testing.assert_allclose(out.values, m.values, atol=1e-3)
+
+
+def test_sub_hour_forecast_time_unit():
+    m = _slab(seed=22)
+    m.ensemble_member = 1
+    m.forecast_seconds = 90 * 60  # not whole hours → written in seconds
+    out = parse_grib2(write_grib2([m]))[0]
+    assert out.forecast_seconds == 90 * 60
+
+
+def test_interval_end_missing_sentinel_is_omitted_not_valueerror():
+    """Real products set interval-end octets to all-ones when templated;
+    an invalid calendar date must not escape as a bare ValueError — the
+    field is simply omitted (module's clear-error contract)."""
+    m = _slab(seed=5)
+    m.attrs = {"interval_end": dt.datetime(2021, 9, 17, 6), "statistical_process": 1}
+    raw = bytearray(write_grib2([m]))
+    p = 16
+    while p < len(raw) - 4:
+        sec_len = int.from_bytes(raw[p : p + 4], "big")
+        if raw[p + 4] == 4:
+            for i in range(34, 41):  # year..second → 0xFF sentinels
+                raw[p + i] = 0xFF
+            break
+        p += sec_len
+    out = parse_grib2(bytes(raw))[0]
+    assert "interval_end" not in out.attrs
+    assert out.attrs["statistical_process"] == 1  # rest of the template intact
+    np.testing.assert_allclose(out.values, m.values, atol=1e-3)
+
+
+def test_message_filter_by_level_and_parameter():
+    """grib_filter/scan_indices parity (utils/transform.py:137-141): a
+    2-layer multi-parameter file, decoder keeps only the selected surface
+    message."""
+    surface = _slab(seed=31)
+    surface.level_type, surface.level = 1, 0
+    upper = _slab(seed=32)
+    upper.level_type, upper.level = 100, 850
+    other_param = _slab(seed=33)
+    other_param.parameter_category, other_param.parameter_number = 0, 0
+    content = write_grib2([surface, upper, other_param])
+
+    picked = parse_grib2(content, select=lambda h: h["level_type"] == 1)
+    assert len(picked) == 2  # other_param is also level_type 1
+    picked = parse_grib2(
+        content,
+        select=lambda h: h["level_type"] == 1 and (h["category"], h["number"]) == (1, 8),
+    )
+    assert len(picked) == 1
+    np.testing.assert_allclose(picked[0].values, surface.values, atol=1e-3)
+    # level-value predicate
+    picked = parse_grib2(content, select=lambda h: h["level"] == 850)
+    assert len(picked) == 1 and picked[0].level == 850
+
+
+def test_degenerate_complex_packing_raises_clear_error():
+    """A slab with <= diff_order present points cannot be spatially
+    differenced: clear GRIB2Error, not IndexError."""
+    m = _slab(nj=1, ni=1)
+    m.values = np.array([[3.25]])
+    with pytest.raises(GRIB2Error, match="order 2"):
+        write_grib2([m], template=3, diff_order=2)
+    # simple and plain-complex packing still handle the 1x1 slab
+    np.testing.assert_allclose(
+        parse_grib2(write_grib2([m], template=0))[0].values, m.values, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        parse_grib2(write_grib2([m], template=2))[0].values, m.values, atol=1e-3
+    )
+
+
 def test_complex_packing_rejects_missing_management():
     """Missing-value management inside complex packing is out of scope —
     the parser must say so rather than decode garbage."""
@@ -176,6 +289,54 @@ def g2_desc():
         missing_value=-9999.0,
         time_bucket="month",
     )
+
+
+def test_ensemble_golden_path_grib2_to_store(spark, tmp_path):
+    """Ensemble golden path: real PDT 4.1 GRIB2 bytes → read_binary_gridded
+    → canonicalize → store → per-(member, point) equality. Exercises the
+    `ensemble` dataset category end-to-end on real-format ingest (the
+    reference feeds this category from cfgrib ensemble scans,
+    utils/attributes.py:223-247)."""
+    desc = DatasetDescriptor(
+        dataset_name="g2_ens",
+        data_var="t2m",
+        time_resolution="daily",
+        dataset_category="ensemble",
+        time_bucket="month",
+    )
+    frt = dt.datetime(2021, 9, 16)
+    msgs = []
+    for member in (0, 1, 2):
+        m = _slab(seed=40 + member, t0=frt)
+        m.ensemble_member = member
+        m.forecast_seconds = 24 * 3600
+        m.attrs = {"ensemble_type": 3, "ensemble_size": 3}
+        msgs.append(m)
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "ens.grib2").write_bytes(write_grib2(msgs))
+
+    raw = read_binary_gridded(
+        spark,
+        str(tmp_path / "in" / "*.grib2"),
+        desc,
+        decoder=grib2_decoder(desc, parameter=(1, 8)),
+    )
+    canon = canonicalize(raw, desc)
+    store = GridStore(tmp_path / "store", desc, spark)
+    store.write_initial(canon)
+
+    ds = store.dataset()
+    assert ds.count() == 3 * 4 * 5
+    assert [r["ensemble"] for r in ds.select("ensemble").distinct().orderBy("ensemble").collect()] == [0, 1, 2]
+    got = ds.filter(
+        (F.col("ensemble") == 1)
+        & (F.col("step") == 24 * 3600)
+        & (F.col("latitude") == 30.0)
+        & (F.col("longitude") == 120.0)
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["forecast_reference_time"] == frt
+    assert got[0]["t2m"] == pytest.approx(msgs[1].values[1, 2], abs=1e-3)
 
 
 def test_ingest_real_grib2_bytes_end_to_end(spark, tmp_path, g2_desc):

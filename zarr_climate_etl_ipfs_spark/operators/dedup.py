@@ -485,9 +485,36 @@ def connected_components(
             .distinct()
         )
 
+    # localCheckpoint persists at the RDD level, which DataFrame.unpersist()
+    # does NOT release (it only talks to the SQL cache manager) — verified
+    # empirically: blocks stay in getPersistentRDDs() after df.unpersist().
+    # Track the RDD ids each round creates and unpersist the previous
+    # round's AFTER the new checkpoint materializes, so executor storage
+    # holds at most two rounds of edges instead of all ~log(n) rounds.
+    def _persistent_ids() -> set:
+        try:
+            sc = edges.sparkSession.sparkContext
+            return set(sc._jsc.getPersistentRDDs().keys())
+        except Exception:  # Spark Connect etc.: no JVM handle; skip cleanup
+            return set()
+
+    def _unpersist(ids: set) -> None:
+        try:
+            sc = edges.sparkSession.sparkContext
+            m = sc._jsc.getPersistentRDDs()
+            for k in m.keys():
+                if k in ids:
+                    m[k].unpersist()
+        except Exception:
+            pass
+
     prev_sig = None
+    prev_round_ids: set = set()
     for _ in range(max_iterations):
+        before = _persistent_ids()
         e = small_star(large_star(e)).localCheckpoint(eager=True)
+        _unpersist(prev_round_ids)
+        prev_round_ids = _persistent_ids() - before
         row = e.agg(
             F.count("*").alias("n"),
             # xor-fold of edge hashes: overflow-free under ANSI, and the
@@ -516,8 +543,16 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bucket_cap: int | None = 4096,
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit simhash (xxhash64 word features) —
-    :func:`hamming_blocked_pairs` does the pigeonhole block join."""
+    """Near-dup candidate pairs by 64-bit simhash (xxhash64 word features)
+    — :func:`hamming_blocked_pairs` does the pigeonhole block join.
+
+    Returns ``(id_a, id_b, hamming, is_star)``. With a ``bucket_cap``,
+    rows where ``is_star`` is true are STRUCTURAL links from a hot bucket's
+    representative and may exceed ``max_hamming`` — they exist so that
+    connected-component grouping keeps the bucket linked. Filter
+    ``~F.col("is_star")`` when only verified within-budget pairs are
+    wanted; with ``bucket_cap=None`` every row is verified
+    (``is_star`` is always false)."""
     sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
     return hamming_blocked_pairs(
         sh, max_hamming=max_hamming, bits=64, bucket_cap=bucket_cap

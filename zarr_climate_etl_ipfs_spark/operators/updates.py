@@ -123,11 +123,14 @@ def validate_update(
          ``cadence_bounds`` declares the feed irregular;
       4. the append set itself is gap-free at the expected cadence — the
          reference refuses a hole-bearing append during the aligned region
-         write (tests/system/test_chirps.py:293-313); here it is a count
-         identity on the same aggregation: a contiguous daily set spanning
-         [lo, hi] must hold exactly (hi − lo)/delta + 1 steps.
+         write (tests/system/test_chirps.py:293-313). The count identity
+         (span/delta + 1 == n) alone is necessary but not sufficient:
+         off-grid timestamps can balance a hole (delta=1d, appends at d1,
+         d1.5, d3 give n=3 == span_steps=3), so we additionally verify every
+         append lands on the cadence grid anchored at the first append and
+         that the distinct grid positions cover the span.
 
-    One job: all the scalars come from three tiny aggregations.
+    All the scalars come from four tiny aggregations.
     """
     errors: list[str] = []
     u = update_times.select(time_dim).distinct()
@@ -165,4 +168,39 @@ def validate_update(
                 f"[{arow['first_append']}, {arow['last_append']}] which needs "
                 f"{span_steps} at delta {expected_delta}"
             )
+        else:
+            # Count identity held — now rule out the balancing-hole case:
+            # every append must sit on the grid first_append + k*delta, and
+            # the distinct grid positions must number exactly n (no
+            # two-appends-one-slot collapses hiding a hole elsewhere).
+            delta_s = expected_delta.total_seconds()
+            mins = appends.agg(
+                F.min(F.col(time_dim).cast("double")).alias("_s0")
+            )
+            grow = (
+                appends.crossJoin(F.broadcast(mins))
+                .select(
+                    (
+                        (F.col(time_dim).cast("double") - F.col("_s0"))
+                        / F.lit(delta_s)
+                    ).alias("_k")
+                )
+                .agg(
+                    F.sum(
+                        (F.abs(F.col("_k") - F.round("_k")) > 1e-9).cast("int")
+                    ).alias("offgrid"),
+                    F.countDistinct(F.round("_k").cast("long")).alias("n_grid"),
+                )
+                .first()
+            )
+            if grow["offgrid"]:
+                errors.append(
+                    f"append set has {grow['offgrid']} step(s) off the "
+                    f"expected cadence grid (delta {expected_delta})"
+                )
+            elif grow["n_grid"] != arow["n"]:
+                errors.append(
+                    f"append set has internal gaps: {arow['n']} steps but "
+                    f"only {grow['n_grid']} distinct cadence-grid positions"
+                )
     return UpdateValidation(not errors, errors)

@@ -9,8 +9,13 @@ without kerchunk/cfgrib, implementing the published WMO GRIB2 format
   - Section 1 identification (reference time);
   - Section 3 grid definition, template 3.0 (regular lat/lon in
     microdegrees, scanning mode 0);
-  - Section 4 product definition, template 4.0 (parameter
-    category/number, level);
+  - Section 4 product definition: template 4.0 (analysis/forecast at a
+    point in time), 4.8 (statistical interval — accumulations), 4.1
+    (individual ensemble member: type/perturbation number/ensemble size)
+    and 4.11 (individual ensemble member over a statistical interval) —
+    the ensemble feeds the reference's ``ensemble``/``hindcast`` dataset
+    categories ingest (utils/attributes.py:223-247,
+    utils/transform.py:210-218);
   - Section 5 data representation:
       template 5.0 — simple packing (IEEE-754 reference value R, binary
         scale E, decimal scale D, B-bit integers;
@@ -77,27 +82,49 @@ class GRIB2Message:
     lons: np.ndarray
     values: np.ndarray  # (Nj, Ni) float64, NaN where bitmap masks
     attrs: dict = field(default_factory=dict)
+    #: lead time in seconds (PDT octets 19-22 × time-unit); 0 for analyses
+    forecast_seconds: int = 0
+    #: perturbation number for PDT 4.1/4.11 ensemble products; None otherwise
+    ensemble_member: int | None = None
 
 
-def parse_grib2(content: bytes) -> list[GRIB2Message]:
+#: fixed-length GRIB2 time units (code table 4.4) → seconds. Month/year
+#: units are calendar-dependent and rejected with a clear error.
+_TIME_UNIT_SECONDS = {0: 60, 1: 3600, 2: 86400, 10: 10800, 11: 21600, 12: 43200, 13: 1}
+
+
+def parse_grib2(content: bytes, select=None) -> list[GRIB2Message]:
+    """Decode every message, or — with ``select`` — only matching ones.
+
+    ``select`` is the message-filter analog of the reference's
+    ``grib_filter``/``scan_indices`` path (utils/transform.py:137-141,
+    210-218: pick the surface layer / one shortName out of multi-layer
+    files). It receives a lightweight header dict (``discipline``,
+    ``category``, ``number``, ``level_type``, ``level``,
+    ``ensemble_member``) BEFORE the data section is unpacked, so rejected
+    messages never pay the bitstream decode."""
     msgs: list[GRIB2Message] = []
     pos = 0
+    found = False
     while True:
         pos = content.find(b"GRIB", pos)
         if pos < 0:
             break
+        found = True
         edition = content[pos + 7]
         if edition != 2:
             raise GRIB2Error(f"GRIB edition {edition} (use sources/grib1 for ed.1)")
         total_len = _u(content, pos + 8, 8)
-        msgs.append(_parse_message(content[pos : pos + total_len]))
+        msg = _parse_message(content[pos : pos + total_len], select)
+        if msg is not None:
+            msgs.append(msg)
         pos += total_len
-    if not msgs:
+    if not found:
         raise GRIB2Error("not a GRIB2 file (no GRIB indicator found)")
     return msgs
 
 
-def _parse_message(m: bytes) -> GRIB2Message:
+def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
     if m[-4:] != b"7777":
         raise GRIB2Error("message missing 7777 end section")
     discipline = m[6]
@@ -122,26 +149,69 @@ def _parse_message(m: bytes) -> GRIB2Message:
             tmpl = _u(s, 7, 2)
             # 4.0 = analysis/forecast at a point in time; 4.8 = statistical
             # processing over an interval (accumulations — real precip feeds
-            # like CHIRPS-adjacent GFS/ERA5 products ship 4.8). Octets 10-34
-            # are identical; 4.8 appends the interval-end time and the
-            # statistical-process descriptors, surfaced via attrs.
-            if tmpl not in (0, 8):
+            # like CHIRPS-adjacent GFS/ERA5 products ship 4.8); 4.1 =
+            # individual ensemble member at a point in time; 4.11 = 4.1 over
+            # a statistical interval. Octets 10-34 are identical across all
+            # four; 4.1/4.11 insert 3 ensemble octets (type, perturbation
+            # number, ensemble size) at 35-37; the statistical extension
+            # (interval end + process descriptors) follows at 35 (4.8) or
+            # 38 (4.11).
+            if tmpl not in (0, 1, 8, 11):
                 raise GRIB2Error(f"product definition template 4.{tmpl} not supported")
+            unit = s[17]
+            if unit not in _TIME_UNIT_SECONDS:
+                raise GRIB2Error(
+                    f"forecast time unit {unit} not supported (calendar units)"
+                )
             product = {
                 "category": s[9],
                 "number": s[10],
                 "level_type": s[22],
                 "level_scale": s[23],
                 "level_value": _u(s, 24, 4),
+                "forecast_seconds": _u(s, 18, 4) * _TIME_UNIT_SECONDS[unit],
             }
-            if tmpl == 8 and len(s) >= 46:
-                product["interval_end"] = dt.datetime(
-                    _u(s, 34, 2), s[36], s[37], s[38], s[39], s[40]
-                )
-                # octet 47 of the first interval spec: statistical process
+            stat_base = 34  # octet 35, 0-indexed — 4.8's interval extension
+            if tmpl in (1, 11):
+                product["ensemble_type"] = s[34]
+                product["ensemble_member"] = s[35]
+                product["ensemble_size"] = s[36]
+                stat_base = 37  # 4.11: interval extension shifted past them
+            if tmpl in (8, 11) and len(s) >= stat_base + 12:
+                # Interval-end octets may carry all-ones missing sentinels
+                # (real products do this for templated feeds) — an invalid
+                # calendar date is NOT a malformed message, so omit the
+                # field rather than let ValueError escape the GRIB2Error
+                # contract.
+                try:
+                    product["interval_end"] = dt.datetime(
+                        _u(s, stat_base, 2),
+                        s[stat_base + 2],
+                        s[stat_base + 3],
+                        s[stat_base + 4],
+                        s[stat_base + 5],
+                        s[stat_base + 6],
+                    )
+                except ValueError:
+                    pass
+                # first interval spec's statistical process octet
                 # (0=avg, 1=accumulation, 2=max, 3=min, ...)
-                if len(s) >= 47:
-                    product["statistical_process"] = s[46]
+                if len(s) >= stat_base + 13:
+                    product["statistical_process"] = s[stat_base + 12]
+            if select is not None and not select(
+                {
+                    "discipline": discipline,
+                    "category": product["category"],
+                    "number": product["number"],
+                    "level_type": product["level_type"],
+                    "level": product["level_value"]
+                    // 10 ** product["level_scale"]
+                    if product["level_scale"] < 100
+                    else product["level_value"],
+                    "ensemble_member": product.get("ensemble_member"),
+                }
+            ):
+                return None  # skip before sections 5-7: no bitstream decode
         elif sec_num == 5:
             tmpl = _u(s, 9, 2)
             if tmpl not in (0, 2, 3):
@@ -212,7 +282,7 @@ def _parse_message(m: bytes) -> GRIB2Message:
         full[bitmap[: ni * nj]] = values  # trim packbits byte padding
         values = full
     attrs = {k: packing[k] for k in ("binary_scale", "decimal_scale", "bits")}
-    for k in ("interval_end", "statistical_process"):
+    for k in ("interval_end", "statistical_process", "ensemble_type", "ensemble_size"):
         if k in product:
             attrs[k] = product[k]
     return GRIB2Message(
@@ -228,6 +298,8 @@ def _parse_message(m: bytes) -> GRIB2Message:
         lons=grid["lons"],
         values=values.reshape(nj, ni),
         attrs=attrs,
+        forecast_seconds=product["forecast_seconds"],
+        ensemble_member=product.get("ensemble_member"),
     )
 
 
@@ -280,6 +352,11 @@ def _unpack_complex(payload: bytes, packing: dict) -> np.ndarray:
         order = packing["diff_order"]
         if od == 0:
             raise GRIB2Error("template 5.3 with zero extra-descriptor octets")
+        if n <= order:
+            raise GRIB2Error(
+                f"template 5.3 slab of {n} points cannot carry spatial "
+                f"differencing of order {order}"
+            )
         ivals = [_signed_om(payload, i * od, od) for i in range(order)]
         gmin = _signed_om(payload, order * od, od)
         pos_bytes = (order + 1) * od
@@ -419,6 +496,12 @@ def _encode_complex(
     v = x.astype(np.int64)
     if template == 3:
         order = diff_order
+        if n <= order:
+            raise GRIB2Error(
+                f"complex packing with spatial differencing order {order} "
+                f"needs more than {order} present points, got {n} — use "
+                "simple packing (template=0) for degenerate slabs"
+            )
         ivals = [int(v[i]) for i in range(order)]
         d = np.diff(v, n=order).astype(np.int64)
         gmin = int(d.min()) if d.size else 0
@@ -521,35 +604,54 @@ def _write_message(
     sec3[71] = 0  # scanning mode
 
     interval_end = msg.attrs.get("interval_end")
-    sec4_len = 58 if interval_end is not None else 34
+    is_ens = msg.ensemble_member is not None
+    # PDT: 4.0 plain, 4.1 ensemble, 4.8 statistical interval, 4.11 both
+    pdt = (11 if interval_end is not None else 1) if is_ens else (
+        8 if interval_end is not None else 0
+    )
+    ens_base = 34
+    stat_base = 37 if is_ens else 34  # ensemble octets 35-37 shift the rest
+    sec4_len = stat_base + (24 if interval_end is not None else 0)
     sec4 = bytearray(sec4_len)
     sec4[0:4] = sec4_len.to_bytes(4, "big")
     sec4[4] = 4
     sec4[5:7] = (0).to_bytes(2, "big")  # no coord values
-    sec4[7:9] = (8 if interval_end is not None else 0).to_bytes(2, "big")
+    sec4[7:9] = pdt.to_bytes(2, "big")
     sec4[9] = msg.parameter_category
     sec4[10] = msg.parameter_number
     sec4[11] = 0  # generating process: analysis
-    sec4[17] = 1  # time unit: hour
-    sec4[18:22] = (0).to_bytes(4, "big")  # forecast time 0
+    fs = int(msg.forecast_seconds)
+    if fs % 3600 == 0:
+        sec4[17] = 1  # time unit: hour
+        sec4[18:22] = (fs // 3600).to_bytes(4, "big")
+    else:
+        sec4[17] = 13  # time unit: second
+        sec4[18:22] = fs.to_bytes(4, "big")
     sec4[22] = msg.level_type
     sec4[23] = 0  # level scale factor
     sec4[24:28] = int(msg.level).to_bytes(4, "big")
     sec4[28] = 255  # second surface: missing
     sec4[29] = 0xFF
     sec4[30:34] = (0xFFFFFFFF).to_bytes(4, "big")
-    if interval_end is not None:  # template 4.8 statistical extension
+    if is_ens:  # template 4.1/4.11 ensemble octets 35-37
+        sec4[ens_base] = int(msg.attrs.get("ensemble_type", 3))  # perturbed
+        sec4[ens_base + 1] = int(msg.ensemble_member)
+        sec4[ens_base + 2] = int(msg.attrs.get("ensemble_size", 0))
+    if interval_end is not None:  # template 4.8/4.11 statistical extension
         ie = interval_end
-        sec4[34:36] = ie.year.to_bytes(2, "big")
-        sec4[36:42] = bytes([ie.month, ie.day, ie.hour, ie.minute, ie.second, 1])
-        sec4[42:46] = (0).to_bytes(4, "big")  # no missing values in process
-        sec4[46] = int(msg.attrs.get("statistical_process", 1))  # accumulation
-        sec4[47] = 2  # increment type: same start, process over interval
-        sec4[48] = 1  # time-range unit: hour
+        b = stat_base
+        sec4[b : b + 2] = ie.year.to_bytes(2, "big")
+        sec4[b + 2 : b + 8] = bytes(
+            [ie.month, ie.day, ie.hour, ie.minute, ie.second, 1]
+        )
+        sec4[b + 8 : b + 12] = (0).to_bytes(4, "big")  # no missing in process
+        sec4[b + 12] = int(msg.attrs.get("statistical_process", 1))  # accum
+        sec4[b + 13] = 2  # increment type: same start, process over interval
+        sec4[b + 14] = 1  # time-range unit: hour
         hours = max(int((ie - t).total_seconds() // 3600), 0)
-        sec4[49:53] = hours.to_bytes(4, "big")
-        sec4[53] = 255  # no time increment between successive fields
-        sec4[54:58] = (0).to_bytes(4, "big")
+        sec4[b + 15 : b + 19] = hours.to_bytes(4, "big")
+        sec4[b + 19] = 255  # no time increment between successive fields
+        sec4[b + 20 : b + 24] = (0).to_bytes(4, "big")
 
     if template == 0:
         sec5 = (
@@ -604,32 +706,62 @@ def _write_message(
 # ---------------------------------------------------------------------------
 
 
-def grib2_decoder(desc, parameter: tuple[int, int] | None = None):
+def grib2_decoder(
+    desc,
+    parameter: tuple[int, int] | None = None,
+    level_type: int | None = None,
+    level: int | None = None,
+):
     """Decoder for ``read_binary_gridded`` over GRIB2 bytes — same tall-row
-    contract as the other decoders; ``parameter`` filters by
-    (category, number)."""
+    contract as the other decoders.
+
+    ``parameter`` (category, number), ``level_type`` and ``level`` are the
+    message-selection predicates of the reference's ``grib_filter`` /
+    index-scan path (utils/transform.py:137-141: keep the surface / first
+    layer out of multi-layer files; :210-218 per-variable scan filtering).
+    They are applied BEFORE section-7 unpack, so filtered messages cost
+    only header parsing.
+
+    For ``forecast``/``ensemble``/``hindcast`` descriptors the extra dims
+    come from the product definition: ``step`` = forecast lead seconds,
+    ``ensemble`` = PDT 4.1/4.11 perturbation number (an ensemble descriptor
+    over a non-ensemble product is a clear error)."""
     import pandas as pd
+
+    want_step = "step" in desc.dims
+    want_ens = "ensemble" in desc.dims
+
+    def select(h: dict) -> bool:
+        if parameter is not None and (h["category"], h["number"]) != tuple(parameter):
+            return False
+        if level_type is not None and h["level_type"] != level_type:
+            return False
+        if level is not None and h["level"] != level:
+            return False
+        return True
 
     def decode(path: str, content: bytes) -> pd.DataFrame:
         frames = []
-        for msg in parse_grib2(content):
-            if parameter is not None and (
-                (msg.parameter_category, msg.parameter_number) != tuple(parameter)
-            ):
-                continue
+        for msg in parse_grib2(content, select=select):
             nj, ni = msg.values.shape
-            frames.append(
-                pd.DataFrame(
-                    {
-                        desc.time_dim: np.repeat(
-                            np.datetime64(msg.ref_time, "us"), nj * ni
-                        ),
-                        "latitude": np.repeat(msg.lats, ni),
-                        "longitude": np.tile(msg.lons, nj),
-                        desc.data_var: msg.values.reshape(-1),
-                    }
+            cols = {
+                desc.time_dim: np.repeat(np.datetime64(msg.ref_time, "us"), nj * ni)
+            }
+            if want_step:
+                cols["step"] = np.full(nj * ni, msg.forecast_seconds, dtype=np.int64)
+            if want_ens:
+                if msg.ensemble_member is None:
+                    raise GRIB2Error(
+                        f"{path}: descriptor {desc.dataset_name!r} declares an "
+                        "ensemble dim but the message is not PDT 4.1/4.11"
+                    )
+                cols["ensemble"] = np.full(
+                    nj * ni, msg.ensemble_member, dtype=np.int32
                 )
-            )
+            cols["latitude"] = np.repeat(msg.lats, ni)
+            cols["longitude"] = np.tile(msg.lons, nj)
+            cols[desc.data_var] = msg.values.reshape(-1)
+            frames.append(pd.DataFrame(cols))
         if not frames:
             raise GRIB2Error(f"{path}: no matching GRIB2 messages")
         return pd.concat(frames, ignore_index=True)
