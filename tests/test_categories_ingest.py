@@ -144,6 +144,99 @@ def test_read_binary_gridded(tmp_path, spark):
     assert row["precip"] == np.float32(1.2)
 
 
+def test_read_binary_gridded_checkpoint_resume(tmp_path, spark):
+    """S22 restartability analog (reference utils/transform.py:275-315):
+    with a checkpoint_dir, already-decoded input files are never re-decoded
+    on a re-run — only new (or manifest-missing, i.e. killed-mid-run) files
+    pay the decode — and the returned rows always cover the full input."""
+    import json
+
+    marker_dir = tmp_path / "decoded_markers"
+    marker_dir.mkdir()
+    mstr = str(marker_dir)
+
+    def marking_decoder(path: str, content: bytes):
+        # side-effect marker proves which files were decoded (local[n]
+        # executors share the filesystem with the driver)
+        import hashlib
+        import pathlib
+        import struct
+
+        import numpy as np
+        import datetime as dt
+
+        tag = hashlib.md5(path.encode()).hexdigest()
+        pathlib.Path(mstr, f"{pathlib.Path(path).name}.{tag}.touch").touch()
+        day = struct.unpack("<i", content[:4])[0]
+        vals = struct.unpack("<4f", content[4:20])
+        base = dt.datetime(2003, 1, 1) + dt.timedelta(days=day)
+        i = 0
+        for lat in (10.0, 20.0):
+            for lon in (100.0, 110.0):
+                yield {
+                    "time": base,
+                    "latitude": np.float32(lat),
+                    "longitude": np.float32(lon),
+                    "precip": np.float32(vals[i]),
+                }
+                i += 1
+
+    def decoded_files() -> set:
+        return {p.name.split(".")[0] for p in marker_dir.glob("*.touch")}
+
+    desc = DatasetDescriptor(dataset_name="ckpt_obs", data_var="precip")
+    src = tmp_path / "in"
+    src.mkdir()
+    for day in range(2):
+        (src / f"file_{day}.bin").write_bytes(
+            _fake_nc_bytes(day, [day + 0.1, day + 0.2, day + 0.3, day + 0.4])
+        )
+    ckpt = tmp_path / "ckpt"
+
+    df = read_binary_gridded(
+        spark, str(src / "*.bin"), desc, decoder=marking_decoder,
+        checkpoint_dir=str(ckpt),
+    )
+    assert df.count() == 8
+    assert decoded_files() == {"file_0", "file_1"}
+
+    # resume after adding one file: only the new file is decoded
+    for p in marker_dir.glob("*.touch"):
+        p.unlink()
+    (src / "file_2.bin").write_bytes(_fake_nc_bytes(2, [2.1, 2.2, 2.3, 2.4]))
+    df2 = read_binary_gridded(
+        spark, str(src / "*.bin"), desc, decoder=marking_decoder,
+        checkpoint_dir=str(ckpt),
+    )
+    assert df2.count() == 12
+    assert decoded_files() == {"file_2"}
+    # columns/types match the declared schema (nullability is relaxed by
+    # the parquet round trip; canonicalize re-normalizes downstream)
+    assert [(f.name, f.dataType) for f in df2.schema.fields] == [
+        (f.name, f.dataType) for f in desc.schema().fields
+    ]
+    row = df2.filter(
+        (F.col("time") == dt.datetime(2003, 1, 3)) & (F.col("latitude") == 10.0)
+        & (F.col("longitude") == 110.0)
+    ).first()
+    assert row["precip"] == np.float32(2.2)
+
+    # kill-mid-run simulation: drop one file from the manifest (its rows
+    # partition may be partial) -> re-run re-decodes exactly that file and
+    # row counts stay exact (partition replaced, not appended)
+    for p in marker_dir.glob("*.touch"):
+        p.unlink()
+    manifest = ckpt / "_completed.json"
+    done = json.loads(manifest.read_text())
+    manifest.write_text(json.dumps([p for p in done if "file_1" not in p]))
+    df3 = read_binary_gridded(
+        spark, str(src / "*.bin"), desc, decoder=marking_decoder,
+        checkpoint_dir=str(ckpt),
+    )
+    assert df3.count() == 12
+    assert decoded_files() == {"file_1"}
+
+
 def test_read_binary_gridded_default_decoder_raises(tmp_path, spark):
     desc = DatasetDescriptor(dataset_name="bin_obs2", data_var="v")
     (tmp_path / "x.bin").write_bytes(b"1234")

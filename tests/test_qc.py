@@ -126,3 +126,17 @@ def test_post_parse_quality_check_detects_bad_publish(spark, desc, initial_pdf):
     out = spark.createDataFrame(corrupted, schema=desc.schema())
     with pytest.raises(QualityCheckError, match="post-parse"):
         post_parse_quality_check(src, out, desc, n_samples=50)
+
+
+def test_post_parse_quality_check_time_budget_short_circuits(spark, desc, initial_pdf):
+    """Q6 budget parity (publish.py:24, 735-737): an expired wall-clock cap
+    abandons further checking — even a would-fail publish does not raise
+    when the budget is gone before the comparison starts."""
+    from zarr_climate_etl_ipfs_spark.operators.qc import post_parse_quality_check
+
+    corrupted = initial_pdf.copy()
+    corrupted["data"] = corrupted["data"] + np.float32(1.0)
+    src = spark.createDataFrame(initial_pdf, schema=desc.schema())
+    out = spark.createDataFrame(corrupted, schema=desc.schema())
+    # cap of 0 s is exhausted by the source count itself -> clean give-up
+    post_parse_quality_check(src, out, desc, n_samples=50, time_cap_s=0.0)

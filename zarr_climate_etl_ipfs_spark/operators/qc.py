@@ -208,6 +208,11 @@ def post_parse_quality_check(
 
     t0 = _time.monotonic()
     total = source.count()
+    if _time.monotonic() - t0 > time_cap_s:
+        # the source scan alone ate the budget: give up before launching
+        # the comparison at all (the reference's budget bounds further
+        # checking, it never converts an un-run check into a failure)
+        return
     fraction = min(1.0, (n_samples * 4) / max(total, 1))
     sample = source.sample(False, fraction, seed).limit(n_samples)
     mismatches = compare_datasets(sample, written, desc, tolerance)
