@@ -34,10 +34,31 @@ QUERIES = [
 ]
 
 
+def _mutate(text: str, copy: int) -> str:
+    """Copy-specific mutation that keeps WITHIN-copy dup structure intact
+    while breaking CROSS-copy similarity: tagging every 5th word means every
+    5-word shingle contains a tagged word, so shingle sets across copies are
+    disjoint. Dup density is therefore constant as n grows (each copy
+    carries the base corpus's own near-dup structure) — the corpus scales
+    the problem, not the answer. Naive replication instead creates
+    copy-sized dup GROUPS whose pair listing is inherently quadratic in the
+    copy count (first attempt: x100 minhash pair output alone exceeded a
+    30-min budget purely on true-positive enumeration)."""
+    if copy == 0:
+        return text
+    ws = text.split(" ")
+    return " ".join(
+        f"{w}~c{copy}" if i % 5 == 0 else w for i, w in enumerate(ws)
+    )
+
+
 def build_corpora() -> dict[str, Path]:
-    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     WORK.mkdir(parents=True, exist_ok=True)
+    base = pd.read_parquet(BASE)
     dirs = {}
     for label, copies in (("x1", 1), ("x10", 10), ("x100", 100)):
         d = WORK / label
@@ -47,23 +68,18 @@ def build_corpora() -> dict[str, Path]:
             if copies == 1:
                 shutil.copy(BASE, out)
             else:
-                # copy 0 = original; copies >0 remap ids and mutate half the
-                # texts (append a revision token -> near-dup, not exact dup)
-                duckdb.sql(
-                    f"""
-                    COPY (
-                      SELECT d.doc_id + c.copy * 10000000 AS doc_id,
-                             CASE WHEN c.copy > 0 AND d.doc_id % 2 = 0
-                                  THEN d.text || ' rev' || c.copy
-                                  ELSE d.text END AS text,
-                             d.lang, d.source,
-                             CASE WHEN c.copy > 0 AND d.doc_id % 2 = 0
-                                  THEN d.n_chars + 5 ELSE d.n_chars END AS n_chars
-                      FROM read_parquet('{BASE}') d,
-                           (SELECT unnest(range({copies})) AS copy) c
-                    ) TO '{out}' (FORMAT PARQUET)
-                    """
-                )
+                writer = None
+                for copy in range(copies):
+                    part = base.copy()
+                    part["doc_id"] = part["doc_id"] + copy * 10_000_000
+                    if copy:
+                        part["text"] = [_mutate(t, copy) for t in part["text"]]
+                        part["n_chars"] = part["text"].str.len()
+                    tbl = pa.Table.from_pandas(part, preserve_index=False)
+                    if writer is None:
+                        writer = pq.ParquetWriter(out, tbl.schema)
+                    writer.write_table(tbl)
+                writer.close()
         dirs[label] = d
     return dirs
 

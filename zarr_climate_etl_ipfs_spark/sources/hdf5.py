@@ -12,16 +12,23 @@ with stdlib struct/zlib + numpy:
     ``SNOD`` + local heap);
   - dense attributes: fractal heap (``FRHP``/``FHDB``) walked through the
     attribute-name v2 B-tree (``BTHD``/``BTLF`` record type 8);
-  - datatypes: fixed ints, IEEE floats, fixed strings;
+  - dense links: link-info message → fractal heap walked through the
+    link-name v2 B-tree (``BTHD``/``BTLF`` record type 5) — the layout
+    newer h5py emits for groups with many members;
+  - datatypes: fixed ints, IEEE floats, fixed strings, and variable-length
+    strings (class 9 string type) — VLEN *data* elements resolve their
+    (length, collection address, index) descriptors through the global
+    heap (``GCOL``), for compact/contiguous layouts and for attributes;
   - data layouts: compact, contiguous, and chunked v3 with the chunk
     B-tree v1 (``TREE`` node type 1), deflate + shuffle filters.
 
-Out of scope (raise ``HDF5Error`` where encountered): dense links, variable-
-length types, compound data reads, v4 chunk indexes. netCDF4-classic files —
-including the reference's own system fixtures (tests/system/data/*.nc) —
-don't use them for coordinate/data variables. An *attribute* the subset
-cannot decode (e.g. a VLEN string attr from newer h5py) is skipped with a
-warning rather than failing the file — only dataset decoding is strict.
+Out of scope (raise ``HDF5Error`` where encountered): VLEN sequences of
+non-string types, chunked VLEN data, compound data reads, some v4 chunk
+indexes. netCDF4-classic files — including the reference's own system
+fixtures (tests/system/data/*.nc) — don't use them for coordinate/data
+variables. An *attribute* the subset cannot decode (compound types, exotic
+message versions) is skipped with a warning rather than failing the file —
+only dataset decoding is strict.
 
 This is a reader built from the public specification; no h5py/kerchunk code
 was consulted or translated.
@@ -67,6 +74,11 @@ class _Datatype:
     bits0: int
     # float layouts are validated as standard IEEE; ints carry signedness
 
+    @property
+    def is_vlen_string(self) -> bool:
+        # class 9 (variable-length), bit-field type 1 = string
+        return self.cls == 9 and (self.bits0 & 0x0F) == 1
+
     def numpy_dtype(self) -> np.dtype:
         order = ">" if (self.bits0 & 0x01) else "<"
         if self.cls == 0:  # fixed-point
@@ -105,6 +117,18 @@ class HDF5File:
 
     def read(self, name: str) -> np.ndarray:
         v = self.variables[name]
+        if v.dtype.is_vlen_string:
+            if v.layout_class == 0:
+                raw = v.compact
+            elif v.layout_class == 1:
+                if v.data_addr == UNDEF:
+                    raise HDF5Error(f"{name}: contiguous data not allocated")
+                n = int(np.prod(v.shape)) if v.shape else 1
+                raw = self._content[v.data_addr : v.data_addr + 16 * n]
+            else:
+                raise HDF5Error(f"{name}: chunked VLEN string data not supported")
+            vals = _vlen_strings(self._content, raw, int(np.prod(v.shape)) or 1)
+            return np.array(vals, dtype=object).reshape(v.shape)
         dt = v.dtype.numpy_dtype()
         if v.layout_class == 0:
             arr = np.frombuffer(v.compact, dtype=dt, count=int(np.prod(v.shape)) or 1)
@@ -352,7 +376,9 @@ def _parse_dataspace(d: bytes) -> tuple[int, ...]:
     return tuple(_u(d, off + 8 * i, 8) for i in range(rank))
 
 
-def _decode_attr_value(dt: _Datatype, shape: tuple[int, ...], raw: bytes) -> Any:
+def _decode_attr_value(
+    dt: _Datatype, shape: tuple[int, ...], raw: bytes, content: bytes = b""
+) -> Any:
     n = int(np.prod(shape)) if shape else 1
     if dt.cls == 3:
         return raw[: dt.size * n].split(b"\x00")[0].decode("utf-8", errors="replace")
@@ -360,10 +386,13 @@ def _decode_attr_value(dt: _Datatype, shape: tuple[int, ...], raw: bytes) -> Any
         arr = np.frombuffer(raw, dtype=dt.numpy_dtype(), count=n)
         vals = arr.astype(arr.dtype.newbyteorder("=")).tolist()
         return vals if shape else vals[0]
-    return None  # references / compound / vlen: present but undecoded
+    if dt.is_vlen_string and content:
+        vals = _vlen_strings(content, raw, n)
+        return vals if shape else vals[0]
+    return None  # references / compound / non-string vlen: present but undecoded
 
 
-def _parse_attribute(d: bytes) -> tuple[str, Any]:
+def _parse_attribute(d: bytes, content: bytes = b"") -> tuple[str, Any]:
     ver = d[0]
     if ver == 1:  # name/datatype/dataspace each padded to 8 bytes
         nsz, dtsz, dssz = struct.unpack_from("<HHH", d, 2)
@@ -385,7 +414,7 @@ def _parse_attribute(d: bytes) -> tuple[str, Any]:
         p += dssz
     else:
         raise HDF5Error(f"attribute message v{ver}")
-    return name, _decode_attr_value(dt, shape, d[p:])
+    return name, _decode_attr_value(dt, shape, d[p:], content)
 
 
 def _dense_attributes(content: bytes, d: bytes) -> dict[str, Any]:
@@ -416,7 +445,7 @@ def _dense_attributes(content: bytes, d: bytes) -> dict[str, Any]:
         heap_off = int.from_bytes(rec[1 : 1 + off_size], "little")
         heap_len = int.from_bytes(rec[1 + off_size : 1 + off_size + 2], "little")
         msg = _heap_read(content, blocks, heap_off)[:heap_len]
-        name, value = _parse_attribute(msg)
+        name, value = _parse_attribute(msg, content)
         out[name] = value
     return out
 
@@ -480,8 +509,70 @@ def _heap_read(content: bytes, blocks: list[tuple[int, int, int]], heap_off: int
 
 
 # ---------------------------------------------------------------------------
+# global heap (VLEN data elements)
+# ---------------------------------------------------------------------------
+
+
+def _gcol_object(content: bytes, addr: int, index: int) -> bytes:
+    """Object ``index`` of the global heap collection at ``addr`` (spec
+    III.E): GCOL header, then (index, refcount, reserved, size, data)
+    entries padded to 8 bytes; index 0 terminates."""
+    if content[addr : addr + 4] != b"GCOL":
+        raise HDF5Error("bad global heap collection signature")
+    total = _u(content, addr + 8, 8)
+    p = addr + 16
+    end = addr + total
+    while p + 16 <= end:
+        idx = _u(content, p, 2)
+        if idx == 0:
+            break
+        size = _u(content, p + 8, 8)
+        if idx == index:
+            return content[p + 16 : p + 16 + size]
+        p += 16 + ((size + 7) & ~7)
+    raise HDF5Error(f"global heap object {index} not found at {addr}")
+
+
+def _vlen_strings(content: bytes, raw: bytes, n: int) -> list[str]:
+    """Decode ``n`` VLEN-string elements: each a 16-byte descriptor
+    (length u32, global-heap collection address u64, object index u32)."""
+    out: list[str] = []
+    for i in range(n):
+        length, gaddr, gidx = struct.unpack_from("<IQI", raw, 16 * i)
+        if gaddr == 0 or gaddr == UNDEF:  # never-written element
+            out.append("")
+            continue
+        data = _gcol_object(content, gaddr, gidx)
+        out.append(data[:length].decode("utf-8", errors="replace"))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # groups
 # ---------------------------------------------------------------------------
+
+
+def _parse_link_message(d: bytes) -> tuple[str, int] | None:
+    """One link message body → (name, object-header address), or None for
+    soft/external links (the gridded subset only follows hard links)."""
+    fl = d[1]
+    q = 2
+    ltype = 0
+    if fl & 0x08:
+        ltype = d[q]
+        q += 1
+    if fl & 0x04:
+        q += 8
+    if fl & 0x10:
+        q += 1
+    lsz = 1 << (fl & 0x3)
+    nlen = _u(d, q, lsz)
+    q += lsz
+    name = d[q : q + nlen].decode()
+    q += nlen
+    if ltype == 0:  # hard link → object header address
+        return name, struct.unpack_from("<Q", d, q)[0]
+    return None
 
 
 def _compact_links(content: bytes, msgs) -> dict[str, int]:
@@ -489,24 +580,46 @@ def _compact_links(content: bytes, msgs) -> dict[str, int]:
     for mtype, off, msize in msgs:
         if mtype != _MSG_LINK:
             continue
-        d = content[off : off + msize]
-        fl = d[1]
-        q = 2
-        ltype = 0
-        if fl & 0x08:
-            ltype = d[q]
-            q += 1
-        if fl & 0x04:
-            q += 8
-        if fl & 0x10:
-            q += 1
-        lsz = 1 << (fl & 0x3)
-        nlen = _u(d, q, lsz)
-        q += lsz
-        name = d[q : q + nlen].decode()
-        q += nlen
-        if ltype == 0:  # hard link → object header address
-            links[name] = struct.unpack_from("<Q", d, q)[0]
+        parsed = _parse_link_message(content[off : off + msize])
+        if parsed is not None:
+            links[parsed[0]] = parsed[1]
+    return links
+
+
+def _dense_links(content: bytes, d: bytes) -> dict[str, int]:
+    """Link-info message → dense link storage: link messages live in a
+    fractal heap, indexed by the link-name v2 B-tree (record type 5:
+    hash u32 + 7-byte managed heap ID). Same heap machinery as dense
+    attributes; the heap bytes are plain link-message bodies."""
+    fl = d[1]
+    q = 2 + (8 if fl & 1 else 0)
+    fheap, name_bt = struct.unpack_from("<QQ", d, q)
+    if fheap == UNDEF or name_bt == UNDEF:
+        return {}
+    blocks, off_size = _heap_direct_blocks(content, fheap)
+    if content[name_bt : name_bt + 4] != b"BTHD":
+        raise HDF5Error("bad v2 B-tree header")
+    rec_size = _u(content, name_bt + 10, 2)
+    depth = _u(content, name_bt + 12, 2)
+    if depth != 0:
+        raise HDF5Error("multi-level link B-tree not supported")
+    leaf = _u(content, name_bt + 16, 8)
+    nrec = _u(content, name_bt + 24, 2)
+    if content[leaf : leaf + 4] != b"BTLF":
+        raise HDF5Error("bad v2 B-tree leaf")
+    links: dict[str, int] = {}
+    p = leaf + 6
+    for _ in range(nrec):
+        rec = content[p : p + rec_size]
+        p += rec_size
+        # record: hash(4) + managed heap ID (version/type byte, offset,
+        # 2-byte length)
+        heap_off = int.from_bytes(rec[5 : 5 + off_size], "little")
+        heap_len = int.from_bytes(rec[5 + off_size : 5 + off_size + 2], "little")
+        msg = _heap_read(content, blocks, heap_off)[:heap_len]
+        parsed = _parse_link_message(msg)
+        if parsed is not None:
+            links[parsed[0]] = parsed[1]
     return links
 
 
@@ -567,8 +680,12 @@ def parse_hdf5(content: bytes) -> HDF5File:
     links = _compact_links(content, root_msgs)
     if not links:
         for mtype, off, msize in root_msgs:
-            if mtype == _MSG_SYMBOL_TABLE:
-                links = _symbol_table_links(content, content[off : off + msize])
+            if mtype == _MSG_LINK_INFO:
+                links.update(_dense_links(content, content[off : off + msize]))
+            elif mtype == _MSG_SYMBOL_TABLE:
+                links.update(
+                    _symbol_table_links(content, content[off : off + msize])
+                )
     variables: dict[str, H5Var] = {}
     for name, addr in links.items():
         v = _parse_dataset(content, name, addr)
@@ -586,7 +703,7 @@ def _collect_attrs(content: bytes, msgs) -> dict[str, Any]:
     for mtype, off, msize in msgs:
         try:
             if mtype == _MSG_ATTRIBUTE:
-                name, value = _parse_attribute(content[off : off + msize])
+                name, value = _parse_attribute(content[off : off + msize], content)
                 attrs[name] = value
             elif mtype == _MSG_ATTR_INFO:
                 attrs.update(_dense_attributes(content, content[off : off + msize]))
