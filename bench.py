@@ -67,6 +67,8 @@ def main() -> None:
         "simhash_neardups",
         "ivf_knn",
         "curation_pipeline",
+        # round-4 addition (unlabeled hyperplane-LSH embedding dedup)
+        "embedding_lsh_neardups",
     ]
     run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (

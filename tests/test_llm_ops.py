@@ -311,6 +311,37 @@ def test_embedding_near_duplicates_finds_planted(spark, embeddings):
     assert (0, 99999) in got
 
 
+def test_rademacher_planes_portable_definition():
+    """Plane (i, j) must equal the md5 parity rule verbatim — the oracle
+    recomputes it in SQL, so any drift here silently breaks the catalog
+    query's cross-engine signature equality."""
+    import hashlib
+
+    planes = similarity.rademacher_planes(3, 5, seed=42)
+    assert planes.shape == (3, 5)
+    for i in range(3):
+        for j in range(5):
+            h = int(hashlib.md5(f"hp:42:{i}:{j}".encode()).hexdigest()[:14], 16)
+            assert planes[i, j] == (1.0 if h % 2 == 0 else -1.0)
+    assert set(np.unique(planes)) <= {1.0, -1.0}
+
+
+def test_srp_signature_matches_numpy(spark, embeddings):
+    planes = similarity.rademacher_planes(16, 64, seed=42)
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in embeddings.select(
+            "vec_id", similarity.srp_signature("embedding", planes).alias("sig")
+        ).collect()
+    }
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    bits = (mat @ planes.T) > 0
+    want = bits @ (1 << np.arange(16, dtype=np.int64))
+    for vid, sig in zip(pdf["vec_id"], want):
+        assert got[int(vid)] == int(sig)
+
+
 def test_ivf_dataframe_engine_and_pandas_assign(spark, embeddings):
     """The DataFrame Lloyd trainer is a drop-in for pyspark.ml: full-probe
     search equals brute force, and the Arrow-batched matmul assignment

@@ -185,6 +185,44 @@ def embedding_near_duplicates(
     return pairs
 
 
+def rademacher_planes(n_planes: int, dim: int, seed: int = 42) -> "np.ndarray":
+    """Engine-portable ±1 hyperplanes: component (i, j) is +1 when the
+    md5-derived 56-bit integer of ``"hp:{seed}:{i}:{j}"`` is even. The same
+    matrix is reproducible in ANY engine with md5 (DuckDB:
+    ``CAST(CONCAT('0x', SUBSTR(MD5('hp:seed:' || i || ':' || j), 1, 14)) AS
+    BIGINT) % 2``), which makes SRP signatures comparable across engines —
+    the portability trick the catalog's minhash/simhash queries use, applied
+    to hyperplane LSH. Rademacher projections preserve cosine structure
+    like Gaussian planes (sign agreement probability = 1 − θ/π)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for i in range(n_planes):
+        for j in range(dim):
+            h = int(hashlib.md5(f"hp:{seed}:{i}:{j}".encode()).hexdigest()[:14], 16)
+            out[i, j] = 1.0 if h % 2 == 0 else -1.0
+    return out
+
+
+def srp_signature(vec_col: Column | str, planes: "np.ndarray") -> Column:
+    """Sign-random-projection signature against a precomputed plane matrix:
+    bit i = (v · planeᵢ) > 0, packed into a long. One Arrow-batched BLAS
+    matmul per batch — the scale path for wide embeddings (the in-expression
+    :func:`hyperplane_signature` variant is plan-only, no Python, but
+    interpreted per element)."""
+    pm = planes.astype(np.float64)
+    weights = (1 << np.arange(pm.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ pm.T) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _sig(c)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed bucket search
 # ---------------------------------------------------------------------------

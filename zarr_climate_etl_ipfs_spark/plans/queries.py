@@ -2872,3 +2872,103 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P_n", F.lit(0)).alias("n_p"),
         F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
     ).orderBy("o_orderpriority")
+
+
+@q(
+    "embedding_lsh_neardups",
+    """
+    WITH plane_cells AS (
+      SELECT i.range AS i, j.range AS j,
+             CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5('hp:42:' || i.range || ':' || j.range),
+                                   1, 14)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range(16) i, range(64) j
+    ), planes AS (
+      SELECT i, LIST(s ORDER BY j) AS p FROM plane_cells GROUP BY i
+    ), sigs AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.p) > 0
+                      THEN CAST(1 AS BIGINT) << pl.i ELSE CAST(0 AS BIGINT) END) AS sig
+      FROM embeddings e, planes pl GROUP BY e.vec_id
+    ), banded AS (
+      SELECT vec_id, b.range AS band, (sig >> (4 * b.range)) & 15 AS bv
+      FROM sigs, range(4) b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(eb.embedding AS DOUBLE[])) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlabeled embedding near-dup via hyperplane LSH (VERDICT r3 ask #9):
+    no label column, no all-pairs join. Signature = 16 sign bits against
+    md5-derived Rademacher planes (operators/similarity.rademacher_planes —
+    deterministic AND engine-portable, so the ORACLE computes the identical
+    signature with SQL md5 + list_inner_product); candidates = pairs
+    agreeing on >= 1 of 4 four-bit bands; exact cosine >= 0.35 verifies.
+    The band predicate is part of the operator contract on both sides, so
+    greenness does not ride on probabilistic recall.
+
+    Plan shape: signature is one Arrow-batched matmul, banding is an
+    explode to (band, bv) keys, candidates come from an equi-join on those
+    keys — linear shuffle, quadratic only within a band bucket — and the
+    verify stage reuses the carried vectors (no join back to the table).
+    Norms are hoisted per row before the pair join (bit-identical to
+    per-pair cosine, same fold)."""
+    from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        rademacher_planes,
+        srp_signature,
+    )
+
+    emb = t_wide(spark, sf_dir, "embeddings")
+    planes = rademacher_planes(16, 64, seed=42)
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm("embedding").alias("_n"),
+        srp_signature("embedding", planes).alias("sig"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("sig", 4 * b).bitwiseAND(F.lit(15)).alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = s.select(
+        "vec_id", "embedding", "_n", F.explode(bands).alias("bb")
+    ).select(
+        "vec_id", "embedding", "_n",
+        F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("_n").alias("na"), "band", "bv",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("_n").alias("nb"), "band", "bv",
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("_c", cos)
+        .filter(F.col("_c") >= 0.35)
+        .select("id_a", "id_b", F.round("_c", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
