@@ -311,6 +311,43 @@ def test_embedding_near_duplicates_finds_planted(spark, embeddings):
     assert (0, 99999) in got
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        ("write to bob.smith+x@example.co.uk or call (555) 123-4567 now",),
+        ("server 192.168.1.250 logged ssn 123-45-6789 twice: 123-45-6789",),
+        ("no pii here, just version 1.2.3 and year 2024 and id 12345",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = df.select(
+        textanalysis.scrub_pii("text").alias("clean"),
+        textanalysis.pii_counts("text").alias("hits"),
+    ).collect()
+    assert out[0]["clean"] == "write to <EMAIL> or call <PHONE> now"
+    assert out[0]["hits"]["email"] == 1 and out[0]["hits"]["phone"] == 1
+    assert out[1]["clean"] == "server <IP> logged ssn <SSN> twice: <SSN>"
+    assert out[1]["hits"]["ipv4"] == 1 and out[1]["hits"]["ssn"] == 2
+    # precision: versions, years and plain ids survive untouched
+    assert out[2]["clean"] == rows[2][0]
+    assert all(v == 0 for v in out[2]["hits"].values())
+
+
+def test_scrub_pii_before_fingerprint_joins_dupes(spark):
+    """Two documents identical up to their author's email must fingerprint
+    identically AFTER scrubbing — the documented reason scrub precedes
+    dedup."""
+    df = spark.createDataFrame(
+        [("contact alice@a.com for the data",), ("contact bob@b.org for the data",)],
+        ["text"],
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(
+            textanalysis.fingerprint(textanalysis.scrub_pii("text")).alias("fp")
+        ).collect()
+    ]
+    assert fps[0] == fps[1]
+
+
 def test_rademacher_planes_portable_definition():
     """Plane (i, j) must equal the md5 parity rule verbatim — the oracle
     recomputes it in SQL, so any drift here silently breaks the catalog

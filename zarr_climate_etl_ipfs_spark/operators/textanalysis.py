@@ -139,3 +139,41 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+#: PII patterns for training-corpus scrubbing: (name, Java regex, token).
+#: Conservative, precision-leaning patterns — a scrubber that nukes every
+#: number destroys the corpus; these target the formats real redaction
+#: passes start from. Order matters: emails first so phone patterns never
+#: fire inside an address.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(?<![\d.])(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}(?![\d.])", "<PHONE>"),
+    ("ipv4", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])", "<IP>"),
+    ("ssn", r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", "<SSN>"),
+)
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact PII spans with typed placeholder tokens — the corpus
+    scrubbing step of a training-data pipeline. A chain of
+    ``regexp_replace`` expressions, fully JVM-side (one codegen'd pass per
+    pattern, no Python); apply before fingerprinting/dedup so redaction
+    does not split otherwise-identical documents."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Per-document PII hit counts as a map<string,int> — the audit side
+    of :func:`scrub_pii` (report what a scrub WOULD remove without
+    touching the text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.map_from_arrays(
+        F.array(*[F.lit(name) for name, _, _ in PII_PATTERNS]),
+        F.array(
+            *[F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))) for _, p, _ in PII_PATTERNS]
+        ),
+    )

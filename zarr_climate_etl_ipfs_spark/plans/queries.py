@@ -2972,3 +2972,140 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("_c", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+@q(
+    "decontamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
+    ), keyed AS (
+      SELECT doc_id, UNNEST(grams) AS g, LEN(grams) AS n_grams FROM sh
+    ), eval_ids AS (
+      SELECT doc_id FROM documents
+      WHERE {_MD5INT_SQL.format(x="CONCAT('eval:', CAST(doc_id AS VARCHAR))")} % 100 < 5
+    ), eval_grams AS (
+      SELECT DISTINCT k.g FROM keyed k JOIN eval_ids e USING (doc_id)
+    )
+    SELECT k.doc_id, CAST(MAX(k.n_grams) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_overlap
+    FROM keyed k JOIN eval_grams eg ON k.g = eg.g
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM eval_ids)
+    GROUP BY k.doc_id
+    ORDER BY n_overlap DESC, doc_id
+    LIMIT 20
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the decontamination step every
+    training-data pipeline runs before a model sees the corpus: flag
+    training documents sharing word 3-grams with a held-out eval set (the
+    eval set here is the purpose-salted deterministic hash sample, same
+    primitive as `hash_sample`). Counts are integers, no float compare
+    risk.
+
+    Plan shape for 100 TB: the eval side is tiny by construction (a few
+    percent of docs, distinct grams only) — broadcast it; the train side
+    streams through one explode + broadcast-hash semi-join + partial agg.
+    No shuffle of the train grams beyond the final per-doc count; eval
+    membership is a broadcast anti-join."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int, shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles("text", 3).alias("grams"))
+    keyed = sh.select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
+    )
+    is_eval = md5int(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))) % 100 < 5
+    eval_ids = d.select("doc_id").filter(is_eval)
+    eval_grams = (
+        keyed.join(F.broadcast(eval_ids), "doc_id").select("g").distinct()
+    )
+    return (
+        keyed.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.count("*").alias("n_overlap"),
+        )
+        .orderBy(F.col("n_overlap").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "doc_chunks",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), ex AS (
+      SELECT doc_id, ws,
+             UNNEST(RANGE(0, CAST(CEIL(LEN(ws) / 20.0) AS BIGINT))) AS chunk_idx
+      FROM w
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(LEN(ws[chunk_idx * 20 + 1 : chunk_idx * 20 + 30]) AS INT) AS n_tokens,
+           MD5(ARRAY_TO_STRING(ws[chunk_idx * 20 + 1 : chunk_idx * 20 + 30], ' ')) AS chunk_fp
+    FROM ex
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training windows: 30-token windows at stride
+    20 (10-token overlap) — the context-window splitting step of an LLM
+    data pipeline, emitted as (doc, chunk ordinal, token count, md5
+    fingerprint) rather than repeated text. One explode, no joins, no
+    shuffle except the output sort; at scale the window arithmetic is all
+    codegen'd array ops on the already-tokenized column."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", words("text").alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(20.0)).cast("int")
+    ex = w.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice("ws", F.col("chunk_idx") * 20 + 1, 30)
+    return (
+        ex.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@q(
+    "term_frequency",
+    f"""
+    SELECT w AS term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, UNNEST({_WORDS_SQL}) AS w FROM documents)
+    GROUP BY w
+    ORDER BY tf DESC, term
+    LIMIT 20
+    """,
+)
+def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: term + document frequency for the top terms
+    — the corpus-statistics primitive behind zipf checks, stopword lists
+    and tokenizer audits. Explode → one partial-aggregated groupBy →
+    top-k; counts are exact integers."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(words("text")).alias("term"))
+    return (
+        ex.groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(20)
+    )
