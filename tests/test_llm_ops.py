@@ -420,3 +420,47 @@ def test_ivf_topk_recall_and_exactness(spark, embeddings):
     half = {r["vec_id"] for r in
             similarity.ivf_topk(assigned, centroids, query, k=10, n_probe=4).collect()}
     assert len(half & set(exact)) >= 5
+
+
+def test_repetition_ratio_ranks_repetitive_docs(spark):
+    """Duplicated-3-gram share: a templated doc scores high, a diverse doc
+    scores 0, and an all-identical doc scores (n-1)/n."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),                  # all grams unique -> 0
+            (2, "x y z x y z x y z x y z"),          # heavy template
+            (3, "w w w w w w"),                      # one distinct gram
+        ],
+        ["doc_id", "text"],
+    )
+    g = df.select("doc_id", dedup.shingles("text", 3).alias("grams"))
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    rows = {
+        r["doc_id"]: (r["n"], r["nd"])
+        for r in g.select("doc_id", n.alias("n"), nd.alias("nd")).collect()
+    }
+    assert rows[1] == (6, 6)
+    assert rows[3] == (4, 1)
+    dup2 = 1 - rows[2][1] / rows[2][0]
+    assert dup2 > 0.5
+
+
+def test_stratified_hash_gate_deterministic_and_rate_shaped(spark):
+    """The mix gate is reproducible across runs and keeps roughly the
+    target share per stratum (exact counts pinned by the hash, not rand)."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rate = F.when(F.col("lang") == "en", 60).otherwise(10)
+    bucket = dedup.md5int(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % 100
+    kept = df.filter(bucket < rate).groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in kept.collect()}
+    # 1000 docs per stratum; hash-mod keeps within a few percent of target
+    assert 520 <= counts["en"] <= 680
+    assert 60 <= counts["zh"] <= 140
+    counts2 = {r["lang"]: r["count"] for r in kept.collect()}
+    assert counts == counts2

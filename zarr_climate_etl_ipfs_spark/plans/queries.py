@@ -3109,3 +3109,214 @@ def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "term")
         .limit(20)
     )
+
+
+#: Deterministic PII enrichment shared by the Spark query and its oracle:
+#: the synthetic corpus is digit-free (verified at sf0.001/0.01/0.1), so
+#: appending controlled spans makes the scrub observable while keeping the
+#: two engines' regex dialects in agreement (the Java patterns' lookarounds
+#: never fire on these spans, so the RE2 oracle matches span-for-span).
+_PII_ENRICH_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN"
+    " ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN"
+    " ' tel 555-867-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN"
+    " ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||"
+    " CAST(doc_id % 250 AS VARCHAR) || ' ' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' ||"
+    " LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+@q(
+    "pii_scrub",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id, {_PII_ENRICH_SQL} AS text FROM documents
+    ), counted AS (
+      SELECT doc_id, text,
+             LEN(REGEXP_EXTRACT_ALL(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+             LEN(REGEXP_EXTRACT_ALL(text,
+                 '(\\+?[0-9]{{1,2}}[ .-]?)?(\\([0-9]{{3}}\\)|[0-9]{{3}})[ .-][0-9]{{3}}[ .-][0-9]{{4}}')) AS n_phone,
+             LEN(REGEXP_EXTRACT_ALL(text, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS n_ip,
+             LEN(REGEXP_EXTRACT_ALL(text, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) AS n_ssn
+      FROM enriched
+    )
+    SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_phone AS INT) AS n_phone,
+           CAST(n_ip AS INT) AS n_ip, CAST(n_ssn AS INT) AS n_ssn,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '(\\+?[0-9]{{1,2}}[ .-]?)?(\\([0-9]{{3}}\\)|[0-9]{{3}})[ .-][0-9]{{3}}[ .-][0-9]{{4}}', '<PHONE>', 'g'),
+               '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'),
+               '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>', 'g')) AS scrub_fp
+    FROM counted
+    WHERE n_email + n_phone + n_ip + n_ssn > 0
+    ORDER BY doc_id
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit — the corpus-scrubbing step of a training-data
+    pipeline (operators/textanalysis.py `scrub_pii`/`PII_PATTERNS`): per
+    document, count email/phone/IPv4/SSN spans and fingerprint the
+    redacted text. The synthetic corpus carries no PII, so the query
+    injects deterministic spans keyed on doc_id (same expression in the
+    oracle) — the scrub itself is the real production chain of four
+    JVM-side `regexp_replace` passes, one codegen'd projection, no joins
+    and no Python. At 100 TB this is a pure map over the scan: no
+    shuffle except the output sort, and the pattern chain rides inside
+    WholeStageCodegen."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import (
+        PII_PATTERNS,
+        scrub_pii,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" tel 555-867-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                (did % 250).cast("string"),
+                F.lit(" "),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 17 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    e = d.select("doc_id", enriched.alias("text"))
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0))).alias(f"n_{name}")
+        for name, p, _ in PII_PATTERNS
+    ]
+    return (
+        e.select(
+            "doc_id",
+            *counts,
+            F.md5(scrub_pii("text")).alias("scrub_fp"),
+        )
+        .withColumnRenamed("n_ipv4", "n_ip")
+        .filter(
+            F.col("n_email") + F.col("n_phone") + F.col("n_ip") + F.col("n_ssn") > 0
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "repetition_ratio",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
+    )
+    SELECT doc_id, CAST(LEN(grams) AS INT) AS n_grams,
+           CAST(LEN(LIST_DISTINCT(grams)) AS INT) AS n_distinct,
+           ROUND(1.0 - CAST(LEN(LIST_DISTINCT(grams)) AS DOUBLE) / LEN(grams), 4)
+             AS dup_ratio
+    FROM sh
+    WHERE LEN(grams) > 0
+    ORDER BY dup_ratio DESC, doc_id
+    LIMIT 25
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition detection — the boilerplate/spam gate of
+    a training-data quality pipeline (high duplicated-n-gram share marks
+    templated or degenerate text; cf. Gopher/C4-style repetition rules):
+    fraction of word 3-grams that are repeats within the same document,
+    worst offenders first. All array higher-order functions on the
+    already-tokenized column — no explode, no join, no shuffle except
+    the top-k; at 100 TB it is a single codegen'd map over the scan with
+    a TakeOrderedAndProject on top."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    g = d.select("doc_id", shingles("text", 3).alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    return (
+        g.select(
+            "doc_id",
+            n.alias("n_grams"),
+            nd.alias("n_distinct"),
+            F.round(F.lit(1.0) - nd.cast("double") / n, 4).alias("dup_ratio"),
+        )
+        .orderBy(F.col("dup_ratio").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+#: Target mixture for the stratified governed sample: per-language keep
+#: rates in percent. The point is the operator shape (deterministic
+#: per-stratum hash gate), not these particular weights.
+_MIX_RATES = {"en": 60, "de": 40, "fr": 30, "es": 20, "zh": 10}
+
+
+@q(
+    "stratified_sample",
+    f"""
+    WITH keyed AS (
+      SELECT lang, n_chars,
+             {_MD5INT_SQL.format(x="CONCAT('mix:', CAST(doc_id AS VARCHAR))")} % 100
+               AS bucket,
+             CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
+               ELSE 0 END AS rate
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept
+    FROM keyed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed mixture sampling — hit a target per-language mixture (the
+    domain/language reweighting step of corpus assembly) with a
+    deterministic, reproducible hash gate per stratum instead of
+    `rand()`: kept = hash(salt, id) % 100 < rate[lang]. Reports
+    kept-vs-total per language. The rate map is a broadcast-free literal
+    `map` lookup, the gate is a plain pushdown-able predicate, and the
+    report is one partial-aggregated groupBy — at 100 TB this is one
+    scan + one tiny shuffle of per-language partials, and the same gate
+    expression writes the actual sampled corpus with zero coordination
+    across executors."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+
+    d = t(spark, sf_dir, "documents")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _MIX_RATES.items() for x in kv]
+    )
+    bucket = md5int(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    kept = bucket < F.coalesce(rate_map[F.col("lang")], F.lit(0))
+    return (
+        d.select("lang", "n_chars", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
