@@ -433,7 +433,7 @@ def test_repetition_ratio_ranks_repetitive_docs(spark):
         ],
         ["doc_id", "text"],
     )
-    g = df.select("doc_id", dedup.shingles("text", 3).alias("grams"))
+    g = df.select("doc_id", dedup.shingles("text", 3, distinct=False).alias("grams"))
     n = F.size("grams")
     nd = F.size(F.array_distinct("grams"))
     rows = {

@@ -88,7 +88,7 @@ def rolling_time_agg(
     partitioned by cell — each cell's history sorts once."""
     w = (
         Window.partitionBy(*space_cols)
-        .orderBy(F.col(time_col).cast("long"))
+        .orderBy(F.col(time_col).cast("timestamp").cast("long"))
         .rangeBetween(-(days - 1) * 86400, 0)
     )
     return df.withColumn(f"rolling_mean_{days}d", F.avg(value_col).over(w)).withColumn(
@@ -190,9 +190,11 @@ def fill_time_gaps(
     if method == "ffill":
         filled = F.coalesce(F.col("_obs"), prev_val)
     elif method == "linear":
-        span = next_t.cast("long") - prev_t.cast("long")
+        span = next_t.cast("timestamp").cast("long") - prev_t.cast("timestamp").cast("long")
         frac = F.when(
-            span > 0, (F.col(time_col).cast("long") - prev_t.cast("long")) / span
+            span > 0,
+            (F.col(time_col).cast("timestamp").cast("long") - prev_t.cast("timestamp").cast("long"))
+            / span,
         ).otherwise(F.lit(0.0))
         filled = F.coalesce(
             F.col("_obs"),

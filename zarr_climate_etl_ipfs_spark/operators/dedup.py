@@ -68,20 +68,25 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingle set (distinct) from raw text. When the word array
-    is (or can be) a materialized column, use :func:`shingles_from_words`:
+def shingles(text: Column | str, k: int = 3, distinct: bool = True) -> Column:
+    """Word k-gram shingle set from raw text — distinct by default (the
+    set-semantics the minhash/Jaccard family needs); ``distinct=False``
+    keeps every occurrence (what repetition metrics need: the distinct
+    variant makes distinct/total identically 1). When the word array is
+    (or can be) a materialized column, use :func:`shingles_from_words`:
     embedding the split inside the per-index lambda re-runs the regex split
     for every shingle position (O(words²) per row)."""
-    return shingles_from_words(words(text), k)
+    return shingles_from_words(words(text), k, distinct)
 
 
-def shingles_from_words(ws: Column | str, k: int = 3) -> Column:
+def shingles_from_words(ws: Column | str, k: int = 3, distinct: bool = True) -> Column:
     ws = F.col(ws) if isinstance(ws, str) else ws
     n = F.size(ws)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(text: Column | str, n_hashes: int = 16, portable: bool = True) -> Column:

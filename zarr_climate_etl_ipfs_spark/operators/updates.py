@@ -17,8 +17,19 @@ from __future__ import annotations
 import datetime as dt
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_s(c: Column | str) -> Column:
+    """Seconds-since-epoch as DOUBLE for TIMESTAMP *and* TIMESTAMP_NTZ input.
+
+    Spark 4 rejects a direct numeric cast on TIMESTAMP_NTZ (what tz-less
+    parquet now infers), so hop through TIMESTAMP first; callers pin the
+    session timezone to UTC (session.tune) so the hop is value-exact.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("timestamp").cast("double")
 
 
 def split_update_times(
@@ -59,8 +70,8 @@ def contiguous_ranges(
         .withColumn(
             "_is_start",
             F.when(
-                F.col(time_dim).cast("long") - F.lag(F.col(time_dim)).over(w).cast("long")
-                == F.lit(secs),
+                _epoch_s(time_dim) - _epoch_s(F.lag(F.col(time_dim)).over(w))
+                == F.lit(float(secs)),
                 F.lit(0),
             ).otherwise(F.lit(1)),
         )
@@ -90,13 +101,13 @@ def check_cadence(
     (utils/attributes.py:250-257).
     """
     w = Window.orderBy(time_dim)
-    delta = F.col(time_dim).cast("long") - F.lag(F.col(time_dim)).over(w).cast("long")
+    delta = _epoch_s(time_dim) - _epoch_s(F.lag(F.col(time_dim)).over(w))
     df = times.select(time_dim).distinct().withColumn("_delta_s", delta)
     if cadence_bounds is not None:
-        lo, hi = (int(b.total_seconds()) for b in cadence_bounds)
+        lo, hi = (b.total_seconds() for b in cadence_bounds)
         bad = ~F.col("_delta_s").between(lo, hi)
     else:
-        bad = F.col("_delta_s") != int(expected_delta.total_seconds())
+        bad = F.col("_delta_s") != expected_delta.total_seconds()
     return df.filter(F.col("_delta_s").isNotNull() & bad)
 
 
@@ -174,16 +185,11 @@ def validate_update(
             # the distinct grid positions must number exactly n (no
             # two-appends-one-slot collapses hiding a hole elsewhere).
             delta_s = expected_delta.total_seconds()
-            mins = appends.agg(
-                F.min(F.col(time_dim).cast("double")).alias("_s0")
-            )
+            mins = appends.agg(F.min(_epoch_s(time_dim)).alias("_s0"))
             grow = (
                 appends.crossJoin(F.broadcast(mins))
                 .select(
-                    (
-                        (F.col(time_dim).cast("double") - F.col("_s0"))
-                        / F.lit(delta_s)
-                    ).alias("_k")
+                    ((_epoch_s(time_dim) - F.col("_s0")) / F.lit(delta_s)).alias("_k")
                 )
                 .agg(
                     F.sum(

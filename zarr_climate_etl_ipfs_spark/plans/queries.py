@@ -20,12 +20,25 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zarr_climate_etl_ipfs_spark.session import tune
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+def _epoch_s(c: Column | str) -> Column:
+    """Seconds-since-epoch as DOUBLE, valid for TIMESTAMP and TIMESTAMP_NTZ.
+
+    Spark 4 forbids a direct numeric cast on TIMESTAMP_NTZ (the type the
+    tz-less testdata parquet now infers), so route through TIMESTAMP first;
+    the session timezone is pinned UTC (session.tune), making the hop
+    value-exact. The DOUBLE target keeps sub-second precision, matching
+    DuckDB's EPOCH().
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("timestamp").cast("double")
 
 
 @dataclass
@@ -548,7 +561,7 @@ def cadence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     deltas = e.withColumn(
-        "gap_s", F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+        "gap_s", _epoch_s("ts") - _epoch_s(F.lag("ts").over(w))
     ).filter(F.col("gap_s").isNotNull())
     return (
         deltas.groupBy("user_id")
@@ -983,6 +996,14 @@ _SHINGLES_SQL = (
     f"i -> ARRAY_TO_STRING(({_WORDS_SQL})[i:i+2], ' '))) "
     "ELSE [] END"
 )
+#: every-occurrence variant (no LIST_DISTINCT) — repetition metrics need the
+#: multiset; the distinct set would make distinct/total identically 1.
+_SHINGLES_ALL_SQL = (
+    f"CASE WHEN LEN({_WORDS_SQL}) >= 3 THEN "
+    f"LIST_TRANSFORM(RANGE(1, LEN({_WORDS_SQL}) - 1), "
+    f"i -> ARRAY_TO_STRING(({_WORDS_SQL})[i:i+2], ' ')) "
+    "ELSE [] END"
+)
 _MD5INT_SQL = "CAST(CONCAT('0x', SUBSTR(MD5({x}), 1, 14)) AS BIGINT)"
 
 
@@ -1389,7 +1410,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = e.withColumn(
         "new_session",
         F.when(
-            (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800)
+            (_epoch_s("ts") - _epoch_s(F.lag("ts").over(w)) > 1800)
             | F.lag("ts").over(w).isNull(),
             1,
         ).otherwise(0),
@@ -1400,7 +1421,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(ws))
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        (F.max("ts").cast("double") - F.min("ts").cast("double")).alias("duration_s"),
+        (_epoch_s(F.max("ts")) - _epoch_s(F.min("ts"))).alias("duration_s"),
     )
     return (
         per_session.groupBy("user_id")
@@ -2541,7 +2562,9 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
+            # tz-less TIMESTAMP(MICROS) parquet reads as TIMESTAMP_NTZ on
+            # Spark 4 (see tests/test_runtime_contract.py)
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -2553,7 +2576,6 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # file source wants a directory; the glob filter selects one table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
@@ -2820,8 +2842,8 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = u.withColumn("prev_su", F.last("signup_ts", ignorenulls=True).over(back)).withColumn(
         "next_su", F.first("signup_ts", ignorenulls=True).over(fwd)
     )
-    ts_s = F.col("ts").cast("long")
-    prev_s, next_s = F.col("prev_su").cast("long"), F.col("next_su").cast("long")
+    ts_s = _epoch_s("ts")
+    prev_s, next_s = _epoch_s("prev_su"), _epoch_s("next_su")
     nearest = (
         F.when(F.col("prev_su").isNull(), F.col("next_su"))
         .when(F.col("next_su").isNull(), F.col("prev_su"))
@@ -2831,7 +2853,7 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         w.filter(F.col("side") == 1)
         .withColumn("nearest_signup", nearest)
-        .filter(F.abs(ts_s - F.col("nearest_signup").cast("long")) <= 172800)
+        .filter(F.abs(ts_s - _epoch_s("nearest_signup")) <= 172800)
         .select("event_id", "user_id", "ts", "nearest_signup")
         .orderBy("event_id")
     )
@@ -3222,7 +3244,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repetition_ratio",
     f"""
     WITH sh AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
+      SELECT doc_id, {_SHINGLES_ALL_SQL} AS grams FROM documents
     )
     SELECT doc_id, CAST(LEN(grams) AS INT) AS n_grams,
            CAST(LEN(LIST_DISTINCT(grams)) AS INT) AS n_distinct,
@@ -3246,7 +3268,7 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.operators.dedup import shingles
 
     d = t(spark, sf_dir, "documents")
-    g = d.select("doc_id", shingles("text", 3).alias("grams")).filter(
+    g = d.select("doc_id", shingles("text", 3, distinct=False).alias("grams")).filter(
         F.size("grams") > 0
     )
     n = F.size("grams")
