@@ -38,7 +38,10 @@ def main() -> None:
 
     # warm the JVM/scan path once so per-query numbers measure the queries,
     # not session startup
-    REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
+    try:
+        REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
+    except Exception:  # noqa: BLE001 — warmup only; the timed run records it
+        pass
 
     # Headline subset by default (one per workload family, weighted toward
     # the heavy ones); BENCH_ALL=1 runs the whole catalog.
@@ -78,13 +81,19 @@ def main() -> None:
     # would otherwise dominate single-shot numbers
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, qd in selected.items():
+        # fault isolation: one broken query must never zero the whole round's
+        # perf record — record the error string and keep timing the rest
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            len(qd.fn(spark, sf_dir).collect())
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                len(qd.fn(spark, sf_dir).collect())
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 4)
 
     # DuckDB on the same parquet + oracle SQL: the round-over-round baseline,
@@ -127,6 +136,9 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
     }
+    if errors:
+        out["errors"] = errors
+        out["n_failed"] = len(errors)
     if duck:
         out["duckdb_queries"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 4)

@@ -464,3 +464,25 @@ def test_stratified_hash_gate_deterministic_and_rate_shaped(spark):
     assert 60 <= counts["zh"] <= 140
     counts2 = {r["lang"]: r["count"] for r in kept.collect()}
     assert counts == counts2
+
+
+def test_connected_components_releases_old_checkpoints(spark):
+    """Each large-star/small-star round localCheckpoints the edge list;
+    prior rounds' RDD blocks must be released as the iteration advances or
+    a ~log(n)-round run accumulates every round's edges in executor
+    storage. Bound: at most 2 rounds' worth of checkpoint RDDs (current +
+    the one the result depends on) survive beyond pre-existing blocks."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    # a 64-node chain forces ~log2(64) rounds
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    out = dedup.connected_components(df, max_iterations=16)
+    assert out.select(F.countDistinct("component")).first()[0] == 1
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    leaked = after - before
+    assert len(leaked) <= 2, (
+        f"{len(leaked)} checkpoint RDDs still persisted after "
+        "connected_components — prior rounds are not being unpersisted"
+    )

@@ -109,3 +109,51 @@ def test_validate_update_empty_rejected(spark, initial_df):
     update = _times_df(spark, [])
     v = validate_update(initial_df.select("time"), update, DAY)
     assert not v.ok and v.errors == ["empty update"]
+
+
+def _ntz_times_df(spark, times):
+    return spark.createDataFrame([(t,) for t in times], "time timestamp_ntz")
+
+
+def test_validate_update_offgrid_append_rejected(spark, initial_df):
+    """Count identity alone can be fooled: delta=1d with appends at
+    {d+0, d+0.5, d+2} has n=3 == span_steps=3 but hides a hole behind an
+    off-grid step — the grid check must reject it."""
+    base = dt.datetime(2022, 2, 1)
+    update = _times_df(
+        spark, [base, base + dt.timedelta(hours=12), base + dt.timedelta(days=2)]
+    )
+    v = validate_update(initial_df.select("time"), update, DAY)
+    assert not v.ok
+    assert "off the expected cadence grid" in v.errors[0]
+
+
+def test_validate_update_collapsed_grid_positions_rejected(spark, initial_df):
+    """Sub-second jitter rounding two appends onto one grid slot must not
+    mask the missing slot elsewhere."""
+    base = dt.datetime(2022, 2, 1)
+    update = _times_df(
+        spark,
+        [base, base + dt.timedelta(microseconds=1), base + dt.timedelta(days=2)],
+    )
+    v = validate_update(initial_df.select("time"), update, DAY)
+    assert not v.ok
+
+
+def test_update_ops_accept_timestamp_ntz(spark):
+    """Spark 4 reads tz-less parquet as TIMESTAMP_NTZ; the whole update
+    library must work on NTZ-typed time columns (no raw numeric casts)."""
+    times = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=h) for h in range(24) if h != 7]
+    df = _ntz_times_df(spark, times)
+    assert dict(df.dtypes)["time"] == "timestamp_ntz"
+    viol = check_cadence(df, dt.timedelta(hours=1)).collect()
+    assert len(viol) == 1 and viol[0]["_delta_s"] == 7200.0
+    islands = contiguous_ranges(df, dt.timedelta(hours=1)).collect()
+    assert [r["n_steps"] for r in islands] == [7, 16]
+    existing = _ntz_times_df(spark, times[:7])
+    good = _ntz_times_df(spark, [dt.datetime(2024, 1, 1, 7)])
+    assert validate_update(existing, good, dt.timedelta(hours=1)).ok
+    holey = _ntz_times_df(
+        spark, [dt.datetime(2024, 1, 1, 7), dt.datetime(2024, 1, 1, 9)]
+    )
+    assert not validate_update(existing, holey, dt.timedelta(hours=1)).ok
