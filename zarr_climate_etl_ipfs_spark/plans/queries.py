@@ -93,6 +93,19 @@ def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
 
 
+# Scale note shared by the shingle/hash family below: a deterministic filter
+# on a derived column (e.g. ``size(grams) > 0``) gets pushed through the
+# t_wide repartition with the whole tokenize→shingle subtree INLINED into
+# the predicate — which then evaluates inside the scan stage, whose
+# parallelism is the file count, not the cluster width (measured: 3.6 s on
+# one task at sf0.1 vs ~0.2 s spread over 32 without it; Spark's
+# InferFiltersFromGenerate does the same inlining to an ``explode`` of an
+# expensive array). The queries therefore avoid mid-pipeline filters on
+# expensive derived columns entirely: short-doc rows ride through as
+# NULL/empty values that the aggregates and joins discard natively
+# (null-safe agg inputs, null join keys, explode_outer + IS NOT NULL).
+
+
 # ---------------------------------------------------------------------------
 # Flagship + scans/filters (SURVEY §2.2 P1-P3)
 # ---------------------------------------------------------------------------
@@ -1087,19 +1100,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_wide(spark, sf_dir, "documents")
         .withColumn("w", words("text"))
         .withColumn("grams", shingles_from_words("w"))
-        .filter(F.size("grams") > 0)
         .withColumn("bases", shingle_bases(F.col("grams")))
         .withColumn("sig", minhash_from_bases(F.col("bases"), n_hashes=4))
     )
     cols = {f"mh{i}": F.col("sig")[i] for i in range(4)}
     d = d.withColumns(cols)
+    # no `size(grams) > 0` filter (see scale note above the dedup family):
+    # short docs yield sig = [null,...] — count(mh0) and min() skip them,
+    # and the distinct-signature key is nulled so countDistinct does too
     return (
         d.groupBy("lang")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.count("mh0").alias("n_docs"),
             *[F.min(f"mh{i}").alias(f"min_mh{i}") for i in range(4)],
             F.countDistinct(
-                F.concat_ws(",", *[F.col(f"mh{i}") for i in range(4)])
+                F.when(
+                    F.col("mh0").isNotNull(),
+                    F.concat_ws(",", *[F.col(f"mh{i}") for i in range(4)]),
+                )
             ).alias("n_distinct_sigs"),
         )
         .orderBy("lang")
@@ -1154,7 +1172,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t_wide(spark, sf_dir, "documents").withColumn("w", words("text")).select(
         F.col("doc_id"), shingles_from_words("w").alias("grams")
     )
-    ex = d.select("doc_id", F.explode("grams").alias("g"))
+    # explode_outer, NOT explode: a bare explode makes Spark infer a
+    # `size(grams) > 0` filter and push it — with the whole shingle subtree
+    # inlined — below the repartition into the single-task scan stage (see
+    # the scale note above the dedup family). The outer variant infers
+    # nothing; the null rows it adds for short docs drop on the cheap
+    # post-explode IS NOT NULL filter.
+    ex = d.select("doc_id", F.explode_outer("grams").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
     # the cap as a count-over-g window: one shuffle by g whose partitioning
     # the self-join below reuses. (Measured alternative — aggregate the hot
     # grams and broadcast-anti-join them out — recomputes the shingle
@@ -1233,7 +1259,6 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_wide(spark, sf_dir, "documents")
         .withColumn("w", words("text"))
         .select("doc_id", shingles_from_words("w").alias("grams"))
-        .filter(F.size("grams") > 0)
         .withColumn("bases", shingle_bases(F.col("grams")))
         .withColumn("sig", minhash_from_bases(F.col("bases"), n_hashes=8))
     )
@@ -1242,14 +1267,20 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source, so shingling+hashing runs once per side instead of twice
     # (signatures+grams per doc are small; at 100 TB you'd persist this
     # projection as a stage table and get the same single-computation shape).
+    # No `size(grams) > 0` doc filter (scale note above the dedup family):
+    # short docs have sig = [null,...], and strict F.concat nulls their
+    # band_key, so the equi-join drops them with zero extra compute.
     bands = d.select(
         "doc_id",
         "grams",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ",", F.lit(b), F.col("sig")[2 * b], F.col("sig")[2 * b + 1]
+                    F.concat(
+                        F.lit(f"{b},"),
+                        F.col("sig")[2 * b].cast("string"),
+                        F.lit(","),
+                        F.col("sig")[2 * b + 1].cast("string"),
                     )
                     for b in range(4)
                 ]
