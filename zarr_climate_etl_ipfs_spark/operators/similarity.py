@@ -223,6 +223,30 @@ def srp_signature(vec_col: Column | str, planes: "np.ndarray") -> Column:
     return _sig(c)
 
 
+def srp_signature_expr(vec_col: Column | str, planes: "np.ndarray") -> Column:
+    """JVM-expression twin of :func:`srp_signature`: the ±1 plane matrix is
+    embedded as array literals and each bit is a zip_with/aggregate fold.
+    Bit-identical to the Arrow kernel (products of a float32 value by ±1.0
+    are exact in float64, so every summation order gives the same sign) but
+    with no Python worker in the plan — for modest plane counts this wins
+    on both latency and stage-launch overhead; prefer the Arrow variant
+    when n_planes × dim makes the expression tree unwieldy (≳ thousands of
+    literals)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    out = F.lit(0).cast("long")
+    for i in range(planes.shape[0]):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        d = F.aggregate(
+            F.zip_with(v, lit_plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed bucket search
 # ---------------------------------------------------------------------------

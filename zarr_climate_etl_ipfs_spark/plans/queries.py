@@ -2981,16 +2981,19 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
     from zarr_climate_etl_ipfs_spark.operators.similarity import (
         rademacher_planes,
-        srp_signature,
+        srp_signature_expr,
     )
 
     emb = t_wide(spark, sf_dir, "embeddings")
     planes = rademacher_planes(16, 64, seed=42)
+    # JVM-expression signature (bit-identical to the Arrow kernel, see
+    # srp_signature_expr): keeps the whole query Python-free, so no
+    # worker-launch stalls in the signature stage
     s = emb.select(
         "vec_id",
         "embedding",
         l2_norm("embedding").alias("_n"),
-        srp_signature("embedding", planes).alias("sig"),
+        srp_signature_expr("embedding", planes).alias("sig"),
     )
     bands = F.array(
         *[
@@ -3001,29 +3004,61 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ]
     )
-    banded = s.select(
-        "vec_id", "embedding", "_n", F.explode(bands).alias("bb")
-    ).select(
-        "vec_id", "embedding", "_n",
-        F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
+    # Candidate generation runs over id-only rows via ONE bucket aggregate
+    # (collect_list per (band, bv), pairs listed with array transforms) —
+    # the self-join formulation evaluated the signature stage once per join
+    # side, and carrying vectors through the pair dedup multiplied that
+    # shuffle's width ~60× (measured 1.6 GB vs 25 MB at sf0.1). The
+    # explicit repartition after the dedup matters: AQE coalesces the tiny
+    # id-pair stage to ~3 partitions, which would serialize the 464k-pair
+    # cosine stage on 3 cores; spreading to cluster width first makes the
+    # verify a fully parallel map over two broadcast joins (at real scale:
+    # bucketed joins on vec_id, same shape).
+    banded_ids = s.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
     )
-    a = banded.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        F.col("_n").alias("na"), "band", "bv",
+    buckets = (
+        banded_ids.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = banded.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        F.col("_n").alias("nb"), "band", "bv",
+    pairs = buckets.select(
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    # Round-robin by explicit count, NOT by the dedup keys: a keyed
+    # repartition merges into the dedup's ENSURE_REQUIREMENTS exchange,
+    # which AQE then coalesces (~3 partitions for 25 MB of id pairs) —
+    # serializing the cosine stage on 3 cores. REPARTITION_BY_NUM is the
+    # one exchange AQE must leave alone.
+    cand = pairs.dropDuplicates(["id_a", "id_b"]).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    va = s.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("_n").alias("na"))
+    vb = s.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("_n").alias("nb"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    verified = (
+        cand.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
         .withColumn("_c", cos)
         .filter(F.col("_c") >= 0.35)
         .select("id_a", "id_b", F.round("_c", 4).alias("cosine"))
-        .orderBy("id_a", "id_b")
+    )
+    # The trailing repartition pins a shuffle between verify and the sort:
+    # the range-partition sampling pass then re-READS materialized shuffle
+    # files instead of re-EXECUTING the 464k-pair cosine subtree (orderBy
+    # otherwise runs it twice — once to sample bounds, once to sort).
+    return verified.repartition(spark.sparkContext.defaultParallelism).orderBy(
+        "id_a", "id_b"
     )
 
 
