@@ -2670,14 +2670,35 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, and the split is a pushed-down predicate. This is the shape a
     100 TB corpus run takes: no materialization barriers between stages."""
     from zarr_climate_etl_ipfs_spark.operators import textanalysis as ta
-    from zarr_climate_etl_ipfs_spark.operators.dedup import dedup_exact, md5int
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import fingerprint
 
-    d = (
+    # Quality score and fingerprint are projected ONCE, post-repartition,
+    # and the gate rides the keep-first window instead of a standalone
+    # filter: `.filter(quality >= 0.8)` would be pushed — subtree inlined —
+    # into the single-task scan stage and, via dedup_exact's semi-join,
+    # evaluated twice (see the scale note above the dedup family). Ranking
+    # within each fingerprint by (gated-last, doc_id) and keeping rank 1 of
+    # the gated rows is the same keep-first-of-the-gated semantics with one
+    # quality evaluation inside the _fp shuffle's map side; the quality
+    # predicate references a non-partition column, which Catalyst cannot
+    # sink below the window.
+    m = (
         t_wide(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
-        .filter(ta.quality_score("text") >= 0.8)
+        .select(
+            "doc_id", "lang", "n_chars",
+            ta.quality_score("text").alias("_q"),
+            fingerprint("text").alias("_fp"),
+        )
     )
-    deduped = dedup_exact(d, "doc_id", "text")
+    w = Window.partitionBy("_fp").orderBy(
+        F.when(F.col("_q") >= 0.8, 0).otherwise(1), "doc_id"
+    )
+    deduped = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_q") >= 0.8) & (F.col("_rn") == 1))
+    )
     bucket = md5int(F.concat(F.lit("train:"), F.col("doc_id").cast("string"))) % 100
     return (
         deduped.filter(bucket < 50)
@@ -3099,11 +3120,14 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership is a broadcast anti-join."""
     from zarr_climate_etl_ipfs_spark.operators.dedup import md5int, shingles
 
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     sh = d.select("doc_id", shingles("text", 3).alias("grams"))
+    # explode_outer + IS NOT NULL, not explode: avoids the inferred
+    # size(grams) > 0 filter that would inline the shingle subtree into the
+    # scan stage (see the scale note above the dedup family)
     keyed = sh.select(
-        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
-    )
+        "doc_id", F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("g")
+    ).filter(F.col("g").isNotNull())
     is_eval = md5int(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))) % 100 < 5
     eval_ids = d.select("doc_id").filter(is_eval)
     eval_grams = (
