@@ -486,3 +486,17 @@ def test_connected_components_releases_old_checkpoints(spark):
         f"{len(leaked)} checkpoint RDDs still persisted after "
         "connected_components — prior rounds are not being unpersisted"
     )
+
+
+def test_srp_signature_expr_matches_arrow_kernel(spark, embeddings):
+    """The JVM-expression SRP twin must be bit-identical to the Arrow
+    matmul kernel: float32 × ±1 products are exact in float64, so the
+    plane-dot signs cannot depend on summation order."""
+    planes = similarity.rademacher_planes(16, 64, seed=42)
+    a = embeddings.select(
+        "vec_id", similarity.srp_signature("embedding", planes).alias("sa")
+    )
+    b = embeddings.select(
+        "vec_id", similarity.srp_signature_expr("embedding", planes).alias("sb")
+    )
+    assert a.join(b, "vec_id").filter(F.col("sa") != F.col("sb")).count() == 0
