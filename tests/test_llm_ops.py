@@ -500,3 +500,26 @@ def test_srp_signature_expr_matches_arrow_kernel(spark, embeddings):
         "vec_id", similarity.srp_signature_expr("embedding", planes).alias("sb")
     )
     assert a.join(b, "vec_id").filter(F.col("sa") != F.col("sb")).count() == 0
+
+
+def test_sequence_packing_offsets_and_fill(spark):
+    """Concatenate-and-slice packing: docs land in the 512-token window
+    their stream offset starts in; windows are per (lang, shard)."""
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+    import tempfile, os
+    # 8 docs in one lang, one shard (doc_id multiples of 8): 300 tokens each
+    # -> offsets 0,300,600,... -> seq ids 0,0,1,1,2,2,3,4? offsets: 0,300 ->
+    # seq0; 600,900 -> seq1; 1200,1500->seq2...(floor(off/512))
+    rows = [(i * 8, " ".join(["w"] * 300), "en", 300, "s") for i in range(8)]
+    import pandas as pd
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "n_chars", "source"]).to_parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r["lang"]: r for r in REGISTRY["sequence_packing"].fn(spark, td).collect()}
+    en = out["en"]
+    # offsets 0,300,600,...,2100 -> floor/512 = 0,0,1,1,2,2,3,4 -> 5 seqs
+    assert en["n_seqs"] == 5
+    assert en["max_docs_per_seq"] == 2
+    # total tokens 2400 over 5 seqs of 512 = 0.9375 avg fill
+    assert abs(en["avg_fill"] - round(2400 / (5 * 512.0), 4)) < 1e-9

@@ -3432,3 +3432,72 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, doc_id % 8 AS shard,
+             LEN({_WORDS_SQL}) AS n_tokens
+      FROM documents
+    ), offs AS (
+      SELECT lang, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM toks
+    ), seqs AS (
+      SELECT lang, shard, CAST(FLOOR(start_off / 512.0) AS BIGINT) AS seq_id,
+             COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+      FROM offs GROUP BY lang, shard, seq_id
+    )
+    SELECT lang, COUNT(*) AS n_seqs,
+           ROUND(AVG(n_docs), 4) AS avg_docs_per_seq,
+           -- integer sums + one division: bit-identical across engines
+           -- (an AVG over per-seq doubles would be summation-order noise)
+           ROUND(SUM(seq_tokens) / (COUNT(*) * 512.0), 4) AS avg_fill,
+           MAX(n_docs) AS max_docs_per_seq
+    FROM seqs GROUP BY lang ORDER BY lang
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-slice sequence packing — the batch-prep step that
+    turns a curated corpus into fixed-budget training sequences (each doc
+    lands in the 512-token window its stream offset starts in; the
+    standard "concat then slice" pretraining layout, where true greedy
+    bin packing is a sequential scan Spark shouldn't emulate row-by-row).
+    Docs are sharded (doc_id % 8) inside each language so every window is
+    a bounded, independent partition — at 100 TB the shard count scales
+    with the cluster and no window partition is longer than corpus/shards;
+    the per-sequence and per-language rollups are ordinary partial
+    aggregations. Output: packing-efficiency accounting per language."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import token_count
+
+    budget = 512
+    d = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % 8).alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = d.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    seqs = (
+        offs.withColumn("seq_id", F.floor(F.col("start_off") / budget))
+        .groupBy("lang", "shard", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("seq_tokens"))
+    )
+    return (
+        seqs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.round(F.avg("n_docs"), 4).alias("avg_docs_per_seq"),
+            F.round(
+                F.sum("seq_tokens") / (F.count("*") * F.lit(float(budget))), 4
+            ).alias("avg_fill"),
+            F.max("n_docs").alias("max_docs_per_seq"),
+        )
+        .orderBy("lang")
+    )
