@@ -3501,3 +3501,63 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "streaming_backfill_dedup",
+    """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup under overlapping feeds — the idempotent
+    re-ingestion guard (§2.9; production form
+    streaming/incremental.py:dedup_stream): two file streams over the SAME
+    events table (a backfill overlapping a live feed) are unioned, a
+    stateful dropDuplicates on the event key collapses every row back to
+    one, and a complete-mode aggregation rolls up per type. Over static
+    input the available-now run drains both feeds, so the result equals the
+    plain batch aggregate — duplicates in, batch truth out, which is the
+    entire point of the operator. At scale the same plan runs with
+    dropDuplicatesWithinWatermark to bound the key state."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            # tz-less TIMESTAMP(MICROS) parquet reads as TIMESTAMP_NTZ on
+            # Spark 4 (see tests/test_runtime_contract.py)
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def feed():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    merged = feed().unionByName(feed())
+    deduped = merged.dropDuplicates(["event_id"])
+    agg = (
+        deduped.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+    sink = f"backfill_dedup_{uuid.uuid4().hex[:8]}"
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink).orderBy("event_type")
