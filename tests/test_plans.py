@@ -84,3 +84,40 @@ def test_key_routing_stays_join_based(spark, name):
     size stays O(1) in key count (10k-key regression in test_store)."""
     plan = _plan(spark, name)
     assert " IN (" not in plan
+
+
+def test_no_expensive_scan_stage_filters_in_hot_family(spark):
+    """Round-5 regression guard: a deterministic filter on an expensive
+    derived column (or the filter InferFiltersFromGenerate infers from a
+    bare explode) gets pushed below the t_wide repartition with the whole
+    tokenize/shingle subtree inlined, and then evaluates inside the scan
+    stage — whose parallelism is the FILE count, not the cluster width
+    (measured: 3.6 s single-task at sf0.1). The shuffle-bearing dedup/
+    similarity queries must keep their optimized plans free of such
+    filters; queries that are pure scans (pii_scrub, repetition_ratio,
+    dedup_keep_first) are exempt because filter-at-scan is exactly right
+    once the input has many files."""
+    EXPENSIVE = ("split(", "md5(", "transform(", "aggregate(", "regexp")
+    GUARDED = [
+        "minhash_signatures",
+        "minhash_lsh_neardups",
+        "ngram_jaccard_pairs",
+        "simhash_neardups",
+        "embedding_lsh_neardups",
+        "curation_pipeline",
+        "decontamination",
+        "sequence_packing",
+    ]
+    for name in GUARDED:
+        plan = REGISTRY[name].fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if not line.strip().lstrip("+-: ").startswith("Filter"):
+                continue
+            below = lines[i + 1].strip().lstrip("+-: ") if i + 1 < len(lines) else ""
+            n_exp = sum(line.count(p) for p in EXPENSIVE)
+            assert not (below.startswith("Relation") and n_exp >= 2), (
+                f"{name}: optimized plan has an expensive filter (score {n_exp}) "
+                f"directly above the scan — the subtree will evaluate at file "
+                f"parallelism, not cluster width:\n{line[:300]}"
+            )
