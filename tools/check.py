@@ -44,6 +44,49 @@ def canon_rows(cols, rows):
     return sorted(out)
 
 
+def _canon_spark_type(t: str) -> str:
+    t = t.lower()
+    if t.startswith("array"):
+        return "list"
+    if t.startswith("decimal"):
+        return "decimal"
+    return {
+        "bigint": "bigint", "int": "int", "smallint": "int", "tinyint": "int",
+        "double": "double", "float": "float", "string": "str",
+        "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+        "boolean": "bool", "binary": "bytes",
+    }.get(t, t)
+
+
+def _canon_duck_type(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]"):
+        return "list"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return {
+        "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "int", "TINYINT": "int",
+        "DOUBLE": "double", "FLOAT": "float", "VARCHAR": "str",
+        "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+        "DATE": "date", "BOOLEAN": "bool", "BLOB": "bytes",
+        "HUGEINT": "hugeint", "UBIGINT": "hugeint",
+    }.get(t, t)
+
+
+def _type_mismatches(spark_types: dict, duck_types: dict) -> list[str]:
+    """Column-by-column dtype canon compare — the driver records a separate
+    schema_match, so a Spark int vs oracle BIGINT must surface HERE, not in
+    CORRECTNESS_r{N}."""
+    out = []
+    for c, st in spark_types.items():
+        if c not in duck_types:
+            continue  # column-name diffs reported separately
+        a, b = _canon_spark_type(st), _canon_duck_type(duck_types[c])
+        if a != b:
+            out.append(f"{c}: spark={st} oracle={duck_types[c]}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -99,6 +142,9 @@ def main() -> int:
         problems = []
         if wide:
             problems.append(f"oracle emits driver-hostile types: {wide} (CAST them)")
+        tmis = _type_mismatches(dict(sdf.dtypes), dict(zip(ocols, otypes)))
+        if tmis:
+            problems.append(f"dtype drift: {tmis}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):

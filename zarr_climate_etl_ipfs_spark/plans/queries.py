@@ -637,7 +637,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             "c_name",
             F.round("c_acctbal", 2).alias("acctbal"),
-            F.row_number().over(w).alias("rk"),
+            # long, matching the oracle's BIGINT ROW_NUMBER exactly
+            F.row_number().over(w).cast("long").alias("rk"),
         )
         .filter(F.col("rk") <= 3)
         .orderBy("nation", "rk")
@@ -886,8 +887,9 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.min("n_tokens").alias("min_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
+            # long, matching the oracle's BIGINT LEN() exactly
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
         )
         .orderBy("lang")
     )
@@ -2492,7 +2494,8 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ivf_topk(assigned, centroids, query, k=5, n_probe=8)
     return out.select(
-        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
     ).orderBy("query_id", "rank")
 
 
