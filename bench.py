@@ -78,8 +78,9 @@ def main() -> None:
         REGISTRY if run_all else {k: REGISTRY[k] for k in HEADLINE if k in REGISTRY}
     )
     # min-of-N per query: the host shows multi-second contention spikes that
-    # would otherwise dominate single-shot numbers
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # would otherwise dominate single-shot numbers (observed ±20% on totals
+    # with N=2 — N=3 stabilizes the min at ~1.5x the wall cost)
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, qd in selected.items():
