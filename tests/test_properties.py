@@ -213,3 +213,57 @@ def test_grib2_roundtrip_property(nj, ni, bits, seed):
         e += 1
     tol = (2.0**e / 100.0) * 0.51 + float(np.nanmax(np.abs(vals))) * 1e-6 + 1e-9
     np.testing.assert_allclose(got.values[mask], vals[mask], atol=tol)
+
+
+# -- shingles (round-5 multiset semantics): Spark vs model -------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=24), min_size=1, max_size=6
+    )
+)
+def test_shingles_both_variants_match_model(spark, texts):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: (r["all"], r["dst"])
+        for r in df.select(
+            "i",
+            shingles("t", 3, distinct=False).alias("all"),
+            shingles("t", 3).alias("dst"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = [] if t.strip() == "" else re.split(r"\s+", t.strip())
+        grams = (
+            [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+            if len(ws) >= 3
+            else []
+        )
+        dst = list(dict.fromkeys(grams))  # first-occurrence order
+        assert got[i] == (grams, dst), (t, ws)
+
+
+# -- NTZ epoch math (round-5 _epoch_s): Spark vs datetime --------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.datetimes(
+        min_value=dt.datetime(1970, 1, 2), max_value=dt.datetime(2100, 1, 1)
+    )
+)
+def test_epoch_s_matches_utc_timestamp_on_ntz(spark, when):
+    from zarr_climate_etl_ipfs_spark.plans.queries import _epoch_s
+
+    df = spark.createDataFrame([(when,)], "ts timestamp_ntz")
+    got = df.select(_epoch_s("ts").alias("e")).first()["e"]
+    expect = when.replace(tzinfo=dt.timezone.utc).timestamp()
+    assert abs(got - expect) < 1e-5, (when, got, expect)
