@@ -1138,7 +1138,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
     ), ex AS (
-      SELECT doc_id, UNNEST(grams) AS g FROM sh
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(grams, s -> {_MD5INT_SQL.format(x='s')})) AS g
+      FROM sh
     ), kept AS (
       SELECT doc_id, g FROM (
         SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM ex
@@ -1174,11 +1176,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact over the same filtered representation. (For corpora with many
     *byte-identical* docs, run exact dedup first — that family is linear.)
     """
-    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles_from_words
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int, shingles_from_words
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t_wide(spark, sf_dir, "documents").withColumn("w", words("text")).select(
-        F.col("doc_id"), shingles_from_words("w").alias("grams")
+        # 56-bit md5 per shingle BEFORE the explode: the inverted index
+        # then shuffles and joins on 8-byte longs instead of ~20-byte gram
+        # strings (same trick as minhash_lsh_neardups; the oracle hashes
+        # identically, and a posting-list collision needs two distinct
+        # grams sharing 56 bits — ~1e-10 per doc pair)
+        F.col("doc_id"), F.transform(shingles_from_words("w"), md5int).alias("grams")
     )
     # explode_outer, NOT explode: a bare explode makes Spark infer a
     # `size(grams) > 0` filter and push it — with the whole shingle subtree
