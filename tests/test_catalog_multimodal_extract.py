@@ -83,10 +83,16 @@ def test_multimodal_feature_extraction(spark):
     assert out[0]["feature"] == again[0]["feature"]
 
 
-def test_multimodal_default_decoder_raises(spark):
-    df = spark.createDataFrame([(1, b"x")], "doc_id long, content binary")
-    with pytest.raises(Exception, match="PIL|decode"):
-        multimodal.extract_features(df).collect()
+def test_multimodal_default_decoder_degrades_per_row(spark):
+    """Round-5 contract: the default decoder is REAL (mediacodecs) — bytes
+    it cannot dispatch degrade to decode_ok=false per row instead of
+    killing the stage; external-codec formats name the missing library."""
+    df = spark.createDataFrame(
+        [(1, b"x"), (2, b"\xff\xd8\xff\xe0 jpeg-ish")], "doc_id long, content binary"
+    )
+    got = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert not got[1]["decode_ok"] and "unrecognized" in got[1]["error"]
+    assert not got[2]["decode_ok"] and "JPEG" in got[2]["error"]
 
 
 def test_multimodal_corrupt_payload_isolated(spark):

@@ -1,0 +1,158 @@
+"""Pure-stdlib media codecs: PNG/PPM/BMP/WAV round-trips and the Spark
+multimodal pipeline running REAL decode end to end."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from zarr_climate_etl_ipfs_spark import mediacodecs as mc
+
+RNG = np.random.RandomState(11)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(channels):
+    img = RNG.randint(0, 256, (13, 7, channels), dtype=np.uint8)
+    out, meta = mc.decode_png(mc.encode_png(img))
+    assert np.array_equal(out, img)
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (7, 13, channels)
+
+
+def test_png_all_five_filters_decode():
+    """Hand-filter each scanline with a different filter type per the PNG
+    spec and check the decoder reconstructs the original pixels."""
+    img = RNG.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    lines = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    out, _ = mc.decode_png(png)
+    assert np.array_equal(out, img)
+
+
+def test_ppm_pgm_roundtrip():
+    rgb = RNG.randint(0, 256, (9, 4, 3), dtype=np.uint8)
+    gray = RNG.randint(0, 256, (3, 8, 1), dtype=np.uint8)
+    out, meta = mc.decode_ppm(mc.encode_ppm(rgb))
+    assert np.array_equal(out, rgb) and meta["format"] == "ppm"
+    out, meta = mc.decode_ppm(mc.encode_ppm(gray))
+    assert np.array_equal(out, gray) and meta["format"] == "pgm"
+
+
+def test_bmp_decode_bottom_up_bgr():
+    img = RNG.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    off = 14 + 40
+    bmp = (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<Iii", 40, w, h)
+        + struct.pack("<HH", 1, 24)
+        + struct.pack("<IIiiII", 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+    out, meta = mc.decode_bmp(bmp)
+    assert np.array_equal(out, img)
+    assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_wav_roundtrip_and_meta():
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    stereo = np.stack(
+        [np.sin(2 * np.pi * 440 * t) * 0.5, np.sin(2 * np.pi * 220 * t) * 0.25], axis=1
+    )
+    out, meta = mc.decode_wav(mc.encode_wav(stereo, sample_rate=16000))
+    assert out.shape == (16000, 2)
+    assert meta["sample_rate"] == 16000 and meta["duration_ms"] == 1000
+    assert np.abs(out - stereo).max() < 1.5 / 32767
+
+
+def test_image_dispatch_and_external_format_error():
+    img = RNG.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    for payload in (mc.encode_png(img), mc.encode_ppm(img)):
+        out, _ = mc.decode_image(payload)
+        assert np.array_equal(out, img)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        mc.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_image(b"garbage bytes here")
+
+
+def test_extract_features_real_decode_on_spark(spark):
+    """The multimodal pipeline with the REAL default decoder: PNG and PPM
+    rows decode, a JPEG row degrades to decode_ok=false naming the missing
+    dependency, garbage rows degrade with a parse error — stage survives."""
+    from zarr_climate_etl_ipfs_spark import multimodal as mm
+
+    img = RNG.randint(0, 256, (8, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(mc.encode_png(img))),
+        (2, bytearray(mc.encode_ppm(img))),
+        (3, bytearray(b"\xff\xd8\xff\xe0 fake jpeg")),
+        (4, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in mm.extract_features(df).collect()}
+    assert got[1]["decode_ok"] and got[2]["decode_ok"]
+    # identical pixels through two formats → identical features
+    assert got[1]["feature"] == got[2]["feature"]
+    assert got[1]["feature"][0] == 8.0 and got[1]["feature"][1] == 6.0
+    assert not got[3]["decode_ok"] and "JPEG" in got[3]["error"]
+    assert not got[4]["decode_ok"]
+
+
+def test_audio_features_on_spark(spark):
+    from zarr_climate_etl_ipfs_spark import multimodal as mm
+
+    t = np.arange(8000, dtype=np.float32) / 8000.0
+    wav = mc.encode_wav(np.sin(2 * np.pi * 100 * t) * 0.9, sample_rate=8000)
+    df = spark.createDataFrame([(7, bytearray(wav))], "doc_id long, content binary")
+    got = mm.extract_features(df, decoder=mm.default_audio_decoder).first()
+    assert got["decode_ok"]
+    n, ch, rate, dur_ms = got["feature"][:4]
+    assert (n, ch, rate, dur_ms) == (8000.0, 1.0, 8000.0, 1000.0)
+    rms = got["feature"][4]
+    assert abs(rms - 0.9 / np.sqrt(2)) < 0.01

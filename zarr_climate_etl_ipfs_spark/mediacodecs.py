@@ -1,0 +1,326 @@
+"""Pure-stdlib media codecs: PNG / PPM / PGM / BMP images and PCM WAV audio.
+
+The container has no PIL/opencv/ffmpeg, but none are needed for the
+lossless formats whose decoders are just byte-layout + zlib (stdlib):
+these kernels turn the multimodal "decode" step from an injectable stub
+into a real decoder for PNG (8-bit gray/gray+alpha/RGB/RGBA, all five
+scanline filters), binary PPM/PGM, uncompressed 24-bit BMP, and PCM WAV
+(8/16-bit). Formats that genuinely need external codecs (JPEG, MP3, MP4)
+still raise with the dependency name — the seam `multimodal.py` documents.
+
+Encoders for PNG/PPM/WAV exist so tests can round-trip real bytes without
+fixtures from outside the repo.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Any
+
+import numpy as np
+
+
+class MediaDecodeError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+
+
+def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """PNG → (H, W, C) uint8 array. Supports bit depth 8, color types
+    0/2/4/6, no interlace; undoes all five scanline filters."""
+    if content[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG (bad signature)")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(content):
+        (clen,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise MediaDecodeError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise MediaDecodeError(
+            f"unsupported PNG (depth={depth}, interlace={interlace}); "
+            "only 8-bit non-interlaced is implemented"
+        )
+    if color not in _PNG_CHANNELS:
+        raise MediaDecodeError(f"unsupported PNG color type {color} (palette needs PLTE)")
+    c = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise MediaDecodeError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: prefix sum per channel lane
+            rec = line.reshape(w, c).cumsum(axis=0).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 3:  # Average — sequential in x
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                rec[x] = line[x] + ((left + prev[x]) >> 1)
+                rec[x] &= 0xFF
+        elif ftype == 4:  # Paeth — sequential in x
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = line[x] + pred
+                rec[x] &= 0xFF
+        else:
+            raise MediaDecodeError(f"unknown PNG filter {ftype}")
+        rec = rec & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    meta = {"format": "png", "width": w, "height": h, "n_channels": c}
+    return out.reshape(h, w, c), meta
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W) or (H, W, C) uint8 → PNG bytes (filter 0, one IDAT)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM (binary P6 / P5)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    magic = content[:2]
+    if magic not in (b"P5", b"P6"):
+        raise MediaDecodeError("not a binary PGM/PPM (P5/P6)")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    toks: list[bytes] = []
+    pos = 2
+    while len(toks) < 3 and pos < len(content):
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(content[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise MediaDecodeError("16-bit PNM not supported")
+    c = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(content, dtype=np.uint8, count=h * w * c, offset=pos)
+    fmt = "ppm" if c == 3 else "pgm"
+    return arr.reshape(h, w, c).copy(), {
+        "format": fmt, "width": w, "height": h, "n_channels": c
+    }
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    if content[:2] != b"BM":
+        raise MediaDecodeError("not a BMP")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    (hdr_size, w, h) = struct.unpack("<Iii", content[14:26])
+    planes, bpp = struct.unpack("<HH", content[26:30])
+    (compression,) = struct.unpack("<I", content[30:34])
+    if bpp != 24 or compression != 0:
+        raise MediaDecodeError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h):
+        off = data_off + y * row_bytes
+        rows.append(np.frombuffer(content, dtype=np.uint8, count=w * 3, offset=off))
+    img = np.stack(rows).reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if flip:
+        img = img[::-1]
+    return img.copy(), {"format": "bmp", "width": w, "height": h, "n_channels": 3}
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM 8/16-bit)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """WAV → (n_samples, n_channels) float32 in [-1, 1] + meta."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise MediaDecodeError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise MediaDecodeError(f"only PCM 8/16-bit WAV (fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    n = samples.size // n_ch
+    samples = samples[: n * n_ch].reshape(n, n_ch)
+    meta = {
+        "format": "wav",
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "duration_ms": int(n * 1000 / rate) if rate else 0,
+    }
+    return samples, meta
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, C) float32 in [-1, 1] → 16-bit PCM WAV bytes."""
+    arr = np.asarray(samples, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, c = arr.shape
+    pcm = np.clip(arr * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, c, sample_rate, sample_rate * c * 2, c * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+# ---------------------------------------------------------------------------
+# dispatch + feature kernels
+# ---------------------------------------------------------------------------
+
+_IMAGE_MAGIC = (
+    (_PNG_SIG, decode_png),
+    (b"P5", decode_ppm),
+    (b"P6", decode_ppm),
+    (b"BM", decode_bmp),
+)
+
+_NEEDS_EXTERNAL = {
+    b"\xff\xd8\xff": "JPEG (needs PIL/libjpeg)",
+    b"GIF8": "GIF (needs PIL)",
+    b"RIFFWEBP": "WebP (needs PIL/libwebp)",
+}
+
+
+def decode_image(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Magic-byte dispatch over the stdlib-decodable image formats."""
+    for magic, dec in _IMAGE_MAGIC:
+        if content[: len(magic)] == magic:
+            return dec(content)
+    for magic, name in _NEEDS_EXTERNAL.items():
+        if content[: len(magic)] == magic:
+            raise NotImplementedError(f"{name} — not in this container; inject a decoder")
+    raise MediaDecodeError("unrecognized image format")
+
+
+def image_features(content: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """Decode + fixed 12-dim feature: (h, w, c, global mean/std, 4 quadrant
+    means, per-channel-0 min/max, edge-energy proxy). Deterministic, no
+    external libs — the real-decode default for multimodal.extract_features."""
+    img, m = decode_image(content)
+    h, w, c = img.shape
+    g = img.astype(np.float32)
+    qh, qw = max(1, h // 2), max(1, w // 2)
+    quads = [
+        g[:qh, :qw].mean(), g[:qh, qw:].mean() if w > qw else 0.0,
+        g[qh:, :qw].mean() if h > qh else 0.0,
+        g[qh:, qw:].mean() if (h > qh and w > qw) else 0.0,
+    ]
+    edge = float(np.abs(np.diff(g[:, :, 0], axis=1)).mean()) if w > 1 else 0.0
+    return np.array(
+        [h, w, c, g.mean(), g.std(), *quads, g[:, :, 0].min(), g[:, :, 0].max(), edge],
+        dtype=np.float32,
+    )
+
+
+def audio_features(content: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """Decode WAV + fixed 8-dim feature: (n_samples, channels, sample_rate,
+    duration_ms, rms, peak, zero-crossing rate, dc offset)."""
+    samples, m = decode_wav(content)
+    mono = samples.mean(axis=1)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if mono.size > 1 else 0.0
+    return np.array(
+        [
+            samples.shape[0], samples.shape[1], m["sample_rate"], m["duration_ms"],
+            float(np.sqrt(np.mean(mono**2))), float(np.abs(mono).max(initial=0.0)),
+            zcr, float(mono.mean()),
+        ],
+        dtype=np.float32,
+    )

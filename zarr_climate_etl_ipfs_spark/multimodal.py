@@ -5,12 +5,12 @@ a typed metadata struct alongside; decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages so payload bytes
 stream through executors in columnar batches and never transit the driver.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are pluggable: :data:`default_image_decoder` raises
-NotImplementedError with the dependency name, and tests inject deterministic
-fakes. The Spark-side plumbing — schema, batch shape, partition sizing — is
-real and tested (SURVEY.md build brief: stub the decode, make the plumbing
-real).
+Decode is REAL for every format a pure-stdlib decoder can handle —
+PNG / PPM / PGM / BMP images and PCM WAV audio (``mediacodecs.py``:
+zlib + struct + numpy, incl. all five PNG scanline filters). Formats that
+genuinely need external codecs (JPEG/GIF/WebP, MP3/MP4 — PIL/ffmpeg are
+not in this container) raise NotImplementedError with the dependency
+name through the same pluggable seam, and tests can still inject fakes.
 """
 
 from __future__ import annotations
@@ -51,10 +51,18 @@ Decoder = Callable[[bytes, dict[str, Any]], np.ndarray]
 
 
 def default_image_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
-    raise NotImplementedError(
-        "image decode requires PIL/opencv (not in this container); "
-        "inject decoder= with a real kernel in production"
-    )
+    """Real decode for PNG/PPM/PGM/BMP (mediacodecs.image_features);
+    JPEG/GIF/WebP raise NotImplementedError naming the missing library."""
+    from zarr_climate_etl_ipfs_spark.mediacodecs import image_features
+
+    return image_features(content, meta)
+
+
+def default_audio_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """Real decode for PCM WAV (mediacodecs.audio_features)."""
+    from zarr_climate_etl_ipfs_spark.mediacodecs import audio_features
+
+    return audio_features(content, meta)
 
 
 def deterministic_fake_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
@@ -115,9 +123,10 @@ def extract_features(
                 try:
                     feat = decoder(row[content_col], {})
                     out.append((row[id_col], feat.tolist(), True, None))
-                except NotImplementedError:
-                    raise
                 except Exception as e:  # noqa: BLE001 — per-row isolation
+                    # includes NotImplementedError: one JPEG row in a PNG
+                    # corpus must not kill the stage — it lands as
+                    # decode_ok=false with the missing-dependency name
                     out.append((row[id_col], None, False, str(e)[:200]))
             yield pd.DataFrame(out, columns=["doc_id", "feature", "decode_ok", "error"])
 
