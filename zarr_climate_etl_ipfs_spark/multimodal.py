@@ -119,15 +119,17 @@ def extract_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            # zip over the two columns, not iterrows(): row materialization
+            # dominated the batch loop (~5x) for small payloads
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    feat = decoder(row[content_col], {})
-                    out.append((row[id_col], feat.tolist(), True, None))
+                    feat = decoder(content, {})
+                    out.append((rid, feat.tolist(), True, None))
                 except Exception as e:  # noqa: BLE001 — per-row isolation
                     # includes NotImplementedError: one JPEG row in a PNG
                     # corpus must not kill the stage — it lands as
                     # decode_ok=false with the missing-dependency name
-                    out.append((row[id_col], None, False, str(e)[:200]))
+                    out.append((rid, None, False, str(e)[:200]))
             yield pd.DataFrame(out, columns=["doc_id", "feature", "decode_ok", "error"])
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(

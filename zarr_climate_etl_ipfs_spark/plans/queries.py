@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3589,3 +3590,56 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink).orderBy("event_type")
+
+
+@q(
+    "multimodal_decode_roundtrip",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             CAST(doc_id % 7 + 2 AS DOUBLE) AS side,
+             CAST(doc_id % 251 AS DOUBLE) AS shade
+      FROM documents
+    )
+    SELECT doc_id,
+           [side, side, 3.0, shade, 0.0, shade, shade, shade, shade,
+            shade, shade, 0.0] AS feature
+    FROM params ORDER BY doc_id
+    """,
+)
+def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode as a driver-checkable catalog entry: every doc gets
+    a REAL constant-color RGB PNG (side = doc_id%7+2, shade = doc_id%251)
+    encoded executor-side, then the production decode path
+    (multimodal.extract_features -> mediacodecs.decode_png: zlib inflate +
+    scanline unfiltering) runs distributively and emits the 12-dim image
+    feature. Constant images make every feature value closed-form — height,
+    width, channels, mean=shade, std=0, four quadrant means=shade, channel-0
+    min/max=shade, edge energy=0 — so the DuckDB oracle verifies the whole
+    encode->decode->featurize chain ARITHMETICALLY, value-exact, without
+    needing a PNG codec. Two Arrow python stages (generate, decode) over the
+    scan; no shuffle except the output sort."""
+    from zarr_climate_etl_ipfs_spark import multimodal as mm
+
+    @F.pandas_udf("binary")
+    def gen_png(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
+
+        out = []
+        for d in doc_id:
+            side = int(d) % 7 + 2
+            shade = int(d) % 251
+            img = np.full((side, side, 3), shade, dtype=np.uint8)
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    d = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", gen_png("doc_id").alias("content")
+    )
+    feats = mm.extract_features(d)
+    return (
+        feats.select("doc_id", F.col("feature").cast("array<double>").alias("feature"))
+        .orderBy("doc_id")
+    )
