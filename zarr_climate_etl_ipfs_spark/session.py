@@ -17,6 +17,10 @@ from pyspark.sql import SparkSession
 #: shuffle partitions at runtime, so the static number only caps parallelism.
 TUNING: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # runtime-mutable; pins externally built sessions (the correctness
+    # driver's) to cluster-width shuffles instead of the 200 default —
+    # with AQE coalescing below, the static number only caps parallelism
+    "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
