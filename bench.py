@@ -72,6 +72,8 @@ def main() -> None:
         "curation_pipeline",
         # round-4 addition (unlabeled hyperplane-LSH embedding dedup)
         "embedding_lsh_neardups",
+        # round-5 addition (concatenate-and-slice token packing)
+        "sequence_packing",
     ]
     run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (
