@@ -107,7 +107,7 @@ def test_wav_roundtrip_and_meta():
     out, meta = mc.decode_wav(mc.encode_wav(stereo, sample_rate=16000))
     assert out.shape == (16000, 2)
     assert meta["sample_rate"] == 16000 and meta["duration_ms"] == 1000
-    assert np.abs(out - stereo).max() < 1.5 / 32767
+    assert np.abs(out - stereo).max() <= 0.5 / 32768 + 1e-7
 
 
 def test_image_dispatch_and_external_format_error():
@@ -156,3 +156,38 @@ def test_audio_features_on_spark(spark):
     assert (n, ch, rate, dur_ms) == (8000.0, 1.0, 8000.0, 1000.0)
     rms = got["feature"][4]
     assert abs(rms - 0.9 / np.sqrt(2)) < 0.01
+
+
+# -- property round-trips (pure numpy, no Spark) -----------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+    out, meta = mc.decode_png(mc.encode_png(img))
+    assert np.array_equal(out, img)
+    assert (meta["height"], meta["width"], meta["n_channels"]) == (h, w, c)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4000),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    x = np.random.RandomState(seed).uniform(-0.99, 0.99, (n, ch)).astype(np.float32)
+    out, meta = mc.decode_wav(mc.encode_wav(x, sample_rate=rate))
+    assert out.shape == (n, ch)
+    assert meta["sample_rate"] == rate
+    assert np.abs(out - x).max() <= 0.5 / 32768 + 1e-7

@@ -246,7 +246,9 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     if arr.ndim == 1:
         arr = arr[:, None]
     n, c = arr.shape
-    pcm = np.clip(arr * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    # round (not truncate) and use the decoder's /32768 scale so the
+    # round-trip error is bounded by half an LSB
+    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, c, sample_rate, sample_rate * c * 2, c * 2, 16)
     return (
         b"RIFF"
