@@ -502,6 +502,63 @@ def test_srp_signature_expr_matches_arrow_kernel(spark, embeddings):
     assert a.join(b, "vec_id").filter(F.col("sa") != F.col("sb")).count() == 0
 
 
+def test_srp_band_values_matches_numpy(spark, embeddings):
+    """Per-band packing must equal slicing the full bit matrix: band b of
+    width w packs bits [b*w, (b+1)*w) little-endian — no 64-plane cap."""
+    planes = similarity.rademacher_planes(96, 64, seed=42)
+    got = {
+        r["vec_id"]: r["bvs"]
+        for r in embeddings.select(
+            "vec_id", similarity.srp_band_values("embedding", planes, bands=6).alias("bvs")
+        ).collect()
+    }
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    bits = (mat @ planes.T) > 0
+    w = 96 // 6
+    weights = 1 << np.arange(w, dtype=np.int64)
+    for k, vid in enumerate(pdf["vec_id"]):
+        want = [int(bits[k, b * w : (b + 1) * w] @ weights) for b in range(6)]
+        assert got[int(vid)] == want, vid
+
+
+def test_srp_neardup_pairs_finds_planted_dups(spark):
+    """Wide-band production LSH: planted near-identical pairs (cos ≥ 0.999)
+    must all surface; output respects id_a < id_b and the threshold."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant 5 near-dups: id 100+i is id i plus tiny noise
+    for i in range(5):
+        v = base[i] + rng.normal(scale=1e-3, size=64).astype(np.float32)
+        rows.append((100 + i, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.srp_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, n_planes=128, bands=8
+    ).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert {(i, 100 + i) for i in range(5)} <= got_pairs
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.95
+
+
+def test_srp_neardup_pairs_max_bucket_cap(spark):
+    """A value flooding one band bucket is dropped by the cap (documented
+    recall trade), shrinking output instead of exploding it."""
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=64).astype(np.float32)
+    # 30 copies of the same vector -> every band bucket holds all 30
+    rows = [(i, v.tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = similarity.srp_neardup_pairs(df, threshold=0.95, n_planes=32, bands=2)
+    capped = similarity.srp_neardup_pairs(
+        df, threshold=0.95, n_planes=32, bands=2, max_bucket=10
+    )
+    assert full.count() == 30 * 29 // 2
+    assert capped.count() == 0
+
+
 def test_sequence_packing_offsets_and_fill(spark):
     """Concatenate-and-slice packing: docs land in the 512-token window
     their stream offset starts in; windows are per (lang, shard)."""

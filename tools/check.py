@@ -66,7 +66,8 @@ def _canon_duck_type(t: str) -> str:
         return "decimal"
     return {
         "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "int", "TINYINT": "int",
-        "DOUBLE": "double", "FLOAT": "float", "VARCHAR": "str",
+        "UINTEGER": "int", "USMALLINT": "int", "UTINYINT": "int",
+        "DOUBLE": "double", "FLOAT": "float", "REAL": "float", "VARCHAR": "str",
         "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
         "DATE": "date", "BOOLEAN": "bool", "BLOB": "bytes",
         "HUGEINT": "hugeint", "UBIGINT": "hugeint",
@@ -88,8 +89,14 @@ def _type_mismatches(spark_types: dict, duck_types: dict) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -113,6 +120,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -123,9 +131,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"status": "fail", "problems": [f"spark error: {e}"]}
             continue
         if name not in oracles:
             print(f"weak  {name}: rows-only ({len(srows)} rows)")
+            report[name] = {"status": "weak", "n_rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -138,6 +148,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
+            report[name] = {"status": "fail", "problems": [f"oracle error: {e}"]}
             continue
         problems = []
         if wide:
@@ -159,9 +170,32 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
+            report[name] = {"status": "fail", "problems": problems}
         else:
             print(f"ok    {name} ({len(srows)} rows)")
+            report[name] = {
+                "status": "ok",
+                "n_rows": len(srows),
+                "rows_match": True,
+                "columns_match": True,
+                "values_match": True,
+                "dtypes_match": True,
+            }
     print(f"\n{len(queries) - len(failures)}/{len(queries)} matched")
+    if json_out:
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_ok": sum(1 for r in report.values() if r["status"] == "ok"),
+            "n_weak": sum(1 for r in report.values() if r["status"] == "weak"),
+            "n_fail": len(failures),
+            "comparator": "rows + column-set + dtype canon + repr-exact values vs DuckDB oracle",
+            "queries": report,
+        }
+        Path(json_out).write_text(_json.dumps(payload, indent=1) + "\n")
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 

@@ -276,8 +276,6 @@ _IMAGE_MAGIC = (
 
 _NEEDS_EXTERNAL = {
     b"\xff\xd8\xff": "JPEG (needs PIL/libjpeg)",
-    b"GIF8": "GIF (needs PIL)",
-    b"RIFFWEBP": "WebP (needs PIL/libwebp)",
 }
 
 
@@ -286,6 +284,10 @@ def decode_image(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     for magic, dec in _IMAGE_MAGIC:
         if content[: len(magic)] == magic:
             return dec(content)
+    # WebP is RIFF <4-byte size> WEBP — the format tag sits at offset 8, so a
+    # plain prefix compare can't see it (and must not shadow RIFF/WAVE audio).
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        raise NotImplementedError("WebP (needs PIL/libwebp) — not in this container; inject a decoder")
     for magic, name in _NEEDS_EXTERNAL.items():
         if content[: len(magic)] == magic:
             raise NotImplementedError(f"{name} — not in this container; inject a decoder")

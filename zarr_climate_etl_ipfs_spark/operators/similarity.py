@@ -226,9 +226,12 @@ def srp_signature(vec_col: Column | str, planes: "np.ndarray") -> Column:
 def srp_signature_expr(vec_col: Column | str, planes: "np.ndarray") -> Column:
     """JVM-expression twin of :func:`srp_signature`: the ±1 plane matrix is
     embedded as array literals and each bit is a zip_with/aggregate fold.
-    Bit-identical to the Arrow kernel (products of a float32 value by ±1.0
-    are exact in float64, so every summation order gives the same sign) but
-    with no Python worker in the plan — for modest plane counts this wins
+    Each float32×(±1.0) product is exact in float64, but float64 *addition*
+    is not associative, so numpy's pairwise-summed matmul and this sequential
+    fold can in principle disagree in sign when |dot| sits below accumulated
+    rounding error (~1e-13 for these dims); the equivalence is guarded
+    empirically by tests, not guaranteed mathematically. No Python worker in
+    the plan — for modest plane counts this wins
     on both latency and stage-launch overhead; prefer the Arrow variant
     when n_planes × dim makes the expression tree unwieldy (≳ thousands of
     literals)."""
@@ -245,6 +248,130 @@ def srp_signature_expr(vec_col: Column | str, planes: "np.ndarray") -> Column:
             F.lit(0).cast("long")
         )
     return out
+
+
+def srp_band_values(vec_col: Column | str, planes: "np.ndarray", bands: int) -> Column:
+    """Per-band packed SRP values as ``array<long>`` — the band-width-
+    generalized form of :func:`srp_signature`. One Arrow-batched BLAS matmul
+    computes all ``n_planes`` sign bits per batch, then band ``b`` packs bits
+    ``[b·w, (b+1)·w)`` (w = n_planes // bands) into its own long, so the
+    plane count is NOT capped at 64 by the signature dtype: 128 planes / 8
+    bands of 16 bits is a single array column. This is the scale path —
+    band width is THE quadratic-noise knob for hyperplane LSH (a w-bit band
+    admits a random pair with probability 2^-w: 4-bit bands ≈ 6%,
+    16-bit bands ≈ 0.0015% per band)."""
+    pm = planes.astype(np.float64)
+    n_planes = pm.shape[0]
+    if n_planes % bands:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    bpb = n_planes // bands
+    weights = 1 << np.arange(bpb, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _bv(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ pm.T) > 0
+        vals = np.stack(
+            [(bits[:, b * bpb : (b + 1) * bpb] @ weights).astype(np.int64) for b in range(bands)],
+            axis=1,
+        )
+        return pd.Series(list(vals))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _bv(c)
+
+
+def srp_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 128,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Production-scale hyperplane-LSH near-dup pairs (id_a < id_b, cosine ≥
+    threshold) with parameterized band WIDTH — the scale-mode answer to the
+    pinned catalog entry's 4-bit bands (plans/queries.embedding_lsh_neardups
+    keeps 16 planes / 4-bit bands for DuckDB-oracle portability; 4-bit bands
+    admit ~6% of random pairs, quadratic on cross-corpus noise).
+
+    Defaults (128 planes, 8 bands of 16 bits): a random pair collides in
+    ≥1 band with probability ≈ 8·2⁻¹⁶ ≈ 0.012%, while a true near-dup at
+    cos ≥ 0.95 (per-bit agreement p = 1 − θ/π ≈ 0.90) collides with
+    probability 1 − (1 − p¹⁶)⁸ ≈ 0.80, rising steeply toward 1 for the
+    near-identical vectors dedup actually targets (cos 0.99 → 0.99+).
+
+    Plan shape (same as the catalog entry, with the Arrow matmul signature
+    instead of the literal-expression fold): one pandas_udf projection per
+    row → posexplode to (band, bv) id-only rows → ONE bucket aggregate
+    (collect_list per key) → in-bucket pair listing with array transforms →
+    dedup → cosine verify joining the vectors back. Shuffle is linear in
+    n·bands; in-bucket work is quadratic only within a band bucket, which
+    wide bands keep near-singleton on noise. ``max_bucket`` (optional) drops
+    degenerate buckets larger than the cap — a documented recall trade for
+    adversarial corpora where one value floods a band (same device as the
+    DF≤64 posting cap in ngram_jaccard_pairs)."""
+    planes = rademacher_planes(n_planes, dim, seed)
+    s = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.sqrt(
+            F.aggregate(
+                vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        ).alias("_n"),
+        srp_band_values(vec_col, planes, bands).alias("_bvs"),
+    )
+    banded_ids = s.select("vec_id", F.posexplode("_bvs").alias("band", "bv"))
+    buckets = (
+        banded_ids.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = buckets.select(
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    # REPARTITION_BY_NUM after the dedup for the same reason as the catalog
+    # entry: AQE coalesces the tiny id-pair exchange, serializing the cosine
+    # stage; an explicit numbered repartition is the one exchange it keeps.
+    sc = df.sparkSession.sparkContext
+    cand = pairs.dropDuplicates(["id_a", "id_b"]).repartition(sc.defaultParallelism)
+    va = s.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = s.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    cos_expr = (
+        F.aggregate(
+            F.zip_with("_va", "_vb", lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("_na") * F.col("_nb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos_expr)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 # ---------------------------------------------------------------------------

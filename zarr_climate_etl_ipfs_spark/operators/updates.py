@@ -69,9 +69,16 @@ def contiguous_ranges(
         .distinct()
         .withColumn(
             "_is_start",
+            # half-microsecond tolerance: the NTZ→double epoch cast rounds at
+            # ~2^-22 s near 2^30-s epochs, so exact == would spuriously split
+            # an on-cadence step that carries sub-second fractions
             F.when(
-                _epoch_s(time_dim) - _epoch_s(F.lag(F.col(time_dim)).over(w))
-                == F.lit(float(secs)),
+                F.abs(
+                    _epoch_s(time_dim)
+                    - _epoch_s(F.lag(F.col(time_dim)).over(w))
+                    - F.lit(float(secs))
+                )
+                < F.lit(5e-7),
                 F.lit(0),
             ).otherwise(F.lit(1)),
         )
