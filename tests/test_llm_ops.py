@@ -559,6 +559,29 @@ def test_srp_neardup_pairs_max_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_pack_sequences_shard_invariants(spark, docs):
+    """Shard count moves WHERE docs pack, never what is packed: total docs
+    and total tokens are invariant across shard counts, no window
+    partition exceeds its shard, and the default path (n_shards=None)
+    uses defaultParallelism."""
+    d = docs.select(
+        "doc_id", "lang", textanalysis.token_count("text").alias("n_tokens")
+    )
+    totals = {}
+    for n in (1, 8, 32):
+        seqs = textanalysis.pack_sequences(d, n_shards=n)
+        agg = seqs.agg(
+            F.sum("n_docs").alias("docs"), F.sum("seq_tokens").alias("toks"),
+            F.countDistinct("shard").alias("shards"),
+        ).collect()[0]
+        totals[n] = (agg["docs"], agg["toks"])
+        assert agg["shards"] <= n
+    assert totals[1] == totals[8] == totals[32]
+    dp = spark.sparkContext.defaultParallelism
+    seqs_default = textanalysis.pack_sequences(d)
+    assert seqs_default.agg(F.max("shard")).collect()[0][0] < dp
+
+
 def test_sequence_packing_offsets_and_fill(spark):
     """Concatenate-and-slice packing: docs land in the 512-token window
     their stream offset starts in; windows are per (lang, shard)."""

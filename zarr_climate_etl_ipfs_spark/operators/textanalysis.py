@@ -8,7 +8,7 @@ with the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the heuristic language identifier.
@@ -176,4 +176,41 @@ def pii_counts(text: Column | str) -> Column:
         F.array(
             *[F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))) for _, p, _ in PII_PATTERNS]
         ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    budget: int = 512,
+    group_cols: tuple[str, ...] = ("lang",),
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Concatenate-and-slice sequence packing: each doc lands in the
+    ``budget``-token window its running stream offset starts in (the
+    standard pretraining layout — true greedy bin packing is a sequential
+    scan Spark shouldn't emulate row-by-row). Returns one row per packed
+    sequence: ``(*group_cols, shard, seq_id, n_docs, seq_tokens)``.
+
+    The running offset is a windowed cumsum PARTITIONED BY (group, shard),
+    so the shard count bounds the longest window partition at
+    corpus/(groups·shards). ``n_shards`` defaults to
+    ``defaultParallelism`` — on a 1000-executor cluster the window
+    partitions scale with the cluster automatically; pass an explicit
+    count only when sequence ids must be reproducible across cluster
+    sizes (the catalog query pins 8 so its DuckDB oracle computes
+    identical seq boundaries)."""
+    n = n_shards if n_shards is not None else df.sparkSession.sparkContext.defaultParallelism
+    w = (
+        Window.partitionBy(*group_cols, "shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("shard", F.col(order_col) % n)
+        .withColumn("start_off", F.sum(token_col).over(w) - F.col(token_col))
+        .withColumn("seq_id", F.floor(F.col("start_off") / budget))
+        .groupBy(*group_cols, "shard", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum(token_col).alias("seq_tokens"))
     )

@@ -2354,17 +2354,23 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is linear in corpus size, quadratic only inside a bucket, and
     exact hamming is verified in-bucket. No cross join at any scale.
 
-    Round-4 profiling (sf0.1, warm): signature agg 1.6s, pair join 0.6s,
-    orderBy + 132k-row collect ~0.5s. Packing 5 bit-counters per long
-    (12-bit lanes, 12 SUMs instead of 56) was bit-identical but saved only
-    ~8% — the wide aggregate is not the bottleneck; the remaining gap to
-    the single-process oracle is fixed job/shuffle/collect overhead that
-    amortizes at scale."""
+    Round-6 profiling (sf0.1, warm, min-of-5, .collect() so Catalyst can't
+    prune the signature): this formulation's signature stage is 1.53 s and
+    the full query 2.8-3.0 s vs DuckDB's 0.76 s. Measured alternatives all
+    LOSE: a per-row aggregate() fold over the word-hash array (no shuffle)
+    times 2.3 s alone — and 9.4 s in the full query unless a repartition
+    pins a reuse boundary (the 56-fold projection otherwise re-evaluates
+    per join side), landing at 3.3 s; a single-pass fold packing 4×14-bit
+    counter lanes per long is 2.0 s (interpreted HOF overhead dominates);
+    r4 already measured 12-bit-lane packed SUMs at only −8%. The floor is
+    the codegen'd wide aggregate over ~1M exploded rows plus fixed
+    job/shuffle/collect overhead on a 132k-row result — accepted as local
+    constant cost; the plan itself (map-side-combined agg, linear-shuffle
+    pigeonhole join) is the one we want at 100 TB."""
     from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
-
-    d = t_wide(spark, sf_dir, "documents")
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
+    d = t_wide(spark, sf_dir, "documents")
     h = d.select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("w")
     ).select("doc_id", md5int(F.col("w")).alias("hv"))
@@ -3558,29 +3564,22 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in the 512-token window its stream offset starts in; the
     standard "concat then slice" pretraining layout, where true greedy
     bin packing is a sequential scan Spark shouldn't emulate row-by-row).
-    Docs are sharded (doc_id % 8) inside each language so every window is
-    a bounded, independent partition — at 100 TB the shard count scales
-    with the cluster and no window partition is longer than corpus/shards;
-    the per-sequence and per-language rollups are ordinary partial
-    aggregations. Output: packing-efficiency accounting per language."""
-    from zarr_climate_etl_ipfs_spark.operators.textanalysis import token_count
+    Docs are sharded inside each language so every window partition is
+    bounded at corpus/(langs·shards). THIS entry pins n_shards=8 so the
+    DuckDB oracle computes identical sequence boundaries; the operator it
+    calls (operators/textanalysis.pack_sequences) defaults n_shards to
+    defaultParallelism, which is the production setting — on a
+    1000-executor cluster the window partitions scale with the cluster
+    (SCALE.md measures that mode at 500k docs). The per-sequence and
+    per-language rollups are ordinary partial aggregations. Output:
+    packing-efficiency accounting per language."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import pack_sequences, token_count
 
     budget = 512
     d = t_wide(spark, sf_dir, "documents").select(
-        "doc_id", "lang", (F.col("doc_id") % 8).alias("shard"),
-        token_count("text").alias("n_tokens"),
+        "doc_id", "lang", token_count("text").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("lang", "shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offs = d.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    seqs = (
-        offs.withColumn("seq_id", F.floor(F.col("start_off") / budget))
-        .groupBy("lang", "shard", "seq_id")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("seq_tokens"))
-    )
+    seqs = pack_sequences(d, budget=budget, n_shards=8)
     return (
         seqs.groupBy("lang")
         .agg(
