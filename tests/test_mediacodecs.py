@@ -191,3 +191,64 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     assert out.shape == (n, ch)
     assert meta["sample_rate"] == rate
     assert np.abs(out - x).max() <= 0.5 / 32768 + 1e-7
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=2, max_value=200),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, ncolors, interlace, seed):
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = palette[rng.randint(0, ncolors, (h, w))]
+    out, meta = mc.decode_gif(mc.encode_gif(img, interlace=interlace))
+    assert np.array_equal(out, img)
+    assert (meta["height"], meta["width"], meta["n_frames"]) == (h, w, 1)
+
+
+def test_gif_dispatch_and_multiframe_meta():
+    """decode_image routes GIF by magic; a two-frame GIF decodes frame 1
+    and reports n_frames=2."""
+    img1 = RNG.randint(0, 4, (9, 11), dtype=np.uint8)
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    rgb1 = palette[img1]
+    encoded = bytearray(mc.encode_gif(rgb1))
+    # splice a second (identical) image block before the trailer
+    body_start = encoded.index(0x2C, 13 + 4 * 3)
+    frame = bytes(encoded[body_start:-1])  # image block without trailer
+    two = bytes(encoded[:-1]) + frame + b"\x3b"
+    out, meta = mc.decode_image(bytes(two))
+    assert np.array_equal(out, rgb1)
+    assert meta["n_frames"] == 2
+
+
+def test_gif_lzw_width_growth_and_clear():
+    """A large high-entropy image forces the LZW dict through width growth
+    to 12 bits and a mid-stream CLEAR; round-trip must survive both."""
+    rng = np.random.RandomState(3)
+    palette = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    img = palette[rng.randint(0, 256, (80, 90))]
+    out, _ = mc.decode_gif(mc.encode_gif(img))
+    assert np.array_equal(out, img)
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_gif(b"GIF89a" + b"\x00" * 4)
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_webp_raises_named_notimplemented():
+    """RIFF....WEBP must name libwebp, and RIFF/WAVE must not be mistaken
+    for WebP by the offset-aware check."""
+    fake_webp = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    with pytest.raises(NotImplementedError, match="libwebp"):
+        mc.decode_image(fake_webp)
+    wav = mc.encode_wav(np.zeros((16, 1), dtype=np.float32))
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_image(wav)  # RIFF/WAVE is not an image — generic error

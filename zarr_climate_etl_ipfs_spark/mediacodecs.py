@@ -1,15 +1,16 @@
-"""Pure-stdlib media codecs: PNG / PPM / PGM / BMP images and PCM WAV audio.
+"""Pure-stdlib media codecs: PNG / GIF / PPM / PGM / BMP images, PCM WAV audio.
 
 The container has no PIL/opencv/ffmpeg, but none are needed for the
-lossless formats whose decoders are just byte-layout + zlib (stdlib):
+lossless formats whose decoders are just byte-layout + zlib/LZW (stdlib):
 these kernels turn the multimodal "decode" step from an injectable stub
 into a real decoder for PNG (8-bit gray/gray+alpha/RGB/RGBA, all five
-scanline filters), binary PPM/PGM, uncompressed 24-bit BMP, and PCM WAV
-(8/16-bit). Formats that genuinely need external codecs (JPEG, MP3, MP4)
-still raise with the dependency name — the seam `multimodal.py` documents.
+scanline filters), GIF87a/89a (LZW, global/local palettes, interlace),
+binary PPM/PGM, uncompressed 24-bit BMP, and PCM WAV (8/16-bit). Formats
+that genuinely need external codecs (JPEG, WebP, MP3, MP4) still raise
+with the dependency name — the seam `multimodal.py` documents.
 
-Encoders for PNG/PPM/WAV exist so tests can round-trip real bytes without
-fixtures from outside the repo.
+Encoders for PNG/GIF/PPM/WAV exist so tests can round-trip real bytes
+without fixtures from outside the repo.
 """
 
 from __future__ import annotations
@@ -23,6 +24,222 @@ import numpy as np
 
 class MediaDecodeError(ValueError):
     pass
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): palette + LZW, both pure stdlib
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: little-endian bit packing, variable code width
+    starting at min_code_size+1 (max 12), CLEAR resets the table."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise MediaDecodeError(f"GIF LZW: bad code {code}")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """GIF87a/89a → (H, W, 3) uint8 RGB of the FIRST frame (training-data
+    feature extraction wants one representative raster, not an animation);
+    ``meta['n_frames']`` counts every image block so multi-frame inputs are
+    visible to callers. Handles global/local color tables, interlacing, and
+    skips extension blocks; transparency index (89a GCE) is reported in
+    meta but not composited — there is no prior frame to composite over."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF (bad signature)")
+    if len(content) < 14:
+        raise MediaDecodeError("GIF: truncated header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    first: np.ndarray | None = None
+    n_frames = 0
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            label = content[pos]
+            pos += 1
+            sub0 = pos
+            while content[pos] != 0:
+                pos += content[pos] + 1
+            if label == 0xF9 and first is None:  # graphic control before frame 1
+                gce = content[sub0 + 1 : sub0 + 1 + content[sub0]]
+                if len(gce) >= 4 and gce[0] & 0x01:
+                    transparent = gce[3]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise MediaDecodeError(f"GIF: unexpected block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        min_code_size = content[pos]
+        pos += 1
+        chunks = []
+        while content[pos] != 0:
+            ln = content[pos]
+            chunks.append(content[pos + 1 : pos + 1 + ln])
+            pos += ln + 1
+        pos += 1
+        n_frames += 1
+        if first is not None:
+            continue  # later frames: counted, not decoded
+        if ct is None:
+            raise MediaDecodeError("GIF: no color table for first frame")
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size)
+        if len(idx) < w * h:
+            raise MediaDecodeError(f"GIF: short pixel data ({len(idx)} < {w * h})")
+        arr = np.asarray(idx[: w * h], dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = np.empty_like(arr)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for r in range(start, h, step):
+                    rows[r] = arr[src]
+                    src += 1
+            arr = rows
+        if int(arr.max(initial=0)) >= len(ct):
+            raise MediaDecodeError("GIF: pixel index out of palette range")
+        frame = ct[arr]  # (h, w, 3)
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        canvas[top : top + h, left : left + w] = frame
+        first = canvas
+    if first is None:
+        raise MediaDecodeError("GIF: no image data")
+    meta = {"format": "gif", "height": sh, "width": sw, "channels": 3, "n_frames": n_frames}
+    if transparent is not None:
+        meta["transparent_index"] = int(transparent)
+    return first, meta
+
+
+def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """Real dictionary LZW (not the clear-code-spam shortcut), matching the
+    decoder's width-growth rule."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    prev = b""
+    for v in indices.ravel().tolist():
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 with ≤256 distinct colors → single-frame GIF89a.
+    Exists (like encode_png/encode_wav) so tests round-trip real bytes."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_gif wants (H, W, 3) uint8")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif: {len(palette)} colors > 256")
+    ct_bits = max(1, (len(palette) - 1).bit_length())
+    ct_n = 1 << ct_bits
+    ct = np.zeros((ct_n, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        idx = idx[order]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
+    out += ct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    min_code_size = max(2, ct_bits)
+    out.append(min_code_size)
+    payload = _gif_lzw_encode(idx, min_code_size)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +486,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 _IMAGE_MAGIC = (
     (_PNG_SIG, decode_png),
+    (b"GIF87a", decode_gif),
+    (b"GIF89a", decode_gif),
     (b"P5", decode_ppm),
     (b"P6", decode_ppm),
     (b"BM", decode_bmp),

@@ -3676,34 +3676,40 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode as a driver-checkable catalog entry: every doc gets
-    a REAL constant-color RGB PNG (side = doc_id%7+2, shade = doc_id%251)
-    encoded executor-side, then the production decode path
-    (multimodal.extract_features -> mediacodecs.decode_png: zlib inflate +
-    scanline unfiltering) runs distributively and emits the 12-dim image
-    feature. Constant images make every feature value closed-form — height,
-    width, channels, mean=shade, std=0, four quadrant means=shade, channel-0
-    min/max=shade, edge energy=0 — so the DuckDB oracle verifies the whole
-    encode->decode->featurize chain ARITHMETICALLY, value-exact, without
-    needing a PNG codec. Two Arrow python stages (generate, decode) over the
-    scan; no shuffle except the output sort."""
+    a REAL constant-color RGB raster (side = doc_id%7+2, shade = doc_id%251)
+    encoded executor-side — PNG for even doc_ids, GIF89a (interlaced on
+    doc_id%4==1) for odd — then the production decode path
+    (multimodal.extract_features -> mediacodecs.decode_png / decode_gif:
+    zlib inflate + scanline unfiltering, or LZW + palette + de-interlace)
+    runs distributively and emits the 12-dim image feature. Constant images
+    make every feature value closed-form — height, width, channels,
+    mean=shade, std=0, four quadrant means=shade, channel-0 min/max=shade,
+    edge energy=0 — identical regardless of container format, so the DuckDB
+    oracle verifies the whole encode->decode->featurize chain
+    ARITHMETICALLY, value-exact, without needing either codec. Two Arrow
+    python stages (generate, decode) over the scan; no shuffle except the
+    output sort."""
     from zarr_climate_etl_ipfs_spark import multimodal as mm
 
     @F.pandas_udf("binary")
-    def gen_png(doc_id: pd.Series) -> pd.Series:
+    def gen_img(doc_id: pd.Series) -> pd.Series:
         import numpy as np
 
-        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
+        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_gif, encode_png
 
         out = []
         for d in doc_id:
             side = int(d) % 7 + 2
             shade = int(d) % 251
             img = np.full((side, side, 3), shade, dtype=np.uint8)
-            out.append(encode_png(img))
+            if int(d) % 2 == 0:
+                out.append(encode_png(img))
+            else:
+                out.append(encode_gif(img, interlace=int(d) % 4 == 1))
         return pd.Series(out)
 
     d = t_wide(spark, sf_dir, "documents").select(
-        "doc_id", gen_png("doc_id").alias("content")
+        "doc_id", gen_img("doc_id").alias("content")
     )
     feats = mm.extract_features(d)
     return (
