@@ -74,6 +74,8 @@ def main() -> None:
         "embedding_lsh_neardups",
         # round-5 addition (concatenate-and-slice token packing)
         "sequence_packing",
+        # round-6 addition (wide-band hyperplane LSH — the scale-mode knob)
+        "embedding_lsh_neardups_wide",
     ]
     run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (

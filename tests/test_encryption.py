@@ -77,3 +77,86 @@ def test_store_compression_option(tmp_path, spark, desc, initial_df):
     size = lambda p: sum(f.stat().st_size for f in p.rglob("*.parquet"))  # noqa: E731
     assert size(s1.data_path) < size(s2.data_path)
     assert s1.dataset().count() == s2.dataset().count() == 138 * 16
+
+
+# -- XChaCha20 parity codec (draft-irtf-cfrg-xchacha vectors, no Spark) ------
+
+
+def test_hchacha20_draft_vector():
+    """§2.2.1 of draft-irtf-cfrg-xchacha: known key + 16-byte nonce →
+    known subkey (no feed-forward)."""
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    nonce = bytes.fromhex("000000090000004a0000000031415927")
+    assert (
+        enc._hchacha20(key, nonce).hex()
+        == "82413b4227b27bfed30e42508a877d73a0f9e4d58a74a853c12ec41326d3ecdc"
+    )
+
+
+def test_xchacha20_poly1305_draft_aead_vector():
+    """§A.3: full AEAD vector — our HChaCha20 + IETF composition must
+    reproduce the draft's ciphertext AND tag byte-for-byte, which is what
+    makes the codec exact vs the reference's PyCryptodome XChaCha."""
+    from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
+
+    pt = bytes.fromhex(
+        "4c616469657320616e642047656e746c656d656e206f662074686520636c6173"
+        "73206f66202739393a204966204920636f756c64206f6666657220796f75206f"
+        "6e6c79206f6e652074697020666f7220746865206675747572652c2073756e73"
+        "637265656e20776f756c642062652069742e"
+    )
+    aad = bytes.fromhex("50515253c0c1c2c3c4c5c6c7")
+    key = bytes.fromhex(
+        "808182838485868788898a8b8c8d8e8f909192939495969798999a9b9c9d9e9f"
+    )
+    nonce = bytes.fromhex("404142434445464748494a4b4c4d4e4f5051525354555657")
+    subkey, inonce = enc._xchacha_parts(key, nonce)
+    ct_tag = ChaCha20Poly1305(subkey).encrypt(inonce, pt, aad)
+    assert ct_tag[:-16].hex() == (
+        "bd6d179d3e83d43b9576579493c0e939572a1700252bfaccbed2902c21396cbb"
+        "731c7f1b0b4aa6440bf3a82f4eda7e39ae64c6708c54c216cb96b72e1213b452"
+        "2f8c9ba40db5d945b11b69b982c1bb9e3f3fac2bc369488f76b2383565d3fff9"
+        "21f9664c97637da9768812f615c68b13b52e"
+    )
+    assert ct_tag[-16:].hex() == "c0875924c1c7987947deafd8780acf49"
+
+
+def test_xchacha_reference_layout_roundtrip_and_wrong_key():
+    key = enc.generate_key()
+    blob = enc.xencrypt_bytes(b"chunk bytes", key)
+    assert len(blob) == 24 + 16 + len(b"chunk bytes")
+    assert enc.xdecrypt_bytes(blob, key) == b"chunk bytes"
+    with pytest.raises(enc.EncryptionError):
+        enc.xdecrypt_bytes(blob, enc.generate_key())
+    # AAD is part of the tag: reference AAD vs none must fail
+    with pytest.raises(enc.EncryptionError):
+        enc.xdecrypt_bytes(blob, key, aad=b"")
+
+
+def test_xchacha_known_blob_cross_decrypt():
+    """A blob in the reference's exact layout (nonce‖tag‖ct, AAD
+    'dClimate-Zarr') assembled from the validated primitives must decrypt —
+    the cross-engine direction of the parity claim."""
+    from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
+
+    key = bytes(range(32))
+    nonce = bytes(range(24))
+    subkey, inonce = enc._xchacha_parts(key, nonce)
+    ct_tag = ChaCha20Poly1305(subkey).encrypt(inonce, b"gridded chunk", enc.REFERENCE_AAD)
+    blob = nonce + ct_tag[-16:] + ct_tag[:-16]
+    assert enc.xdecrypt_bytes(blob, key) == b"gridded chunk"
+
+
+def test_column_roundtrip_xchacha_codec(spark):
+    """codec='xchacha20' column round-trip in the reference blob layout."""
+    key = enc.generate_key()
+    kh = enc.register_key(key)
+    df = spark.createDataFrame([(1, "alpha"), (2, None), (3, "gamma")], "id int, txt string")
+    ct = enc.encrypt_column(df, "txt", kh, out_col="blob", codec="xchacha20")
+    rows = {r["id"]: r["blob"] for r in ct.collect()}
+    assert rows[2] is None and len(rows[1]) == 24 + 16 + 5
+    pt = enc.decrypt_column(ct, "blob", kh, out_col="txt2", as_string=True, codec="xchacha20")
+    got = {r["id"]: r["txt2"] for r in pt.collect()}
+    assert got == {1: "alpha", 2: None, 3: "gamma"}

@@ -241,7 +241,7 @@ def _table(results: dict, names: list[str]) -> list[str]:
 
 def write_md(out_md: Path, results: dict) -> None:
     lines = [
-        "# SCALE — dedup + similarity scale curves (round 5)",
+        "# SCALE — dedup + similarity scale curves (round 6)",
         "",
         "Measured evidence that the dedup/near-dup/ANN operators scale",
         "sub-quadratically. Text corpora: the sf0.1 `documents` table (5,000",
@@ -255,7 +255,10 @@ def write_md(out_md: Path, results: dict) -> None:
         "vectors): copy c rotates components by c — within-copy cosines are",
         "preserved exactly, cross-copy cosines are pseudo-random, labels shift",
         "into copy-private ranges so blocking buckets stay constant-size.",
-        "Queries are the SHIPPED catalog entries (REGISTRY), unmodified.",
+        "Queries are the SHIPPED catalog entries (REGISTRY), unmodified, plus",
+        "two bracketed production scale modes (operator defaults the pinned",
+        "catalog entries can't use because their oracles need fixed",
+        "parameters).",
         "Runtime = min over full runs, local[32] (the host shows multi-second",
         "contention spikes; shuffle bytes are run-invariant and come from the",
         "Spark UI REST API — sum of completed stages' shuffleWriteBytes, delta",
@@ -289,6 +292,16 @@ def write_md(out_md: Path, results: dict) -> None:
         "at 64). The complementary embeddings scale path is IVF (`ivf_knn`",
         "above: index build + assignment linear in n, probe cost ∝",
         "n_probe/n_cells).",
+        "",
+        "Reading the wide-band rows: their OUTPUT explodes by construction —",
+        "cross-copy cosines are ~N(0, 1/8), so at the catalog threshold of",
+        "0.35 (≈2.8σ) a constant ~3e-6 fraction of all n²/2 pairs are true",
+        "positives the operator must emit (x100: 679,592 / 268,848 rows).",
+        "Runtime tracks that output (rows grow ~10,000×, runtime 36×/8.9×,",
+        "i.e. per-row cost FALLS with scale), which is the sub-quadratic",
+        "candidate claim in measurable form; at a near-dup threshold (0.95+)",
+        "the noise mass vanishes and only the linear signature/banding cost",
+        "remains.",
         "",
     ]
     lines += [
