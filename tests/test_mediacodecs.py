@@ -252,3 +252,36 @@ def test_webp_raises_named_notimplemented():
     wav = mc.encode_wav(np.zeros((16, 1), dtype=np.float32))
     with pytest.raises(mc.MediaDecodeError):
         mc.decode_image(wav)  # RIFF/WAVE is not an image — generic error
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_roundtrip_property(h, w, c, big_endian, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+    out, meta = mc.decode_tiff(mc.encode_tiff(img, big_endian=big_endian))
+    assert np.array_equal(out, img)
+    assert (meta["height"], meta["width"], meta["channels"]) == (h, w, c)
+    assert meta["byte_order"] == ("big" if big_endian else "little")
+
+
+def test_tiff_dispatch_and_compressed_raises():
+    img = RNG.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    blob = mc.encode_tiff(img)
+    out, meta = mc.decode_image(blob)
+    assert np.array_equal(out, img) and meta["format"] == "tiff"
+    # flip the compression tag (259) to LZW (5): must raise naming LZW
+    bo_idx = blob.index(b"\x03\x01")  # tag 259 little-endian in IFD
+    hacked = blob[: bo_idx + 8] + b"\x05\x00\x00\x00" + blob[bo_idx + 12 :]
+    with pytest.raises(NotImplementedError, match="LZW"):
+        mc.decode_tiff(hacked)
+
+
+def test_tiff_rejects_garbage():
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_tiff(b"XX\x00\x00" + b"\x00" * 16)

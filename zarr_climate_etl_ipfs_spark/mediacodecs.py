@@ -5,12 +5,13 @@ lossless formats whose decoders are just byte-layout + zlib/LZW (stdlib):
 these kernels turn the multimodal "decode" step from an injectable stub
 into a real decoder for PNG (8-bit gray/gray+alpha/RGB/RGBA, all five
 scanline filters), GIF87a/89a (LZW, global/local palettes, interlace),
-binary PPM/PGM, uncompressed 24-bit BMP, and PCM WAV (8/16-bit). Formats
-that genuinely need external codecs (JPEG, WebP, MP3, MP4) still raise
+baseline uncompressed TIFF (II/MM byte orders, strips), binary PPM/PGM,
+uncompressed 24-bit BMP, and PCM WAV (8/16-bit). Formats that genuinely
+need external codecs (JPEG, WebP, LZW/JPEG TIFF, MP3, MP4) still raise
 with the dependency name — the seam `multimodal.py` documents.
 
-Encoders for PNG/GIF/PPM/WAV exist so tests can round-trip real bytes
-without fixtures from outside the repo.
+Encoders for PNG/GIF/TIFF/PPM/WAV exist so tests can round-trip real
+bytes without fixtures from outside the repo.
 """
 
 from __future__ import annotations
@@ -239,6 +240,119 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, uncompressed, strip-based; both byte orders)
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
+    273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
+    279: "strip_byte_counts", 284: "planar_config",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Baseline TIFF → (H, W, C) uint8: uncompressed (compression=1),
+    8 bits/sample, chunky planar config, strip-based, II or MM byte order —
+    the uncompressed-scan flavor scientific instruments and scanners emit.
+    LZW/JPEG-compressed TIFFs raise NotImplementedError naming the codec."""
+    if content[:4] == b"II*\x00":
+        bo = "<"
+    elif content[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise MediaDecodeError("not a TIFF (bad signature)")
+    (ifd_off,) = struct.unpack(bo + "I", content[4:8])
+    (n_entries,) = struct.unpack(bo + "H", content[ifd_off : ifd_off + 2])
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", content[e : e + 8])
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * count
+        if size <= 4:
+            raw = content[e + 8 : e + 8 + size]
+        else:
+            (off,) = struct.unpack(bo + "I", content[e + 8 : e + 12])
+            raw = content[off : off + size]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[name] = list(struct.unpack(bo + fmt * count, raw))
+    try:
+        w, h = tags["width"][0], tags["height"][0]
+    except KeyError as e:
+        raise MediaDecodeError(f"TIFF: missing required tag {e}") from None
+    comp = tags.get("compression", [1])[0]
+    if comp != 1:
+        codec = {5: "LZW", 6: "JPEG", 7: "JPEG", 8: "Deflate", 32773: "PackBits"}.get(
+            comp, f"compression={comp}"
+        )
+        raise NotImplementedError(f"TIFF {codec} — inject a decoder (libtiff/PIL)")
+    spp = tags.get("samples_per_pixel", [1])[0]
+    bps = tags.get("bits_per_sample", [8])
+    if any(b != 8 for b in bps):
+        raise MediaDecodeError(f"TIFF: only 8 bits/sample supported, got {bps}")
+    if tags.get("planar_config", [1])[0] != 1:
+        raise MediaDecodeError("TIFF: planar (non-chunky) layout unsupported")
+    offsets = tags["strip_offsets"]
+    counts = tags.get("strip_byte_counts", [w * h * spp])
+    data = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
+    if len(data) < w * h * spp:
+        raise MediaDecodeError(f"TIFF: short strip data ({len(data)} < {w * h * spp})")
+    img = np.frombuffer(data[: w * h * spp], dtype=np.uint8).reshape(h, w, spp)
+    return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
+                 "byte_order": "little" if bo == "<" else "big"}
+
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
+    """(H, W) or (H, W, C) uint8 → single-strip uncompressed baseline TIFF.
+    Exists so tests round-trip real bytes in both byte orders."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_tiff wants uint8")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    bo = ">" if big_endian else "<"
+    pixels = img.tobytes()
+    header = b"MM\x00*" if big_endian else b"II*\x00"
+    # layout: header(8) | pixel data | bits_per_sample array (if c>1) | IFD
+    pix_off = 8
+    bps_off = pix_off + len(pixels)
+    ifd_off = bps_off + (2 * c if c > 1 else 0)
+    entries = []
+
+    def entry(tag: int, typ: int, count: int, value: int) -> None:
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(bo + fmt, value)
+        raw += b"\x00" * (4 - len(raw))
+        entries.append(struct.pack(bo + "HHI", tag, typ, count) + raw)
+
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    if c > 1:
+        entries.append(struct.pack(bo + "HHII", 258, 3, c, bps_off))
+    else:
+        entry(258, 3, 1, 8)
+    entry(259, 3, 1, 1)  # uncompressed
+    entry(262, 3, 1, 2 if c >= 3 else 1)  # photometric: RGB / BlackIsZero
+    entry(273, 4, 1, pix_off)  # strip offset
+    entry(277, 3, 1, c)
+    entry(278, 4, 1, h)  # rows per strip: single strip
+    entry(279, 4, 1, len(pixels))
+    out = bytearray(header)
+    out += struct.pack(bo + "I", ifd_off)
+    out += pixels
+    if c > 1:
+        out += struct.pack(bo + "H" * c, *([8] * c))
+    out += struct.pack(bo + "H", len(entries))
+    for e in sorted(entries, key=lambda b: struct.unpack(bo + "H", b[:2])[0]):
+        out += e
+    out += struct.pack(bo + "I", 0)  # next-IFD terminator
     return bytes(out)
 
 
@@ -488,6 +602,8 @@ _IMAGE_MAGIC = (
     (_PNG_SIG, decode_png),
     (b"GIF87a", decode_gif),
     (b"GIF89a", decode_gif),
+    (b"II*\x00", decode_tiff),
+    (b"MM\x00*", decode_tiff),
     (b"P5", decode_ppm),
     (b"P6", decode_ppm),
     (b"BM", decode_bmp),

@@ -3677,11 +3677,12 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode as a driver-checkable catalog entry: every doc gets
     a REAL constant-color RGB raster (side = doc_id%7+2, shade = doc_id%251)
-    encoded executor-side — PNG for even doc_ids, GIF89a (interlaced on
-    doc_id%4==1) for odd — then the production decode path
-    (multimodal.extract_features -> mediacodecs.decode_png / decode_gif:
-    zlib inflate + scanline unfiltering, or LZW + palette + de-interlace)
-    runs distributively and emits the 12-dim image feature. Constant images
+    encoded executor-side — PNG (doc_id%3==0), GIF89a (%3==1, interlaced on
+    %6==1), baseline TIFF (%3==2, big-endian on %6==5) — then the
+    production decode path (multimodal.extract_features ->
+    mediacodecs.decode_png / decode_gif / decode_tiff: zlib inflate +
+    unfiltering, LZW + palette + de-interlace, or IFD + strips) runs
+    distributively and emits the 12-dim image feature. Constant images
     make every feature value closed-form — height, width, channels,
     mean=shade, std=0, four quadrant means=shade, channel-0 min/max=shade,
     edge energy=0 — identical regardless of container format, so the DuckDB
@@ -3695,17 +3696,24 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_img(doc_id: pd.Series) -> pd.Series:
         import numpy as np
 
-        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_gif, encode_png
+        from zarr_climate_etl_ipfs_spark.mediacodecs import (
+            encode_gif,
+            encode_png,
+            encode_tiff,
+        )
 
         out = []
         for d in doc_id:
             side = int(d) % 7 + 2
             shade = int(d) % 251
             img = np.full((side, side, 3), shade, dtype=np.uint8)
-            if int(d) % 2 == 0:
+            fmt = int(d) % 3
+            if fmt == 0:
                 out.append(encode_png(img))
+            elif fmt == 1:
+                out.append(encode_gif(img, interlace=int(d) % 6 == 1))
             else:
-                out.append(encode_gif(img, interlace=int(d) % 4 == 1))
+                out.append(encode_tiff(img, big_endian=int(d) % 6 == 5))
         return pd.Series(out)
 
     d = t_wide(spark, sf_dir, "documents").select(
