@@ -115,7 +115,9 @@ def test_image_dispatch_and_external_format_error():
     for payload in (mc.encode_png(img), mc.encode_ppm(img)):
         out, _ = mc.decode_image(payload)
         assert np.array_equal(out, img)
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG now decodes for real; a truncated JPEG is a decode error, not a
+    # missing-dependency NotImplementedError
+    with pytest.raises(mc.MediaDecodeError):
         mc.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
     with pytest.raises(mc.MediaDecodeError):
         mc.decode_image(b"garbage bytes here")
@@ -285,3 +287,103 @@ def test_tiff_dispatch_and_compressed_raises():
 def test_tiff_rejects_garbage():
     with pytest.raises(mc.MediaDecodeError):
         mc.decode_tiff(b"XX\x00\x00" + b"\x00" * 16)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("subsample", ["4:4:4", "4:2:2", "4:2:0"])
+def test_jpeg_roundtrip_smooth_gradient(subsample):
+    """JPEG is lossy, so the gate is fidelity (PSNR), not bit equality —
+    a smooth gradient at quality 92 must reconstruct above 40 dB."""
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [yy * 255 / h, xx * 255 / w, (yy + xx) * 255 / (h + w)], axis=-1
+    ).astype(np.uint8)
+    dec, meta = mc.decode_jpeg(mc.encode_jpeg(img, quality=92, subsample=subsample))
+    assert dec.shape == (h, w, 3)
+    assert (meta["height"], meta["width"], meta["n_channels"]) == (h, w, 3)
+    assert _psnr(img, dec) > 40.0
+
+
+def test_jpeg_grayscale_and_nonaligned_dims():
+    """Single-component scan + dimensions that don't fall on the 8x8 (or
+    16x16 for 4:2:0) MCU grid exercise the pad-and-crop path."""
+    yy, xx = np.mgrid[0:17, 0:23]
+    g = (128 + 100 * np.sin(yy / 4.0) * np.cos(xx / 5.0)).astype(np.uint8)
+    dec, meta = mc.decode_jpeg(mc.encode_jpeg(g, quality=90))
+    assert dec.shape == (17, 23, 1) and meta["n_channels"] == 1
+    assert _psnr(g[:, :, None], dec) > 38.0
+    rgb = np.dstack([g, g[::-1], g[:, ::-1]])
+    dec3, _ = mc.decode_jpeg(mc.encode_jpeg(rgb, quality=95, subsample="4:2:0"))
+    assert dec3.shape == (17, 23, 3)
+    assert _psnr(rgb, dec3) > 28.0  # chroma at quarter resolution
+
+
+def test_jpeg_quality100_constant_blocks_bit_exact():
+    """At quality=100 the Annex-K tables scale to all-ones, so a constant
+    image is DC-only with exact integer coefficients: the decode must be
+    bit-identical for every shade — the property the multimodal oracle
+    relies on."""
+    for shade in (0, 1, 97, 128, 250, 255):
+        img = np.full((5, 9, 3), shade, dtype=np.uint8)
+        for sub in ("4:4:4", "4:2:0"):
+            dec, _ = mc.decode_jpeg(mc.encode_jpeg(img, quality=100, subsample=sub))
+            assert np.array_equal(dec, img), (shade, sub)
+
+
+def test_jpeg_restart_markers():
+    """DRI + RSTn segmentation with DC predictor resets must reproduce the
+    same pixels as the unsegmented stream."""
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [yy * 255 / h, xx * 255 / w, (yy * xx) % 256], axis=-1
+    ).astype(np.uint8)
+    base, _ = mc.decode_jpeg(mc.encode_jpeg(img, quality=85, subsample="4:2:0"))
+    for ri in (1, 3):
+        seg, _ = mc.decode_jpeg(
+            mc.encode_jpeg(img, quality=85, subsample="4:2:0", restart_interval=ri)
+        )
+        assert np.array_equal(seg, base)
+
+
+def test_jpeg_dispatch_and_progressive_raises():
+    img = RNG.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    blob = mc.encode_jpeg(img, quality=90)
+    dec, meta = mc.decode_image(blob)
+    assert meta["format"] == "jpeg" and dec.shape == (9, 11, 3)
+    # flip SOF0 (FFC0) to SOF2 (FFC2): must raise naming progressive
+    idx = blob.index(b"\xFF\xC0")
+    hacked = blob[:idx] + b"\xFF\xC2" + blob[idx + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mc.decode_jpeg(hacked)
+
+
+def test_jpeg_rejects_garbage():
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_jpeg(b"\xFF\xD8\xFF\xEE" + b"\x00" * 8)
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_jpeg(b"NOTAJPEG")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=1, max_value=32),
+    st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_property(h, w, subsample, seed):
+    """Arbitrary sizes (including 1xN edge strips) survive the encode →
+    decode chain structurally, and low-frequency content stays faithful."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (-(-h // 8), -(-w // 8), 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:h, :w]  # blocky = low freq
+    dec, meta = mc.decode_jpeg(mc.encode_jpeg(img, quality=95, subsample=subsample))
+    assert dec.shape == (h, w, 3)
+    assert (meta["height"], meta["width"]) == (h, w)
+    assert _psnr(img, dec) > 25.0

@@ -6,11 +6,13 @@ these kernels turn the multimodal "decode" step from an injectable stub
 into a real decoder for PNG (8-bit gray/gray+alpha/RGB/RGBA, all five
 scanline filters), GIF87a/89a (LZW, global/local palettes, interlace),
 baseline uncompressed TIFF (II/MM byte orders, strips), binary PPM/PGM,
-uncompressed 24-bit BMP, and PCM WAV (8/16-bit). Formats that genuinely
-need external codecs (JPEG, WebP, LZW/JPEG TIFF, MP3, MP4) still raise
-with the dependency name — the seam `multimodal.py` documents.
+uncompressed 24-bit BMP, baseline JPEG (SOF0 huffman/DCT per ITU T.81,
+4:4:4/4:2:2/4:2:0, restart markers), and PCM WAV (8/16-bit). Formats that
+genuinely need external codecs (WebP, progressive JPEG, LZW/JPEG TIFF,
+MP3, MP4) still raise with the dependency name — the seam `multimodal.py`
+documents.
 
-Encoders for PNG/GIF/TIFF/PPM/WAV exist so tests can round-trip real
+Encoders for PNG/GIF/TIFF/PPM/JPEG/WAV exist so tests can round-trip real
 bytes without fixtures from outside the repo.
 """
 
@@ -595,10 +597,581 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU T.81): pure stdlib + numpy
+# ---------------------------------------------------------------------------
+# Everything below is from the public spec (ITU T.81 Annex K carries the
+# example quantization + Huffman tables that libjpeg and virtually every
+# camera emit).  Decoder handles SOF0 (baseline), 1-3 components, arbitrary
+# sampling factors (4:4:4 / 4:2:2 / 4:2:0 all exercised in tests), restart
+# markers, and 0xFF00 byte stuffing.  Progressive (SOF2) and arithmetic
+# coding raise with a precise message.  The encoder mirrors the decoder so
+# tests round-trip real bytes with a measured PSNR gate (JPEG is lossy, so
+# "round-trip" means high fidelity, not bit equality).
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K Huffman tables: (BITS counts for code lengths 1..16, HUFFVAL).
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    # Orthonormal 8x8 DCT-II basis: F = T @ f @ T.T, f = T.T @ F @ T.
+    x = np.arange(8)
+    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    T[0, :] = 1.0 / np.sqrt(8.0)
+    return T
+
+
+_DCT_T = _dct_matrix()
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: {(code_length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: {symbol: (code, code_length)}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a de-stuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return 0  # T.81 F.2.2.5: pad with 1-bits; 0 is safer for EOB tails
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def read_bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    # T.81 F.2.2.1: map t-bit magnitude to signed value.
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(
+    br: _JpegBitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int32)
+    t = br.read_huff(dc_tab)
+    pred += _extend(br.read_bits(t), t)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.read_huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise MediaDecodeError("JPEG AC run overflows block")
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    return zz, pred
+
+
+def decode_jpeg(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Baseline JPEG → (H, W, C) uint8 + meta.  C is 1 (grayscale) or 3 (RGB
+    after YCbCr conversion).  Chroma is upsampled by sample replication.
+
+    Reference parity note: the reference ETL has no media path at all (it
+    delegates raster decode to xarray/rasterio); this decoder exists so the
+    multimodal pipeline's decode stage is real rather than stubbed.
+    """
+    if content[:2] != b"\xFF\xD8":
+        raise MediaDecodeError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (precision, H, W, components)
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise MediaDecodeError(f"JPEG marker sync lost at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack(">H", content[pos : pos + 2])
+        body = content[pos + 2 : pos + seg_len]
+        if marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc_th = body[b]
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                tab = _huff_decode_table(bits, vals)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 0x0F] = tab
+                else:
+                    huff_ac[tc_th & 0x0F] = tab
+                b += 17 + nv
+        elif marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq_tq = body[b]
+                if pq_tq >> 4:  # 16-bit table
+                    vals = np.frombuffer(body[b + 1 : b + 129], dtype=">u2").astype(np.int64)
+                    b += 129
+                else:
+                    vals = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
+                    b += 65
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = vals
+                qt[pq_tq & 0x0F] = q.reshape(8, 8)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 (baseline/ext sequential)
+            precision, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = (precision, h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise NotImplementedError(
+                f"JPEG {kind} coding — only baseline sequential (SOF0/SOF1) is implemented"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append({"id": cs, "td": td_ta >> 4, "ta": td_ta & 0x0F})
+            scan = (scan_comps, pos + seg_len)
+            break
+        elif marker == 0xD9:  # EOI before scan
+            break
+        pos += seg_len
+    if frame is None or scan is None:
+        raise MediaDecodeError("JPEG missing SOF/SOS")
+    precision, H, W, comps = frame
+    if precision != 8:
+        raise MediaDecodeError(f"only 8-bit JPEG (precision={precision})")
+    scan_comps, data_start = scan
+    if len(scan_comps) != len(comps):
+        raise MediaDecodeError("non-interleaved multi-scan JPEG not supported (baseline interleaved only)")
+
+    # Entropy-coded data: split on RST markers, de-stuff 0xFF00.
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = data_start
+    end = len(content)
+    while p < end:
+        byte = content[p]
+        if byte == 0xFF and p + 1 < end:
+            nxt = content[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(byte)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    # Decode every block's zigzag coefficients, then batch dequant+IDCT in numpy.
+    blocks: dict[int, list[tuple[int, int, np.ndarray]]] = {c["id"]: [] for c in comps}
+    preds = {c["id"]: 0 for c in comps}
+    seg_idx = 0
+    br = _JpegBitReader(segments[0])
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise MediaDecodeError("JPEG truncated at restart boundary")
+            br = _JpegBitReader(segments[seg_idx])
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for sc in scan_comps:
+            c = by_id[sc["id"]]
+            for by_ in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz, preds[c["id"]] = _decode_block(
+                        br, huff_dc[sc["td"]], huff_ac[sc["ta"]], preds[c["id"]]
+                    )
+                    y0 = (my * c["v"] + by_) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    blocks[c["id"]].append((y0, x0, zz))
+    for c in comps:
+        blist = blocks[c["id"]]
+        if not blist:
+            continue
+        zzs = np.stack([b[2] for b in blist])  # (n, 64)
+        coef = np.zeros((len(blist), 64), dtype=np.float64)
+        coef[:, _ZIGZAG] = zzs
+        coef = coef.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        pix = np.einsum("ur,nrs,sv->nuv", _DCT_T.T, coef, _DCT_T) + 128.0
+        plane = planes[c["id"]]
+        for (y0, x0, _), blk in zip(blist, pix):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+    # Upsample to full resolution, crop, stack.
+    out_planes = []
+    for c in comps:
+        plane = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:H, :W])
+    meta = {
+        "format": "jpeg",
+        "height": H,
+        "width": W,
+        "n_channels": 1 if len(comps) == 1 else 3,
+        "subsampling": f"{comps[0]['h']}x{comps[0]['v']}" if len(comps) > 1 else "1x1",
+    }
+    if len(comps) == 1:
+        img = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return img, meta
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    img = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return img, meta
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF00 stuffing."""
+
+    __slots__ = ("out", "buf", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)
+                self.buf = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.buf = (self.buf << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf = 0
+            self.n = 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value → (category ssss, ssss magnitude bits)."""
+    t = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _encode_block(
+    bw: _JpegBitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    dc = int(zz[0])
+    t, bits = _magnitude(dc - pred)
+    code, ln = dc_tab[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bits, t)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if nz.size else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]
+        bw.write(code, ln)
+    return dc
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    # libjpeg-compatible linear quality scaling (public jcparam.c formula).
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return np.clip((q * scale + 50) // 100, 1, 255)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 → baseline JPEG.
+
+    `subsample` is "4:4:4", "4:2:2", or "4:2:0" (chroma by box averaging).
+    `restart_interval` > 0 emits DRI + RSTn markers every N MCUs (the
+    resync structure real camera JPEGs carry).  Uses the T.81 Annex K
+    quantization (quality-scaled) and Huffman tables.
+    """
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    H, W, C = arr.shape
+    if C not in (1, 3):
+        raise ValueError("encode_jpeg expects 1 or 3 channels")
+    gray = C == 1
+    qy = _quality_scale(_JPEG_QT_LUMA, quality)
+    qc = _quality_scale(_JPEG_QT_CHROMA, quality)
+    if gray:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        hs, vs = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[subsample]
+        planes = [y]
+        for ch in (cb, cr):
+            if hs > 1 or vs > 1:
+                ph = -(-H // vs) * vs
+                pw = -(-W // hs) * hs
+                pad = np.pad(ch, ((0, ph - H), (0, pw - W)), mode="edge")
+                ch = pad.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+            planes.append(ch)
+        samp = [(hs, vs), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    # Pad each plane to its MCU-aligned size (edge replication keeps the
+    # padding cheap to code: flat blocks compress to DC + EOB).
+    coded: list[np.ndarray] = []
+    qts = []
+    for i, (plane, (h, v)) in enumerate(zip(planes, samp)):
+        th, tw = mcus_y * v * 8, mcus_x * h * 8
+        ph, pw = plane.shape
+        plane = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+        q = qy if i == 0 else qc
+        qts.append(q)
+        blocks = (
+            plane.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ur,yxrs,sv->yxuv", _DCT_T, blocks, _DCT_T.T)
+        zz = np.round(coef / q[None, None, :, :]).astype(np.int32)
+        flat = zz.reshape(th // 8, tw // 8, 64)
+        zzflat = flat[:, :, _ZIGZAG]  # natural order → zigzag sequence
+        coded.append(zzflat)
+    dc_y = _huff_encode_table(*_HUFF_DC_LUMA)
+    ac_y = _huff_encode_table(*_HUFF_AC_LUMA)
+    dc_c = _huff_encode_table(*_HUFF_DC_CHROMA)
+    ac_c = _huff_encode_table(*_HUFF_AC_CHROMA)
+    bw = _JpegBitWriter()
+    preds = [0] * len(planes)
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
+        for ci, (h, v) in enumerate(samp):
+            dct_tab = dc_y if ci == 0 else dc_c
+            act_tab = ac_y if ci == 0 else ac_c
+            for by_ in range(v):
+                for bx in range(h):
+                    preds[ci] = _encode_block(
+                        bw, coded[ci][my * v + by_, mx * h + bx], preds[ci], dct_tab, act_tab
+                    )
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_qy = bytes(int(qy.reshape(64)[i]) for i in _ZIGZAG)
+    out += seg(0xDB, b"\x00" + zz_qy)
+    if not gray:
+        zz_qc = bytes(int(qc.reshape(64)[i]) for i in _ZIGZAG)
+        out += seg(0xDB, b"\x01" + zz_qc)
+    sof = bytearray(struct.pack(">BHHB", 8, H, W, len(planes)))
+    for i, (h, v) in enumerate(samp):
+        sof += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+
+    def dht(tc: int, th: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    out += dht(0, 0, _HUFF_DC_LUMA) + dht(1, 0, _HUFF_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _HUFF_DC_CHROMA) + dht(1, 1, _HUFF_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3F\x00"
+    out += seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # dispatch + feature kernels
 # ---------------------------------------------------------------------------
 
 _IMAGE_MAGIC = (
+    (b"\xff\xd8", decode_jpeg),
     (_PNG_SIG, decode_png),
     (b"GIF87a", decode_gif),
     (b"GIF89a", decode_gif),
@@ -609,9 +1182,7 @@ _IMAGE_MAGIC = (
     (b"BM", decode_bmp),
 )
 
-_NEEDS_EXTERNAL = {
-    b"\xff\xd8\xff": "JPEG (needs PIL/libjpeg)",
-}
+_NEEDS_EXTERNAL: dict[bytes, str] = {}
 
 
 def decode_image(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:

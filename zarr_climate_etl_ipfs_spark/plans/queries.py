@@ -3677,19 +3677,21 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode as a driver-checkable catalog entry: every doc gets
     a REAL constant-color RGB raster (side = doc_id%7+2, shade = doc_id%251)
-    encoded executor-side — PNG (doc_id%3==0), GIF89a (%3==1, interlaced on
-    %6==1), baseline TIFF (%3==2, big-endian on %6==5) — then the
-    production decode path (multimodal.extract_features ->
-    mediacodecs.decode_png / decode_gif / decode_tiff: zlib inflate +
-    unfiltering, LZW + palette + de-interlace, or IFD + strips) runs
-    distributively and emits the 12-dim image feature. Constant images
-    make every feature value closed-form — height, width, channels,
-    mean=shade, std=0, four quadrant means=shade, channel-0 min/max=shade,
-    edge energy=0 — identical regardless of container format, so the DuckDB
-    oracle verifies the whole encode->decode->featurize chain
-    ARITHMETICALLY, value-exact, without needing either codec. Two Arrow
-    python stages (generate, decode) over the scan; no shuffle except the
-    output sort."""
+    encoded executor-side — PNG (doc_id%4==0), GIF89a (%4==1, interlaced on
+    %8==1), baseline TIFF (%4==2, big-endian on %8==6), baseline JPEG
+    (%4==3, quality=100 where the Annex-K tables scale to all-ones so
+    DC-only constant blocks are bit-exact; 4:2:0 on %8==7 else 4:4:4) —
+    then the production decode path (multimodal.extract_features ->
+    mediacodecs.decode_png / decode_gif / decode_tiff / decode_jpeg: zlib
+    inflate + unfiltering, LZW + palette + de-interlace, IFD + strips, or
+    Huffman + dequant + IDCT + YCbCr) runs distributively and emits the
+    12-dim image feature. Constant images make every feature value
+    closed-form — height, width, channels, mean=shade, std=0, four
+    quadrant means=shade, channel-0 min/max=shade, edge energy=0 —
+    identical regardless of container format, so the DuckDB oracle
+    verifies the whole encode->decode->featurize chain ARITHMETICALLY,
+    value-exact, without needing either codec. Two Arrow python stages
+    (generate, decode) over the scan; no shuffle except the output sort."""
     from zarr_climate_etl_ipfs_spark import multimodal as mm
 
     @F.pandas_udf("binary")
@@ -3698,6 +3700,7 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from zarr_climate_etl_ipfs_spark.mediacodecs import (
             encode_gif,
+            encode_jpeg,
             encode_png,
             encode_tiff,
         )
@@ -3707,13 +3710,16 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             side = int(d) % 7 + 2
             shade = int(d) % 251
             img = np.full((side, side, 3), shade, dtype=np.uint8)
-            fmt = int(d) % 3
+            fmt = int(d) % 4
             if fmt == 0:
                 out.append(encode_png(img))
             elif fmt == 1:
-                out.append(encode_gif(img, interlace=int(d) % 6 == 1))
+                out.append(encode_gif(img, interlace=int(d) % 8 == 1))
+            elif fmt == 2:
+                out.append(encode_tiff(img, big_endian=int(d) % 8 == 6))
             else:
-                out.append(encode_tiff(img, big_endian=int(d) % 6 == 5))
+                sub = "4:2:0" if int(d) % 8 == 7 else "4:4:4"
+                out.append(encode_jpeg(img, quality=100, subsample=sub))
         return pd.Series(out)
 
     d = t_wide(spark, sf_dir, "documents").select(
