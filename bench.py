@@ -74,8 +74,11 @@ def main() -> None:
         "embedding_lsh_neardups",
         # round-5 addition (concatenate-and-slice token packing)
         "sequence_packing",
-        # round-6 addition (wide-band hyperplane LSH — the scale-mode knob)
+        # round-6 additions (wide-band hyperplane LSH — the scale-mode knob;
+        # TF-IDF keyword extraction; Lee-et-al-style span dedup)
         "embedding_lsh_neardups_wide",
+        "tfidf_top_terms",
+        "paragraph_dedup",
     ]
     run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (

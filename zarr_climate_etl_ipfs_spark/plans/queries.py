@@ -3730,3 +3730,225 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.select("doc_id", F.col("feature").cast("array<double>").alias("feature"))
         .orderBy("doc_id")
     )
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, UNNEST({_WORDS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, term, tf, df,
+             ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tf, df, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS INT) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, term, tf, df, tfidf
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction — top-3 highest-scoring terms per document,
+    the relevance-weighting primitive behind corpus search, topic tagging
+    and quality filtering (idf down-weights boilerplate that raw
+    `term_frequency` ranks first). One explode, two partial-aggregated
+    groupBys (term frequency per doc, document frequency per term), a
+    shuffle join on term, and a per-doc top-k window. Plan choice: after
+    the (doc, term) aggregation, the rows for one term ARE its distinct
+    documents, so document frequency is a plain `count(*) over (partition
+    by term)` — one window on the already-shuffled aggregate instead of a
+    second full explode + aggregate + join (the join shape would read and
+    tokenize the corpus twice). At 100 TB: one explode scan, one shuffle
+    to (doc, term), one repartition-by-term window, one per-doc top-k —
+    every key is hash-uniform (terms are Zipfian but the tf aggregate
+    already collapsed the hot keys to vocabulary size). Scores round to 4
+    decimals on both engines so libm `ln` ulp noise can't flip the
+    hash."""
+    d = t(spark, sf_dir, "documents")
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    ex = d.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    wt = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count("*").over(wt))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@q(
+    "paragraph_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, {_WORDS_SQL} AS ws FROM documents
+    ), chunks AS (
+      SELECT doc_id, lang,
+             MD5(ARRAY_TO_STRING(list_slice(ws, i * 12 + 1, i * 12 + 12), ' ')) AS ch
+      FROM w, UNNEST(RANGE(0, CAST(CEIL(LEN(ws) / 12.0) AS BIGINT))) AS t(i)
+    ), gc AS (
+      SELECT ch, COUNT(*) AS n_occ FROM chunks GROUP BY ch
+    ), per_doc AS (
+      SELECT c.doc_id, c.lang, COUNT(*) AS n_chunks,
+             SUM(CASE WHEN g.n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM chunks c JOIN gc g USING (ch)
+      GROUP BY c.doc_id, c.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_dups,
+           CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(SUM(n_dup) AS BIGINT) AS dup_chunks,
+           ROUND(SUM(n_dup) / CAST(SUM(n_chunks) AS DOUBLE), 4) AS dup_frac
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-granular dedup audit at paragraph scope — the
+    "dedup below document level" step (cf. Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": exact duplicated spans
+    inside otherwise-distinct documents). Documents are cut into
+    non-overlapping 12-word chunks; a chunk whose md5 occurs more than
+    once ANYWHERE in the corpus (cross-doc or within-doc) counts as
+    duplicated text. Reports per-language duplicated-chunk density. Plan:
+    one chunking projection (JVM `transform`/`slice`/`md5`, no Python),
+    then occurrence counts as `count(*) over (partition by chunk_hash)` —
+    a single shuffle-and-count over the exploded chunks, instead of the
+    groupBy + self-join shape that would tokenize and chunk the corpus
+    TWICE — and two partial aggregations. This is the scale shape of real
+    span dedup: everything keys on uniformly-distributed 128-bit hashes,
+    no skew, no driver state, ~2 shuffles of corpus-linear width at any
+    input size."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_chunk = F.ceil(F.size(ws) / F.lit(12.0)).cast("int")
+    chunk_arr = F.when(F.size(ws) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunk - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i * 12 + 1, 12))),
+    )).otherwise(F.array().cast("array<string>"))
+    chunks = d.select(
+        "doc_id", "lang", F.explode_outer(chunk_arr).alias("ch")
+    ).filter(F.col("ch").isNotNull())
+    occ = chunks.withColumn("n_occ", F.count("*").over(Window.partitionBy("ch")))
+    per_doc = occ.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_dup") > 0).cast("int")).cast("long").alias("n_docs_with_dups"),
+            F.sum("n_chunks").cast("long").alias("total_chunks"),
+            F.sum("n_dup").cast("long").alias("dup_chunks"),
+            F.round(
+                F.sum("n_dup") / F.sum("n_chunks").cast("double"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "streaming_zscore_anomalies",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT user_id, cents,
+             COUNT(*) OVER w AS k,
+             COALESCE(SUM(CAST(cents AS HUGEINT)) OVER w, 0) AS s1,
+             COALESCE(SUM(CAST(cents AS HUGEINT) * cents) OVER w, 0) AS q1
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN k >= 10 AND
+                (CAST(cents AS HUGEINT) * k - s1) * (CAST(cents AS HUGEINT) * k - s1)
+                  > 9 * (q1 * k - s1 * s1)
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_anomalies
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator with an EXACT SQL oracle — the
+    §2.9 capability proof. `streaming/incremental.py:zscore_anomalies_exact`
+    carries per-user integer state (n, Σcents, Σcents²) across micro-batches
+    via `applyInPandasWithState` and flags values with |v−μ| > 3σ against
+    the history-so-far using the cross-multiplied integer test
+    (v·n−S)² > 9·(n·Q−S²) — no floats anywhere, so the streaming run is
+    bit-identical to the windowed batch SQL the oracle runs (DuckDB does
+    the same comparison in HUGEINT). Stateful-op output is per-batch
+    partial counts; a batch-side sum collapses them, making the result
+    independent of how the stream happened to micro-batch. State is three
+    int64 per key — the bounded-state shape watermarked streaming needs."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from zarr_climate_etl_ipfs_spark.streaming.incremental import zscore_anomalies_exact
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sink = f"zscore_anoms_{uuid.uuid4().hex[:8]}"
+    (
+        zscore_anomalies_exact(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.table(sink).collect()
+    out_schema = spark.table(sink).schema
+    spark.catalog.dropTempView(sink)
+    return (
+        spark.createDataFrame(rows, out_schema)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_batch").alias("n_events"),
+            F.sum("n_anomalies").alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )

@@ -196,3 +196,70 @@ def running_anomaly_detector(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def zscore_anomalies_exact(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    z_threshold: int = 3,
+    min_history: int = 10,
+):
+    """Order-deterministic stateful anomaly counting with EXACT integer
+    arithmetic — the oracle-checkable sibling of
+    ``running_anomaly_detector`` (whose float Welford state is
+    summation-order sensitive).
+
+    Values are fixed-pointed to cents (``floor(v*100 + 0.5)``, the same
+    expression the SQL oracle uses) and the per-key state is the integer
+    triple (n, S=Σc, Q=Σc²).  The k-sigma test
+    ``|v − S/n| > z·σ``  ⇔  ``(v·n − S)² > z²·(n·Q − S²)``
+    is evaluated in arbitrary-precision Python ints, so the emitted counts
+    are bit-reproducible across partitionings, engines, and micro-batch
+    boundaries (rows are sorted by ``order_cols`` within each batch;
+    batches must arrive time-ordered, which file streams over dated drops
+    give naturally).  State is three int64 per key — Q bounds the design:
+    Σc² stays under 2⁶³ for ~10⁹ events/key at |v| ≤ 300, the right
+    envelope for per-entity telemetry at 100 TB total.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_batch long, n_anomalies long"
+    state_schema = "n long, s long, q long"
+    z2 = z_threshold * z_threshold
+
+    def detect(key, pdf_iter, state: GroupState):
+        import math
+
+        import pandas as pd  # executor-side
+
+        n, s, q = state.get if state.exists else (0, 0, 0)
+        n, s, q = int(n), int(s), int(q)  # numpy int64 → python int (no overflow)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        n_batch = 0
+        n_anom = 0
+        for v in pdf[value_col].astype(float):
+            cents = int(math.floor(v * 100.0 + 0.5))
+            if n >= min_history:
+                d = cents * n - s
+                if d * d > z2 * (n * q - s * s):
+                    n_anom += 1
+            n += 1
+            s += cents
+            q += cents * cents
+            n_batch += 1
+        state.update((n, s, q))
+        yield pd.DataFrame(
+            [[key[0], n_batch, n_anom]],
+            columns=[key_col, "n_batch", "n_anomalies"],
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
