@@ -209,3 +209,71 @@ def fill_time_gaps(
         .withColumn(value_col, filled)
         .drop("_obs")
     )
+
+
+def bilinear_regrid(
+    grid: DataFrame,
+    value_col: str,
+    targets: DataFrame,
+    lat_step: float,
+    lon_step: float,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Bilinear interpolation of a regular (lat, lon) grid onto arbitrary
+    target points — the native regridding the reference delegates to
+    external tools (SURVEY §2 S18 `cdo remapbil` analog).
+
+    `targets` carries (lat_t, lon_t).  Each target explodes into its four
+    surrounding corners, one equi-join on exact corner coordinates fetches
+    the values, a pivot collapses them back to one row, and the weighted
+    sum is a fixed-order arithmetic expression — deterministic across
+    engines and partitionings.  Targets missing any corner (outside the
+    grid hull) are dropped, the conservative edge rule.
+
+    Scale shape: the corner join is a plain equi-join on grid keys — at
+    100 TB of targets it hash-partitions on (lat0, lon0) with the grid
+    side broadcast when dimension-sized (a global 0.25° grid is ~1M rows,
+    comfortably broadcastable), and nothing is iterative.
+    """
+    corners = F.explode(
+        F.array(*[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (0, 1)
+            for dj in (0, 1)
+        ])
+    )
+    ex = targets.select("lat_t", "lon_t", corners.alias("c")).select(
+        "lat_t",
+        "lon_t",
+        ((F.floor(F.col("lat_t") / lat_step) + F.col("c.di")) * lat_step).alias("lat0"),
+        ((F.floor(F.col("lon_t") / lon_step) + F.col("c.dj")) * lon_step).alias("lon0"),
+        F.col("c.di").alias("di"),
+        F.col("c.dj").alias("dj"),
+    )
+    j = ex.join(
+        grid.select(
+            F.col(lat_col).alias("lat0"),
+            F.col(lon_col).alias("lon0"),
+            F.col(value_col).alias("v"),
+        ),
+        ["lat0", "lon0"],
+    )
+    piv = j.groupBy("lat_t", "lon_t").agg(
+        F.max(F.when((F.col("di") == 0) & (F.col("dj") == 0), F.col("v"))).alias("v00"),
+        F.max(F.when((F.col("di") == 0) & (F.col("dj") == 1), F.col("v"))).alias("v01"),
+        F.max(F.when((F.col("di") == 1) & (F.col("dj") == 0), F.col("v"))).alias("v10"),
+        F.max(F.when((F.col("di") == 1) & (F.col("dj") == 1), F.col("v"))).alias("v11"),
+        F.count("*").alias("n_corners"),
+    )
+    fy = (F.col("lat_t") - F.floor(F.col("lat_t") / lat_step) * lat_step) / lat_step
+    fx = (F.col("lon_t") - F.floor(F.col("lon_t") / lon_step) * lon_step) / lon_step
+    interp = (
+        F.col("v00") * (1 - fy) * (1 - fx)
+        + F.col("v01") * (1 - fy) * fx
+        + F.col("v10") * fy * (1 - fx)
+        + F.col("v11") * fy * fx
+    )
+    return piv.filter(F.col("n_corners") == 4).select(
+        "lat_t", "lon_t", interp.alias("v_interp")
+    )

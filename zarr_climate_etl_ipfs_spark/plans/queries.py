@@ -3952,3 +3952,402 @@ def streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "unigram_logprob_quality",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, lang, UNNEST({_WORDS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, lang, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, lang, term
+    ), ctf AS (
+      SELECT *, SUM(tf) OVER (PARTITION BY term) AS corpus_tf FROM tf
+    ), tot AS (
+      SELECT SUM(tf) AS total_tokens FROM tf
+    )
+    SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(tf * LN(CAST(corpus_tf AS DOUBLE) / total_tokens))
+                 / SUM(tf), 4) AS nll
+    FROM ctf CROSS JOIN tot
+    GROUP BY doc_id, lang ORDER BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — mean negative log-probability
+    of each document under the corpus's own unigram distribution, the
+    CCNet-style LM filter that separates fluent text (common words → low
+    NLL) from gibberish and boilerplate (rare/degenerate tokens → high
+    NLL) before training. Plan: one explode, one (doc, term) aggregation,
+    corpus term counts as `sum(tf) over (partition by term)` on that
+    aggregate (no second corpus pass), the grand total as a broadcast
+    1-row aggregate, and a final per-doc rollup. At 100 TB: the unigram
+    "model" is never materialized driver-side — it IS the window over the
+    shuffled aggregate; everything keys on term or doc_id, both
+    hash-uniform after the tf collapse. NLL rounds at 4 decimals on both
+    engines (the per-doc sum is dozens of terms, ulp noise ~1e-13)."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", "lang", F.explode(words("text")).alias("term"))
+    tf = ex.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    ctf = tf.withColumn("corpus_tf", F.sum("tf").over(Window.partitionBy("term")))
+    tot = tf.agg(F.sum("tf").alias("total_tokens"))
+    return (
+        ctf.crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("tf")
+                    * F.log(F.col("corpus_tf").cast("double") / F.col("total_tokens"))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "winnowing_fingerprints",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [{_MD5INT_SQL.format(x="ARRAY_TO_STRING(LIST_SLICE(ws, i + 1, i + 3), ' ')")}
+              FOR i IN RANGE(0, LEN(ws) - 2)] AS hs
+      FROM w WHERE LEN(ws) >= 3
+    ), fp AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               UNNEST([LIST_MIN(LIST_SLICE(hs, i + 1, i + 4))
+                       FOR i IN RANGE(0, LEN(hs) - 3)]) AS fp
+        FROM g WHERE LEN(hs) >= 4
+      )
+    ), kept AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fp
+      ) WHERE df <= 64
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_shared FROM pairs
+    WHERE n_shared >= 3 ORDER BY id_a, id_b
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm) — the rolling-hash fingerprinting the builder's brief names:
+    hash every 3-word gram, keep the MINIMUM hash of each sliding window
+    of 4 grams, and report document pairs sharing >= 3 distinct selected
+    fingerprints. Winnowing guarantees any shared run of >= 6 words
+    contributes a shared fingerprint, at ~2/(w+1) the density of full
+    shingling — the cheap first pass before exact span verification.
+
+    Plan: the gram hashing AND the sliding-window minimum are pure array
+    expressions (`transform`/`slice`/`array_min`) evaluated per row inside
+    codegen — no window functions, no Python, no shuffle until the
+    fingerprints explode. Then the standard inverted-index shape shared
+    with `ngram_jaccard_pairs`: DF<=64 cap via count-over-fp (bounds the
+    per-posting pair square; hot fingerprints carry no match signal), one
+    self-join keyed on the 56-bit fingerprint, one pair count. At 100 TB
+    the selected-fingerprint stream is ~25% of the gram stream (w=4), and
+    every join key is hash-uniform."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    hs = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: md5int(F.concat_ws(" ", F.slice(ws, i + 1, 3))),
+        ),
+    )
+    fps = F.when(
+        F.size(hs) >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(hs) - 4),
+                lambda i: F.array_min(F.slice(hs, i + 1, 4)),
+            )
+        ),
+    )
+    fp = (
+        d.select("doc_id", fps.alias("fps"))
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    kept = (
+        fp.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= 64)
+        .drop("df")
+    )
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+#: GPT-2-style pretokenizer classes, ASCII-scoped so the Java and RE2 regex
+#: engines agree: letter runs, digit runs, non-alnum-non-space runs.
+_BPE_PIECES_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+@q(
+    "bpe_token_estimate",
+    f"""
+    WITH pieces AS (
+      SELECT doc_id, lang,
+             LEN({_WORDS_SQL}) AS n_words,
+             REGEXP_EXTRACT_ALL(text, '{_BPE_PIECES_RE}') AS ps
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, lang, n_words,
+             LEN(ps) AS n_pieces,
+             COALESCE(LIST_SUM([CAST(CEIL(LEN(p) / 4.0) AS BIGINT) FOR p IN ps]), 0)
+               AS n_bpe
+      FROM pieces
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           ROUND(SUM(n_bpe) / CAST(SUM(n_words) AS DOUBLE), 4) AS bpe_per_word
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting — the training-cost estimator a data
+    pipeline runs before a tokenizer exists: a GPT-2-style pretokenizer
+    regex cuts text into letter/digit/punctuation pieces, and each piece
+    contributes ceil(len/4) estimated subword tokens (the ~4-chars-per-
+    token heuristic). Per-language totals reconcile whitespace words vs
+    pretokenizer pieces vs estimated BPE tokens. Everything is integer
+    arithmetic over `regexp_extract_all` + `transform`/`aggregate` array
+    expressions — one scan, one tiny per-language shuffle, exact across
+    engines; the regex is ASCII-classed so Java and RE2 tokenize
+    identically."""
+    d = t(spark, sf_dir, "documents")
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    # pattern as a lit Column, NOT an F.expr SQL literal — the SQL parser
+    # would eat the backslash in \s and silently change the character class
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_PIECES_RE), F.lit(0))
+    n_bpe = F.aggregate(
+        F.transform(pieces, lambda p: F.ceil(F.length(p) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(words("text")).alias("n_words"),
+        F.size(pieces).alias("n_pieces"),
+        n_bpe.alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe") / F.sum("n_words").cast("double"), 4
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "bilinear_regrid",
+    """
+    WITH grid AS (
+      SELECT (user_id % 10) * 0.5 AS latitude,
+             ((user_id // 10) % 10) * 0.5 AS longitude,
+             SUM(value) / COUNT(value) AS v
+      FROM events GROUP BY latitude, longitude
+    ), tgt AS (
+      -- CAST to DOUBLE up front: DuckDB's decimal literals would
+      -- otherwise propagate DECIMAL(22,1) into the output schema
+      SELECT CAST(i AS DOUBLE) * 0.5 + 0.2 AS lat_t,
+             CAST(j AS DOUBLE) * 0.5 + 0.3 AS lon_t
+      FROM UNNEST(RANGE(0, 9)) t1(i), UNNEST(RANGE(0, 9)) t2(j)
+    ), corners AS (
+      SELECT lat_t, lon_t,
+             (FLOOR(lat_t / 0.5) + di) * 0.5 AS lat0,
+             (FLOOR(lon_t / 0.5) + dj) * 0.5 AS lon0,
+             di, dj
+      FROM tgt, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(di, dj)
+    ), piv AS (
+      SELECT lat_t, lon_t,
+             MAX(CASE WHEN di = 0 AND dj = 0 THEN v END) AS v00,
+             MAX(CASE WHEN di = 0 AND dj = 1 THEN v END) AS v01,
+             MAX(CASE WHEN di = 1 AND dj = 0 THEN v END) AS v10,
+             MAX(CASE WHEN di = 1 AND dj = 1 THEN v END) AS v11,
+             COUNT(*) AS n_corners
+      FROM corners JOIN grid ON corners.lat0 = grid.latitude
+                            AND corners.lon0 = grid.longitude
+      GROUP BY lat_t, lon_t
+    )
+    SELECT lat_t, lon_t,
+           ROUND(v00 * (1 - ((lat_t - FLOOR(lat_t / 0.5) * 0.5) / 0.5))
+                     * (1 - ((lon_t - FLOOR(lon_t / 0.5) * 0.5) / 0.5))
+               + v01 * (1 - ((lat_t - FLOOR(lat_t / 0.5) * 0.5) / 0.5))
+                     * ((lon_t - FLOOR(lon_t / 0.5) * 0.5) / 0.5)
+               + v10 * ((lat_t - FLOOR(lat_t / 0.5) * 0.5) / 0.5)
+                     * (1 - ((lon_t - FLOOR(lon_t / 0.5) * 0.5) / 0.5))
+               + v11 * ((lat_t - FLOOR(lat_t / 0.5) * 0.5) / 0.5)
+                     * ((lon_t - FLOOR(lon_t / 0.5) * 0.5) / 0.5), 4) AS v_interp
+    FROM piv WHERE n_corners = 4
+    ORDER BY lat_t, lon_t
+    """,
+)
+def bilinear_regrid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear regridding (`operators/climate.bilinear_regrid`) — the
+    native replacement for the reference's shelled-out `cdo remapbil`
+    (SURVEY §2 S18 family): interpolate the deterministic pseudo-grid of
+    per-cell mean values onto an off-lattice target grid (offsets 0.2/0.3
+    of a 0.5° cell → bilinear weights 0.24/0.36/0.16/0.24). Each target
+    explodes into its 4 surrounding corners, one equi-join on exact corner
+    coordinates fetches values, a pivot + FIXED-ORDER weighted sum
+    interpolates — bit-identical across engines because the expression
+    tree, not a groupBy sum over floats, fixes the summation order.
+    Targets missing a corner drop (conservative hull rule). At 100 TB the
+    grid side is dimension-sized → broadcast; the target side never
+    shuffles except the corner pivot keyed on the target point."""
+    from zarr_climate_etl_ipfs_spark.operators.climate import bilinear_regrid
+
+    e = t(spark, sf_dir, "events")
+    grid = (
+        e.select(
+            ((F.col("user_id") % 10) * 0.5).alias("latitude"),
+            ((F.expr("user_id div 10") % 10) * 0.5).alias("longitude"),
+            "value",
+        )
+        .groupBy("latitude", "longitude")
+        .agg((F.sum("value") / F.count("value")).alias("v"))
+    )
+    ij = spark.range(9)
+    targets = ij.select((F.col("id") * 0.5 + 0.2).alias("lat_t")).crossJoin(
+        ij.select((F.col("id") * 0.5 + 0.3).alias("lon_t"))
+    )
+    out = bilinear_regrid(grid, "v", targets, lat_step=0.5, lon_step=0.5)
+    return out.select(
+        "lat_t", "lon_t", F.round("v_interp", 4).alias("v_interp")
+    ).orderBy("lat_t", "lon_t")
+
+
+@q(
+    "streaming_stream_join",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS buy_ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, COUNT(*) AS n_attributed,
+           ROUND(SUM(p.value), 2) AS attributed_value
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.click_ts <= p.buy_ts
+                 AND c.click_ts >= p.buy_ts - INTERVAL 1 HOUR
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join — click-to-purchase
+    attribution (§2.9): a purchases stream inner-joins a clicks stream on
+    user within a 1-hour event-time window, BOTH sides watermarked so the
+    join state is bounded (clicks older than the watermark minus the join
+    range are evicted — the mechanism that makes an unbounded two-stream
+    join runnable forever). The joined pairs land in an append sink; a
+    batch-side rollup counts attributed purchases per user, so the result
+    is independent of micro-batching and equals the plain batch interval
+    join the oracle runs. At 100 TB/day the state size is (join range ×
+    click rate), not history."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def feed():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = (
+        feed()
+        .filter(F.col("event_type") == "click")
+        # watermarks require TIMESTAMP (not NTZ); the session is UTC-pinned
+        # so the cast is value-exact (see _epoch_s)
+        .select("user_id", F.col("ts").cast("timestamp").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        feed()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").cast("timestamp").alias("buy_ts"),
+            "value",
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user_id = user_id AND
+            click_ts <= buy_ts AND
+            click_ts >= buy_ts - INTERVAL 1 HOUR
+            """
+        ),
+        "inner",
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.table(sink).collect()
+    out_schema = spark.table(sink).schema
+    spark.catalog.dropTempView(sink)
+    return (
+        spark.createDataFrame(rows, out_schema)
+        .groupBy(F.col("p_user_id").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
