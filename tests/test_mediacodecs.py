@@ -387,3 +387,68 @@ def test_jpeg_roundtrip_property(h, w, subsample, seed):
     assert dec.shape == (h, w, 3)
     assert (meta["height"], meta["width"]) == (h, w)
     assert _psnr(img, dec) > 25.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_animation_roundtrip_property(n_frames, h, w, seed):
+    """Animated GIF: all frames decode bit-exactly in order, with delays
+    and duration surfaced in meta."""
+    rng = np.random.RandomState(seed)
+    frames = (rng.randint(0, 6, (n_frames, h, w, 3)) * 40).astype(np.uint8)
+    blob = mc.encode_gif_animation(frames, delay_cs=5)
+    out, meta = mc.decode_gif_frames(blob)
+    assert np.array_equal(out, frames)
+    assert meta["n_frames"] == n_frames
+    assert meta["frame_delays_cs"] == [5] * n_frames
+    assert meta["duration_ms"] == n_frames * 50
+
+
+def test_gif_frames_composites_partial_blocks():
+    """A frame drawn at an offset composites over the previous canvas —
+    the disposal-none rule decode_gif_frames implements."""
+    f0 = np.full((6, 6, 3), 10, dtype=np.uint8)
+    blob = bytearray(mc.encode_gif_animation(f0[None]))
+    # append a second 2x2 image block at (2,2) drawn with palette color 0
+    # by hand: reuse the single-color encoder at a sub-rectangle
+    patch = np.full((2, 2), 0, dtype=np.uint8)
+    payload = mc._gif_lzw_encode(patch, 2)
+    block = bytearray(b"\x2c" + struct.pack("<HHHHB", 2, 2, 2, 2, 0))
+    block.append(2)
+    for i in range(0, len(payload), 255):
+        c = payload[i : i + 255]
+        block.append(len(c))
+        block += c
+    block.append(0)
+    assert blob[-1] == 0x3B
+    blob[-1:] = bytes(block) + b"\x3b"
+    frames, meta = mc.decode_gif_frames(bytes(blob))
+    assert meta["n_frames"] == 2
+    assert np.array_equal(frames[0], f0)
+    expect = f0.copy()
+    expect[2:4, 2:4] = 10  # palette color 0 is the single color 10
+    assert np.array_equal(frames[1], expect)
+
+
+def test_sample_frames_on_spark(spark):
+    """sample_frames: per-row fan-out, every_n stride, and per-row failure
+    isolation through the Arrow kernel."""
+    from zarr_climate_etl_ipfs_spark.multimodal import sample_frames
+
+    frames = np.stack([np.full((3, 4, 3), s, dtype=np.uint8) for s in (10, 20, 30, 40, 50)])
+    good = mc.encode_gif_animation(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a gif"))],
+        "doc_id long, content binary",
+    )
+    rows = sample_frames(df, every_n=2).orderBy("doc_id", "frame_idx").collect()
+    ok = [r for r in rows if r["decode_ok"]]
+    bad = [r for r in rows if not r["decode_ok"]]
+    assert [(r["frame_idx"], r["f_mean"]) for r in ok] == [(0, 10.0), (2, 30.0), (4, 50.0)]
+    assert all((r["f_height"], r["f_width"]) == (3, 4) for r in ok)
+    assert len(bad) == 1 and bad[0]["doc_id"] == 2 and "GIF" in bad[0]["error"]

@@ -163,6 +163,98 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     return first, meta
 
 
+def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """GIF87a/89a → (n_frames, H, W, 3) uint8 RGB — ALL frames, composited
+    onto the logical-screen canvas in order (disposal method "none": each
+    image block draws over the previous canvas, the baseline for the
+    full-canvas frames animation encoders emit).  This is the repo's real
+    video decode path: animated GIF is the one motion format whose decode
+    is pure stdlib, so frame sampling runs for real instead of via a
+    stubbed MP4 seam."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF (bad signature)")
+    if len(content) < 14:
+        raise MediaDecodeError("GIF: truncated header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    pending_delay = 0
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = content[pos]
+            pos += 1
+            sub0 = pos
+            while content[pos] != 0:
+                pos += content[pos] + 1
+            if label == 0xF9:
+                gce = content[sub0 + 1 : sub0 + 1 + content[sub0]]
+                if len(gce) >= 4:
+                    pending_delay = struct.unpack("<H", gce[1:3])[0]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise MediaDecodeError(f"GIF: unexpected block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise MediaDecodeError("GIF: no color table for frame")
+        min_code_size = content[pos]
+        pos += 1
+        chunks = []
+        while content[pos] != 0:
+            ln = content[pos]
+            chunks.append(content[pos + 1 : pos + 1 + ln])
+            pos += ln + 1
+        pos += 1
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size)
+        if len(idx) < w * h:
+            raise MediaDecodeError(f"GIF: short pixel data ({len(idx)} < {w * h})")
+        arr = np.asarray(idx[: w * h], dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:
+            rows = np.empty_like(arr)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for r in range(start, h, step):
+                    rows[r] = arr[src]
+                    src += 1
+            arr = rows
+        if int(arr.max(initial=0)) >= len(ct):
+            raise MediaDecodeError("GIF: pixel index out of palette range")
+        canvas = canvas.copy()
+        canvas[top : top + h, left : left + w] = ct[arr]
+        frames.append(canvas)
+        delays.append(pending_delay)
+        pending_delay = 0
+    if not frames:
+        raise MediaDecodeError("GIF: no image data")
+    meta = {
+        "format": "gif",
+        "height": sh,
+        "width": sw,
+        "channels": 3,
+        "n_frames": len(frames),
+        "frame_delays_cs": delays,  # centiseconds, per the GCE field
+        "duration_ms": int(sum(delays) * 10),
+    }
+    return np.stack(frames), meta
+
+
 def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
     """Real dictionary LZW (not the clear-code-spam shortcut), matching the
     decoder's width-growth rule."""
@@ -242,6 +334,45 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """(n, H, W, 3) uint8 (≤256 distinct colors ACROSS all frames) →
+    animated GIF89a: one global color table, a NETSCAPE loop block, and a
+    graphic-control extension (delay in centiseconds) before each
+    full-canvas image block.  Exists so video-frame-sampling tests and the
+    catalog query run over real animation bytes."""
+    arr = np.asarray(frames)
+    if arr.ndim != 4 or arr.shape[3] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_gif_animation wants (n, H, W, 3) uint8")
+    n_f, h, w = arr.shape[:3]
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif_animation: {len(palette)} colors > 256")
+    ct_bits = max(1, (len(palette) - 1).bit_length())
+    ct_n = 1 << ct_bits
+    ct = np.zeros((ct_n, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    idx_all = inverse.astype(np.uint8).reshape(n_f, h, w)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
+    out += ct.tobytes()
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code_size = max(2, ct_bits)
+    for f in range(n_f):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code_size)
+        payload = _gif_lzw_encode(idx_all[f], min_code_size)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -4351,3 +4351,237 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "video_frame_sample",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 6 + 2 AS side,
+             doc_id % 5 + 2 AS nf
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, side, UNNEST(RANGE(0, nf)) AS f FROM params
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(side AS INT) AS f_height, CAST(side AS INT) AS f_width,
+           CAST((doc_id + 17 * f) % 251 AS DOUBLE) AS f_mean
+    FROM frames WHERE f % 2 = 0 ORDER BY doc_id, frame_idx
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling as a driver-checkable entry: every doc gets
+    an animated GIF (n = doc_id%5+2 constant-color frames, side =
+    doc_id%6+2, frame f shade = (doc_id+17f)%251) encoded executor-side,
+    then `multimodal.sample_frames` decodes ALL frames via the stdlib LZW
+    path (`mediacodecs.decode_gif_frames`, compositing onto the logical
+    screen) and keeps every 2nd frame — one output row per sampled frame
+    from an Arrow mapInPandas flat-map (no explode: the 1→N fan-out
+    happens inside the kernel, which is how a 100 TB video corpus avoids
+    materializing per-frame byte blobs). Constant frames make every stat
+    closed-form — height=width=side, mean=shade — so the DuckDB oracle
+    verifies the encode→decode→sample→featurize chain arithmetically
+    without either codec."""
+    from zarr_climate_etl_ipfs_spark import multimodal as mm
+
+    @F.pandas_udf("binary")
+    def gen_vid(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_gif_animation
+
+        out = []
+        for d in doc_id:
+            side = int(d) % 6 + 2
+            nf = int(d) % 5 + 2
+            frames = np.stack(
+                [
+                    np.full((side, side, 3), (int(d) + 17 * f) % 251, dtype=np.uint8)
+                    for f in range(nf)
+                ]
+            )
+            out.append(encode_gif_animation(frames, delay_cs=10))
+        return pd.Series(out)
+
+    d = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", gen_vid("doc_id").alias("content")
+    )
+    sampled = mm.sample_frames(d, every_n=2)
+    return sampled.select(
+        "doc_id", "frame_idx", "f_height", "f_width", "f_mean"
+    ).orderBy("doc_id", "frame_idx")
+
+
+@q(
+    "audio_feature_extract",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             (doc_id * 37) % 20000 + 1000 AS q,
+             doc_id % 5 + 3 AS np
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 * np AS BIGINT) AS n_samples,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST((8 * np * 1000) // 16000 AS BIGINT) AS duration_ms,
+           CAST(q AS BIGINT) AS peak_q,
+           CAST(2 * np - 1 AS BIGINT) AS n_zero_cross
+    FROM params ORDER BY doc_id
+    """,
+)
+def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode as a driver-checkable entry: every doc gets a PCM
+    WAV square wave (amplitude q = (doc_id*37)%20000+1000 sixteenths-of-
+    32768, np = doc_id%5+3 periods of 8 samples at 16 kHz) encoded
+    executor-side, then decoded by the production path
+    (`mediacodecs.decode_wav`) and reduced to INTEGER features — sample
+    count, channel count, rate, floor-ms duration, peak re-quantized to
+    the int16 lattice (the encoder's round-trip is exact on that lattice,
+    pinned by test_wav_roundtrip), and the zero-crossing count (2·np−1
+    sign flips for a square wave). Integer features mean the oracle is
+    closed-form arithmetic — no float tolerance anywhere. One Arrow
+    generate stage + one Arrow decode stage over the scan; no shuffle but
+    the output sort."""
+
+    @F.pandas_udf("binary")
+    def gen_wav(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_wav
+
+        out = []
+        for d in doc_id:
+            q = (int(d) * 37) % 20000 + 1000
+            np_periods = int(d) % 5 + 3
+            a = q / 32768.0
+            one = np.array([a] * 4 + [-a] * 4, dtype=np.float32)
+            out.append(encode_wav(np.tile(one, np_periods), sample_rate=16000))
+        return pd.Series(out)
+
+    @F.pandas_udf("array<bigint>")
+    def wav_stats(content: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from zarr_climate_etl_ipfs_spark.mediacodecs import decode_wav
+
+        out = []
+        for blob in content:
+            samples, meta = decode_wav(bytes(blob))
+            mono = samples[:, 0]
+            n_zc = int(np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            peak_q = int(round(float(np.abs(mono).max()) * 32768.0))
+            out.append(
+                [
+                    samples.shape[0],
+                    meta["n_channels"],
+                    meta["sample_rate"],
+                    meta["duration_ms"],
+                    peak_q,
+                    n_zc,
+                ]
+            )
+        return pd.Series(out)
+
+    d = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", wav_stats(gen_wav("doc_id")).alias("s")
+    )
+    return d.select(
+        "doc_id",
+        F.element_at("s", 1).alias("n_samples"),
+        F.element_at("s", 2).alias("n_channels"),
+        F.element_at("s", 3).alias("sample_rate"),
+        F.element_at("s", 4).alias("duration_ms"),
+        F.element_at("s", 5).alias("peak_q"),
+        F.element_at("s", 6).alias("n_zero_cross"),
+    ).orderBy("doc_id")
+
+
+#: deterministic messy-URL synthesis shared by the Spark query and oracle —
+#: mixed-case scheme/host, default port, www prefix, utm tracking params,
+#: fragments, trailing slashes: every class a crawl canonicalizer handles.
+_URL_SYNTH_SQL = (
+    "'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/Path'"
+    " || CAST(doc_id % 5 AS VARCHAR)"
+    " || CASE doc_id % 3 WHEN 0 THEN '/?utm_source=news&id=' || CAST(doc_id % 4 AS VARCHAR)"
+    "                    WHEN 1 THEN '?id=' || CAST(doc_id % 4 AS VARCHAR)"
+    "                    ELSE '/' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END"
+)
+
+
+@q(
+    "url_canonicalize",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+    ), defrag AS (
+      SELECT doc_id, REGEXP_REPLACE(url, '#.*$', '') AS url FROM u
+    ), split AS (
+      SELECT doc_id, url,
+             REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS head
+      FROM defrag
+    ), canon AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(REGEXP_REPLACE(LOWER(head), ':80$', ''),
+                            '://www\\.', '://')
+             ||
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                 SUBSTR(url, LEN(head) + 1),
+                 'utm_[a-z]+=[^&#]*&?', ''), '[?&]$', ''), '/\\?', '?')
+               AS curl
+      FROM split
+    ), tidy AS (
+      SELECT doc_id, REGEXP_REPLACE(curl, '/$', '') AS canonical_url FROM canon
+    )
+    SELECT canonical_url, COUNT(*) AS n_urls,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM tidy GROUP BY canonical_url ORDER BY canonical_url
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier normalization a web
+    corpus runs before any content dedup: drop fragments, lowercase
+    scheme+host (ONLY — path case is significant), strip default port and
+    www prefix, remove utm_* tracking parameters, tidy dangling
+    separators, strip trailing slashes, then group by canonical form.
+    Synthetic messy URLs (deterministic from doc_id, same expression in
+    the oracle) exercise every rule; rows that differ only by tracking
+    noise collapse into one canonical group. All `regexp_replace` chains
+    are JVM codegen expressions (Java regex and RE2 agree on this
+    ASCII-scoped pattern set); one scan + one groupBy on the canonical
+    string — at 100 TB this is the exact-dedup shape: hash-uniform keys,
+    map-side combine, no skew beyond genuinely-popular URLs."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/Path"), (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/?utm_source=news&id="), (F.col("doc_id") % 4).cast("string")))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.lit("?id="), (F.col("doc_id") % 4).cast("string")))
+         .otherwise(F.lit("/")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    defrag = F.regexp_replace(url, "#.*$", "")
+    head = F.regexp_extract(defrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    head_c = F.regexp_replace(
+        F.regexp_replace(F.lower(head), ":80$", ""), "://www\\.", "://"
+    )
+    rest = defrag.substr(F.length(head) + 1, F.lit(1 << 20))
+    rest_c = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(rest, "utm_[a-z]+=[^&#]*&?", ""), "[?&]$", ""
+        ),
+        "/\\?",
+        "?",
+    )
+    canonical = F.regexp_replace(F.concat(head_c, rest_c), "/$", "")
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_urls"), F.min("doc_id").cast("long").alias("first_doc"))
+        .orderBy("canonical_url")
+    )
