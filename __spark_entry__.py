@@ -39,6 +39,11 @@ _ROTATE_FIRST = [
     "multimodal_decode_roundtrip",
     # new in round 6 — rotated in so they get driver rows immediately
     "embedding_lsh_neardups_wide",
+    "tfidf_top_terms", "paragraph_dedup", "streaming_zscore_anomalies",
+    "unigram_logprob_quality", "winnowing_fingerprints", "bpe_token_estimate",
+    "bilinear_regrid", "streaming_stream_join", "video_frame_sample",
+    "audio_feature_extract", "url_canonicalize", "sq_ann_topk",
+    "incremental_rollup_merge",
 ]
 
 

@@ -79,6 +79,7 @@ def main() -> None:
         "embedding_lsh_neardups_wide",
         "tfidf_top_terms",
         "paragraph_dedup",
+        "sq_ann_topk",
     ]
     run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (

@@ -603,3 +603,37 @@ def test_sequence_packing_offsets_and_fill(spark):
     assert en["max_docs_per_seq"] == 2
     # total tokens 2400 over 5 seqs of 512 = 0.9375 avg fill
     assert abs(en["avg_fill"] - round(2400 / (5 * 512.0), 4)) < 1e-9
+
+
+def test_scalar_quantize_recon_snaps_to_levels(spark):
+    """SQ reconstruction: endpoints are exact, interior values snap to the
+    nearest of 16 uniform levels (max error = half a step), constant dims
+    collapse without 0/0."""
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        scalar_quantize_bounds,
+        scalar_quantize_recon,
+    )
+
+    rows = [
+        (1, [0.0, -1.0, 5.0]),
+        (2, [1.5, 1.0, 5.0]),
+        (3, [0.07, 0.0, 5.0]),  # dim 3 constant across the corpus
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bounds = scalar_quantize_bounds(df, dim=3)
+    b = bounds.collect()[0]
+    assert b["mins"] == [0.0, -1.0, 5.0] and b["maxs"] == [1.5, 1.0, 5.0]
+    got = {
+        r["vec_id"]: r["rv"]
+        for r in df.crossJoin(F.broadcast(bounds))
+        .select("vec_id", scalar_quantize_recon("embedding", "mins", "maxs").alias("rv"))
+        .collect()
+    }
+    # endpoints exact; constant dim exact
+    assert got[1] == [0.0, -1.0, 5.0]
+    assert got[2] == [1.5, 1.0, 5.0]
+    # 0.07 in [0, 1.5] with 15 steps of 0.1: snaps to 0.1 (code 1)
+    assert abs(got[3][0] - 0.1) < 1e-12
+    # every reconstruction is within half a step of its input
+    step = 1.5 / 15
+    assert abs(got[3][0] - 0.07) <= step / 2 + 1e-12

@@ -33,6 +33,11 @@ QUERIES = [
     "simhash_neardups",
     "dedup_components",
     "sequence_packing",
+    # round-6 additions: span-granular dedup + fingerprinting + corpus stats
+    "paragraph_dedup",
+    "winnowing_fingerprints",
+    "tfidf_top_terms",
+    "unigram_logprob_quality",
 ]
 
 #: similarity family measured on replicated embeddings (see build_emb_corpora).

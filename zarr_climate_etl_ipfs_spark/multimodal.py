@@ -6,11 +6,13 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages so payload bytes
 stream through executors in columnar batches and never transit the driver.
 
 Decode is REAL for every format a pure-stdlib decoder can handle —
-PNG / PPM / PGM / BMP images and PCM WAV audio (``mediacodecs.py``:
-zlib + struct + numpy, incl. all five PNG scanline filters). Formats that
-genuinely need external codecs (JPEG/GIF/WebP, MP3/MP4 — PIL/ffmpeg are
-not in this container) raise NotImplementedError with the dependency
-name through the same pluggable seam, and tests can still inject fakes.
+baseline JPEG / PNG / GIF (incl. animated, the video path) / baseline
+TIFF / PPM / PGM / BMP images and PCM WAV audio (``mediacodecs.py``:
+zlib + struct + numpy — Huffman/IDCT for JPEG, LZW for GIF, all five PNG
+scanline filters). Formats that genuinely need external codecs
+(WebP, progressive JPEG, MP3/MP4 — PIL/ffmpeg are not in this container)
+raise NotImplementedError with the dependency name through the same
+pluggable seam, and tests can still inject fakes.
 """
 
 from __future__ import annotations
@@ -51,8 +53,9 @@ Decoder = Callable[[bytes, dict[str, Any]], np.ndarray]
 
 
 def default_image_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
-    """Real decode for PNG/PPM/PGM/BMP (mediacodecs.image_features);
-    JPEG/GIF/WebP raise NotImplementedError naming the missing library."""
+    """Real decode for JPEG/PNG/GIF/TIFF/PPM/PGM/BMP
+    (mediacodecs.image_features); WebP and progressive JPEG raise
+    NotImplementedError naming the missing library."""
     from zarr_climate_etl_ipfs_spark.mediacodecs import image_features
 
     return image_features(content, meta)

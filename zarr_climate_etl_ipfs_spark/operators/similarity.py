@@ -582,3 +582,47 @@ def assign_probe_cells(
         F.col(vec_col).alias("_qvec"),
         F.explode(F.transform(probes, lambda s: s["i"])).alias("cell"),
     )
+
+
+def scalar_quantize_bounds(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-dimension (min, max) over the corpus as ONE aggregate row of two
+    arrays — the training-free codebook of scalar quantization. 2·dim
+    partial-aggregated min/max expressions: one scan, one 1-row result,
+    broadcastable anywhere. (Contrast with k-means PQ codebooks: SQ needs
+    no iterative training, which is what makes it exactly reproducible in
+    a SQL oracle.)"""
+    mins = F.array(
+        *[F.min(F.element_at(F.col(vec_col), i + 1).cast("double")) for i in range(dim)]
+    )
+    maxs = F.array(
+        *[F.max(F.element_at(F.col(vec_col), i + 1).cast("double")) for i in range(dim)]
+    )
+    return emb.agg(mins.alias("mins"), maxs.alias("maxs"))
+
+
+def scalar_quantize_recon(
+    vec: Column | str, mins: Column | str, maxs: Column | str, levels: int = 16
+) -> Column:
+    """Reconstructed (de-quantized) vector: each component snaps to one of
+    ``levels`` uniform steps between the corpus min/max of its dimension —
+    the 4-bit-code memory model (16× smaller than float64, 8× smaller than
+    float32) evaluated here in its decoded form. Pure zip_with expression;
+    a constant dimension collapses to its single value (no 0/0)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    lo_hi = F.zip_with(
+        F.col(mins) if isinstance(mins, str) else mins,
+        F.col(maxs) if isinstance(maxs, str) else maxs,
+        lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi")),
+    )
+    n = float(levels - 1)
+    return F.zip_with(
+        v,
+        lo_hi,
+        lambda x, r: F.when(r["hi"] == r["lo"], r["lo"]).otherwise(
+            r["lo"]
+            + F.round((x.cast("double") - r["lo"]) / (r["hi"] - r["lo"]) * n)
+            * ((r["hi"] - r["lo"]) / n)
+        ),
+    )

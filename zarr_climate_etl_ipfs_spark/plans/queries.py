@@ -4585,3 +4585,138 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_urls"), F.min("doc_id").cast("long").alias("first_doc"))
         .orderBy("canonical_url")
     )
+
+
+@q(
+    "sq_ann_topk",
+    """
+    WITH dims AS (
+      SELECT ord, MIN(CAST(embedding[ord] AS DOUBLE)) AS lo,
+                  MAX(CAST(embedding[ord] AS DOUBLE)) AS hi
+      FROM embeddings, UNNEST(RANGE(1, 65)) t(ord) GROUP BY ord
+    ), recon AS (
+      SELECT vec_id, ord,
+             CASE WHEN hi = lo THEN lo
+                  ELSE lo + ROUND((CAST(embedding[ord] AS DOUBLE) - lo)
+                                  / (hi - lo) * 15.0)
+                            * ((hi - lo) / 15.0) END AS rx
+      FROM embeddings, UNNEST(RANGE(1, 65)) t(ord) JOIN dims USING (ord)
+    ), rvec AS (
+      SELECT vec_id, LIST(rx ORDER BY ord) AS rv FROM recon GROUP BY vec_id
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(LIST_COSINE_SIMILARITY(rv, qvec), 6) AS cosine_q
+    FROM rvec, q
+    ORDER BY LIST_COSINE_SIMILARITY(rv, qvec) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN via scalar quantization — the memory-scaling
+    complement to `ivf_knn`: every embedding is snapped to 4-bit codes per
+    dimension against a training-free per-dimension min/max codebook
+    (`operators/similarity.scalar_quantize_bounds/_recon`), and the top-10
+    search runs asymmetrically (full-precision query against reconstructed
+    corpus). At 100 TB the codes are 16× smaller than the float64 the
+    distance math runs in — the difference between an index that fits in
+    cluster RAM and one that doesn't; this entry verifies the quantized
+    math end-to-end (the oracle rebuilds the identical reconstruction
+    per-element and DuckDB's sequential list fold matches Spark's
+    `aggregate` fold bit-for-bit, same as `knn_brute_force`). Plan: one
+    scan for bounds (128 partial-aggregated min/max), broadcast 1-row
+    codebook + broadcast query vector, one codegen'd zip_with
+    reconstruction + cosine per row, TakeOrderedAndProject — no shuffle
+    at any corpus size."""
+    from zarr_climate_etl_ipfs_spark.functions.vectors import cosine_similarity
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        scalar_quantize_bounds,
+        scalar_quantize_recon,
+    )
+
+    emb = t_wide(spark, sf_dir, "embeddings")
+    bounds = F.broadcast(scalar_quantize_bounds(emb))
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("qvec")
+        )
+    )
+    recon = emb.crossJoin(bounds).select(
+        "vec_id",
+        scalar_quantize_recon("embedding", "mins", "maxs", levels=16).alias("rv"),
+    )
+    return (
+        recon.crossJoin(qv)
+        .select("vec_id", cosine_similarity(F.col("rv"), F.col("qvec")).alias("_c"))
+        .orderBy(F.col("_c").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_c", 6).alias("cosine_q"))
+    )
+
+
+@q(
+    "incremental_rollup_merge",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(value) AS n,
+           -- exact-int sum divided once; NO rounding: a sum/count mean
+           -- lands on .xxxx5 boundaries that engines round differently,
+           -- while the unrounded IEEE quotient of identical operands is
+           -- bit-identical
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+             / (100.0 * COUNT(value)) AS mean_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type, day ORDER BY event_type, day
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh correctness, algebraically (the
+    `operators/rollup.RollupStore` pattern as a driver-checkable entry):
+    the events table splits at a cutover date into "already-rolled-up
+    state" and "new batch"; each side computes MERGEABLE partials
+    (count, Σcents as exact int64, min, max), the partials merge
+    (sum-of-sums, min-of-mins…), and the finalized result must equal the
+    single-pass aggregate the oracle runs. Fixed-point cents make the
+    mergeable sum EXACT — the float-summation-order trap that breaks
+    naive mean-merging is designed out, which is precisely how a 100 TB
+    incremental rollup stays byte-stable across refresh orders. Plan: two
+    partial aggregations (each pruned by the cutover predicate at the
+    scan), one union, one merge aggregation — refresh cost ∝ batch, not
+    history."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cutover = F.lit("2024-02-01").cast("date")
+
+    def partials(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count("value").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    state = partials(e.filter(F.col("day") < cutover))
+    batch = partials(e.filter(F.col("day") >= cutover))
+    merged = (
+        state.unionByName(batch)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("sum_cents") / (100.0 * F.col("n"))).alias("mean_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type", "day")
