@@ -452,3 +452,27 @@ def test_sample_frames_on_spark(spark):
     assert [(r["frame_idx"], r["f_mean"]) for r in ok] == [(0, 10.0), (2, 30.0), (4, 50.0)]
     assert all((r["f_height"], r["f_width"]) == (3, 4) for r in ok)
     assert len(bad) == 1 and bad[0]["doc_id"] == 2 and "GIF" in bad[0]["error"]
+
+
+def test_resize_images_on_spark(spark):
+    """resize_images: real decode → box resize → PNG re-encode, mixed
+    formats, failure isolation; the resized PNG is itself decodable."""
+    from zarr_climate_etl_ipfs_spark.multimodal import resize_images
+
+    grad = np.repeat(np.arange(8, dtype=np.uint8)[:, None] * 30, 8, axis=1)
+    img = np.dstack([grad, grad, grad])
+    rows = [
+        (1, bytearray(mc.encode_png(img))),
+        (2, bytearray(mc.encode_tiff(img))),
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert got[1]["decode_ok"] and got[2]["decode_ok"] and not got[3]["decode_ok"]
+    assert (got[1]["in_h"], got[1]["out_h"], got[1]["out_w"]) == (8, 4, 4)
+    # identical pixels via two containers → identical resized bytes
+    assert bytes(got[1]["resized_png"]) == bytes(got[2]["resized_png"])
+    dec, _ = mc.decode_png(bytes(got[1]["resized_png"]))
+    assert dec.shape == (4, 4, 3)
+    # 2x2 box means of the row gradient: rows (0,30),(60,90),(120,150),(180,210)
+    assert list(dec[:, 0, 0]) == [15, 75, 135, 195]

@@ -4018,9 +4018,9 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
     ), g AS (
       SELECT doc_id,
-             [{_MD5INT_SQL.format(x="ARRAY_TO_STRING(LIST_SLICE(ws, i + 1, i + 3), ' ')")}
-              FOR i IN RANGE(0, LEN(ws) - 2)] AS hs
-      FROM w WHERE LEN(ws) >= 3
+             [{_MD5INT_SQL.format(x="ARRAY_TO_STRING(LIST_SLICE(ws, i + 1, i + 5), ' ')")}
+              FOR i IN RANGE(0, LEN(ws) - 4)] AS hs
+      FROM w WHERE LEN(ws) >= 5
     ), fp AS (
       SELECT DISTINCT doc_id, fp FROM (
         SELECT doc_id,
@@ -4044,11 +4044,17 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm) — the rolling-hash fingerprinting the builder's brief names:
-    hash every 3-word gram, keep the MINIMUM hash of each sliding window
+    hash every 5-word gram, keep the MINIMUM hash of each sliding window
     of 4 grams, and report document pairs sharing >= 3 distinct selected
-    fingerprints. Winnowing guarantees any shared run of >= 6 words
+    fingerprints. Winnowing guarantees any shared run of >= 8 words
     contributes a shared fingerprint, at ~2/(w+1) the density of full
     shingling — the cheap first pass before exact span verification.
+    (Gram width 5, not the family's 3: min-selection preferentially
+    surfaces RARE grams, which stay under the DF cap even when shared
+    across loosely-related documents — 5-word grams keep selected
+    fingerprints specific enough that the pair space tracks true shared
+    spans; measured at 3 grams the x10 replicated corpus went quadratic
+    across copies, 403 s vs 13 s.)
 
     Plan: the gram hashing AND the sliding-window minimum are pure array
     expressions (`transform`/`slice`/`array_min`) evaluated per row inside
@@ -4065,10 +4071,10 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t_wide(spark, sf_dir, "documents")
     ws = words(F.col("text"))
     hs = F.when(
-        F.size(ws) >= 3,
+        F.size(ws) >= 5,
         F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 3),
-            lambda i: md5int(F.concat_ws(" ", F.slice(ws, i + 1, 3))),
+            F.sequence(F.lit(0), F.size(ws) - 5),
+            lambda i: md5int(F.concat_ws(" ", F.slice(ws, i + 1, 5))),
         ),
     )
     fps = F.when(
@@ -4720,3 +4726,68 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("event_type", "day")
+
+
+@q(
+    "image_resize_stats",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             CAST(doc_id % 7 + 2 AS INT) AS side,
+             CAST(doc_id % 251 AS DOUBLE) AS shade
+      FROM documents
+    )
+    SELECT doc_id, side AS in_h, side AS in_w,
+           CAST(3 AS INT) AS out_h, CAST(3 AS INT) AS out_w,
+           shade AS out_mean
+    FROM params ORDER BY doc_id
+    """,
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize as a driver-checkable entry — the
+    thumbnail/normalize stage of a multimodal pipeline
+    (`multimodal.resize_images`): every doc gets a constant-color raster
+    in a rotating container format (PNG/GIF/TIFF/JPEG-q100, the same
+    4-format generator as `multimodal_decode_roundtrip`), the production
+    kernel decodes it, box-resamples to 3x3 (integer accumulation — the
+    2x2 inputs exercise the replicate-upscale path, the larger sides the
+    downsample bins), re-encodes PNG, and reports dims + mean. Constant
+    images make the mean invariant under ANY correct resample, so the
+    oracle is closed-form. One Arrow generate stage + one Arrow
+    decode/resize/encode stage; no shuffle but the output sort."""
+    from zarr_climate_etl_ipfs_spark import multimodal as mm
+
+    @F.pandas_udf("binary")
+    def gen_img(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from zarr_climate_etl_ipfs_spark.mediacodecs import (
+            encode_gif,
+            encode_jpeg,
+            encode_png,
+            encode_tiff,
+        )
+
+        out = []
+        for d in doc_id:
+            side = int(d) % 7 + 2
+            shade = int(d) % 251
+            img = np.full((side, side, 3), shade, dtype=np.uint8)
+            fmt = int(d) % 4
+            if fmt == 0:
+                out.append(encode_png(img))
+            elif fmt == 1:
+                out.append(encode_gif(img))
+            elif fmt == 2:
+                out.append(encode_tiff(img))
+            else:
+                out.append(encode_jpeg(img, quality=100))
+        return pd.Series(out)
+
+    d = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", gen_img("doc_id").alias("content")
+    )
+    resized = mm.resize_images(d, target_h=3, target_w=3)
+    return resized.select(
+        "doc_id", "in_h", "in_w", "out_h", "out_w", "out_mean"
+    ).orderBy("doc_id")
