@@ -476,3 +476,53 @@ def test_resize_images_on_spark(spark):
     assert dec.shape == (4, 4, 3)
     # 2x2 box means of the row gradient: rows (0,30),(60,90),(120,150),(180,210)
     assert list(dec[:, 0, 0]) == [15, 75, 135, 195]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3000),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from(["smooth", "noise", "const", "ramp"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_flac_roundtrip_property(n, ch, kind, seed):
+    """FLAC is lossless: decode(encode(x)) equals x on the int16 lattice for
+    every signal class (each exercising a different subframe type)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n, dtype=np.float32)
+    if kind == "smooth":
+        base = np.sin(2 * np.pi * t / 50.0) * 0.7
+    elif kind == "noise":
+        base = rng.uniform(-0.95, 0.95, n)
+    elif kind == "const":
+        base = np.full(n, rng.uniform(-0.9, 0.9))
+    else:
+        base = (t / max(n, 1)) * 1.8 - 0.9
+    x = np.stack([base.astype(np.float32)] * ch, axis=1) * (1 if ch == 1 else np.array([1, -0.5], dtype=np.float32)[:ch])
+    dec, meta = mc.decode_flac(mc.encode_flac(x, sample_rate=16000, block_size=576))
+    q = np.clip(np.round(x * 32768.0), -32768, 32767) / 32768.0
+    assert dec.shape == (n, ch)
+    assert np.abs(dec - q).max() == 0.0
+    assert meta["sample_rate"] == 16000 and meta["n_channels"] == ch
+
+
+def test_flac_compresses_smooth_audio():
+    t = np.arange(8000, dtype=np.float32) / 16000
+    sig = (np.sin(2 * np.pi * 220 * t) * 0.7).astype(np.float32)
+    blob = mc.encode_flac(sig, sample_rate=16000)
+    assert len(blob) < 0.8 * sig.size * 2  # beats raw PCM
+    wav = mc.encode_wav(sig, sample_rate=16000)
+    fa = mc.audio_features(blob, {})
+    fw = mc.audio_features(wav, {})
+    assert np.allclose(fa, fw)  # same samples through either container
+
+
+def test_audio_dispatch_and_flac_garbage():
+    with pytest.raises(NotImplementedError, match="MP3"):
+        mc.decode_audio(b"ID3\x04\x00rest")
+    with pytest.raises(NotImplementedError, match="Ogg"):
+        mc.decode_audio(b"OggS\x00rest")
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_audio(b"randombytes")
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_flac(b"fLaC" + b"\x00\x00\x00\x01\x00")

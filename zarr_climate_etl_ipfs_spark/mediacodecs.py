@@ -1351,10 +1351,24 @@ def image_features(content: bytes, meta: dict[str, Any]) -> np.ndarray:
     )
 
 
+def decode_audio(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Magic-byte dispatch over the stdlib-decodable audio formats:
+    RIFF/WAVE PCM and FLAC.  MP3/AAC/OGG raise naming the dependency."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
+    if content[:4] == b"fLaC":
+        return decode_flac(content)
+    if content[:3] == b"ID3" or content[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+        raise NotImplementedError("MP3 (needs ffmpeg/libmad) — not in this container; inject a decoder")
+    if content[:4] == b"OggS":
+        raise NotImplementedError("Ogg (needs libvorbis/libopus) — not in this container; inject a decoder")
+    raise MediaDecodeError("unrecognized audio format")
+
+
 def audio_features(content: bytes, meta: dict[str, Any]) -> np.ndarray:
-    """Decode WAV + fixed 8-dim feature: (n_samples, channels, sample_rate,
-    duration_ms, rms, peak, zero-crossing rate, dc offset)."""
-    samples, m = decode_wav(content)
+    """Decode WAV/FLAC + fixed 8-dim feature: (n_samples, channels,
+    sample_rate, duration_ms, rms, peak, zero-crossing rate, dc offset)."""
+    samples, m = decode_audio(content)
     mono = samples.mean(axis=1)
     zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if mono.size > 1 else 0.0
     return np.array(
@@ -1365,3 +1379,401 @@ def audio_features(content: bytes, meta: dict[str, Any]) -> np.ndarray:
         ],
         dtype=np.float32,
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC (free lossless audio codec, public spec / RFC 9639): pure stdlib
+# ---------------------------------------------------------------------------
+# Decoder covers the full subframe surface — CONSTANT, VERBATIM, FIXED 0-4,
+# LPC up to order 32, wasted bits, rice partitions (4- and 5-bit params,
+# escape codes), and the left/side, right/side, mid/side stereo
+# decorrelations.  The encoder emits spec-legal frames with VERBATIM /
+# CONSTANT / FIXED-order-2 subframes so round-trip tests exercise the rice
+# and predictor paths with real bytes.
+
+
+class _FlacBitReader:
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.bitpos = bitpos
+
+    def read(self, n: int) -> int:
+        v = 0
+        bp = self.bitpos
+        data = self.data
+        for _ in range(n):
+            byte = data[bp >> 3]
+            v = (v << 1) | ((byte >> (7 - (bp & 7))) & 1)
+            bp += 1
+        self.bitpos = bp
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        bp = self.bitpos
+        data = self.data
+        while not (data[bp >> 3] >> (7 - (bp & 7))) & 1:
+            q += 1
+            bp += 1
+        self.bitpos = bp + 1
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _flac_utf8_decode(br: _FlacBitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        v = (v << 6) | (br.read(8) & 0x3F)
+    return v
+
+
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_residual(br: _FlacBitReader, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise MediaDecodeError(f"FLAC: reserved residual method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = br.read(4)
+    out: list[int] = []
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise MediaDecodeError("FLAC: partition order does not divide block size")
+    for p in range(nparts):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        param = br.read(plen)
+        if param == escape:
+            bits = br.read(5)
+            for _ in range(n):
+                out.append(br.read_signed(bits) if bits else 0)
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                v = (q << param) | br.read(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise MediaDecodeError("FLAC: subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        out = [br.read_signed(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        out = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        resid = _flac_residual(br, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        out = list(warm)
+        for r in resid:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(pred + r)
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        warm = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise MediaDecodeError("FLAC: invalid LPC precision escape")
+        shift = br.read_signed(5)
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        resid = _flac_residual(br, blocksize, order)
+        out = list(warm)
+        for r in resid:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(pred + r)
+    else:
+        raise MediaDecodeError(f"FLAC: reserved subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+_FLAC_BLOCKSIZE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def decode_flac(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """FLAC → (n_samples, n_channels) float32 in [-1, 1] + meta — the
+    compressed-audio sibling of decode_wav, pure stdlib (bit reader +
+    rice + integer predictors; no libFLAC)."""
+    if content[:4] != b"fLaC":
+        raise MediaDecodeError("not a FLAC stream (missing fLaC)")
+    pos = 4
+    rate = channels = bps = None
+    total = 0
+    while True:
+        if pos + 4 > len(content):
+            raise MediaDecodeError("FLAC: truncated metadata")
+        hdr = content[pos]
+        blen = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        body = content[pos + 4 : pos + 4 + blen]
+        pos += 4 + blen
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise MediaDecodeError("FLAC: truncated STREAMINFO")
+            br = _FlacBitReader(body)
+            br.read(16); br.read(16); br.read(24); br.read(24)
+            rate = br.read(20)
+            channels = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+        if hdr & 0x80:
+            break
+    if rate is None:
+        raise MediaDecodeError("FLAC: missing STREAMINFO")
+    br = _FlacBitReader(content, pos * 8)
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    nbytes = len(content)
+    try:
+        _decode_flac_frames(br, nbytes, channels, bps, chans)
+    except IndexError as e:
+        raise MediaDecodeError("FLAC: truncated stream") from e
+    n = min(len(c) for c in chans)
+    if total:
+        n = min(n, total)
+    arr = np.stack([np.asarray(c[:n], dtype=np.float64) for c in chans], axis=1)
+    samples = (arr / float(1 << (bps - 1))).astype(np.float32)
+    meta = {
+        "format": "flac",
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bps,
+        "duration_ms": int(n * 1000 / rate) if rate else 0,
+    }
+    return samples, meta
+
+
+def _decode_flac_frames(
+    br: _FlacBitReader, nbytes: int, channels: int, bps: int, chans: list[list[int]]
+) -> None:
+    while (br.bitpos >> 3) < nbytes - 1:
+        if br.read(14) != 0x3FFE:
+            raise MediaDecodeError("FLAC: lost frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        rate_code = br.read(4)
+        chan_code = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)  # reserved
+        _flac_utf8_decode(br)  # frame/sample number
+        if bs_code == 0:
+            raise MediaDecodeError("FLAC: reserved block size code")
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZE[bs_code]
+        if rate_code == 12:
+            br.read(8)
+        elif rate_code in (13, 14):
+            br.read(16)
+        fbps = _FLAC_BPS.get(bps_code, bps)
+        br.read(8)  # CRC-8 (not verified: integrity is the store's job)
+        if chan_code < 8:
+            nch = chan_code + 1
+            subs = [_flac_subframe(br, blocksize, fbps) for _ in range(nch)]
+        elif chan_code == 8:  # left/side
+            left = _flac_subframe(br, blocksize, fbps)
+            side = _flac_subframe(br, blocksize, fbps + 1)
+            subs = [left, [l - s for l, s in zip(left, side)]]
+        elif chan_code == 9:  # right/side
+            side = _flac_subframe(br, blocksize, fbps + 1)
+            right = _flac_subframe(br, blocksize, fbps)
+            subs = [[r + s for r, s in zip(right, side)], right]
+        elif chan_code == 10:  # mid/side
+            mid = _flac_subframe(br, blocksize, fbps)
+            side = _flac_subframe(br, blocksize, fbps + 1)
+            subs = [[(2 * m + (s & 1) + s) >> 1 for m, s in zip(mid, side)],
+                    [(2 * m + (s & 1) - s) >> 1 for m, s in zip(mid, side)]]
+        else:
+            raise MediaDecodeError(f"FLAC: reserved channel assignment {chan_code}")
+        for c, sub in enumerate(subs):
+            chans[c].extend(sub)
+        br.align()
+        br.read(16)  # CRC-16
+
+
+class _FlacBitWriter:
+    __slots__ = ("out", "buf", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                self.buf = 0
+                self.n = 0
+
+    def write_signed(self, v: int, bits: int) -> None:
+        self.write(v & ((1 << bits) - 1), bits)
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_utf8_encode(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    out = []
+    nbytes = 2
+    while v >= (1 << (5 * nbytes + 1)):
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (v >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((v >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _rice_param(resid: list[int]) -> int:
+    if not resid:
+        return 0
+    mean = sum(abs(r) for r in resid) / len(resid) + 1
+    p = max(0, int(mean).bit_length() - 1)
+    return min(p, 14)
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int = 16000, block_size: int = 4096
+) -> bytes:
+    """(n,) or (n, C) float32 in [-1, 1] → 16-bit FLAC.  Per block, picks
+    CONSTANT (flat), FIXED order 2 + rice (the compressing path), or
+    VERBATIM (incompressible) per channel — enough of the encoder surface
+    that tests exercise every decoder path with spec-legal bytes."""
+    arr = np.asarray(samples, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, nch = arr.shape
+    if not 1 <= nch <= 8:
+        raise ValueError("encode_flac supports 1-8 channels")
+    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int64)
+    rate_code = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+                 24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11}.get(sample_rate)
+    # STREAMINFO
+    si = _FlacBitWriter()
+    si.write(block_size, 16); si.write(block_size, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(sample_rate, 20); si.write(nch - 1, 3); si.write(15, 5)  # 16 bps
+    si.write(n, 36)
+    si.align()
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(bytes(si.out) + b"\x00" * 16).to_bytes(3, "big")
+    out += bytes(si.out) + b"\x00" * 16  # md5 unset (all zero = not computed)
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = pcm[start : start + block_size]
+        bs = blk.shape[0]
+        hw = _FlacBitWriter()
+        hw.write(0x3FFE, 14); hw.write(0, 1); hw.write(0, 1)
+        hw.write(7, 4)  # blocksize: 16-bit value - 1 follows
+        hw.write(rate_code if rate_code else 0, 4)
+        hw.write(nch - 1, 4)  # independent channels
+        hw.write(4, 3)  # 16 bps
+        hw.write(0, 1)
+        hw.align()
+        header = bytes(hw.out) + _flac_utf8_encode(frame_no) + struct.pack(">H", bs - 1)
+        header += bytes([_crc8(header)])
+        bw = _FlacBitWriter()
+        for c in range(nch):
+            ch = [int(v) for v in blk[:, c]]
+            bw.write(0, 1)
+            if all(v == ch[0] for v in ch):
+                bw.write(0, 6)  # CONSTANT
+                bw.write(0, 1)
+                bw.write_signed(ch[0], 16)
+                continue
+            if bs > 2:
+                resid = [ch[i] - 2 * ch[i - 1] + ch[i - 2] for i in range(2, bs)]
+                param = _rice_param(resid)
+                cost = sum(min((abs(r) >> max(param, 1)) + 1 + param, 64) for r in resid)
+                if cost < 14 * bs:  # compresses vs verbatim → FIXED order 2
+                    bw.write(10, 6)  # FIXED order 2
+                    bw.write(0, 1)
+                    bw.write_signed(ch[0], 16)
+                    bw.write_signed(ch[1], 16)
+                    bw.write(0, 2)  # 4-bit rice params
+                    bw.write(0, 4)  # partition order 0
+                    bw.write(param, 4)
+                    for r in resid:
+                        z = (abs(r) << 1) - (1 if r < 0 else 0)  # zigzag
+                        bw.write_unary(z >> param)
+                        if param:
+                            bw.write(z & ((1 << param) - 1), param)
+                    continue
+            bw.write(1, 6)  # VERBATIM
+            bw.write(0, 1)
+            for v in ch:
+                bw.write_signed(v, 16)
+        bw.align()
+        frame = header + bytes(bw.out)
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+        frame_no += 1
+    return bytes(out)

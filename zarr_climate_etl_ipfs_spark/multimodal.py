@@ -62,7 +62,8 @@ def default_image_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
 
 
 def default_audio_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
-    """Real decode for PCM WAV (mediacodecs.audio_features)."""
+    """Real decode for PCM WAV and FLAC (mediacodecs.audio_features);
+    MP3/Ogg raise NotImplementedError naming the missing library."""
     from zarr_climate_etl_ipfs_spark.mediacodecs import audio_features
 
     return audio_features(content, meta)

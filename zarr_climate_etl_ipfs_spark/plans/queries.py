@@ -4024,7 +4024,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), fp AS (
       SELECT DISTINCT doc_id, fp FROM (
         SELECT doc_id,
-               UNNEST([LIST_MIN(LIST_SLICE(hs, i + 1, i + 4))
+               UNNEST([LEAST(hs[i + 1], hs[i + 2], hs[i + 3], hs[i + 4])
                        FOR i IN RANGE(0, LEN(hs) - 3)]) AS fp
         FROM g WHERE LEN(hs) >= 4
       )
@@ -4077,12 +4077,20 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: md5int(F.concat_ws(" ", F.slice(ws, i + 1, 5))),
         ),
     )
+    # window minimum as least(4 element_at) — NOT slice+array_min, which
+    # allocates a fresh 4-element array per position (162M allocations at
+    # the 500k-doc scale point; measured the dominant cost)
     fps = F.when(
         F.size(hs) >= 4,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(hs) - 4),
-                lambda i: F.array_min(F.slice(hs, i + 1, 4)),
+                lambda i: F.least(
+                    F.element_at(hs, i + 1),
+                    F.element_at(hs, i + 2),
+                    F.element_at(hs, i + 3),
+                    F.element_at(hs, i + 4),
+                ),
             )
         ),
     )
@@ -4439,11 +4447,14 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode as a driver-checkable entry: every doc gets a PCM
-    WAV square wave (amplitude q = (doc_id*37)%20000+1000 sixteenths-of-
-    32768, np = doc_id%5+3 periods of 8 samples at 16 kHz) encoded
-    executor-side, then decoded by the production path
-    (`mediacodecs.decode_wav`) and reduced to INTEGER features — sample
+    """REAL audio decode as a driver-checkable entry: every doc gets a
+    square wave (amplitude q = (doc_id*37)%20000+1000 sixteenths-of-32768,
+    np = doc_id%5+3 periods of 8 samples at 16 kHz) encoded executor-side
+    — PCM WAV for even doc_ids, FLAC for odd (the compressed container;
+    `mediacodecs.encode_flac`) — then decoded by the production dispatch
+    (`mediacodecs.decode_audio`: RIFF → PCM reader, fLaC → rice/predictor
+    decoder) and reduced to INTEGER features: FLAC is lossless on the
+    int16 lattice, so both containers must yield identical values — sample
     count, channel count, rate, floor-ms duration, peak re-quantized to
     the int16 lattice (the encoder's round-trip is exact on that lattice,
     pinned by test_wav_roundtrip), and the zero-crossing count (2·np−1
@@ -4456,7 +4467,7 @@ def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_wav(doc_id: pd.Series) -> pd.Series:
         import numpy as np
 
-        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_wav
+        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_flac, encode_wav
 
         out = []
         for d in doc_id:
@@ -4464,18 +4475,20 @@ def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             np_periods = int(d) % 5 + 3
             a = q / 32768.0
             one = np.array([a] * 4 + [-a] * 4, dtype=np.float32)
-            out.append(encode_wav(np.tile(one, np_periods), sample_rate=16000))
+            sig = np.tile(one, np_periods)
+            enc = encode_wav if int(d) % 2 == 0 else encode_flac
+            out.append(enc(sig, sample_rate=16000))
         return pd.Series(out)
 
     @F.pandas_udf("array<bigint>")
     def wav_stats(content: pd.Series) -> pd.Series:
         import numpy as np
 
-        from zarr_climate_etl_ipfs_spark.mediacodecs import decode_wav
+        from zarr_climate_etl_ipfs_spark.mediacodecs import decode_audio
 
         out = []
         for blob in content:
-            samples, meta = decode_wav(bytes(blob))
+            samples, meta = decode_audio(bytes(blob))
             mono = samples[:, 0]
             n_zc = int(np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
             peak_q = int(round(float(np.abs(mono).max()) * 32768.0))
