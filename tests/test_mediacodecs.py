@@ -526,3 +526,92 @@ def test_audio_dispatch_and_flac_garbage():
         mc.decode_audio(b"randombytes")
     with pytest.raises(mc.MediaDecodeError):
         mc.decode_flac(b"fLaC" + b"\x00\x00\x00\x01\x00")
+
+
+def _flac_stream(body_writer, nch=1, bps=16, rate=16000, blocksize=8, total=8):
+    """Hand-assemble a minimal FLAC stream around one frame whose subframe
+    bits come from body_writer(bw) — covers decoder paths the repo encoder
+    never emits (LPC, mid/side)."""
+    si = mc._FlacBitWriter()
+    si.write(blocksize, 16); si.write(blocksize, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(nch - 1, 3); si.write(bps - 1, 5)
+    si.write(total, 36)
+    si.align()
+    out = bytearray(b"fLaC")
+    meta = bytes(si.out) + b"\x00" * 16
+    out += bytes([0x80]) + len(meta).to_bytes(3, "big") + meta
+    hw = mc._FlacBitWriter()
+    hw.write(0x3FFE, 14); hw.write(0, 1); hw.write(0, 1)
+    hw.write(7, 4)           # 16-bit blocksize-1 follows
+    hw.write(5, 4)           # 16 kHz
+    hw.write(10 if nch == 2 else nch - 1, 4)  # mid/side for stereo
+    hw.write(4, 3)           # 16 bps
+    hw.write(0, 1)
+    hw.align()
+    header = bytes(hw.out) + mc._flac_utf8_encode(0) + struct.pack(">H", blocksize - 1)
+    header += bytes([mc._crc8(header)])
+    bw = mc._FlacBitWriter()
+    body_writer(bw)
+    bw.align()
+    frame = header + bytes(bw.out)
+    frame += struct.pack(">H", mc._crc16(frame))
+    return bytes(out + frame)
+
+
+def test_flac_lpc_subframe_decodes():
+    """LPC order-2 subframe: warmup [100, 110], coefs [5, -2] at shift 2,
+    residuals rice(param=3) — decoder must reproduce pred = (5a-2b)>>2 + r."""
+    warm = [100, 110]
+    coefs = [5, -2]
+    shift = 2
+    resid = [3, -1, 0, 7, -4, 2]
+    expect = list(warm)
+    for r in resid:
+        expect.append(((coefs[0] * expect[-1] + coefs[1] * expect[-2]) >> shift) + r)
+
+    def body(bw):
+        bw.write(0, 1)
+        bw.write(32 + (2 - 1), 6)   # LPC order 2
+        bw.write(0, 1)              # no wasted bits
+        for w in warm:
+            bw.write_signed(w, 16)
+        bw.write(4, 4)              # precision-1 → 5 bits
+        bw.write_signed(shift, 5)
+        for c in coefs:
+            bw.write_signed(c, 5)
+        bw.write(0, 2)              # 4-bit rice
+        bw.write(0, 4)              # partition order 0
+        bw.write(3, 4)              # rice param 3
+        for r in resid:
+            z = (abs(r) << 1) - (1 if r < 0 else 0)
+            bw.write_unary(z >> 3)
+            bw.write(z & 7, 3)
+
+    samples, meta = mc.decode_flac(_flac_stream(body))
+    got = [int(round(v * 32768)) for v in samples[:, 0]]
+    assert got == expect
+    assert meta["bits_per_sample"] == 16
+
+
+def test_flac_mid_side_decodes():
+    """Mid/side stereo: two VERBATIM subframes (side at bps+1) must invert
+    to the original left/right exactly, including odd mid rounding."""
+    left = [100, -50, 32767, -32768, 7, 0, 255, -1]
+    right = [90, -60, 32760, -32768, -7, 1, 250, -2]
+    mids = [(l + r) >> 1 for l, r in zip(left, right)]
+    sides = [l - r for l, r in zip(left, right)]
+
+    def body(bw):
+        bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)   # VERBATIM mid
+        for m in mids:
+            bw.write_signed(m, 16)
+        bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)   # VERBATIM side, 17 bit
+        for s in sides:
+            bw.write_signed(s, 17)
+
+    samples, meta = mc.decode_flac(_flac_stream(body, nch=2))
+    got_l = [int(round(v * 32768)) for v in samples[:, 0]]
+    got_r = [int(round(v * 32768)) for v in samples[:, 1]]
+    assert got_l == left and got_r == right
+    assert meta["n_channels"] == 2

@@ -281,6 +281,20 @@ def write_md(out_md: Path, results: dict) -> None:
         "of operators/textanalysis.pack_sequences: window partitions bounded",
         "at corpus/(langs·defaultParallelism), scaling with the cluster.",
         "",
+        "Round-6 rows: `paragraph_dedup` (12-word span dedup, count-over-hash",
+        "window), `winnowing_fingerprints` (MOSS fingerprint selection +",
+        "DF-capped inverted-index pair join), `tfidf_top_terms` and",
+        "`unigram_logprob_quality` (corpus-statistics windows over the (doc,",
+        "term) aggregate). Two measured lessons are baked into the shipped",
+        "winnowing query: (a) gram width is 5, not the family's 3 — window-min",
+        "selection surfaces RARE grams, which stay under the DF cap even when",
+        "shared across loosely-related docs, and at width 3 the x10 corpus went",
+        "quadratic across copies (403 s); (b) each expensive array derivation",
+        "lives in its OWN projection — inlined, the fingerprint expression",
+        "re-evaluates the gram-hash subtree per reference (Catalyst does not",
+        "CSE across higher-order-function lambdas) and the same x10 point ran",
+        "476 s vs 2.6 s after the split.",
+        "",
         "## Embedding similarity family (2k → 20k → 200k vectors)",
         "",
         *_table(results, EMB_QUERIES + list(EMB_EXTRAS)),

@@ -4069,34 +4069,46 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t_wide(spark, sf_dir, "documents")
-    ws = words(F.col("text"))
-    hs = F.when(
-        F.size(ws) >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 5),
-            lambda i: md5int(F.concat_ws(" ", F.slice(ws, i + 1, 5))),
-        ),
-    )
-    # window minimum as least(4 element_at) — NOT slice+array_min, which
-    # allocates a fresh 4-element array per position (162M allocations at
-    # the 500k-doc scale point; measured the dominant cost)
-    fps = F.when(
-        F.size(hs) >= 4,
-        F.array_distinct(
+    # STEP-WISE projections, one expensive array per select: the fps
+    # expression references hs six times and hs references ws four times —
+    # inlined, Catalyst re-evaluates the whole gram-hash subtree per
+    # reference (no CSE across higher-order-function lambdas; CollapseProject
+    # declines to merge projects that would duplicate non-cheap expressions,
+    # which is exactly the barrier these selects erect). Measured: the
+    # inlined form ran ~50x slower (476 s vs ~10 s at the 50k-doc point).
+    dws = d.select("doc_id", words(F.col("text")).alias("ws"))
+    dhs = dws.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= 5,
             F.transform(
-                F.sequence(F.lit(0), F.size(hs) - 4),
-                lambda i: F.least(
-                    F.element_at(hs, i + 1),
-                    F.element_at(hs, i + 2),
-                    F.element_at(hs, i + 3),
-                    F.element_at(hs, i + 4),
-                ),
-            )
-        ),
+                F.sequence(F.lit(0), F.size("ws") - 5),
+                lambda i: md5int(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 5))),
+            ),
+        ).alias("hs"),
+    )
+    # window minimum as least(4 element_at) — not slice+array_min, which
+    # allocates a fresh 4-element array per position
+    hs = F.col("hs")
+    dfp = dhs.select(
+        "doc_id",
+        F.when(
+            F.size(hs) >= 4,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(hs) - 4),
+                    lambda i: F.least(
+                        F.element_at(hs, i + 1),
+                        F.element_at(hs, i + 2),
+                        F.element_at(hs, i + 3),
+                        F.element_at(hs, i + 4),
+                    ),
+                )
+            ),
+        ).alias("fps"),
     )
     fp = (
-        d.select("doc_id", fps.alias("fps"))
-        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        dfp.select("doc_id", F.explode_outer("fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
     kept = (
