@@ -43,7 +43,8 @@ _ROTATE_FIRST = [
     "unigram_logprob_quality", "winnowing_fingerprints", "bpe_token_estimate",
     "bilinear_regrid", "streaming_stream_join", "video_frame_sample",
     "audio_feature_extract", "url_canonicalize", "sq_ann_topk",
-    "incremental_rollup_merge", "image_resize_stats",
+    "incremental_rollup_merge", "image_resize_stats", "funnel_conversion",
+    "pagerank_exact",
 ]
 
 

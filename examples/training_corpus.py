@@ -18,6 +18,10 @@ from the same operator library the query catalog verifies one by one:
   train/eval split               → deterministic md5-bucket filter
   ANN neighbor audit             → similarity.ivf_index / ivf_topk
   token accounting               → textanalysis.token_count
+  sequence packing               → textanalysis.pack_sequences (512-token
+                                   training sequences, cluster-sharded)
+  media decode/resize audit      → multimodal.resize_images (real PNG
+                                   decode → box resample → re-encode)
 
 Every stage is declarative DataFrame code — one Catalyst DAG per action,
 no driver-side loops — so the same script scales from this sf0.001 sample
@@ -113,6 +117,40 @@ def main() -> None:
     print("IVF top-3 neighbors for 2 query vectors:")
     for r in knn.collect():
         print(f"  q{r['query_id']} -> vec {r['vec_id']} (cos {r['cosine']:.4f})")
+
+    # 9. pack the train split into fixed 512-token training sequences
+    packed = ta.pack_sequences(
+        train.select("doc_id", F.col("lang_pred").alias("lang"), "n_tokens")
+    )
+    seqs = packed.agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("seq_tokens").alias("tokens"),
+    ).collect()[0]
+    print(f"packed sequences:  {seqs['n_seqs']} x 512 tokens "
+          f"({seqs['tokens']} tokens, "
+          f"{seqs['tokens'] / (seqs['n_seqs'] * 512.0):.1%} fill)")
+
+    # 10. multimodal lane: decode + thumbnail a small image batch for real
+    import numpy as np
+
+    from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
+    from zarr_climate_etl_ipfs_spark.multimodal import resize_images
+
+    thumbs = spark.createDataFrame(
+        [
+            (int(i), bytearray(encode_png(
+                np.full((16 + i, 16 + i, 3), 40 * i % 251, dtype=np.uint8)
+            )))
+            for i in range(4)
+        ],
+        "doc_id long, content binary",
+    )
+    tstats = resize_images(thumbs, 8, 8).agg(
+        F.sum(F.col("decode_ok").cast("int")).alias("ok"),
+        F.round(F.avg("out_mean"), 1).alias("avg_mean"),
+    ).collect()[0]
+    print(f"thumbnails:        {tstats['ok']}/4 decoded+resized to 8x8 "
+          f"(avg mean {tstats['avg_mean']})")
     spark.stop()
 
 

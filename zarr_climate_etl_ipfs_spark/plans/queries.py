@@ -4816,3 +4816,179 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", "in_h", "in_w", "out_h", "out_w", "out_mean"
     ).orderBy("doc_id")
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH sign AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), clik AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN sign USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= t0 GROUP BY e.user_id
+    ), purc AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN clik USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= t1 GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS stage_no, 'signup' AS stage, COUNT(*) AS n_users FROM sign
+      UNION ALL
+      SELECT 2, 'click_after_signup', COUNT(*) FROM clik
+      UNION ALL
+      SELECT 3, 'purchase_after_click', COUNT(*) FROM purc
+    )
+    SELECT stage_no, stage, n_users,
+           n_users / CAST(FIRST_VALUE(n_users)
+                          OVER (ORDER BY stage_no) AS DOUBLE) AS frac_of_top
+    FROM counts ORDER BY stage_no
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — signup → first click at-or-after signup →
+    first purchase at-or-after that click, the product-analytics sequence
+    query (MATCH_RECOGNIZE-lite). Each stage is a conditional min over the
+    prior stage's timestamps: one aggregation per stage, each JOINing the
+    (users-sized, shrinking) previous stage — at 100 TB the stage tables
+    are entity-scale (users), orders of magnitude below event-scale, so
+    every join after the first aggregation is broadcast-able and the
+    event scan happens exactly three times with the event_type predicate
+    pushed to parquet. Counts are exact ints; the top-of-funnel fraction
+    is one IEEE division of identical operands (unrounded — exact across
+    engines)."""
+    e = t(spark, sf_dir, "events")
+    sign = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    clik = (
+        e.filter(F.col("event_type") == "click")
+        .join(sign, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    purc = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clik, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    counts = (
+        sign.agg(F.count("*").alias("n_users"))
+        .select(F.lit(1).alias("stage_no"), F.lit("signup").alias("stage"), "n_users")
+        .unionByName(
+            clik.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("stage_no"),
+                F.lit("click_after_signup").alias("stage"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            purc.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("stage_no"),
+                F.lit("purchase_after_click").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    top = Window.orderBy("stage_no")
+    return (
+        counts.withColumn(
+            "frac_of_top",
+            F.col("n_users") / F.first("n_users").over(top).cast("double"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+@q(
+    "pagerank_exact",
+    """
+    WITH docs AS (
+      SELECT doc_id FROM documents
+    ), n AS (
+      SELECT COUNT(*) AS nn FROM docs
+    ), edges AS (
+      SELECT doc_id AS src, (doc_id * 2 + 1) % nn AS dst FROM docs, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 3 + 7) % nn FROM docs, n
+    ), pr0 AS (
+      SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM docs
+    ), it1 AS (
+      SELECT d.doc_id,
+             150000 + (85 * COALESCE(SUM(p.pr // 2), 0)) // 100 AS pr
+      FROM docs d
+      LEFT JOIN edges e ON e.dst = d.doc_id
+      LEFT JOIN pr0 p ON p.doc_id = e.src
+      GROUP BY d.doc_id
+    ), it2 AS (
+      SELECT d.doc_id,
+             150000 + (85 * COALESCE(SUM(p.pr // 2), 0)) // 100 AS pr
+      FROM docs d
+      LEFT JOIN edges e ON e.dst = d.doc_id
+      LEFT JOIN it1 p ON p.doc_id = e.src
+      GROUP BY d.doc_id
+    ), it3 AS (
+      SELECT d.doc_id,
+             150000 + (85 * COALESCE(SUM(p.pr // 2), 0)) // 100 AS pr
+      FROM docs d
+      LEFT JOIN edges e ON e.dst = d.doc_id
+      LEFT JOIN it2 p ON p.doc_id = e.src
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(pr AS BIGINT) AS pr_micro FROM it3
+    ORDER BY pr_micro DESC, doc_id LIMIT 25
+    """,
+)
+def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank with EXACT integer arithmetic — the weighted-
+    propagation sibling of `dedup_components` (importance over a link
+    graph: which duplicated page survives dedup, which doc anchors a
+    cluster). Ranks are micro-units (10⁶ = 1.0) and each of 3 unrolled
+    iterations is pr(v) = 150000 + ⌊85·Σ⌊pr(u)/outdeg⌋⌋/100 over a
+    deterministic 2-regular doc graph — floor division makes every
+    iteration order-independent integer math, so the Spark loop is
+    bit-identical to the oracle's unrolled CTEs (the float-summation
+    nondeterminism that usually makes distributed PageRank
+    unreproducible is designed out; convergence loss is < 1 micro-unit
+    per hop). Plan per iteration: one shuffle join ranks→edges keyed on
+    src, one aggregation keyed on dst — the standard Pregel-style shape;
+    at 100 TB both sides partition on the join key and iterations reuse
+    the edge exchange. Python drives the loop but every operation is a
+    DataFrame op (no collect)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    nn = F.broadcast(d.agg(F.count("*").alias("nn")))
+    edges = (
+        d.crossJoin(nn)
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 1) % F.col("nn")).alias("dst"),
+        )
+        .unionByName(
+            d.crossJoin(nn).select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % F.col("nn")).alias("dst"),
+            )
+        )
+    )
+    pr = d.select("doc_id", F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(3):
+        contrib = edges.join(
+            pr.select(F.col("doc_id").alias("src"), "pr"), "src"
+        ).select("dst", F.expr("pr div 2").alias("c"))
+        pr = (
+            d.join(contrib, d["doc_id"] == contrib["dst"], "left")
+            .groupBy("doc_id")
+            .agg(
+                (F.lit(150000) + F.expr("85 * coalesce(sum(c), 0) div 100")).alias("pr")
+            )
+        )
+    return (
+        pr.select("doc_id", F.col("pr").cast("long").alias("pr_micro"))
+        .orderBy(F.col("pr_micro").desc(), "doc_id")
+        .limit(25)
+    )
