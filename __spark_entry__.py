@@ -44,7 +44,7 @@ _ROTATE_FIRST = [
     "bilinear_regrid", "streaming_stream_join", "video_frame_sample",
     "audio_feature_extract", "url_canonicalize", "sq_ann_topk",
     "incremental_rollup_merge", "image_resize_stats", "funnel_conversion",
-    "pagerank_exact",
+    "pagerank_exact", "streaming_session_windows",
 ]
 
 

@@ -615,3 +615,24 @@ def test_flac_mid_side_decodes():
     got_r = [int(round(v * 32768)) for v in samples[:, 1]]
     assert got_l == left and got_r == right
     assert meta["n_channels"] == 2
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sampled_from([
+        b"\xff\xd8\xff\xe0", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"II*\x00",
+        b"MM\x00*", b"P6\n", b"BM", b"RIFF\x10\x00\x00\x00WAVE", b"fLaC",
+    ]),
+    st.binary(min_size=0, max_size=300),
+)
+def test_decoders_fail_cleanly_on_fuzzed_bytes(magic, tail):
+    """Adversarial-input taxonomy: every decoder entry point raises ONLY
+    MediaDecodeError (or NotImplementedError for external formats) on
+    corrupt payloads — no struct/zlib/Index errors may leak from a 100 TB
+    crawl corpus into the Spark stage."""
+    blob = magic + tail
+    for dec in (mc.decode_image, mc.decode_audio):
+        try:
+            dec(blob)
+        except (mc.MediaDecodeError, NotImplementedError):
+            pass

@@ -214,3 +214,46 @@ def test_zscore_anomalies_exact_state_across_batches(tmp_path, spark):
     n2, v2 = 12, 50000
     s2 = sum(cents); q2 = sum(c * c for c in cents)
     assert (v2 * n2 - s2) ** 2 > 9 * (n2 * q2 - s2 * s2)  # the 500.0 flag
+
+
+def test_running_extremes_v2_state_across_batches(tmp_path, spark):
+    """transformWithStateInPandas (arbitrary-state v2): ValueState persists
+    across availableNow runs; second batch's output reflects first-batch
+    extremes. Skips where Spark's TWS driver worker can't start (needs a
+    working protobuf install)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from zarr_climate_etl_ipfs_spark.streaming.incremental import running_extremes_v2
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(
+            str(src)
+        )
+        (
+            running_extremes_v2(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_batch([(1, t0, 10.25), (1, t0 + dt.timedelta(minutes=1), 3.5), (2, t0, 7.0)])
+    run_batch([(1, t0 + dt.timedelta(hours=1), 99.99)])
+    got = sorted(
+        [(r["user_id"], r["n_total"], r["min_cents"], r["max_cents"])
+         for r in spark.read.parquet(str(out)).collect()]
+    )
+    # user 1 appears once per batch; second emission carries batch-1 state
+    assert got == [(1, 2, 350, 1025), (1, 3, 350, 9999), (2, 1, 700, 700)]

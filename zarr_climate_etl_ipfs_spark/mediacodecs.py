@@ -29,6 +29,27 @@ class MediaDecodeError(ValueError):
     pass
 
 
+def _clean_errors(fn):
+    """Decode entry points raise MediaDecodeError for ANY malformed input —
+    a 100 TB crawl corpus feeds these decoders adversarial bytes, and the
+    failure taxonomy must stay two-valued: MediaDecodeError (bad bytes) or
+    NotImplementedError (format needs an external lib). Low-level
+    struct/zlib/index/value errors from truncated or corrupt payloads are
+    wrapped; nothing else leaks."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(content, *a, **kw):
+        try:
+            return fn(content, *a, **kw)
+        except (MediaDecodeError, NotImplementedError):
+            raise
+        except (struct.error, zlib.error, ValueError, IndexError, KeyError, OverflowError) as e:
+            raise MediaDecodeError(f"{fn.__name__}: malformed input ({type(e).__name__}: {e})") from e
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # GIF (87a/89a): palette + LZW, both pure stdlib
 # ---------------------------------------------------------------------------
@@ -77,6 +98,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_clean_errors
 def decode_gif(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """GIF87a/89a → (H, W, 3) uint8 RGB of the FIRST frame (training-data
     feature extraction wants one representative raster, not an animation);
@@ -163,6 +185,7 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     return first, meta
 
 
+@_clean_errors
 def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """GIF87a/89a → (n_frames, H, W, 3) uint8 RGB — ALL frames, composited
     onto the logical-screen canvas in order (disposal method "none": each
@@ -388,6 +411,7 @@ _TIFF_TAGS = {
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
 
+@_clean_errors
 def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """Baseline TIFF → (H, W, C) uint8: uncompressed (compression=1),
     8 bits/sample, chunky planar config, strip-based, II or MM byte order —
@@ -497,6 +521,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
 
 
+@_clean_errors
 def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """PNG → (H, W, C) uint8 array. Supports bit depth 8, color types
     0/2/4/6, no interlace; undoes all five scanline filters."""
@@ -599,6 +624,7 @@ def encode_png(img: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@_clean_errors
 def decode_ppm(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     magic = content[:2]
     if magic not in (b"P5", b"P6"):
@@ -643,6 +669,7 @@ def encode_ppm(img: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@_clean_errors
 def decode_bmp(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     if content[:2] != b"BM":
         raise MediaDecodeError("not a BMP")
@@ -670,6 +697,7 @@ def decode_bmp(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
 # ---------------------------------------------------------------------------
 
 
+@_clean_errors
 def decode_wav(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """WAV → (n_samples, n_channels) float32 in [-1, 1] + meta."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -916,6 +944,7 @@ def _decode_block(
     return zz, pred
 
 
+@_clean_errors
 def decode_jpeg(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """Baseline JPEG → (H, W, C) uint8 + meta.  C is 1 (grayscale) or 3 (RGB
     after YCbCr conversion).  Chroma is upsampled by sample replication.
@@ -1525,6 +1554,7 @@ _FLAC_RATES = {
 _FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+@_clean_errors
 def decode_flac(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """FLAC → (n_samples, n_channels) float32 in [-1, 1] + meta — the
     compressed-audio sibling of decode_wav, pure stdlib (bit reader +

@@ -4992,3 +4992,91 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr_micro").desc(), "doc_id")
         .limit(25)
     )
+
+
+@q(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH(ts - LAG(ts) OVER w) > 1800 OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             EPOCH(MAX(ts) - MIN(ts)) AS duration_s
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           MAX(n_events) AS max_session_events,
+           ROUND(AVG(duration_s), 2) AS avg_session_duration_s
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows — Spark's built-in `session_window`
+    (dynamic-gap state merging, the §2.9 operator the reference has no
+    analog for) over a file stream, proven equal to the batch
+    gaps-and-islands truth: a 30-minute-gap session in streaming state
+    merges exactly the rows the batch `sessionize` query groups, and
+    `session_window.end` is last-event + gap, so duration = end − start −
+    gap recovers max(ts) − min(ts) exactly. Complete-mode availableNow
+    drains the table; a batch-side rollup produces the same per-user
+    session stats the oracle computes. At scale, session state is bounded
+    by watermark + session timeout — state ∝ OPEN sessions, not
+    history."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # session_window needs TIMESTAMP (not NTZ); UTC-pinned cast is exact
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    per_session = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count("*").alias("n_events"))
+    sink = f"session_windows_{uuid.uuid4().hex[:8]}"
+    (
+        per_session.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.table(sink).collect()
+    out_schema = spark.table(sink).schema
+    spark.catalog.dropTempView(sink)
+    dur = (
+        F.col("sw.end").cast("double") - F.col("sw.start").cast("double") - 1800.0
+    )
+    return (
+        spark.createDataFrame(rows, out_schema)
+        .select("user_id", "n_events", dur.alias("duration_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.avg("duration_s"), 2).alias("avg_session_duration_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -263,3 +263,73 @@ def zscore_anomalies_exact(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_extremes_v2(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Custom stateful operator on the Spark 4 arbitrary-state v2 API
+    (`transformWithStateInPandas` + `StatefulProcessor`) — the successor
+    surface to `applyInPandasWithState`: typed per-key state handles
+    (ValueState here; List/Map state and timers on the same handle),
+    checkpoint-managed, TTL-capable.  Tracks per-key running (count, min
+    cents, max cents) across micro-batches in exact integers and emits the
+    state after each batch.  The v1 Welford op and the exact z-score op
+    cover the old API; this one pins the repo to the API Spark is moving
+    stateful pipelines toward.
+
+    Requires the `protobuf` python package (Spark's TransformWithState
+    driver worker serializes state-server messages with it); this
+    container ships a broken protobuf, so the operator raises a clear
+    ImportError at call time and its test skips — the v1 operators above
+    carry the in-container stateful coverage."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the `protobuf` package "
+            "(pip install protobuf) — unavailable/broken in this environment"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Extremes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "extremes", "n LONG, lo LONG, hi LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd  # executor-side
+
+            n, lo, hi = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            n = int(n)
+            for pdf in rows:
+                for v in pdf[value_col].astype(float):
+                    cents = int(math.floor(v * 100.0 + 0.5))
+                    lo = cents if lo is None else min(int(lo), cents)
+                    hi = cents if hi is None else max(int(hi), cents)
+                    n += 1
+            self._state.update((n, lo, hi))
+            yield pd.DataFrame(
+                [[key[0], n, lo, hi]],
+                columns=[key_col, "n_total", "min_cents", "max_cents"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        Extremes(),
+        outputStructType=f"{key_col} long, n_total long, min_cents long, max_cents long",
+        outputMode="append",
+        timeMode="none",
+    )
