@@ -93,6 +93,8 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or not argv[i + 1].endswith(".json"):
+            raise SystemExit("--json needs a .json output path")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

@@ -44,7 +44,7 @@ def _clean_errors(fn):
             return fn(content, *a, **kw)
         except (MediaDecodeError, NotImplementedError):
             raise
-        except (struct.error, zlib.error, ValueError, IndexError, KeyError, OverflowError) as e:
+        except (struct.error, zlib.error, ValueError, IndexError, KeyError, OverflowError, MemoryError) as e:
             raise MediaDecodeError(f"{fn.__name__}: malformed input ({type(e).__name__}: {e})") from e
 
     return wrapped
@@ -55,9 +55,15 @@ def _clean_errors(fn):
 # ---------------------------------------------------------------------------
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> list[int]:
     """GIF-variant LZW: little-endian bit packing, variable code width
-    starting at min_code_size+1 (max 12), CLEAR resets the table."""
+    starting at min_code_size+1 (max 12), CLEAR resets the table.
+    ``max_out`` caps the expanded size (callers pass the declared pixel
+    count) — LZW expands up to ~2700x, so an unbounded decode of a crafted
+    few-MB stream would allocate gigabytes before any size check (the
+    decompression-bomb guard an adversarial crawl corpus needs)."""
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
@@ -87,6 +93,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             else:
                 raise MediaDecodeError(f"GIF LZW: bad code {code}")
             out.extend(entry)
+            if max_out is not None and len(out) > max_out:
+                raise MediaDecodeError(
+                    f"GIF LZW: output exceeds declared size ({len(out)} > {max_out})"
+                )
             if prev is not None:
                 table.append(prev + entry[:1])
                 if len(table) == (1 << width) and width < 12:
@@ -103,86 +113,21 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """GIF87a/89a → (H, W, 3) uint8 RGB of the FIRST frame (training-data
     feature extraction wants one representative raster, not an animation);
     ``meta['n_frames']`` counts every image block so multi-frame inputs are
-    visible to callers. Handles global/local color tables, interlacing, and
-    skips extension blocks; transparency index (89a GCE) is reported in
-    meta but not composited — there is no prior frame to composite over."""
-    if content[:6] not in (b"GIF87a", b"GIF89a"):
-        raise MediaDecodeError("not a GIF (bad signature)")
-    if len(content) < 14:
-        raise MediaDecodeError("GIF: truncated header")
-    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
-    pos = 13
-    gct = None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
-        pos += 3 * n
-    transparent = None
-    first: np.ndarray | None = None
-    n_frames = 0
-    while pos < len(content):
-        block = content[pos]
-        pos += 1
-        if block == 0x3B:  # trailer
-            break
-        if block == 0x21:  # extension: label + sub-blocks
-            label = content[pos]
-            pos += 1
-            sub0 = pos
-            while content[pos] != 0:
-                pos += content[pos] + 1
-            if label == 0xF9 and first is None:  # graphic control before frame 1
-                gce = content[sub0 + 1 : sub0 + 1 + content[sub0]]
-                if len(gce) >= 4 and gce[0] & 0x01:
-                    transparent = gce[3]
-            pos += 1
-            continue
-        if block != 0x2C:
-            raise MediaDecodeError(f"GIF: unexpected block 0x{block:02x}")
-        left, top, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
-        pos += 9
-        ct = gct
-        if ipacked & 0x80:
-            n = 2 << (ipacked & 0x07)
-            ct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
-            pos += 3 * n
-        min_code_size = content[pos]
-        pos += 1
-        chunks = []
-        while content[pos] != 0:
-            ln = content[pos]
-            chunks.append(content[pos + 1 : pos + 1 + ln])
-            pos += ln + 1
-        pos += 1
-        n_frames += 1
-        if first is not None:
-            continue  # later frames: counted, not decoded
-        if ct is None:
-            raise MediaDecodeError("GIF: no color table for first frame")
-        idx = _gif_lzw_decode(b"".join(chunks), min_code_size)
-        if len(idx) < w * h:
-            raise MediaDecodeError(f"GIF: short pixel data ({len(idx)} < {w * h})")
-        arr = np.asarray(idx[: w * h], dtype=np.uint8).reshape(h, w)
-        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
-            rows = np.empty_like(arr)
-            src = 0
-            for start, step in _GIF_INTERLACE_PASSES:
-                for r in range(start, h, step):
-                    rows[r] = arr[src]
-                    src += 1
-            arr = rows
-        if int(arr.max(initial=0)) >= len(ct):
-            raise MediaDecodeError("GIF: pixel index out of palette range")
-        frame = ct[arr]  # (h, w, 3)
-        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
-        canvas[top : top + h, left : left + w] = frame
-        first = canvas
-    if first is None:
-        raise MediaDecodeError("GIF: no image data")
-    meta = {"format": "gif", "height": sh, "width": sw, "channels": 3, "n_frames": n_frames}
-    if transparent is not None:
-        meta["transparent_index"] = int(transparent)
-    return first, meta
+    visible to callers. Thin wrapper over ``decode_gif_frames`` — one
+    parser, two views (a multi-frame input pays full decode here; crawl
+    image corpora are overwhelmingly single-frame). Transparency index
+    (89a GCE before frame 1) is reported in meta but not composited."""
+    frames, fmeta = decode_gif_frames(content)
+    meta = {
+        "format": "gif",
+        "height": fmeta["height"],
+        "width": fmeta["width"],
+        "channels": 3,
+        "n_frames": fmeta["n_frames"],
+    }
+    if "transparent_index" in fmeta:
+        meta["transparent_index"] = fmeta["transparent_index"]
+    return frames[0], meta
 
 
 @_clean_errors
@@ -209,6 +154,7 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     frames: list[np.ndarray] = []
     delays: list[int] = []
     pending_delay = 0
+    transparent = None
     while pos < len(content):
         block = content[pos]
         pos += 1
@@ -224,6 +170,8 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                 gce = content[sub0 + 1 : sub0 + 1 + content[sub0]]
                 if len(gce) >= 4:
                     pending_delay = struct.unpack("<H", gce[1:3])[0]
+                    if not frames and gce[0] & 0x01:
+                        transparent = gce[3]
             pos += 1
             continue
         if block != 0x2C:
@@ -245,7 +193,7 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             chunks.append(content[pos + 1 : pos + 1 + ln])
             pos += ln + 1
         pos += 1
-        idx = _gif_lzw_decode(b"".join(chunks), min_code_size)
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, max_out=w * h)
         if len(idx) < w * h:
             raise MediaDecodeError(f"GIF: short pixel data ({len(idx)} < {w * h})")
         arr = np.asarray(idx[: w * h], dtype=np.uint8).reshape(h, w)
@@ -275,6 +223,8 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         "frame_delays_cs": delays,  # centiseconds, per the GCE field
         "duration_ms": int(sum(delays) * 10),
     }
+    if transparent is not None:
+        meta["transparent_index"] = int(transparent)
     return np.stack(frames), meta
 
 
@@ -405,8 +355,8 @@ def encode_gif_animation(frames: np.ndarray, delay_cs: int = 10) -> bytes:
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
-    273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
-    279: "strip_byte_counts", 284: "planar_config",
+    262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
+    278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar_config",
 }
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
@@ -462,6 +412,10 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     if len(data) < w * h * spp:
         raise MediaDecodeError(f"TIFF: short strip data ({len(data)} < {w * h * spp})")
     img = np.frombuffer(data[: w * h * spp], dtype=np.uint8).reshape(h, w, spp)
+    # PhotometricInterpretation 0 = WhiteIsZero (the min-is-white flavor
+    # many scanners emit): invert so 0 means black like everywhere else
+    if tags.get("photometric", [1])[0] == 0:
+        img = 255 - img
     return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
                  "byte_order": "little" if bo == "<" else "big"}
 
@@ -477,10 +431,10 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
     bo = ">" if big_endian else "<"
     pixels = img.tobytes()
     header = b"MM\x00*" if big_endian else b"II*\x00"
-    # layout: header(8) | pixel data | bits_per_sample array (if c>1) | IFD
+    # layout: header(8) | pixel data | bits_per_sample array (if c>2) | IFD
     pix_off = 8
     bps_off = pix_off + len(pixels)
-    ifd_off = bps_off + (2 * c if c > 1 else 0)
+    ifd_off = bps_off + (2 * c if c > 2 else 0)
     entries = []
 
     def entry(tag: int, typ: int, count: int, value: int) -> None:
@@ -489,12 +443,18 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
         raw += b"\x00" * (4 - len(raw))
         entries.append(struct.pack(bo + "HHI", tag, typ, count) + raw)
 
-    entry(256, 4, 1, w)
-    entry(257, 4, 1, h)
-    if c > 1:
+    # TIFF spec: tag values that fit in 4 bytes MUST be stored inline —
+    # two SHORTs (c=2) go in the value field, three or more via offset
+    if c == 2:
+        entries.append(
+            struct.pack(bo + "HHI", 258, 3, 2) + struct.pack(bo + "HH", 8, 8)
+        )
+    elif c > 2:
         entries.append(struct.pack(bo + "HHII", 258, 3, c, bps_off))
     else:
         entry(258, 3, 1, 8)
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
     entry(259, 3, 1, 1)  # uncompressed
     entry(262, 3, 1, 2 if c >= 3 else 1)  # photometric: RGB / BlackIsZero
     entry(273, 4, 1, pix_off)  # strip offset
@@ -504,7 +464,7 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
     out = bytearray(header)
     out += struct.pack(bo + "I", ifd_off)
     out += pixels
-    if c > 1:
+    if c > 2:
         out += struct.pack(bo + "H" * c, *([8] * c))
     out += struct.pack(bo + "H", len(entries))
     for e in sorted(entries, key=lambda b: struct.unpack(bo + "H", b[:2])[0]):
@@ -965,6 +925,9 @@ def decode_jpeg(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise MediaDecodeError(f"JPEG marker sync lost at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -1342,9 +1305,6 @@ _IMAGE_MAGIC = (
     (b"BM", decode_bmp),
 )
 
-_NEEDS_EXTERNAL: dict[bytes, str] = {}
-
-
 def decode_image(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """Magic-byte dispatch over the stdlib-decodable image formats."""
     for magic, dec in _IMAGE_MAGIC:
@@ -1354,9 +1314,6 @@ def decode_image(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     # plain prefix compare can't see it (and must not shadow RIFF/WAVE audio).
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         raise NotImplementedError("WebP (needs PIL/libwebp) — not in this container; inject a decoder")
-    for magic, name in _NEEDS_EXTERNAL.items():
-        if content[: len(magic)] == magic:
-            raise NotImplementedError(f"{name} — not in this container; inject a decoder")
     raise MediaDecodeError("unrecognized image format")
 
 

@@ -225,11 +225,14 @@ def bilinear_regrid(
     external tools (SURVEY §2 S18 `cdo remapbil` analog).
 
     `targets` carries (lat_t, lon_t).  Each target explodes into its four
-    surrounding corners, one equi-join on exact corner coordinates fetches
-    the values, a pivot collapses them back to one row, and the weighted
-    sum is a fixed-order arithmetic expression — deterministic across
-    engines and partitionings.  Targets missing any corner (outside the
-    grid hull) are dropped, the conservative edge rule.
+    surrounding corners, one equi-join on INTEGER grid indices
+    (round(coord/step)) fetches the values — never on reconstructed float
+    coordinates, where (floor(t/step)+1)*step can miss the stored grid
+    value by one ulp for steps like 0.1 and silently drop the target — a
+    pivot collapses them back to one row, and the weighted sum is a
+    fixed-order arithmetic expression, deterministic across engines and
+    partitionings.  Targets missing any corner (outside the grid hull)
+    are dropped, the conservative edge rule.
 
     Scale shape: the corner join is a plain equi-join on grid keys — at
     100 TB of targets it hash-partitions on (lat0, lon0) with the grid
@@ -246,18 +249,18 @@ def bilinear_regrid(
     ex = targets.select("lat_t", "lon_t", corners.alias("c")).select(
         "lat_t",
         "lon_t",
-        ((F.floor(F.col("lat_t") / lat_step) + F.col("c.di")) * lat_step).alias("lat0"),
-        ((F.floor(F.col("lon_t") / lon_step) + F.col("c.dj")) * lon_step).alias("lon0"),
+        (F.floor(F.col("lat_t") / lat_step) + F.col("c.di")).cast("long").alias("lat_i"),
+        (F.floor(F.col("lon_t") / lon_step) + F.col("c.dj")).cast("long").alias("lon_i"),
         F.col("c.di").alias("di"),
         F.col("c.dj").alias("dj"),
     )
     j = ex.join(
         grid.select(
-            F.col(lat_col).alias("lat0"),
-            F.col(lon_col).alias("lon0"),
+            F.round(F.col(lat_col) / lat_step).cast("long").alias("lat_i"),
+            F.round(F.col(lon_col) / lon_step).cast("long").alias("lon_i"),
             F.col(value_col).alias("v"),
         ),
-        ["lat0", "lon0"],
+        ["lat_i", "lon_i"],
     )
     piv = j.groupBy("lat_t", "lon_t").agg(
         F.max(F.when((F.col("di") == 0) & (F.col("dj") == 0), F.col("v"))).alias("v00"),

@@ -42,6 +42,54 @@ def _epoch_s(c: Column | str) -> Column:
     return c.cast("timestamp").cast("double")
 
 
+def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
+    """The multimodal test-raster contract shared by every image catalog
+    entry and its oracle: a constant RGB square, side = d%7+2, shade =
+    d%251, container format rotating PNG/GIF/TIFF/JPEG-q100 on d%4 (all
+    bit-exact for constant content — JPEG because quality=100 scales the
+    Annex-K tables to all-ones).  ``rotate_variants`` additionally cycles
+    the formats' encoding options (GIF interlace, TIFF byte order, JPEG
+    subsampling) keyed on d%8.  Changing the side/shade formulas means
+    changing every oracle that encodes them — this is the single place
+    the Spark side computes them."""
+    import numpy as np
+
+    from zarr_climate_etl_ipfs_spark.mediacodecs import (
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_tiff,
+    )
+
+    side = d % 7 + 2
+    shade = d % 251
+    img = np.full((side, side, 3), shade, dtype=np.uint8)
+    fmt = d % 4
+    if fmt == 0:
+        return encode_png(img)
+    if fmt == 1:
+        return encode_gif(img, interlace=rotate_variants and d % 8 == 1)
+    if fmt == 2:
+        return encode_tiff(img, big_endian=rotate_variants and d % 8 == 6)
+    sub = "4:2:0" if rotate_variants and d % 8 == 7 else "4:4:4"
+    return encode_jpeg(img, quality=100, subsample=sub)
+
+
+def _drain_memory_sink(spark: SparkSession, writer, prefix: str) -> DataFrame:
+    """Run a streaming writer into a uuid-named memory sink with an
+    available-now trigger, materialize the result, and DROP the temp view —
+    repeated invocations (BENCH_RUNS=3, the correctness driver) must not
+    leak complete-mode result tables for the life of the session."""
+    import uuid
+
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    writer.queryName(sink).trigger(availableNow=True).start().awaitTermination()
+    rows = spark.table(sink).collect()
+    out_schema = spark.table(sink).schema
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, out_schema)
+
+
 @dataclass
 class QueryDef:
     fn: SparkQuery
@@ -3612,8 +3660,6 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain batch aggregate — duplicates in, batch truth out, which is the
     entire point of the operator. At scale the same plan runs with
     dropDuplicatesWithinWatermark to bound the key state."""
-    import uuid
-
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -3642,21 +3688,10 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.groupBy("event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
     )
-    sink = f"backfill_dedup_{uuid.uuid4().hex[:8]}"
-    (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    # materialize + drop the uuid-named complete-mode sink so repeated
-    # invocations (BENCH_RUNS=3, correctness driver) don't leak temp views
-    rows = spark.table(sink).collect()
-    out_schema = spark.table(sink).schema
-    spark.catalog.dropTempView(sink)
-    return spark.createDataFrame(rows, out_schema).orderBy("event_type")
+    return _drain_memory_sink(
+        spark, agg.writeStream.format("memory").outputMode("complete"),
+        "backfill_dedup",
+    ).orderBy("event_type")
 
 
 @q(
@@ -3696,31 +3731,9 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("binary")
     def gen_img(doc_id: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from zarr_climate_etl_ipfs_spark.mediacodecs import (
-            encode_gif,
-            encode_jpeg,
-            encode_png,
-            encode_tiff,
+        return pd.Series(
+            [_constant_raster_bytes(int(d), rotate_variants=True) for d in doc_id]
         )
-
-        out = []
-        for d in doc_id:
-            side = int(d) % 7 + 2
-            shade = int(d) % 251
-            img = np.full((side, side, 3), shade, dtype=np.uint8)
-            fmt = int(d) % 4
-            if fmt == 0:
-                out.append(encode_png(img))
-            elif fmt == 1:
-                out.append(encode_gif(img, interlace=int(d) % 8 == 1))
-            elif fmt == 2:
-                out.append(encode_tiff(img, big_endian=int(d) % 8 == 6))
-            else:
-                sub = "4:2:0" if int(d) % 8 == 7 else "4:4:4"
-                out.append(encode_jpeg(img, quality=100, subsample=sub))
-        return pd.Series(out)
 
     d = t_wide(spark, sf_dir, "documents").select(
         "doc_id", gen_img("doc_id").alias("content")
@@ -3909,8 +3922,6 @@ def streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial counts; a batch-side sum collapses them, making the result
     independent of how the stream happened to micro-batch. State is three
     int64 per key — the bounded-state shape watermarked streaming needs."""
-    import uuid
-
     from pyspark.sql import types as T
 
     from zarr_climate_etl_ipfs_spark.streaming.incremental import zscore_anomalies_exact
@@ -3930,21 +3941,13 @@ def streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    sink = f"zscore_anoms_{uuid.uuid4().hex[:8]}"
-    (
-        zscore_anomalies_exact(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    rows = spark.table(sink).collect()
-    out_schema = spark.table(sink).schema
-    spark.catalog.dropTempView(sink)
     return (
-        spark.createDataFrame(rows, out_schema)
+        _drain_memory_sink(
+            spark,
+            zscore_anomalies_exact(stream).writeStream.format("memory")
+            .outputMode("append"),
+            "zscore_anoms",
+        )
         .groupBy("user_id")
         .agg(
             F.sum("n_batch").alias("n_events"),
@@ -4305,8 +4308,6 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is independent of micro-batching and equals the plain batch interval
     join the oracle runs. At 100 TB/day the state size is (join range ×
     click rate), not history."""
-    import uuid
-
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -4356,20 +4357,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     )
-    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
-    (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    rows = spark.table(sink).collect()
-    out_schema = spark.table(sink).schema
-    spark.catalog.dropTempView(sink)
     return (
-        spark.createDataFrame(rows, out_schema)
+        _drain_memory_sink(
+            spark, joined.writeStream.format("memory").outputMode("append"),
+            "stream_join",
+        )
         .groupBy(F.col("p_user_id").alias("user_id"))
         .agg(
             F.count("*").alias("n_attributed"),
@@ -4784,30 +4776,9 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("binary")
     def gen_img(doc_id: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from zarr_climate_etl_ipfs_spark.mediacodecs import (
-            encode_gif,
-            encode_jpeg,
-            encode_png,
-            encode_tiff,
+        return pd.Series(
+            [_constant_raster_bytes(int(d), rotate_variants=False) for d in doc_id]
         )
-
-        out = []
-        for d in doc_id:
-            side = int(d) % 7 + 2
-            shade = int(d) % 251
-            img = np.full((side, side, 3), shade, dtype=np.uint8)
-            fmt = int(d) % 4
-            if fmt == 0:
-                out.append(encode_png(img))
-            elif fmt == 1:
-                out.append(encode_gif(img))
-            elif fmt == 2:
-                out.append(encode_tiff(img))
-            else:
-                out.append(encode_jpeg(img, quality=100))
-        return pd.Series(out)
 
     d = t_wide(spark, sf_dir, "documents").select(
         "doc_id", gen_img("doc_id").alias("content")
@@ -5030,8 +5001,6 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     session stats the oracle computes. At scale, session state is bounded
     by watermark + session timeout — state ∝ OPEN sessions, not
     history."""
-    import uuid
-
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -5054,23 +5023,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = stream.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("sw")
     ).agg(F.count("*").alias("n_events"))
-    sink = f"session_windows_{uuid.uuid4().hex[:8]}"
-    (
-        per_session.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    rows = spark.table(sink).collect()
-    out_schema = spark.table(sink).schema
-    spark.catalog.dropTempView(sink)
     dur = (
         F.col("sw.end").cast("double") - F.col("sw.start").cast("double") - 1800.0
     )
     return (
-        spark.createDataFrame(rows, out_schema)
+        _drain_memory_sink(
+            spark,
+            per_session.writeStream.format("memory").outputMode("complete"),
+            "session_windows",
+        )
         .select("user_id", "n_events", dur.alias("duration_s"))
         .groupBy("user_id")
         .agg(
