@@ -636,3 +636,47 @@ def test_decoders_fail_cleanly_on_fuzzed_bytes(magic, tail):
             dec(blob)
         except (mc.MediaDecodeError, NotImplementedError):
             pass
+
+
+def test_tiff_two_channel_inline_bps_roundtrip():
+    """TIFF spec: tag values that fit 4 bytes are stored inline — the c=2
+    bits_per_sample pair must round-trip (regression: it was written as an
+    offset, producing unreadable gray+alpha files)."""
+    img = RNG.randint(0, 256, (6, 5, 2), dtype=np.uint8)
+    for be in (False, True):
+        out, meta = mc.decode_tiff(mc.encode_tiff(img, big_endian=be))
+        assert np.array_equal(out, img) and meta["channels"] == 2
+
+
+def test_tiff_white_is_zero_inverts():
+    """PhotometricInterpretation=0 (WhiteIsZero) grayscale inverts on
+    decode so 0 always means black downstream."""
+    img = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    blob = bytearray(mc.encode_tiff(img))
+    idx = blob.index(struct.pack("<HHI", 262, 3, 1))
+    assert blob[idx + 8] == 1  # encoder writes BlackIsZero
+    blob[idx + 8] = 0
+    out, _ = mc.decode_tiff(bytes(blob))
+    assert np.array_equal(out[:, :, 0], 255 - img)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad any marker — the decoder must
+    skip them (regression: the pad byte was read as a marker id)."""
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    blob = mc.encode_jpeg(img, quality=100)
+    i = blob.index(b"\xFF\xDA")
+    dec, _ = mc.decode_jpeg(blob[:i] + b"\xFF\xFF\xFF" + blob[i:])
+    assert np.array_equal(dec, img)
+
+
+def test_gif_lzw_bomb_capped():
+    """A GIF declaring tiny dimensions but carrying a high-expansion LZW
+    stream must raise (bounded allocation), not expand unbounded."""
+    big = mc.encode_gif(np.zeros((64, 64, 3), dtype=np.uint8))
+    hacked = bytearray(big)
+    hacked[6:10] = struct.pack("<HH", 2, 2)
+    k = hacked.index(b"\x2c")
+    hacked[k + 5 : k + 9] = struct.pack("<HH", 2, 2)
+    with pytest.raises(mc.MediaDecodeError, match="exceeds declared size"):
+        mc.decode_gif(bytes(hacked))

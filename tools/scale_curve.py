@@ -51,6 +51,9 @@ EMB_QUERIES = [
     "embedding_neardup_pairs",
     "ivf_knn",
     "embedding_lsh_neardups_wide",
+    # round-6: compressed-domain ANN (4-bit scalar quantization) — linear
+    # scan over reconstructed codes, no pair space
+    "sq_ann_topk",
 ]
 
 
