@@ -89,6 +89,10 @@ def main() -> None:
     # would otherwise dominate single-shot numbers (observed ±20% on totals
     # with N=2 — N=3 stabilizes the min at ~1.5x the wall cost)
     runs = int(os.environ.get("BENCH_RUNS", "3"))
+    # sub-second queries are the most contention-sensitive (a single 300 ms
+    # scheduler hiccup is a 1.5x swing — the r6 asof_join/update_key_split/
+    # gaps_islands drift); give them extra iterations so the min settles
+    runs_fast = int(os.environ.get("BENCH_RUNS_FAST", "5"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, qd in selected.items():
@@ -96,10 +100,12 @@ def main() -> None:
         # perf record — record the error string and keep timing the rest
         best = float("inf")
         try:
-            for _ in range(runs):
+            done = 0
+            while done < runs or (best < 1.0 and done < runs_fast):
                 t0 = time.perf_counter()
                 len(qd.fn(spark, sf_dir).collect())
                 best = min(best, time.perf_counter() - t0)
+                done += 1
             timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]

@@ -154,3 +154,30 @@ def test_fill_time_gaps_per_cell_independent(spark):
     # cell (1,1): 3 rows (1 gap filled); cell (2,1): single point, no gaps
     assert out.filter(F.col("latitude") == 1.0).count() == 3
     assert out.filter(F.col("latitude") == 2.0).count() == 1
+
+
+def test_bilinear_regrid_custom_target_columns(spark):
+    """target_lat_col/target_lon_col parameterize the target frame's
+    coordinate names symmetrically with the grid side's lat_col/lon_col,
+    and the output mirrors the caller's names (regression: lat_t/lon_t
+    were hardcoded, failing opaquely for any other target schema)."""
+    import pandas as pd
+
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            [(la, lo, 2.0 * la + lo) for la in (0.0, 0.5, 1.0) for lo in (0.0, 0.5, 1.0)],
+            columns=["latitude", "longitude", "v"],
+        )
+    )
+    targets = spark.createDataFrame(
+        pd.DataFrame([(0.25, 0.25), (0.5, 0.75)], columns=["plat", "plon"])
+    )
+    out = climate.bilinear_regrid(
+        grid, "v", targets, lat_step=0.5, lon_step=0.5,
+        target_lat_col="plat", target_lon_col="plon",
+    )
+    got = {(r.plat, r.plon): r.v_interp for r in out.collect()}
+    # v is linear in (lat, lon) so bilinear interpolation is exact
+    assert got[(0.25, 0.25)] == pytest.approx(2.0 * 0.25 + 0.25)
+    assert got[(0.5, 0.75)] == pytest.approx(2.0 * 0.5 + 0.75)
+    assert sorted(out.columns) == ["plat", "plon", "v_interp"]

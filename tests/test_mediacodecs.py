@@ -680,3 +680,66 @@ def test_gif_lzw_bomb_capped():
     hacked[k + 5 : k + 9] = struct.pack("<HH", 2, 2)
     with pytest.raises(mc.MediaDecodeError, match="exceeds declared size"):
         mc.decode_gif(bytes(hacked))
+
+
+def _splice_frames(encoded: bytes, n_extra: int) -> bytes:
+    """Duplicate a single-frame GIF's image block n_extra times before the
+    trailer (all frames identical; disposal 'none' makes this spec-legal)."""
+    buf = bytearray(encoded)
+    body_start = buf.index(0x2C)
+    frame = bytes(buf[body_start:-1])
+    return bytes(buf[:-1]) + frame * n_extra + b"\x3b"
+
+
+def test_gif_decode_gif_skips_frames_past_first():
+    """decode_gif(max_frames=1 path): a multi-frame GIF decodes only frame 1
+    (structural skip for the rest) yet still reports the true n_frames."""
+    img = np.full((6, 7, 3), 0, dtype=np.uint8)
+    multi = _splice_frames(mc.encode_gif(img), 5)
+    out, meta = mc.decode_gif(multi)
+    assert np.array_equal(out, img)
+    assert meta["n_frames"] == 6
+    # frames API with an explicit cap: one decoded frame, full count + delays
+    frames, fmeta = mc.decode_gif_frames(multi, max_frames=1)
+    assert frames.shape[0] == 1
+    assert fmeta["n_frames"] == 6
+    assert len(fmeta["frame_delays_cs"]) == 6
+
+
+def test_gif_canvas_bomb_capped(monkeypatch):
+    """Many frames x large logical screen must hit the total-canvas-bytes
+    cap instead of allocating one full canvas copy per frame unbounded."""
+    monkeypatch.setattr(mc, "_GIF_MAX_CANVAS_BYTES", 1 << 20)
+    blob = bytearray(mc.encode_gif(np.zeros((1, 1, 3), dtype=np.uint8)))
+    blob[6:10] = struct.pack("<HH", 200, 200)  # 120 KB canvas, 10 frames > 1 MiB
+    bomb = _splice_frames(bytes(blob), 9)
+    with pytest.raises(mc.MediaDecodeError, match="canvas-bytes cap"):
+        mc.decode_gif_frames(bomb)
+    # decode_gif (first frame only) stays under the cap for the same input
+    out, meta = mc.decode_gif(bomb)
+    assert out.shape == (200, 200, 3)
+    assert meta["n_frames"] == 10
+
+
+def test_flac_sample_bomb_capped():
+    """Appended CONSTANT frames past STREAMINFO total must raise (bounded
+    Python-int accumulation), not allocate without limit."""
+    blob = mc.encode_flac(np.zeros(4096 * 2, dtype=np.float32))
+    fstart = blob.index(b"\xff\xf8")
+    frames = blob[fstart:]
+    bomb = blob + frames * 10  # 90,112 samples vs cap total+65536 = 73,728
+    with pytest.raises(mc.MediaDecodeError, match="exceed cap"):
+        mc.decode_flac(bomb)
+    # the unmodified stream still decodes
+    out, meta = mc.decode_flac(blob)
+    assert out.shape == (8192, 1)
+
+
+def test_jpeg_mcu_bomb_rejected():
+    """A tiny file whose SOF declares 65535x65535 must be rejected before
+    the MCU loop (the bit reader zero-pads forever on truncated data)."""
+    blob = bytearray(mc.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = blob.index(b"\xff\xc0")
+    struct.pack_into(">HH", blob, i + 5, 65535, 65535)
+    with pytest.raises(mc.MediaDecodeError, match="entropy data"):
+        mc.decode_jpeg(bytes(blob))

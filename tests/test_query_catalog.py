@@ -33,6 +33,21 @@ def oracle_con():
 def test_query_runs_and_matches_oracle_shape(spark, oracle_con, name):
     qd = REGISTRY[name]
     sdf = qd.fn(spark, SF)
+    # Driver-canonicalizer guard (round-6 lesson): the driver's _canon runs
+    # pandas sort_values over every output column, and collection-typed
+    # cells (ndarray from array<>, dict from map<>/struct<>) are unhashable
+    # there — any non-scalar TOP-LEVEL output column crashes the hard
+    # correctness gate even when values are right. Arrays are fine as
+    # internal plan nodes; the driver-facing shape must be scalar-only.
+    hostile = [
+        f"{c}:{t}"
+        for c, t in sdf.dtypes
+        if t.startswith(("array", "map", "struct"))
+    ]
+    assert not hostile, (
+        f"{name} returns driver-hostile output columns {hostile}; "
+        "serialize/unpack them to scalars (see nested_top_values)"
+    )
     srows = sdf.collect()
     if qd.oracle is None:
         assert len(srows) >= 0  # rows-only contract

