@@ -257,3 +257,52 @@ def test_running_extremes_v2_state_across_batches(tmp_path, spark):
     )
     # user 1 appears once per batch; second emission carries batch-1 state
     assert got == [(1, 2, 350, 1025), (1, 3, 350, 9999), (2, 1, 700, 700)]
+
+
+def test_running_extremes_v1_state_across_batches(tmp_path, spark):
+    """v1-API running extremes: state survives micro-batch boundaries and the
+    monotone max/min/max collapse over per-batch snapshots recovers the
+    exact batch GROUP BY result."""
+    import pyspark.sql.functions as F
+
+    from zarr_climate_etl_ipfs_spark.streaming.incremental import running_extremes
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ck")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema("user_id long, value double").parquet(str(src))
+        (
+            running_extremes(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_batch([(1, 10.0), (1, 12.5), (2, -3.341)])
+    # 9.995*100 is 999.4999… in binary float, so floor(+0.5) yields 999 —
+    # the SAME expression the SQL oracle evaluates, which is the parity
+    # that matters (not decimal round-half-up intuition)
+    run_batch([(1, 9.995), (2, 100.0)])
+
+    got = {
+        r.user_id: (r.n_total, r.min_cents, r.max_cents)
+        for r in spark.read.parquet(str(out))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .collect()
+    }
+    assert got[1] == (3, 999, 1250)
+    assert got[2] == (2, -334, 10000)

@@ -1,0 +1,292 @@
+"""WebP lossless (VP8L) codec tests — round-trip properties through the
+test-grade encoder, hand-crafted bitstreams for the decoder-only paths
+(predictor / color transform / meta-prefix groups / 2D distance codes),
+and fuzz hardening.
+
+Reference parity: the reference ETL delegates image decode to external
+libs; these tests pin the pure-stdlib VP8L implementation feeding the
+multimodal featurize seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zarr_climate_etl_ipfs_spark import mediacodecs as mc
+from zarr_climate_etl_ipfs_spark import webp_vp8l as wl
+
+
+def _rt(img, **kw):
+    out, meta = wl.decode_webp(wl.encode_webp(img, **kw))
+    exp = img if img.ndim == 3 else np.dstack([img] * 3)
+    assert out.shape == exp.shape
+    assert np.array_equal(out, exp)
+    return meta
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from([3, 4]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_webp_roundtrip_property(h, w, nch, subgreen, cache_bits, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, nch), dtype=np.uint8)
+    meta = _rt(img, use_subtract_green=subgreen, cache_bits=cache_bits)
+    assert (meta["height"], meta["width"]) == (h, w)
+    assert meta["channels"] == nch
+    assert meta["lossless"] is True
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([2, 3, 4, 16, 17, 200]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_webp_palette_roundtrip_property(h, w, ncolors, seed):
+    """Color-indexing transform incl. sub-byte packing (1/2/4-bit) and the
+    delta-coded palette, across the width-bits thresholds."""
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = palette[rng.randint(0, ncolors, (h, w))]
+    _rt(img, palette=True)
+
+
+def test_webp_lz77_compresses_runs():
+    """Distance-1 runs must both round-trip and actually shrink the file
+    (the LZ77 path is exercised, not just legal)."""
+    img = np.repeat(np.random.RandomState(1).randint(0, 256, (8, 4, 3), dtype=np.uint8), 16, axis=1)
+    with_runs = wl.encode_webp(img, lz77=True)
+    without = wl.encode_webp(img, lz77=False)
+    assert len(with_runs) < len(without) / 2
+    _rt(img)
+
+
+def _header(bw, w, h, alpha=0):
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(alpha, 1)
+    bw.write(0, 3)
+
+
+def _argb_flat(a, r, g, b):
+    return (
+        (a.astype(np.uint64) << 24)
+        | (r.astype(np.uint64) << 16)
+        | (g.astype(np.uint64) << 8)
+        | b.astype(np.uint64)
+    ).reshape(-1)
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_webp_predictor_modes_decode(mode):
+    """All 14 predictor modes: forward-transform residuals in the test,
+    hand-emit a predictor-transform stream, decode must restore the
+    target (incl. the rightmost-column TR wrap and the row-0/col-0 edge
+    rules)."""
+    w, h = 5, 4
+    rng = np.random.RandomState(100 + mode)
+    target = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    # channel order [a, r, g, b] with opaque alpha
+    tgt = np.dstack([np.full((h, w), 255, np.uint8), target])
+    res = np.zeros_like(tgt)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = wl._predict(0, None, None, None, None)
+            elif y == 0:
+                pred = tgt[0, x - 1]
+            elif x == 0:
+                pred = tgt[y - 1, 0]
+            else:
+                L = tgt[y, x - 1]
+                T = tgt[y - 1, x]
+                TR = tgt[y - 1, x + 1] if x + 1 < w else tgt[y, 0]
+                TL = tgt[y - 1, x - 1]
+                pred = wl._predict(mode, L, T, TR, TL)
+            res[y, x] = (tgt[y, x].astype(int) - pred.astype(int)) % 256
+    bw = wl._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(wl._PREDICTOR, 2)
+    bw.write(3 - 2, 3)  # block size 8 -> 1x1 mode subimage for 5x4
+    wl._encode_entropy_image(
+        bw, np.array([0xFF000000 | (mode << 8)], np.uint64), 0, False, level0=False
+    )
+    bw.write(0, 1)  # no more transforms
+    wl._encode_entropy_image(
+        bw, _argb_flat(res[..., 0], res[..., 1], res[..., 2], res[..., 3]),
+        0, True, level0=True,
+    )
+    out, _ = wl.decode_vp8l(bw.finish())
+    assert np.array_equal(out, target), f"mode {mode}"
+
+
+def test_webp_color_transform_decodes():
+    """Color transform: non-trivial green→red / green→blue / red→blue int8
+    multipliers, forward residuals built with the decoder's own delta
+    kernel, hand-emitted stream must invert exactly."""
+    w, h = 6, 3
+    g2r, g2b, r2b = 17, 250, 5  # 250 = int8 -6
+    rng = np.random.RandomState(7)
+    target = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    r = target[..., 0].astype(np.int32)
+    g = target[..., 1].astype(np.uint8)
+    b = target[..., 2].astype(np.int32)
+    d_g2r = wl._ctd(np.full(g.shape, g2r, np.uint8).view(np.int8), g.view(np.int8))
+    d_g2b = wl._ctd(np.full(g.shape, g2b, np.uint8).view(np.int8), g.view(np.int8))
+    d_r2b = wl._ctd(
+        np.full(g.shape, r2b, np.uint8).view(np.int8),
+        target[..., 0].view(np.int8),
+    )
+    r_res = ((r - d_g2r) & 0xFF).astype(np.uint8)
+    b_res = ((b - d_g2b - d_r2b) & 0xFF).astype(np.uint8)
+    bw = wl._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(wl._COLOR, 2)
+    bw.write(3 - 2, 3)  # block size 8 -> single transform element
+    cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    wl._encode_entropy_image(bw, np.array([cte], np.uint64), 0, False, level0=False)
+    bw.write(0, 1)
+    a = np.full((h, w), 255, np.uint8)
+    wl._encode_entropy_image(
+        bw, _argb_flat(a, r_res, target[..., 1], b_res), 0, True, level0=True
+    )
+    out, _ = wl.decode_vp8l(bw.finish())
+    assert np.array_equal(out, target)
+
+
+def test_webp_meta_prefix_groups_decode():
+    """Meta-prefix image: two tiles selecting two different code groups,
+    each group a degenerate 0-bit code set — the per-pixel group routing
+    itself is what's under test."""
+    w, h = 8, 2
+    colors = [(10, 20, 30), (200, 150, 99)]
+    bw = wl._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta-prefix image present
+    bw.write(2 - 2, 3)  # meta_bits=2 -> 2x1 meta image for 8x2
+    meta_px = np.array([0xFF000000 | (0 << 8), 0xFF000000 | (1 << 8)], np.uint64)
+    wl._encode_entropy_image(bw, meta_px, 0, False, level0=False)
+    for rr, gg, bb in colors:  # two groups, 5 single-symbol codes each
+        for sym, alphabet in ((gg, 280), (rr, 256), (bb, 256), (255, 256), (0, 40)):
+            codes = wl._write_prefix_code(bw, {sym: 0}, alphabet)
+            assert codes[sym] == (0, 0)
+    # all five codes in both groups are 0-bit: the 16 pixels cost no bits
+    out, _ = wl.decode_vp8l(bw.finish())
+    exp = np.zeros((h, w, 3), np.uint8)
+    exp[:, :4] = colors[0]
+    exp[:, 4:] = colors[1]
+    assert np.array_equal(out, exp)
+
+
+def test_webp_2d_distance_code_decodes():
+    """LZ77 with a 2D plane code: copy row 0 onto row 1 via plane code 1
+    ((0,1) -> distance = width), exercising the distance map rather than
+    the >120 direct encoding the encoder uses."""
+    w, h = 6, 2
+    rng = np.random.RandomState(3)
+    row = rng.randint(0, 256, (w, 3), dtype=np.uint8)
+    bw = wl._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    len_code, len_val, len_bits = wl._prefix_encode(w)  # copy length = w
+    greens = {int(g): 1 for g in row[:, 1]}
+    greens[256 + len_code] = greens.get(256 + len_code, 0) + 1
+    gl = wl._complete_lengths(wl._huffman_lengths(greens, 15), 280)
+    gcodes = wl._write_prefix_code(bw, gl, 280)
+    rcodes = wl._write_prefix_code(
+        bw, wl._complete_lengths(wl._huffman_lengths({int(v): 1 for v in row[:, 0]}, 15), 256), 256
+    )
+    bcodes = wl._write_prefix_code(
+        bw, wl._complete_lengths(wl._huffman_lengths({int(v): 1 for v in row[:, 2]}, 15), 256), 256
+    )
+    acodes = wl._write_prefix_code(bw, {255: 0}, 256)
+    dcodes = wl._write_prefix_code(bw, {0: 0}, 40)  # plane prefix code 0 -> plane 1
+
+    def emit(codes, sym):
+        code, ln = codes[sym]
+        if ln:
+            bw.write_code(code, ln)
+
+    for x in range(w):  # row 0 literals
+        emit(gcodes, int(row[x, 1]))
+        emit(rcodes, int(row[x, 0]))
+        emit(bcodes, int(row[x, 2]))
+        emit(acodes, 255)
+    emit(gcodes, 256 + len_code)  # copy length w at distance w
+    if len_bits:
+        bw.write(len_val, len_bits)
+    emit(dcodes, 0)
+    out, _ = wl.decode_vp8l(bw.finish())
+    assert np.array_equal(out[0], row)
+    assert np.array_equal(out[1], row)
+
+
+def test_webp_dispatch_and_lossy_raises():
+    """decode_image routes RIFF/WEBP VP8L here; lossy VP8 still names
+    libwebp; VP8X-wrapped lossless files decode through the chunk walk."""
+    img = np.full((4, 4, 3), 42, np.uint8)
+    blob = wl.encode_webp(img)
+    out, meta = mc.decode_image(blob)
+    assert np.array_equal(out, img) and meta["format"] == "webp"
+    # VP8X-extended container: prepend a VP8X chunk before VP8L
+    vp8l_chunk = blob[12:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    ext = b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(vp8l_chunk)) + b"WEBP" + vp8x + vp8l_chunk
+    out2, _ = wl.decode_webp(ext)
+    assert np.array_equal(out2, img)
+    lossy = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    with pytest.raises(NotImplementedError, match="libwebp"):
+        wl.decode_webp(lossy)
+
+
+def test_webp_fuzz_truncation_and_garbage():
+    """Truncations and bit flips of a valid stream must raise
+    MediaDecodeError (or the NotImplementedError seam) — never leak
+    IndexError/ValueError, never hang, never allocate unbounded."""
+    img = np.random.RandomState(0).randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    blob = wl.encode_webp(img, cache_bits=3)
+    for cut in range(12, len(blob), 7):
+        try:
+            wl.decode_webp(blob[:cut])
+        except (mc.MediaDecodeError, NotImplementedError):
+            pass
+    rng = np.random.RandomState(1)
+    for _ in range(60):
+        hacked = bytearray(blob)
+        for _ in range(3):
+            hacked[rng.randint(20, len(blob))] ^= 1 << rng.randint(0, 8)
+        try:
+            out, _ = wl.decode_webp(bytes(hacked))
+            assert out.nbytes <= 4 * wl._MAX_PIXELS
+        except (mc.MediaDecodeError, NotImplementedError):
+            pass
+
+
+def test_webp_declared_size_bomb_rejected():
+    """A tiny payload declaring the max 16383x16383 canvas must be rejected
+    by the pixel cap before any allocation loop."""
+    bw = wl._BitWriter()
+    _header(bw, 16383, 16383)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    with pytest.raises(mc.MediaDecodeError):
+        wl.decode_vp8l(bw.finish() + b"\x00" * 8)

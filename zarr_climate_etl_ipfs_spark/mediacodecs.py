@@ -1358,8 +1358,12 @@ def decode_image(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             return dec(content)
     # WebP is RIFF <4-byte size> WEBP — the format tag sits at offset 8, so a
     # plain prefix compare can't see it (and must not shadow RIFF/WAVE audio).
+    # Lossless (VP8L) decodes for real (webp_vp8l, pure stdlib+numpy); lossy
+    # VP8 still raises NotImplementedError naming libwebp.
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
-        raise NotImplementedError("WebP (needs PIL/libwebp) — not in this container; inject a decoder")
+        from zarr_climate_etl_ipfs_spark.webp_vp8l import decode_webp
+
+        return decode_webp(content)
     raise MediaDecodeError("unrecognized image format")
 
 

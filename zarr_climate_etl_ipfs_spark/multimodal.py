@@ -53,9 +53,10 @@ Decoder = Callable[[bytes, dict[str, Any]], np.ndarray]
 
 
 def default_image_decoder(content: bytes, meta: dict[str, Any]) -> np.ndarray:
-    """Real decode for JPEG/PNG/GIF/TIFF/PPM/PGM/BMP
-    (mediacodecs.image_features); WebP and progressive JPEG raise
-    NotImplementedError naming the missing library."""
+    """Real decode for JPEG/PNG/GIF/TIFF/PPM/PGM/BMP and lossless WebP
+    (mediacodecs.image_features, VP8L via webp_vp8l); lossy WebP and
+    progressive JPEG raise NotImplementedError naming the missing
+    library."""
     from zarr_climate_etl_ipfs_spark.mediacodecs import image_features
 
     return image_features(content, meta)

@@ -45,13 +45,16 @@ def _epoch_s(c: Column | str) -> Column:
 def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
     """The multimodal test-raster contract shared by every image catalog
     entry and its oracle: a constant RGB square, side = d%7+2, shade =
-    d%251, container format rotating PNG/GIF/TIFF/JPEG-q100 on d%4 (all
-    bit-exact for constant content — JPEG because quality=100 scales the
-    Annex-K tables to all-ones).  ``rotate_variants`` additionally cycles
-    the formats' encoding options (GIF interlace, TIFF byte order, JPEG
-    subsampling) keyed on d%8.  Changing the side/shade formulas means
-    changing every oracle that encodes them — this is the single place
-    the Spark side computes them."""
+    d%251, container format rotating PNG/GIF/TIFF/JPEG-q100/WebP-VP8L on
+    d%5 (all bit-exact for constant content — JPEG because quality=100
+    scales the Annex-K tables to all-ones; WebP because VP8L is
+    lossless).  ``rotate_variants`` additionally cycles the formats'
+    encoding options (GIF interlace, TIFF byte order, JPEG subsampling,
+    WebP palette/subtract-green) keyed on d%8 or d%10.  The oracles are
+    format-independent (closed-form features of side/shade), so the
+    format rotation can grow without touching them — but changing the
+    side/shade formulas means changing every oracle that encodes them;
+    this is the single place the Spark side computes them."""
     import numpy as np
 
     from zarr_climate_etl_ipfs_spark.mediacodecs import (
@@ -60,19 +63,24 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
         encode_png,
         encode_tiff,
     )
+    from zarr_climate_etl_ipfs_spark.webp_vp8l import encode_webp
 
     side = d % 7 + 2
     shade = d % 251
     img = np.full((side, side, 3), shade, dtype=np.uint8)
-    fmt = d % 4
+    fmt = d % 5
     if fmt == 0:
         return encode_png(img)
     if fmt == 1:
         return encode_gif(img, interlace=rotate_variants and d % 8 == 1)
     if fmt == 2:
         return encode_tiff(img, big_endian=rotate_variants and d % 8 == 6)
-    sub = "4:2:0" if rotate_variants and d % 8 == 7 else "4:4:4"
-    return encode_jpeg(img, quality=100, subsample=sub)
+    if fmt == 3:
+        sub = "4:2:0" if rotate_variants and d % 8 == 7 else "4:4:4"
+        return encode_jpeg(img, quality=100, subsample=sub)
+    if rotate_variants and d % 10 == 4:
+        return encode_webp(img, palette=True)
+    return encode_webp(img, use_subtract_green=rotate_variants and d % 10 == 9)
 
 
 def _drain_memory_sink(spark: SparkSession, writer, prefix: str) -> DataFrame:
@@ -3718,15 +3726,17 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode as a driver-checkable catalog entry: every doc gets
     a REAL constant-color RGB raster (side = doc_id%7+2, shade = doc_id%251)
-    encoded executor-side — PNG (doc_id%4==0), GIF89a (%4==1, interlaced on
-    %8==1), baseline TIFF (%4==2, big-endian on %8==6), baseline JPEG
-    (%4==3, quality=100 where the Annex-K tables scale to all-ones so
-    DC-only constant blocks are bit-exact; 4:2:0 on %8==7 else 4:4:4) —
-    then the production decode path (multimodal.extract_features ->
-    mediacodecs.decode_png / decode_gif / decode_tiff / decode_jpeg: zlib
-    inflate + unfiltering, LZW + palette + de-interlace, IFD + strips, or
-    Huffman + dequant + IDCT + YCbCr) runs distributively and emits the
-    12-dim image feature. Constant images make every feature value
+    encoded executor-side — PNG (doc_id%5==0), GIF89a (%5==1, interlaced on
+    %8==1), baseline TIFF (%5==2, big-endian on %8==6), baseline JPEG
+    (%5==3, quality=100 where the Annex-K tables scale to all-ones so
+    DC-only constant blocks are bit-exact; 4:2:0 on %8==7 else 4:4:4),
+    lossless WebP VP8L (%5==4; palette on %10==4, subtract-green on
+    %10==9) — then the production decode path
+    (multimodal.extract_features -> mediacodecs.decode_png / decode_gif /
+    decode_tiff / decode_jpeg / webp_vp8l.decode_webp: zlib inflate +
+    unfiltering, LZW + palette + de-interlace, IFD + strips, Huffman +
+    dequant + IDCT + YCbCr, or VP8L prefix codes + inverse transforms)
+    runs distributively and emits the 12-dim image feature. Constant images make every feature value
     closed-form — height, width, channels, mean=shade, std=0, four
     quadrant means=shade, channel-0 min/max=shade, edge energy=0 —
     identical regardless of container format, so the DuckDB oracle
@@ -3969,6 +3979,66 @@ def streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_batch").alias("n_events"),
             F.sum("n_anomalies").alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "streaming_running_extremes",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_total,
+           MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_cents,
+           MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_running_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful running extremes as a driver-checkable streaming entry:
+    `streaming/incremental.py:running_extremes` carries per-key
+    (n, min_cents, max_cents) integer state across micro-batches via
+    `applyInPandasWithState` — the v1-API twin of `running_extremes_v2`
+    (whose Spark-4 transformWithStateInPandas surface needs protobuf,
+    absent here), so the operator's semantics get a green driver row on
+    the API that runs everywhere. Cents fixed-pointing matches the oracle
+    expression exactly (no float comparisons), and since every state
+    component is monotone, the batch-side max/min/max collapse over the
+    per-batch snapshots is invariant to micro-batch boundaries — the
+    result equals the one-shot batch GROUP BY the oracle computes."""
+    from pyspark.sql import types as T
+
+    from zarr_climate_etl_ipfs_spark.streaming.incremental import running_extremes
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return (
+        _drain_memory_sink(
+            spark,
+            running_extremes(stream).writeStream.format("memory")
+            .outputMode("append"),
+            "run_extremes",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
         )
         .orderBy("user_id")
     )
@@ -4781,8 +4851,8 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize as a driver-checkable entry — the
     thumbnail/normalize stage of a multimodal pipeline
     (`multimodal.resize_images`): every doc gets a constant-color raster
-    in a rotating container format (PNG/GIF/TIFF/JPEG-q100, the same
-    4-format generator as `multimodal_decode_roundtrip`), the production
+    in a rotating container format (PNG/GIF/TIFF/JPEG-q100/WebP-VP8L, the
+    same 5-format generator as `multimodal_decode_roundtrip`), the production
     kernel decodes it, box-resamples to 3x3 (integer accumulation — the
     2x2 inputs exercise the replicate-upscale path, the larger sides the
     downsample bins), re-encodes PNG, and reports dims + mean. Constant

@@ -265,6 +265,56 @@ def zscore_anomalies_exact(
     )
 
 
+def running_extremes(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Per-key running (count, min, max) in exact integer cents via the v1
+    stateful API (``applyInPandasWithState``) — the same semantics as
+    :func:`running_extremes_v2` on the API that runs WITHOUT the protobuf
+    dependency, so the operator is exercisable (and oracle-checkable, see
+    the ``streaming_running_extremes`` catalog entry) in every
+    environment.  Emits the post-batch state snapshot per key per
+    micro-batch; because all three state components are monotone (n and hi
+    non-decreasing, lo non-increasing), a batch-side
+    ``max(n)/min(lo)/max(hi)`` collapse over the emitted snapshots
+    recovers the final state independent of how the stream micro-batched
+    — the same batch-invariance trick the z-score entry uses for counts.
+    State is three int64 per key; no timers, no TTL needed."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_total long, min_cents long, max_cents long"
+    state_schema = "n long, lo long, hi long"
+
+    def track(key, pdf_iter, state: GroupState):
+        import math
+
+        import pandas as pd  # executor-side
+
+        n, lo, hi = state.get if state.exists else (0, None, None)
+        n = int(n)
+        for pdf in pdf_iter:
+            for v in pdf[value_col].astype(float):
+                cents = int(math.floor(v * 100.0 + 0.5))
+                lo = cents if lo is None else min(int(lo), cents)
+                hi = cents if hi is None else max(int(hi), cents)
+                n += 1
+        state.update((n, lo, hi))
+        yield pd.DataFrame(
+            [[key[0], n, lo, hi]],
+            columns=[key_col, "n_total", "min_cents", "max_cents"],
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_extremes_v2(
     events: DataFrame,
     key_col: str = "user_id",
@@ -283,8 +333,10 @@ def running_extremes_v2(
     Requires the `protobuf` python package (Spark's TransformWithState
     driver worker serializes state-server messages with it); this
     container ships a broken protobuf, so the operator raises a clear
-    ImportError at call time and its test skips — the v1 operators above
-    carry the in-container stateful coverage."""
+    ImportError at call time and its test skips — :func:`running_extremes`
+    is the same semantics on the v1 API, oracle-checked via the
+    ``streaming_running_extremes`` catalog entry, so the operator's
+    behavior is driver-proven even where this v2 surface cannot run."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:
