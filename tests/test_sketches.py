@@ -70,3 +70,82 @@ def test_value_histogram_partitions_all_rows(spark, events):
         per_key.setdefault(r["event_type"], []).append(r["bin"])
     for bins in per_key.values():
         assert bins == sorted(bins) and len(set(bins)) == len(bins)
+
+
+# --- engine-portable sketches (oracle-checkable family) ---
+
+
+def test_portable_hll_bound_and_merge(spark, events):
+    """Portable HLL: estimate within ~3 sigma of 1.04/sqrt(512), and the
+    merge identity — MAX-merging per-shard registers equals the registers
+    of the union (the property that makes it a 100 TB primitive)."""
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    regs = portable_hll_registers(events, ["event_type"], "user_id")
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in portable_hll_estimate(regs, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 3 * 1.04 / (512 ** 0.5), (k, est[k], n)
+    # merge identity: split on event_id parity, MAX-merge, same registers
+    a = portable_hll_registers(events.filter("event_id % 2 = 0"), ["event_type"], "user_id")
+    b = portable_hll_registers(events.filter("event_id % 2 = 1"), ["event_type"], "user_id")
+    merged = (
+        a.unionByName(b)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = regs
+    sym_diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert sym_diff == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every value actually in the build set must probe true; the FP share
+    on disjoint values stays under the (1-e^-kn/m)^k envelope ×2 slack."""
+    import math
+
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+
+    build = spark.range(0, 500).select(F.concat(F.lit("in-"), "id").alias("v"))
+    pos = bloom_bit_positions(build, "v", m_bits=8192, k=3)
+    hits = {r["v"]: r["bloom_hit"] for r in bloom_probe(build, "v", pos, 8192, 3).collect()}
+    assert all(hits.values())
+    out = spark.range(0, 2000).select(F.concat(F.lit("out-"), "id").alias("v"))
+    fp = [r for r in bloom_probe(out, "v", pos, 8192, 3).collect() if r["bloom_hit"]]
+    envelope = (1 - math.exp(-3 * 500 / 8192)) ** 3
+    assert len(fp) / 2000 < 2 * envelope + 0.01
+
+
+def test_countmin_one_sided_and_mergeable(spark):
+    """cm_est >= true count for EVERY term (never under), and cell-wise
+    summing shard sketches equals the whole-corpus sketch."""
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    tf = spark.range(0, 300).select(
+        F.concat(F.lit("t"), (F.col("id") % 37)).alias("term")
+    ).groupBy("term").agg(F.count("*").alias("n"))
+    sk = countmin_sketch(tf, "term", count_col="n")
+    est = countmin_estimate(sk, tf, "term").collect()
+    assert all(r["cm_est"] >= r["n"] for r in est)
+    a = countmin_sketch(tf.filter("n % 2 = 0"), "term", count_col="n")
+    b = countmin_sketch(tf.filter("n % 2 = 1"), "term", count_col="n")
+    merged = a.unionByName(b).groupBy("row", "col").agg(F.sum("n").alias("n"))
+    sym_diff = merged.exceptAll(sk).count() + sk.exceptAll(merged).count()
+    assert sym_diff == 0

@@ -9,9 +9,14 @@ the data, and answer later queries by *merging sketches* instead of
 rescanning rows — the same incremental-refresh shape as
 operators/rollup.py, generalized to approximate aggregates.
 
-No catalog entries: approximate results cannot hash-match a DuckDB oracle
-(different sketch implementations); the tests assert error bounds and the
-merge identity (sketch(A ∪ B) == merge(sketch(A), sketch(B))) instead.
+The DataSketches wrappers have no catalog entries: their binary state is
+implementation-specific, so approximate results cannot hash-match a DuckDB
+oracle; the tests assert error bounds and the merge identity
+(sketch(A ∪ B) == merge(sketch(A), sketch(B))) instead. The PORTABLE
+sketch family below (md5-derived HLL / Bloom / count-min) is different:
+its state is defined by engine-neutral integer arithmetic, so it IS
+oracle-checkable — see the hll_user_distinct / bloom_decontamination /
+countmin_heavy_hitters catalog entries.
 """
 
 from __future__ import annotations
@@ -90,4 +95,209 @@ def value_histogram(
         .agg(F.count("*").alias("n"))
         .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
         .orderBy(*key_cols, "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-portable sketches (oracle-checkable)
+# ---------------------------------------------------------------------------
+# Unlike the DataSketches wrappers above, these sketches are DEFINED by
+# portable integer arithmetic (56-bit md5 hashes, shifts, bin-length) so
+# any engine computes byte-identical state — which makes them the one
+# sketch family the DuckDB oracle can verify hash-exact, and the one you
+# can build on engine A and merge/probe on engine B. All three are
+# map-side-combinable (MAX / SUM / bit-set union), the property that makes
+# them 100 TB primitives: state is KBs per group regardless of input size.
+
+
+def _md5int56(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("bigint")
+
+
+def portable_hll_registers(
+    df: DataFrame, key_cols: list[str], value_col: str, p: int = 9
+) -> DataFrame:
+    """Per-group HLL registers over a 56-bit md5 hash: bucket = top ``p``
+    hash bits, rho = leading-zero count of the remaining ``56-p`` bits + 1
+    (computed as ``rem_bits - length(bin(rem)) + 1`` — integer-exact on
+    any engine; no float log2 whose ulp could differ). Returns
+    (keys, bucket, rho) with rho = MAX per bucket — the mergeable state."""
+    rem_bits = 56 - p
+    h = _md5int56(F.col(value_col).cast("string"))
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1).cast("bigint"))
+    rho = (
+        F.when(rem == 0, F.lit(rem_bits + 1))
+        .otherwise(F.lit(rem_bits) - F.length(F.bin(rem)) + 1)
+        .cast("int")
+    )
+    vals = df.select(
+        *key_cols, F.shiftright(h, rem_bits).alias("bucket"), rho.alias("rho")
+    )
+    return vals.groupBy(*key_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def portable_hll_estimate(
+    registers: DataFrame, key_cols: list[str], p: int = 9
+) -> DataFrame:
+    """Raw HLL estimate from portable registers. The harmonic denominator
+    is computed in EXACT integer arithmetic (Σ 2^(scale-rho), scale =
+    57-p ≥ max rho) so the sum is order-independent — float summation
+    order would differ between engines/partitionings. The float ops
+    are one division + ROUND(…,4) (IEEE-identical everywhere; the
+    constant alpha·m²·2^scale is inlined as a single Python-evaluated
+    literal so no engine re-derives it with different operation order)
+    plus the standard small-range linear-counting branch
+    (raw ≤ 2.5m with empty buckets → m·ln(m/empty)): ln() is the one
+    primitive whose last ulp is engine-specific, which ROUND(…,4)
+    absorbs — and without which the raw estimator is badly biased when
+    n ≪ m (mostly-empty registers)."""
+    m = 1 << p
+    scale = 57 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << scale)
+    # the DataFrame-API shiftleft only takes a literal shift count; the SQL
+    # form accepts a column expression
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - rho)")
+    agg = registers.groupBy(*key_cols).agg(
+        F.sum(term).alias("_s"), F.count("*").alias("n_buckets")
+    )
+    denom = F.col("_s") + (F.lit(m) - F.col("n_buckets")) * F.lit(1 << scale)
+    raw = F.lit(numer) / denom
+    empty = F.lit(m) - F.col("n_buckets")
+    est = F.when(
+        (raw <= 2.5 * m) & (empty > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / empty), 4),
+    ).otherwise(F.round(raw, 4))
+    return agg.select(
+        *key_cols,
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        est.alias("distinct_est"),
+    )
+
+
+def bloom_bit_positions(
+    df: DataFrame, value_col: str, m_bits: int = 8192, k: int = 3
+) -> DataFrame:
+    """Build side of a portable Bloom filter: the DISTINCT set bit
+    positions from ``k`` salted 56-bit md5 hashes mod ``m_bits``. The
+    positions frame IS the filter (a few KB) — broadcast it and probing
+    becomes a join-free membership test, the decontamination pattern that
+    avoids shuffling a 100 TB corpus against a benchmark set."""
+    pos = F.explode(
+        F.array(
+            *[
+                (_md5int56(F.concat(F.lit(f"{j}:"), F.col(value_col).cast("string"))) % m_bits)
+                for j in range(k)
+            ]
+        )
+    )
+    return df.select(pos.alias("pos")).distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    positions: DataFrame,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Probe side: a value is flagged iff ALL ``k`` of its bit positions
+    are set (no false negatives; false-positive share ≈ (1-e^{-kn/m})^k).
+    Implemented as explode → semi-ish join on position → count == k, with
+    the (small) positions frame broadcast."""
+    probe = df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        _md5int56(
+                            F.concat(F.lit(f"{j}:"), F.col(value_col).cast("string"))
+                        )
+                        % m_bits
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(positions.withColumn("_hit", F.lit(1))), "pos", "left")
+        .groupBy(*[c for c in df.columns])
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == k).alias("bloom_hit"))
+    )
+    return hits
+
+
+def countmin_sketch(
+    df: DataFrame,
+    term_col: str,
+    count_col: str | None = None,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch: ``depth`` salted-hash rows × ``width`` counters,
+    counts summed per cell — a (depth·width)-cell table that answers
+    point frequency queries with one-sided error (estimate ≥ truth).
+    Mergeable by cell-wise SUM; byte-identical on any engine."""
+    w = F.lit(1).cast("bigint") if count_col is None else F.col(count_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            _md5int56(
+                                F.concat(F.lit(f"{j}:"), F.col(term_col).cast("string"))
+                            )
+                            % width
+                        ).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+        w.alias("_w"),
+    )
+    return (
+        cells.select(F.col("c.row").alias("row"), F.col("c.col").alias("col"), "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").alias("n"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, terms: DataFrame, term_col: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Point estimates: min over the ``depth`` row counters each term
+    hashes to. The sketch side is broadcast — probing N terms costs no
+    shuffle of the sketch."""
+    probe = terms.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            _md5int56(
+                                F.concat(F.lit(f"{j}:"), F.col(term_col).cast("string"))
+                            )
+                            % width
+                        ).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    )
+    # private counter name so a probe frame with its own "n" column can't
+    # make the min() reference ambiguous
+    sk = sketch.withColumnRenamed("n", "_cm_n")
+    return (
+        probe.select(*terms.columns, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .join(F.broadcast(sk), ["row", "col"])
+        .groupBy(*terms.columns)
+        .agg(F.min("_cm_n").alias("cm_est"))
     )

@@ -5128,3 +5128,203 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# engine-portable sketches (operators/sketches.py) — oracle-checkable
+# ---------------------------------------------------------------------------
+
+#: single Python-evaluated literal so neither engine re-derives the HLL
+#: alpha*m^2*2^scale constant with different float operation order
+_HLL_NUMER = repr(0.7213 / (1.0 + 1.079 / 512) * 512 * 512 * float(1 << 48))
+_H56 = "CAST(CONCAT('0x', SUBSTR(MD5({x}), 1, 14)) AS BIGINT)"
+
+
+@q(
+    "hll_user_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {_H56.format(x="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ), b AS (
+      SELECT event_type, hv >> 47 AS bucket,
+             CASE WHEN (hv & ((1::BIGINT << 47) - 1)) = 0 THEN 48
+                  ELSE 47 - LENGTH(BIN(hv & ((1::BIGINT << 47) - 1))) + 1
+             END AS rho
+      FROM h
+    ), r AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM b GROUP BY event_type, bucket
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n_buckets,
+             SUM(1::BIGINT << (48 - rho)) AS sp
+      FROM r GROUP BY event_type
+    ), t AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_true
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, n_buckets,
+           CASE WHEN {_HLL_NUMER} / (sp + (512 - n_buckets) * (1::BIGINT << 48))
+                       <= 1280.0
+                 AND n_buckets < 512
+                THEN ROUND(512.0 * LN(512.0 / (512 - n_buckets)), 4)
+                ELSE ROUND({_HLL_NUMER} / (sp + (512 - n_buckets) * (1::BIGINT << 48)), 4)
+           END AS distinct_est,
+           n_true
+    FROM s JOIN t ON s.event_type = t.event_type
+    ORDER BY s.event_type
+    """,
+)
+def hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (operators/sketches.py
+    portable_hll_registers/_estimate): per event_type, distinct-user
+    estimate from 512 md5-derived registers, verified hash-exact against
+    the identical integer construction in DuckDB — the sketch family the
+    driver CAN check, unlike the DataSketches wrappers (different binary
+    state per engine). The harmonic denominator is an exact integer sum
+    (order-independent — a float Σ2^-rho would drift with Spark's
+    partition-dependent add order); the float ops are one literal
+    division + ROUND plus the small-range linear-counting branch (whose
+    ln() ulp variance the ROUND absorbs). n_true sits beside the estimate so the ~1.6%
+    (1.04/√512) error is visible in the row data. At 100 TB: registers
+    are a 512-row mergeable state per group — build per partition/day,
+    merge by MAX, never rescan."""
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    e = t(spark, sf_dir, "events")
+    regs = portable_hll_registers(e, ["event_type"], "user_id", p=9)
+    est = portable_hll_estimate(regs, ["event_type"], p=9)
+    true = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_true")
+    )
+    return est.join(true, "event_type").orderBy("event_type")
+
+
+@q(
+    "bloom_decontamination",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST({{words}}) AS w FROM documents WHERE doc_id % 19 = 0
+    ), pos AS (
+      SELECT DISTINCT p FROM (
+        SELECT {_H56.format(x="CONCAT('0:', w)")} % 8192 AS p FROM bench
+        UNION ALL SELECT {_H56.format(x="CONCAT('1:', w)")} % 8192 FROM bench
+        UNION ALL SELECT {_H56.format(x="CONCAT('2:', w)")} % 8192 FROM bench
+      )
+    ), pw AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT({{words}})) AS w FROM documents
+    ), ph AS (
+      SELECT doc_id, w,
+             ({_H56.format(x="CONCAT('0:', w)")} % 8192) IN (SELECT p FROM pos)
+         AND ({_H56.format(x="CONCAT('1:', w)")} % 8192) IN (SELECT p FROM pos)
+         AND ({_H56.format(x="CONCAT('2:', w)")} % 8192) IN (SELECT p FROM pos)
+             AS hit
+      FROM pw
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ROUND(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+             AS flag_share
+    FROM ph GROUP BY doc_id ORDER BY doc_id
+    """.replace("{words}", _WORDS_SQL),
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a portable Bloom filter (operators/sketches.py
+    bloom_bit_positions/bloom_probe): the benchmark set (every 19th doc's
+    vocabulary) compresses to ~8k bit positions, each probe word is
+    flagged iff all 3 salted md5 positions are set, and each doc reports
+    its flagged-word share. This is the decontamination shape that
+    SCALES: the n-gram-overlap entry (`decontamination`) joins corpus
+    against benchmark — right for exactness, but the join shuffles both
+    sides; the Bloom filter is a broadcast-sized state with zero false
+    negatives, so at 100 TB you Bloom-screen first (join-free, one scan)
+    and exact-join only the flagged sliver. False positives are the
+    sketch's documented one-sided error and appear here as flag_share >
+    true overlap — bounded by (1-e^(-kn/m))^k."""
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 19 == 0).select(
+        F.explode(F.array_distinct(words("text"))).alias("w")
+    )
+    positions = bloom_bit_positions(bench, "w", m_bits=8192, k=3)
+    probe = d.select(
+        "doc_id", F.explode(F.array_distinct(words("text"))).alias("w")
+    )
+    flags = bloom_probe(probe, "w", positions, m_bits=8192, k=3)
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("n_flagged"),
+            F.round(
+                F.sum(F.col("bloom_hit").cast("int")).cast("double") / F.count("*"), 4
+            ).alias("flag_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "countmin_heavy_hitters",
+    f"""
+    WITH ex AS (
+      SELECT UNNEST({_WORDS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT term, COUNT(*) AS n_true FROM ex GROUP BY term
+    ), cells AS (
+      SELECT 0 AS row, {_H56.format(x="CONCAT('0:', term)")} % 256 AS col, n_true FROM tf
+      UNION ALL
+      SELECT 1, {_H56.format(x="CONCAT('1:', term)")} % 256, n_true FROM tf
+      UNION ALL
+      SELECT 2, {_H56.format(x="CONCAT('2:', term)")} % 256, n_true FROM tf
+    ), sk AS (
+      SELECT row, col, CAST(SUM(n_true) AS BIGINT) AS n FROM cells GROUP BY row, col
+    ), probe AS (
+      SELECT term, n_true FROM tf ORDER BY n_true DESC, term LIMIT 20
+    ), pc AS (
+      SELECT term, n_true, 0 AS row, {_H56.format(x="CONCAT('0:', term)")} % 256 AS col FROM probe
+      UNION ALL
+      SELECT term, n_true, 1, {_H56.format(x="CONCAT('1:', term)")} % 256 FROM probe
+      UNION ALL
+      SELECT term, n_true, 2, {_H56.format(x="CONCAT('2:', term)")} % 256 FROM probe
+    )
+    SELECT term, n_true, MIN(n) AS cm_est
+    FROM pc JOIN sk USING (row, col)
+    GROUP BY term, n_true
+    ORDER BY n_true DESC, term
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py countmin_sketch/_estimate):
+    3×256 salted-md5 counter cells summed from the corpus term
+    frequencies, then the top-20 true heavy hitters probed back through
+    the sketch (estimate = min over rows; one-sided error, cm_est ≥
+    n_true always). Byte-identical cells on both engines make this the
+    frequency sketch a driver can verify. At 100 TB the sketch is the
+    point: 768 mergeable cells replace a full term-frequency shuffle
+    when you only need heavy hitters — build per partition (map-side
+    SUM), merge cell-wise, probe broadcast."""
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents")
+    ex = d.select(F.explode(words("text")).alias("term"))
+    tf = ex.groupBy("term").agg(F.count("*").alias("n_true"))
+    sketch = countmin_sketch(tf, "term", count_col="n_true", depth=3, width=256)
+    probe = tf.orderBy(F.desc("n_true"), "term").limit(20)
+    return (
+        countmin_estimate(sketch, probe, "term", depth=3, width=256)
+        .select("term", "n_true", "cm_est")
+        .orderBy(F.desc("n_true"), "term")
+    )
