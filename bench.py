@@ -80,6 +80,10 @@ def main() -> None:
         "tfidf_top_terms",
         "paragraph_dedup",
         "sq_ann_topk",
+        # round-7 additions (the portable oracle-checkable sketch family)
+        "hll_user_distinct",
+        "bloom_decontamination",
+        "countmin_heavy_hitters",
     ]
     run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (

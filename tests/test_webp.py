@@ -290,3 +290,17 @@ def test_webp_declared_size_bomb_rejected():
     bw.write(0, 1)
     with pytest.raises(mc.MediaDecodeError):
         wl.decode_vp8l(bw.finish() + b"\x00" * 8)
+
+
+def test_webp_distance_map_generative_rule():
+    """The 120-entry 2D distance table must satisfy its generative rule —
+    unique near-neighborhood offsets sorted by squared distance with
+    |x|-then-sign tie-break — so a transcription slip in any row is
+    caught structurally, not just by the two codes the encoder uses."""
+    pairs = wl._DIST_MAP
+    assert len(pairs) == 120
+    assert len(set(pairs)) == 120
+    assert all(0 <= y <= 7 and -7 <= x <= 8 for x, y in pairs)
+    assert all(y > 0 or x > 0 for x, y in pairs)  # strictly backward refs
+    key = [(x * x + y * y, abs(x), 0 if x >= 0 else 1) for x, y in pairs]
+    assert key == sorted(key)

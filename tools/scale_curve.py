@@ -249,7 +249,7 @@ def _table(results: dict, names: list[str]) -> list[str]:
 
 def write_md(out_md: Path, results: dict) -> None:
     lines = [
-        "# SCALE — dedup + similarity scale curves (round 6)",
+        "# SCALE — dedup + similarity scale curves (round 7)",
         "",
         "Measured evidence that the dedup/near-dup/ANN operators scale",
         "sub-quadratically. Text corpora: the sf0.1 `documents` table (5,000",

@@ -2426,12 +2426,17 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized bit-matrix pass per batch, and a repartition barrier pins
     the signature (a python-UDF projection gets no exchange reuse, so the
     self-join would re-execute it per side — measured 5.17 s without the
-    barrier). Result: 2.16 s vs 4.10 s for the agg form on the same host,
-    value-identical on all 132,578 sf0.1 pairs. Historical losers, for the
-    record: per-row aggregate() fold 9.4 s unbarriered / 3.3 s barriered,
-    4×14-bit packed-lane fold 2.0 s signature alone, 12-bit-lane packed
-    SUMs −8%. The plan (linear-shuffle pigeonhole join, batch-bounded
-    kernel memory) is the one we want at 100 TB."""
+    barrier). The barrier width matters too: each python-UDF partition
+    pays worker-startup + Arrow-stream overhead, and signature rows are
+    16 bytes — measured min-of-5 at sf0.1: 32 partitions 2.44 s, 8
+    partitions 1.74 s, 4 partitions 1.96 s (parallelism loss) — so the
+    barrier uses defaultParallelism/4 (floor 8), which still scales with
+    the cluster. vs the r6 agg form's 3.0-4.1 s, value-identical on all
+    132,578 sf0.1 pairs. Historical losers, for the record: per-row
+    aggregate() fold 9.4 s unbarriered / 3.3 s barriered, 4×14-bit
+    packed-lane fold 2.0 s signature alone, 12-bit-lane packed SUMs −8%.
+    The plan (linear-shuffle pigeonhole join, batch-bounded kernel
+    memory) is the one we want at 100 TB."""
     from zarr_climate_etl_ipfs_spark.operators.dedup import md5int, simhash_vote_kernel
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
@@ -2440,9 +2445,10 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(F.array_distinct(words("text")), lambda w: md5int(w)).alias("hvs"),
     )
+    n_part = max(8, spark.sparkContext.defaultParallelism // 4)
     sh = hvs.select(
         "doc_id", simhash_vote_kernel("hvs", bits=56).alias("simhash")
-    ).repartition(32, "doc_id")
+    ).repartition(n_part, "doc_id")
 
     from zarr_climate_etl_ipfs_spark.operators.dedup import hamming_blocked_pairs
 
