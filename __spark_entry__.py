@@ -32,9 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # immediately; cumulatively (r5+r6+r7) every catalog query has a
 # driver-green row.
 _ROTATE_FIRST = [
-    # new in round 7: v1-API stateful op + the portable-sketch family
+    # new in round 7: v1-API stateful op, the portable-sketch family, and
+    # the bigram LM quality scorer
     "streaming_running_extremes", "hll_user_distinct",
     "bloom_decontamination", "countmin_heavy_hitters",
+    "bigram_logprob_quality",
     "resample_daily", "coarsen_grid", "fill_gaps_interp", "simhash_neardups",
     "dedup_components", "ivf_knn", "hash_sample", "dedup_keep_first",
     "streaming_hourly_stats", "curation_pipeline", "range_band_join",

@@ -13,6 +13,7 @@ Writes SCALE.md at the repo root by default.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -212,16 +213,27 @@ def main() -> None:
     runners.update(TEXT_EXTRAS)
     runners.update(EMB_EXTRAS)
     results: dict[str, dict[str, dict]] = {q: {} for q in all_names}
+    # min-of-N inside one invocation (SCALE_RUNS, default 2): the host's
+    # multi-second contention spikes otherwise land in whichever single
+    # pass a round happens to record — this bakes the reproduce-protocol
+    # ("run twice, take per-cell min") into the tool itself. Shuffle bytes
+    # are run-invariant, so they come from the first pass.
+    n_runs = max(1, int(os.environ.get("SCALE_RUNS", "2")))
     for label in ("x1", "x10", "x100"):
         sf_dir = str(dirs[label])
         for qname in all_names:
-            sw0 = shuffle_write_bytes(app_id)
-            t0 = time.perf_counter()
-            n = len(runners[qname](spark, sf_dir).collect())
-            t = time.perf_counter() - t0
-            sw = shuffle_write_bytes(app_id) - sw0
-            results[qname][label] = {"sec": round(t, 2), "shuffle_mb": round(sw / 1e6, 1), "rows": n}
-            print(f"{label:5s} {qname:38s} {t:8.2f}s  shuffle={sw/1e6:9.1f} MB  rows={n}", flush=True)
+            best = float("inf")
+            n = sw = 0
+            for rep in range(n_runs):
+                sw0 = shuffle_write_bytes(app_id)
+                t0 = time.perf_counter()
+                n = len(runners[qname](spark, sf_dir).collect())
+                t = time.perf_counter() - t0
+                if rep == 0:
+                    sw = shuffle_write_bytes(app_id) - sw0
+                best = min(best, t)
+            results[qname][label] = {"sec": round(best, 2), "shuffle_mb": round(sw / 1e6, 1), "rows": n}
+            print(f"{label:5s} {qname:38s} {best:8.2f}s  shuffle={sw/1e6:9.1f} MB  rows={n}", flush=True)
     spark.stop()
     print(json.dumps(results))
     write_md(out_md, results)

@@ -5334,3 +5334,95 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "n_true", "cm_est")
         .orderBy(F.desc("n_true"), "term")
     )
+
+
+@q(
+    "bigram_logprob_quality",
+    f"""
+    WITH l AS (
+      SELECT doc_id, {_WORDS_SQL} AS lst FROM documents
+    ), big AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(lst)),
+                    i -> ARRAY_TO_STRING(lst[i:i+1], ' '))) AS bg
+      FROM l WHERE LEN(lst) >= 2
+    ), sp AS (
+      SELECT doc_id, bg,
+             SPLIT_PART(bg, ' ', 1) AS w1, SPLIT_PART(bg, ' ', 2) AS w2
+      FROM big
+    ), uni AS (
+      SELECT UNNEST(lst) AS term FROM l
+    ), cu AS (
+      SELECT term, COUNT(*) AS n FROM uni GROUP BY term
+    ), tot AS (
+      SELECT COUNT(*) AS t FROM uni
+    ), c2 AS (
+      SELECT bg, COUNT(*) AS n2 FROM big GROUP BY bg
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-SUM(LN(0.7 * n2 / a.n + 0.3 * b.n / t)) / COUNT(*), 4) AS nll2
+    FROM sp
+    JOIN c2 USING (bg)
+    JOIN cu a ON sp.w1 = a.term
+    JOIN cu b ON sp.w2 = b.term
+    CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model quality score — the next rung
+    above `unigram_logprob_quality` on the perplexity-filter ladder a
+    training-data pipeline actually runs: per-document mean negative log
+    of P(w2|w1) = 0.7·C(w1w2)/C(w1) + 0.3·C(w2)/T (corpus-estimated,
+    fixed interpolation). Bigram extraction is a JVM zip_with over the
+    token array (no UDF); the bigram count rides a count-over-bg window
+    (tfidf's one-pass-df trick — no second corpus scan); the two unigram
+    lookups are broadcast dimension joins (vocabulary-sized — at 100 TB
+    the vocab table is still MBs, the canonical broadcast dim). The float
+    Σln is partition-order-dependent in the last ulp; ROUND(…,4) absorbs
+    it (same contract as the unigram entry). Docs with fewer than two
+    tokens drop out on both engines."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents")
+    lst = d.select("doc_id", words("text").alias("lst"))
+    pairs = F.expr(
+        "zip_with(slice(lst, 1, size(lst)-1), slice(lst, 2, size(lst)-1), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    sp = (
+        lst.filter(F.size("lst") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.concat_ws(" ", "p.w1", "p.w2").alias("bg"),
+        )
+    )
+    sp = sp.withColumn("n2", F.count("*").over(Window.partitionBy("bg")))
+    cu = (
+        lst.select(F.explode("lst").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = lst.select(F.explode("lst").alias("term")).agg(
+        F.count("*").alias("t")
+    )
+    ca = cu.select(F.col("term").alias("w1"), F.col("n").alias("n1"))
+    cb = cu.select(F.col("term").alias("w2"), F.col("n").alias("n2u"))
+    p = (
+        F.lit(0.7) * F.col("n2") / F.col("n1")
+        + F.lit(0.3) * F.col("n2u") / F.col("t")
+    )
+    return (
+        sp.join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.sum(F.log(p)) / F.count("*"), 4).alias("nll2"),
+        )
+        .orderBy("doc_id")
+    )
