@@ -743,3 +743,61 @@ def test_jpeg_mcu_bomb_rejected():
     struct.pack_into(">HH", blob, i + 5, 65535, 65535)
     with pytest.raises(mc.MediaDecodeError, match="entropy data"):
         mc.decode_jpeg(bytes(blob))
+
+
+def test_mp4_probe_variants():
+    """Box-walk probe: 64-bit largesize boxes, v1 mvhd, multiple tracks,
+    and rejection of ftyp-less / truncated-box input."""
+    blob = mc.encode_mp4_meta(1920, 1080, 90000, track_types=("vide", "soun", "soun"))
+    m = mc.probe_mp4(blob)
+    assert (m["width"], m["height"], m["duration_ms"], m["n_tracks"]) == (1920, 1080, 90000, 3)
+    assert m["track_types"] == ["vide", "soun", "soun"]
+    with pytest.raises(mc.MediaDecodeError):
+        mc.probe_mp4(b"\x00\x00\x00\x08free" + b"\x00" * 8)
+    hacked = bytearray(blob)
+    i = hacked.index(b"moov")
+    struct.pack_into(">I", hacked, i - 4, 0xFFFFFF)  # box overruns file
+    with pytest.raises(mc.MediaDecodeError):
+        mc.probe_mp4(bytes(hacked))
+
+
+def test_ogg_probe_vorbis_and_opus():
+    v = mc.probe_ogg(mc.encode_ogg_meta("vorbis", 48000, 2, 96000))
+    assert (v["codec"], v["n_channels"], v["sample_rate"], v["duration_ms"]) == (
+        "vorbis", 2, 48000, 2000)
+    o = mc.probe_ogg(mc.encode_ogg_meta("opus", 8000, 1, 8000))
+    assert (o["codec"], o["duration_ms"]) == ("opus", 1000)
+    with pytest.raises(mc.MediaDecodeError):
+        mc.probe_ogg(b"OggS" + b"\x00" * 10)  # truncated header
+    with pytest.raises(mc.MediaDecodeError):
+        # well-formed page whose first packet is neither Vorbis nor Opus
+        bad = bytearray(mc.encode_ogg_meta("vorbis", 48000, 2, 96000))
+        bad[28:35] = b"\x01nothin"
+        mc.probe_ogg(bytes(bad))
+
+
+def test_probe_media_dispatch():
+    """probe_media answers for every container family: structure-only for
+    MP4/Ogg, decoder meta for WAV/FLAC/images."""
+    assert mc.probe_media(mc.encode_mp4_meta(64, 64, 500))["format"] == "mp4"
+    assert mc.probe_media(mc.encode_ogg_meta("opus", 16000, 1, 1600))["format"] == "ogg"
+    wav = mc.encode_wav(np.zeros((160, 2), dtype=np.float32), sample_rate=16000)
+    wm = mc.probe_media(wav)
+    assert (wm["n_channels"], wm["sample_rate"]) == (2, 16000)
+    img = mc.probe_media(mc.encode_png(np.zeros((5, 9, 3), np.uint8)))
+    assert (img["height"], img["width"]) == (5, 9)
+
+
+def test_probe_fuzz_never_leaks():
+    """Bit-flipped container skeletons must raise MediaDecodeError, never
+    struct.error/IndexError."""
+    rng = np.random.RandomState(5)
+    for base in (mc.encode_mp4_meta(320, 240, 7000), mc.encode_ogg_meta("vorbis", 44100, 2, 44100)):
+        for _ in range(40):
+            hacked = bytearray(base)
+            for _ in range(2):
+                hacked[rng.randint(4, len(base))] ^= 1 << rng.randint(0, 8)
+            try:
+                mc.probe_media(bytes(hacked))
+            except (mc.MediaDecodeError, NotImplementedError):
+                pass

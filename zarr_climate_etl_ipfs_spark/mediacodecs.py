@@ -7,13 +7,17 @@ into a real decoder for PNG (8-bit gray/gray+alpha/RGB/RGBA, all five
 scanline filters), GIF87a/89a (LZW, global/local palettes, interlace),
 baseline uncompressed TIFF (II/MM byte orders, strips), binary PPM/PGM,
 uncompressed 24-bit BMP, baseline JPEG (SOF0 huffman/DCT per ITU T.81,
-4:4:4/4:2:2/4:2:0, restart markers), and PCM WAV (8/16-bit). Formats that
-genuinely need external codecs (WebP, progressive JPEG, LZW/JPEG TIFF,
-MP3, MP4) still raise with the dependency name — the seam `multimodal.py`
-documents.
+4:4:4/4:2:2/4:2:0, restart markers), PCM WAV (8/16-bit), FLAC, and
+lossless WebP (VP8L, in `webp_vp8l.py`). MP4 and Ogg get structure-only
+metadata PROBES (box/page walking — duration, dimensions, streams)
+without codec decode. Formats whose sample decode genuinely needs
+external codecs (lossy WebP, progressive JPEG, LZW/JPEG TIFF, MP3,
+MP4/H.264, Ogg Vorbis/Opus payloads) still raise with the dependency
+name — the seam `multimodal.py` documents.
 
-Encoders for PNG/GIF/TIFF/PPM/JPEG/WAV exist so tests can round-trip real
-bytes without fixtures from outside the repo.
+Encoders/writers for PNG/GIF/TIFF/PPM/JPEG/WAV/FLAC/WebP and the MP4/Ogg
+skeletons exist so tests can round-trip real bytes without fixtures from
+outside the repo.
 """
 
 from __future__ import annotations
@@ -1830,3 +1834,243 @@ def encode_flac(
         out += frame
         frame_no += 1
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# container-metadata probes (no codec decode)
+# ---------------------------------------------------------------------------
+# A crawl pipeline wants duration / dimensions / channel stats for media it
+# will never fully decode (sample decode happens on a filtered sliver). MP4
+# and Ogg metadata live entirely in the container structure — box walking
+# and page headers, pure struct arithmetic — so the probes are real even
+# though the codec payloads (H.264/AAC/Vorbis/Opus) stay behind the
+# injectable seam. Sample decode for these formats still raises naming the
+# dependency; PROBING them no longer does.
+
+
+@_clean_errors
+def probe_mp4(content: bytes) -> dict[str, Any]:
+    """ISO BMFF (MP4/MOV) box walk → container metadata: duration from
+    moov/mvhd (version 0 and 1 layouts), per-track dimensions from tkhd
+    (16.16 fixed point), track handler types from hdlr (vide/soun/...).
+    No codec decode — the sample tables are not touched."""
+    if len(content) < 8 or content[4:8] != b"ftyp":
+        raise MediaDecodeError("not an MP4 (missing ftyp)")
+
+    _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    meta: dict[str, Any] = {
+        "format": "mp4",
+        "duration_ms": 0,
+        "n_tracks": 0,
+        "track_types": [],
+        "width": 0,
+        "height": 0,
+    }
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", content[pos : pos + 4])
+            btype = content[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", content[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise MediaDecodeError("MP4: bad box size")
+            if btype in _CONTAINERS:
+                if btype == b"trak":
+                    meta["n_tracks"] += 1
+                walk(body, pos + size)
+            elif btype == b"mvhd":
+                ver = content[body]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", content[body + 20 : body + 32])
+                else:
+                    ts, dur = struct.unpack(">II", content[body + 12 : body + 20])
+                if ts:
+                    meta["duration_ms"] = int(dur * 1000 // ts)
+            elif btype == b"tkhd":
+                ver = content[body]
+                # FullBox(4) + times/id/dur (20 or 32) + reserved(8) +
+                # layer/alt/volume/reserved(8) + matrix(36) -> 76 / 88
+                off = body + (88 if ver == 1 else 76)
+                w16, h16 = struct.unpack(">II", content[off : off + 8])
+                meta["width"] = max(meta["width"], w16 >> 16)
+                meta["height"] = max(meta["height"], h16 >> 16)
+            elif btype == b"hdlr":
+                meta["track_types"].append(
+                    content[body + 8 : body + 12].decode("ascii", "replace")
+                )
+            pos += size
+
+    walk(0, len(content))
+    if meta["n_tracks"] == 0:
+        raise MediaDecodeError("MP4: no moov/trak boxes")
+    return meta
+
+
+@_clean_errors
+def probe_ogg(content: bytes) -> dict[str, Any]:
+    """Ogg page walk → stream metadata: codec + channels + sample rate from
+    the first packet's identification header (Vorbis `\\x01vorbis` or Opus
+    `OpusHead`), duration from the final page's granule position (PCM
+    samples for Vorbis; 48 kHz ticks minus pre-skip for Opus). CRCs are
+    not verified — integrity is the store's job."""
+    if content[:4] != b"OggS":
+        raise MediaDecodeError("not an Ogg stream")
+    pos = 0
+    first_body = None
+    last_granule = 0
+    n_pages = 0
+    while pos + 27 <= len(content):
+        if content[pos : pos + 4] != b"OggS":
+            raise MediaDecodeError("Ogg: lost page sync")
+        granule = struct.unpack("<q", content[pos + 6 : pos + 14])[0]
+        nsegs = content[pos + 26]
+        segs = content[pos + 27 : pos + 27 + nsegs]
+        if len(segs) < nsegs:
+            raise MediaDecodeError("Ogg: truncated segment table")
+        body_len = sum(segs)
+        body = content[pos + 27 + nsegs : pos + 27 + nsegs + body_len]
+        if len(body) < body_len:
+            raise MediaDecodeError("Ogg: truncated page body")
+        if first_body is None:
+            first_body = body
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+        n_pages += 1
+        pos += 27 + nsegs + body_len
+    if first_body is None:
+        raise MediaDecodeError("Ogg: no pages")
+    meta: dict[str, Any] = {"format": "ogg", "n_pages": n_pages}
+    if first_body[:7] == b"\x01vorbis":
+        meta["codec"] = "vorbis"
+        meta["n_channels"] = first_body[11]
+        (meta["sample_rate"],) = struct.unpack("<I", first_body[12:16])
+        rate = meta["sample_rate"]
+        meta["duration_ms"] = int(last_granule * 1000 // rate) if rate else 0
+    elif first_body[:8] == b"OpusHead":
+        meta["codec"] = "opus"
+        meta["n_channels"] = first_body[9]
+        (pre_skip,) = struct.unpack("<H", first_body[10:12])
+        (meta["sample_rate"],) = struct.unpack("<I", first_body[12:16])
+        # Opus granules are always 48 kHz ticks regardless of input rate
+        meta["duration_ms"] = int(max(0, last_granule - pre_skip) * 1000 // 48000)
+    else:
+        raise MediaDecodeError("Ogg: unrecognized first packet (not Vorbis/Opus)")
+    return meta
+
+
+def probe_media(content: bytes) -> dict[str, Any]:
+    """Magic-byte dispatch over every probe-able container: full-decode
+    formats answer via their decoders' meta, MP4/Ogg via the
+    structure-only probes. The one metadata call a curation pipeline makes
+    per media row before deciding what (if anything) to decode."""
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        return probe_mp4(content)
+    if content[:4] == b"OggS":
+        return probe_ogg(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        _, meta = decode_wav(content)
+        return meta
+    if content[:4] == b"fLaC":
+        _, meta = decode_flac(content)
+        return meta
+    _, meta = decode_image(content)
+    return meta
+
+
+def encode_mp4_meta(
+    width: int,
+    height: int,
+    duration_ms: int,
+    timescale: int = 1000,
+    track_types: tuple[str, ...] = ("vide",),
+) -> bytes:
+    """Minimal spec-legal MP4 skeleton (ftyp + moov/mvhd + one trak per
+    handler with tkhd + mdia/hdlr) — the test-grade writer for probe_mp4,
+    same role as the FLAC/JPEG/WebP encoders: real bytes, no codec data."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,
+    )
+    traks = b""
+    for tt in track_types:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + b"\x00" * 72
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        hdlr = box(
+            b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + tt.encode("ascii") + b"\x00" * 13
+        )
+        mdia = box(b"mdia", hdlr)
+        traks += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov
+
+
+def encode_ogg_meta(
+    codec: str, sample_rate: int, n_channels: int, n_samples: int
+) -> bytes:
+    """Minimal two-page Ogg stream (identification-header page + one data
+    page carrying the final granule position) for probe_ogg. CRC fields
+    are zero — the probe does not verify them."""
+
+    def page(granule: int, seq: int, body: bytes, header_type: int) -> bytes:
+        segs = []
+        rest = len(body)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        return (
+            b"OggS\x00"
+            + bytes([header_type])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", 0x1234)
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"
+            + bytes([len(segs)])
+            + bytes(segs)
+            + body
+        )
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes([n_channels])
+            + struct.pack("<I", sample_rate)
+            + b"\x00" * 12
+            + b"\x01"
+        )
+        final_granule = n_samples
+    elif codec == "opus":
+        pre_skip = 312
+        ident = (
+            b"OpusHead\x01"
+            + bytes([n_channels])
+            + struct.pack("<H", pre_skip)
+            + struct.pack("<I", sample_rate)
+            + b"\x00\x00\x00"
+        )
+        # opus granules tick at 48 kHz; n_samples is at the input rate
+        final_granule = pre_skip + n_samples * 48000 // sample_rate
+    else:
+        raise ValueError("codec must be vorbis|opus")
+    return page(0, 0, ident, 0x02) + page(final_granule, 1, b"\x00\x10", 0x04)

@@ -3178,6 +3178,12 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the range-partition sampling pass then re-READS materialized shuffle
     # files instead of re-EXECUTING the 464k-pair cosine subtree (orderBy
     # otherwise runs it twice — once to sample bounds, once to sort).
+    # Round-7 negative result, measured min-of-5 at sf0.1: swapping the
+    # JVM dot fold for an Arrow einsum kernel in THIS verify stage is
+    # 3.74 s vs 3.01 s — the Arrow transfer of 464k candidate pairs ×
+    # two 64-float vectors costs more than the interpreted-HOF fold it
+    # replaces (the opposite trade from simhash, whose kernel input is
+    # one array per ROW, not per candidate pair). The fold stays.
     return verified.repartition(spark.sparkContext.defaultParallelism).orderBy(
         "id_a", "id_b"
     )
@@ -5426,3 +5432,77 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "media_probe_stats",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 < 2 THEN 'mp4' ELSE 'ogg' END AS fmt,
+           CASE WHEN doc_id % 3 < 2 THEN NULL
+                WHEN doc_id % 6 = 2 THEN 'vorbis' ELSE 'opus' END AS codec,
+           CASE WHEN doc_id % 3 < 2 THEN 1000 + (doc_id % 50) * 100
+                ELSE (doc_id % 30 + 1) * 100 END AS duration_ms,
+           CASE WHEN doc_id % 3 < 2 THEN 160 + (doc_id % 13) * 8 ELSE 0 END AS width,
+           CASE WHEN doc_id % 3 < 2 THEN 90 + (doc_id % 7) * 6 ELSE 0 END AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                WHEN doc_id % 3 = 1 THEN 2
+                WHEN doc_id % 6 = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_streams
+    FROM documents ORDER BY doc_id
+    """,
+)
+def media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata probing as a driver-checkable entry — the
+    media-stats pass a curation pipeline runs over formats it will never
+    fully decode (mediacodecs.probe_mp4 / probe_ogg: ISO-BMFF box walk,
+    Ogg page walk; no codec decode). Every doc gets a deterministic
+    container skeleton executor-side — MP4 with one or two tracks
+    (doc_id%3∈{0,1}) or an Ogg Vorbis/Opus stream (%3==2, codec on %6) —
+    and the probe recovers duration/dimensions/stream-count, all
+    closed-form in doc_id so the DuckDB oracle verifies the
+    generate→probe chain arithmetically (the multimodal_decode_roundtrip
+    pattern applied to the metadata layer). Opus duration exercises the
+    48 kHz-granule minus pre-skip rule. One Arrow stage over the scan; no
+    shuffle but the output sort."""
+
+    @F.pandas_udf(
+        "fmt string, codec string, duration_ms long, width long, height long,"
+        " n_streams long"
+    )
+    def probe(doc_id: pd.Series) -> pd.DataFrame:
+        from zarr_climate_etl_ipfs_spark.mediacodecs import (
+            encode_mp4_meta,
+            encode_ogg_meta,
+            probe_media,
+        )
+
+        rows = []
+        for d in doc_id:
+            d = int(d)
+            if d % 3 < 2:
+                blob = encode_mp4_meta(
+                    160 + (d % 13) * 8,
+                    90 + (d % 7) * 6,
+                    1000 + (d % 50) * 100,
+                    track_types=("vide",) if d % 3 == 0 else ("vide", "soun"),
+                )
+                m = probe_media(blob)
+                rows.append(
+                    ("mp4", None, m["duration_ms"], m["width"], m["height"], m["n_tracks"])
+                )
+            else:
+                if d % 6 == 2:
+                    blob = encode_ogg_meta("vorbis", 44100, 2, (d % 30 + 1) * 4410)
+                else:
+                    blob = encode_ogg_meta("opus", 16000, 1, (d % 30 + 1) * 1600)
+                m = probe_media(blob)
+                rows.append(
+                    ("ogg", m["codec"], m["duration_ms"], 0, 0, m["n_channels"])
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["fmt", "codec", "duration_ms", "width", "height", "n_streams"],
+        )
+
+    d = t_wide(spark, sf_dir, "documents").select("doc_id", probe("doc_id").alias("m"))
+    return d.select("doc_id", "m.*").orderBy("doc_id")
