@@ -37,6 +37,7 @@ _ROTATE_FIRST = [
     "streaming_running_extremes", "hll_user_distinct",
     "bloom_decontamination", "countmin_heavy_hitters",
     "bigram_logprob_quality", "media_probe_stats",
+    "nation_pair_volume", "rollup_revenue",
     "resample_daily", "coarsen_grid", "fill_gaps_interp", "simhash_neardups",
     "dedup_components", "ivf_knn", "hash_sample", "dedup_keep_first",
     "streaming_hourly_stats", "curation_pipeline", "range_band_join",

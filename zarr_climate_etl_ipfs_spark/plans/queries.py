@@ -5506,3 +5506,125 @@ def media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t_wide(spark, sf_dir, "documents").select("doc_id", probe("doc_id").alias("m"))
     return d.select("doc_id", "m.*").orderBy("doc_id")
+
+
+@q(
+    "nation_pair_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair, by ship
+    year, generalized to ALL cross-border pairs so the result is
+    non-empty at every SF) — the multi-dim-join breadth test: lineitem
+    fans out through orders→customer and supplier, then hits the nation
+    dim TWICE under different roles. Both nation joins and
+    supplier/customer are broadcast (dimension-sized); the only real
+    shuffle is the final group-by, and the cross-border predicate
+    evaluates inside the broadcast joins so same-nation lineitems die
+    before the aggregation. Revenue is summed in exact integer cents
+    (per-item fixed-pointing is engine-identical; float SUM order is
+    not — a ROUND(SUM(double)) formulation hash-mismatched in the cent
+    digit on 14 of 4k groups at sf0.01). At
+    100 TB this is the canonical star-join plan: fact table never
+    shuffles until reduced."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(COALESCE(CAST(YEAR(o_orderdate) AS VARCHAR), 'ALL') AS VARCHAR) AS o_year,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name, YEAR(o_orderdate))
+    ORDER BY region, nation, o_year
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (region → nation → year plus every
+    prefix subtotal and the grand total in ONE pass) — `df.rollup`, the
+    Catalyst Expand-based grouping-sets operator, vs DuckDB's GROUP BY
+    ROLLUP. Subtotal rows surface the NULL grouping slots as 'ALL' so
+    the driver's canonicalizer compares label-stable strings instead of
+    semantic-NULL markers. One Expand + one aggregate — at scale this
+    beats running the 4 aggregations separately because the fact join
+    output is scanned once (Expand multiplies rows 4× map-side, all
+    combinable)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name", F.year("o_orderdate").alias("_y"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+                / 100.0
+            ).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("_y").cast("string"), F.lit("ALL")).alias("o_year"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("region", "nation", "o_year")
+    )
