@@ -801,3 +801,20 @@ def test_probe_fuzz_never_leaks():
                 mc.probe_media(bytes(hacked))
             except (mc.MediaDecodeError, NotImplementedError):
                 pass
+
+
+def test_mp3_probe_and_dispatch():
+    """Layer-III frame walk: ID3v2 skip, MPEG1/MPEG2 frame sizes, mono
+    detection, exact sample-count duration; dispatch must not shadow
+    JPEG (0xFFD8 fails the 0xFFE sync mask)."""
+    m = mc.probe_media(mc.encode_mp3_meta(38, 44100, 128))
+    assert (m["format"], m["n_frames"], m["n_channels"]) == ("mp3", 38, 2)
+    assert m["duration_ms"] == 38 * 1152 * 1000 // 44100
+    m2 = mc.probe_mp3(mc.encode_mp3_meta(10, 22050, 64, mono=True))
+    assert (m2["n_channels"], m2["duration_ms"]) == (1, 10 * 576 * 1000 // 22050)
+    jpg = mc.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    assert mc.probe_media(jpg)["format"] == "jpeg"
+    with pytest.raises(mc.MediaDecodeError):
+        mc.probe_mp3(b"\xff\xe0\x00\x00")  # reserved version bits
+    with pytest.raises(mc.MediaDecodeError):
+        mc.probe_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00garbage")

@@ -1974,6 +1974,12 @@ def probe_media(content: bytes) -> dict[str, Any]:
         return probe_mp4(content)
     if content[:4] == b"OggS":
         return probe_ogg(content)
+    # MP3: ID3v2 tag, or a bare frame sync (0xFFEx — JPEG's 0xFFD8 fails
+    # the 0xE0 mask, so the image dispatch below is not shadowed)
+    if content[:3] == b"ID3" or (
+        len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
+    ):
+        return probe_mp3(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         _, meta = decode_wav(content)
         return meta
@@ -2074,3 +2080,93 @@ def encode_ogg_meta(
     else:
         raise ValueError("codec must be vorbis|opus")
     return page(0, 0, ident, 0x02) + page(final_granule, 1, b"\x00\x10", 0x04)
+
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+@_clean_errors
+def probe_mp3(content: bytes) -> dict[str, Any]:
+    """MPEG audio (Layer III) frame-header walk → codec metadata and exact
+    duration: skips a leading ID3v2 tag (syncsafe size), then hops frame
+    to frame via the header-derived frame length (samples/8 · bitrate /
+    samplerate + padding), summing samples-per-frame (1152 MPEG1 / 576
+    MPEG2·2.5) — correct for CBR and VBR alike, no Xing header needed.
+    Payloads are never decoded (Huffman audio data needs libmad/ffmpeg)."""
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        size = 0
+        for b in content[6:10]:  # syncsafe: 7 bits per byte
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    rate = channels = None
+    while pos + 4 <= len(content):
+        b0, b1, b2, b3 = content[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break  # trailing junk/tag after the last frame
+            raise MediaDecodeError("MP3: no frame sync")
+        version = (b1 >> 3) & 0x03  # 0=2.5, 2=MPEG2, 3=MPEG1
+        layer = (b1 >> 1) & 0x03  # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise MediaDecodeError("MP3: reserved version or non-Layer-III frame")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise MediaDecodeError("MP3: free/bad bitrate or reserved sample rate")
+        bitrate = (
+            _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+        )[br_idx] * 1000
+        sr = _MP3_RATES[version][sr_idx]
+        padding = (b2 >> 1) & 0x01
+        spf = 1152 if version == 3 else 576
+        frame_len = spf // 8 * bitrate // sr + padding
+        if frame_len < 4:
+            raise MediaDecodeError("MP3: degenerate frame length")
+        if rate is None:
+            rate = sr
+            channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+        n_frames += 1
+        total_samples += spf
+        pos += frame_len
+    if not n_frames or rate is None:
+        raise MediaDecodeError("MP3: no frames")
+    return {
+        "format": "mp3",
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "n_channels": channels,
+        "duration_ms": int(total_samples * 1000 // rate),
+    }
+
+
+def encode_mp3_meta(
+    n_frames: int, sample_rate: int = 44100, bitrate_kbps: int = 128, mono: bool = False
+) -> bytes:
+    """Valid Layer-III frame headers with zeroed payloads (+ a tiny ID3v2
+    tag), for probe_mp3 tests — no audible content, real structure."""
+    for version, rates in ((3, _MP3_RATES[3]), (2, _MP3_RATES[2]), (0, _MP3_RATES[0])):
+        if sample_rate in rates:
+            sr_idx = rates.index(sample_rate)
+            break
+    else:
+        raise ValueError("unsupported sample rate")
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    br_idx = table.index(bitrate_kbps)
+    spf = 1152 if version == 3 else 576
+    frame_len = spf // 8 * (bitrate_kbps * 1000) // sample_rate
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (version << 3) | (1 << 1),
+            (br_idx << 4) | (sr_idx << 2),
+            (0x03 << 6) if mono else 0x00,
+        ]
+    )
+    frame = hdr + b"\x00" * (frame_len - 4)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    return id3 + frame * n_frames

@@ -5438,27 +5438,33 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_probe_stats",
     """
     SELECT doc_id,
-           CASE WHEN doc_id % 3 < 2 THEN 'mp4' ELSE 'ogg' END AS fmt,
-           CASE WHEN doc_id % 3 < 2 THEN NULL
-                WHEN doc_id % 6 = 2 THEN 'vorbis' ELSE 'opus' END AS codec,
-           CASE WHEN doc_id % 3 < 2 THEN 1000 + (doc_id % 50) * 100
-                ELSE (doc_id % 30 + 1) * 100 END AS duration_ms,
-           CASE WHEN doc_id % 3 < 2 THEN 160 + (doc_id % 13) * 8 ELSE 0 END AS width,
-           CASE WHEN doc_id % 3 < 2 THEN 90 + (doc_id % 7) * 6 ELSE 0 END AS height,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                WHEN doc_id % 3 = 1 THEN 2
-                WHEN doc_id % 6 = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_streams
+           CASE WHEN doc_id % 4 < 2 THEN 'mp4'
+                WHEN doc_id % 4 = 2 THEN 'ogg' ELSE 'mp3' END AS fmt,
+           CASE WHEN doc_id % 4 <> 2 THEN NULL
+                WHEN doc_id % 8 = 2 THEN 'vorbis' ELSE 'opus' END AS codec,
+           CASE WHEN doc_id % 4 < 2 THEN 1000 + (doc_id % 50) * 100
+                WHEN doc_id % 4 = 2 THEN (doc_id % 30 + 1) * 100
+                ELSE ((doc_id % 40 + 1) * 1152000) // 44100 END AS duration_ms,
+           CASE WHEN doc_id % 4 < 2 THEN 160 + (doc_id % 13) * 8 ELSE 0 END AS width,
+           CASE WHEN doc_id % 4 < 2 THEN 90 + (doc_id % 7) * 6 ELSE 0 END AS height,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1
+                WHEN doc_id % 4 = 1 THEN 2
+                WHEN doc_id % 8 = 2 THEN 2
+                WHEN doc_id % 8 = 6 THEN 1
+                WHEN doc_id % 8 = 3 THEN 1 ELSE 2 END AS BIGINT) AS n_streams
     FROM documents ORDER BY doc_id
     """,
 )
 def media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata probing as a driver-checkable entry — the
     media-stats pass a curation pipeline runs over formats it will never
-    fully decode (mediacodecs.probe_mp4 / probe_ogg: ISO-BMFF box walk,
-    Ogg page walk; no codec decode). Every doc gets a deterministic
-    container skeleton executor-side — MP4 with one or two tracks
-    (doc_id%3∈{0,1}) or an Ogg Vorbis/Opus stream (%3==2, codec on %6) —
-    and the probe recovers duration/dimensions/stream-count, all
+    fully decode (mediacodecs.probe_mp4 / probe_ogg / probe_mp3:
+    ISO-BMFF box walk, Ogg page walk, Layer-III frame-header walk; no
+    codec decode). Every doc gets a deterministic container skeleton
+    executor-side — MP4 with one or two tracks (doc_id%4∈{0,1}), an Ogg
+    Vorbis/Opus stream (%4==2, codec on %8), or an MP3 frame train
+    (%4==3, mono on %8==3) — and the probe recovers
+    duration/dimensions/stream-count, all
     closed-form in doc_id so the DuckDB oracle verifies the
     generate→probe chain arithmetically (the multimodal_decode_roundtrip
     pattern applied to the metadata layer). Opus duration exercises the
@@ -5471,6 +5477,7 @@ def media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     def probe(doc_id: pd.Series) -> pd.DataFrame:
         from zarr_climate_etl_ipfs_spark.mediacodecs import (
+            encode_mp3_meta,
             encode_mp4_meta,
             encode_ogg_meta,
             probe_media,
@@ -5479,25 +5486,31 @@ def media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = []
         for d in doc_id:
             d = int(d)
-            if d % 3 < 2:
+            if d % 4 < 2:
                 blob = encode_mp4_meta(
                     160 + (d % 13) * 8,
                     90 + (d % 7) * 6,
                     1000 + (d % 50) * 100,
-                    track_types=("vide",) if d % 3 == 0 else ("vide", "soun"),
+                    track_types=("vide",) if d % 4 == 0 else ("vide", "soun"),
                 )
                 m = probe_media(blob)
                 rows.append(
                     ("mp4", None, m["duration_ms"], m["width"], m["height"], m["n_tracks"])
                 )
-            else:
-                if d % 6 == 2:
+            elif d % 4 == 2:
+                if d % 8 == 2:
                     blob = encode_ogg_meta("vorbis", 44100, 2, (d % 30 + 1) * 4410)
                 else:
                     blob = encode_ogg_meta("opus", 16000, 1, (d % 30 + 1) * 1600)
                 m = probe_media(blob)
                 rows.append(
                     ("ogg", m["codec"], m["duration_ms"], 0, 0, m["n_channels"])
+                )
+            else:
+                blob = encode_mp3_meta(d % 40 + 1, 44100, 128, mono=d % 8 == 3)
+                m = probe_media(blob)
+                rows.append(
+                    ("mp3", None, m["duration_ms"], 0, 0, m["n_channels"])
                 )
         return pd.DataFrame(
             rows,
