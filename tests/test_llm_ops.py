@@ -637,3 +637,25 @@ def test_scalar_quantize_recon_snaps_to_levels(spark):
     # every reconstruction is within half a step of its input
     step = 1.5 / 15
     assert abs(got[3][0] - 0.07) <= step / 2 + 1e-12
+
+
+def test_simhash_vote_kernel_trailing_empty_groups(spark):
+    """Round-7 review regression: a batch whose trailing rows carry empty
+    hash arrays must not truncate the preceding group's vote range
+    ([[3,3],[]] once voted [0,0] instead of [3,0] via the reduceat
+    clamp)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from zarr_climate_etl_ipfs_spark.operators.dedup import simhash_vote_kernel
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1, 2, 3], "hvs": [[3, 3], [], [5], []]})
+    )
+    got = {
+        r.id: r.sig
+        for r in df.repartition(1)
+        .select("id", simhash_vote_kernel("hvs", bits=8).alias("sig"))
+        .collect()
+    }
+    assert got == {0: 3, 1: 0, 2: 5, 3: 0}

@@ -149,3 +149,38 @@ def test_countmin_one_sided_and_mergeable(spark):
     merged = a.unionByName(b).groupBy("row", "col").agg(F.sum("n").alias("n"))
     sym_diff = merged.exceptAll(sk).count() + sk.exceptAll(merged).count()
     assert sym_diff == 0
+
+
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """Round-7 review regression: duplicate probe rows merged by the
+    membership groupBy must still probe TRUE for values in the filter
+    (a sum(hit)==k test saw 2k hits and reported a false negative)."""
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+
+    build = spark.createDataFrame([("x",), ("y",)], "v string")
+    pos = bloom_bit_positions(build, "v", m_bits=1024, k=3)
+    dup = spark.createDataFrame([("x",), ("x",), ("z",)], "v string")
+    got = {r.v: r.bloom_hit for r in bloom_probe(dup, "v", pos, 1024, 3).collect()}
+    assert got["x"] is True
+
+
+def test_countmin_estimate_missing_term_reports_zero(spark):
+    """Round-7 review regression: probing a term absent from the build
+    corpus must report cm_est=0 (or an overestimate from collisions),
+    never silently vanish from the output."""
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    tf = spark.createDataFrame([("alpha", 5)], "term string, cnt long")
+    sk = countmin_sketch(tf, "term", count_col="cnt", width=4096)
+    probe = spark.createDataFrame(
+        [("alpha",), ("never-seen-term",)], "term string"
+    )
+    got = {r.term: r.cm_est for r in countmin_estimate(sk, probe, "term", width=4096).collect()}
+    assert got["alpha"] >= 5
+    assert "never-seen-term" in got and got["never-seen-term"] >= 0

@@ -304,3 +304,20 @@ def test_webp_distance_map_generative_rule():
     assert all(y > 0 or x > 0 for x, y in pairs)  # strictly backward refs
     key = [(x * x + y * y, abs(x), 0 if x >= 0 else 1) for x, y in pairs]
     assert key == sorted(key)
+
+
+def test_predict_scalar_matches_numpy_reference():
+    """_predict_scalar (the hot decode path) must agree with the numpy
+    _predict reference on every mode across random neighborhoods — any
+    divergence is a silent pixel corruption."""
+    rng = np.random.RandomState(11)
+    for _ in range(200):
+        L, T, TR, TL = (tuple(int(v) for v in rng.randint(0, 256, 4)) for _ in range(4))
+        for mode in range(14):
+            ref = wl._predict(
+                mode,
+                np.array(L, np.uint8), np.array(T, np.uint8),
+                np.array(TR, np.uint8), np.array(TL, np.uint8),
+            )
+            got = wl._predict_scalar(mode, L, T, TR, TL)
+            assert tuple(int(v) for v in ref) == tuple(got), (mode, L, T, TR, TL)

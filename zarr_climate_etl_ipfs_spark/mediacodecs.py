@@ -1868,7 +1868,9 @@ def probe_mp4(content: bytes) -> dict[str, Any]:
         "height": 0,
     }
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        if depth > 16:  # spec nesting is ~6 deep; crafted nesting must not
+            raise MediaDecodeError("MP4: box nesting too deep")  # RecursionError-escape
         pos = lo
         while pos + 8 <= hi:
             (size,) = struct.unpack(">I", content[pos : pos + 4])
@@ -1884,7 +1886,7 @@ def probe_mp4(content: bytes) -> dict[str, Any]:
             if btype in _CONTAINERS:
                 if btype == b"trak":
                     meta["n_tracks"] += 1
-                walk(body, pos + size)
+                walk(body, pos + size, depth + 1)
             elif btype == b"mvhd":
                 ver = content[body]
                 if ver == 1:

@@ -335,23 +335,30 @@ def simhash_vote_kernel(hash_array: Column | str, bits: int = 56) -> Column:
         n = len(hvs)
         if n == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
-        lens = np.fromiter((len(a) for a in hvs), dtype=np.int64, count=n)
+        # null arrays behave as empty (signature 0) — callers that must
+        # mirror an UNNEST-style oracle drop empties BEFORE the kernel
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hvs), dtype=np.int64, count=n
+        )
         if int(lens.sum()) == 0:
             return pd.Series(np.zeros(n, dtype=np.int64))
         flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in hvs if len(a)]
+            [np.asarray(a, dtype=np.int64) for a in hvs if a is not None and len(a)]
         )
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
         shifts = np.arange(bits, dtype=np.int64)
         bitmat = (flat[:, None] >> shifts) & 1
-        # reduceat over [starts[i], starts[i+1]) ranges; an empty group
-        # yields the element at its start index (numpy semantics) — zeroed
-        # out below via the lens mask
-        sums = np.add.reduceat(bitmat, np.minimum(starts, len(flat) - 1), axis=0)
-        maj = sums * 2 > lens[:, None]
-        sig = (maj.astype(np.int64) << shifts).sum(axis=1)
-        sig[lens == 0] = 0
+        # reduceat only over the NON-EMPTY groups' start offsets (every
+        # one a valid index into flat), then scatter back — clamping
+        # empty-group starts into range instead would truncate the
+        # PRECEDING group's range when trailing rows are empty (the
+        # round-7 review catch: [[3,3],[]] voted [0,0] instead of [3,0])
+        nz = np.flatnonzero(lens)
+        starts_nz = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts_nz[1:])
+        sums_nz = np.add.reduceat(bitmat, starts_nz, axis=0)
+        maj = sums_nz * 2 > lens[nz][:, None]
+        sig = np.zeros(n, dtype=np.int64)
+        sig[nz] = (maj.astype(np.int64) << shifts).sum(axis=1)
         return pd.Series(sig)
 
     return _vote(hash_array)

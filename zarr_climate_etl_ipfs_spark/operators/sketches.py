@@ -221,10 +221,14 @@ def bloom_probe(
             )
         ).alias("pos"),
     )
+    # membership = EVERY exploded position row hit, tested as min(hit)==1:
+    # robust to duplicate probe rows (a sum(hit)==k test under groupBy
+    # merges duplicates into 2k hits and fabricates a false negative —
+    # round-7 review catch) and to two salts colliding on one bit
     hits = (
         probe.join(F.broadcast(positions.withColumn("_hit", F.lit(1))), "pos", "left")
         .groupBy(*[c for c in df.columns])
-        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == k).alias("bloom_hit"))
+        .agg((F.min(F.coalesce(F.col("_hit"), F.lit(0))) == 1).alias("bloom_hit"))
     )
     return hits
 
@@ -293,11 +297,14 @@ def countmin_estimate(
         ).alias("c"),
     )
     # private counter name so a probe frame with its own "n" column can't
-    # make the min() reference ambiguous
+    # make the min() reference ambiguous; LEFT join + coalesce(0) so a
+    # term whose cells were never incremented reports cm_est=0 instead of
+    # vanishing from the output (round-7 review catch — an inner join
+    # silently dropped never-seen probe terms on sparse sketches)
     sk = sketch.withColumnRenamed("n", "_cm_n")
     return (
         probe.select(*terms.columns, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
-        .join(F.broadcast(sk), ["row", "col"])
+        .join(F.broadcast(sk), ["row", "col"], "left")
         .groupBy(*terms.columns)
-        .agg(F.min("_cm_n").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("_cm_n"), F.lit(0))).alias("cm_est"))
     )

@@ -2441,7 +2441,15 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t_wide(spark, sf_dir, "documents")
-    hvs = d.select(
+    # empty/null docs must DROP, not vote a 0-signature: the oracle's
+    # UNNEST emits no rows for them, so a whitespace-only doc entering
+    # the blocking join would fabricate hamming-0 pairs the oracle never
+    # sees (round-7 review catch). words() is empty exactly when
+    # trim(text) is ''/NULL, so THIS predicate is the cheap scan-pushable
+    # form — filtering on size(hvs) instead pushes the whole md5
+    # transform into the scan filter (the plan guard's
+    # expensive-filter-over-Relation anti-pattern).
+    hvs = d.filter(F.trim(F.col("text")) != "").select(
         "doc_id",
         F.transform(F.array_distinct(words("text")), lambda w: md5int(w)).alias("hvs"),
     )
@@ -5545,11 +5553,12 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     year, generalized to ALL cross-border pairs so the result is
     non-empty at every SF) — the multi-dim-join breadth test: lineitem
     fans out through orders→customer and supplier, then hits the nation
-    dim TWICE under different roles. Both nation joins and
-    supplier/customer are broadcast (dimension-sized); the only real
-    shuffle is the final group-by, and the cross-border predicate
+    dim TWICE under different roles. The nation/supplier/customer joins
+    are broadcast (dimension-sized); lineitem⋈orders is the one
+    fact-fact join — hint-free, so AQE broadcasts it at test SFs and it
+    becomes a key shuffle at real scale — and the cross-border predicate
     evaluates inside the broadcast joins so same-nation lineitems die
-    before the aggregation. Revenue is summed in exact integer cents
+    before the final group-by. Revenue is summed in exact integer cents
     (per-item fixed-pointing is engine-identical; float SUM order is
     not — a ROUND(SUM(double)) formulation hash-mismatched in the cent
     digit on 14 of 4k groups at sf0.01). At
@@ -5562,8 +5571,12 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    # orders is a FACT table: no broadcast hint — AQE auto-broadcasts it
+    # under the threshold at test SFs, and at real scale this join
+    # correctly becomes a shuffle join (a forced broadcast of orders
+    # would OOM the driver at 100 TB — round-7 review catch)
     j = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))

@@ -49,12 +49,12 @@ class _BitReader:
             return 0
         if self.pos + n > self.nbits:
             raise MediaDecodeError("VP8L: read past end of stream")
-        v = 0
         p = self.pos
-        for i in range(n):
-            v |= ((self.data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        byte = p >> 3
+        shift = p & 7
+        chunk = int.from_bytes(self.data[byte : byte + ((n + shift + 7) >> 3)], "little")
         self.pos += n
-        return v
+        return (chunk >> shift) & ((1 << n) - 1)
 
     def read_bit(self) -> int:
         p = self.pos
@@ -62,6 +62,20 @@ class _BitReader:
             raise MediaDecodeError("VP8L: read past end of stream")
         self.pos += 1
         return (self.data[p >> 3] >> (p & 7)) & 1
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits LSB-first WITHOUT consuming; zero-padded past
+        end-of-stream (the table decode checks the true bound on skip)."""
+        p = self.pos
+        byte = p >> 3
+        shift = p & 7
+        chunk = int.from_bytes(self.data[byte : byte + ((n + shift + 7) >> 3)], "little")
+        return (chunk >> shift) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+        if self.pos > self.nbits:
+            raise MediaDecodeError("VP8L: read past end of stream")
 
 
 class _BitWriter:
@@ -105,10 +119,14 @@ _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 class _Huffman:
-    """Canonical prefix decoder: puff-style counts/symbols walk, plus the
-    VP8L 0-bit single-symbol degenerate form."""
+    """Canonical prefix decoder: a peek-indexed lookup table over the
+    first ``root`` bits (one dict-free list access per symbol for codes
+    ≤ root bits — the hot path; a bit-by-bit decode cost ~6 python-level
+    read_bit calls per symbol and dominated whole-image decode time),
+    falling back to the puff-style counts/symbols walk for longer codes.
+    Also handles the VP8L 0-bit single-symbol degenerate form."""
 
-    __slots__ = ("counts", "symbols", "single")
+    __slots__ = ("counts", "symbols", "single", "table", "root")
 
     def __init__(self, lengths: list[int]):
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -116,7 +134,8 @@ class _Huffman:
             raise MediaDecodeError("VP8L: empty prefix code")
         if len(nz) == 1:
             self.single = nz[0][1]
-            self.counts = self.symbols = None
+            self.counts = self.symbols = self.table = None
+            self.root = 0
             return
         self.single = None
         counts = [0] * (_MAX_CODE_LENGTH + 1)
@@ -135,10 +154,36 @@ class _Huffman:
             raise MediaDecodeError("VP8L: incomplete prefix code")
         self.counts = counts
         self.symbols = [s for _, s in sorted(nz)]
+        # canonical codes are read MSB-first from the stream while peek()
+        # yields them LSB-first: table index i matches a codeword c of
+        # length L iff bit j of i equals bit (L-1-j) of c for j < L
+        self.root = root = min(10, max(l for l, _ in nz))
+        table: list = [None] * (1 << root)
+        code = 0
+        prev_len = 0
+        for l, s in sorted(nz):
+            code <<= l - prev_len
+            prev_len = l
+            if l <= root:
+                rev = 0
+                c = code
+                for _ in range(l):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                step = 1 << l
+                for i in range(rev, 1 << root, step):
+                    table[i] = (s, l)
+            code += 1
+        self.table = table
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        hit = self.table[br.peek(self.root)]
+        if hit is not None:
+            br.skip(hit[1])
+            return hit[0]
+        # long-code fallback: bit-by-bit canonical walk
         code = 0
         first = 0
         index = 0
@@ -432,31 +477,88 @@ def _predict(mode: int, L, T, TR, TL) -> np.ndarray:
     raise MediaDecodeError(f"VP8L: invalid predictor mode {mode}")
 
 
+def _predict_scalar(mode: int, L, T, TR, TL):
+    """_predict on python-int 4-tuples — the hot decode path. Per-pixel
+    numpy-scalar arithmetic costs ~5-10 ufunc dispatches per pixel
+    (round-7 review catch: ~1M-pixel crawl images took tens of seconds);
+    plain int tuples are an order of magnitude faster with identical
+    semantics (asserted equal to _predict across all modes in tests)."""
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 7:
+        return (
+            (L[0] + T[0]) >> 1, (L[1] + T[1]) >> 1,
+            (L[2] + T[2]) >> 1, (L[3] + T[3]) >> 1,
+        )
+    if mode == 5:
+        return tuple((((L[i] + TR[i]) >> 1) + T[i]) >> 1 for i in range(4))
+    if mode == 6:
+        return tuple((L[i] + TL[i]) >> 1 for i in range(4))
+    if mode == 8:
+        return tuple((TL[i] + T[i]) >> 1 for i in range(4))
+    if mode == 9:
+        return tuple((T[i] + TR[i]) >> 1 for i in range(4))
+    if mode == 10:
+        return tuple(
+            (((L[i] + TL[i]) >> 1) + ((T[i] + TR[i]) >> 1)) >> 1 for i in range(4)
+        )
+    if mode == 11:
+        pa_minus_pb = 0
+        for i in range(4):
+            pa_minus_pb += abs(L[i] - TL[i]) - abs(T[i] - TL[i])
+        return T if pa_minus_pb <= 0 else L
+    if mode == 12:
+        return tuple(min(255, max(0, L[i] + T[i] - TL[i])) for i in range(4))
+    if mode == 13:
+        out = []
+        for i in range(4):
+            ave = (L[i] + T[i]) >> 1
+            d = ave - TL[i]
+            half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc-toward-zero
+            out.append(min(255, max(0, ave + half)))
+        return tuple(out)
+    if mode == 0:
+        return (255, 0, 0, 0)
+    raise MediaDecodeError(f"VP8L: invalid predictor mode {mode}")
+
+
 def _inverse_predictor(ch: np.ndarray, bits: int, data: np.ndarray, w: int) -> np.ndarray:
     """ch: (n, 4) uint8 residuals in ARGB channel order; returns pixels."""
     h = ch.shape[0] // w
     sub_w = _div_round_up(w, 1 << bits)
-    modes = ((data >> 8) & 0xFF).astype(np.int64)  # green channel
-    out = ch.reshape(h, w, 4).copy()
+    modes = ((data >> 8) & 0xFF).tolist()  # green channel, python ints
+    res = ch.reshape(h, w, 4).tolist()  # python ints throughout the loop
+    out: list[list[tuple]] = [[None] * w for _ in range(h)]  # type: ignore[list-item]
     for y in range(h):
+        r_row = res[y]
+        o_row = out[y]
+        prev = out[y - 1] if y else None
+        mode_row_base = (y >> bits) * sub_w
         for x in range(w):
-            if x == 0 and y == 0:
-                pred = _predict(0, None, None, None, None)
-            elif y == 0:
-                pred = out[0, x - 1]
+            if y == 0:
+                pred = (255, 0, 0, 0) if x == 0 else o_row[x - 1]
             elif x == 0:
-                pred = out[y - 1, 0]
+                pred = prev[0]
             else:
-                mode = int(modes[(y >> bits) * sub_w + (x >> bits)])
-                L = out[y, x - 1]
-                T = out[y - 1, x]
+                mode = modes[mode_row_base + (x >> bits)]
                 # top-right of the last column is the current row's first
                 # pixel (contiguous addressing, per libwebp/spec behavior)
-                TR = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
-                TL = out[y - 1, x - 1]
-                pred = _predict(mode, L, T, TR, TL)
-            out[y, x] = (out[y, x].astype(np.uint16) + pred.astype(np.uint16)) & 0xFF
-    return out.reshape(-1, 4)
+                TR = prev[x + 1] if x + 1 < w else o_row[0]
+                pred = _predict_scalar(mode, o_row[x - 1], prev[x], TR, prev[x - 1])
+            r = r_row[x]
+            o_row[x] = (
+                (r[0] + pred[0]) & 0xFF,
+                (r[1] + pred[1]) & 0xFF,
+                (r[2] + pred[2]) & 0xFF,
+                (r[3] + pred[3]) & 0xFF,
+            )
+    return np.array(out, dtype=np.uint8).reshape(-1, 4)
 
 
 def _ctd(t: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -687,6 +789,13 @@ def _write_prefix_code(
         bw.write(nz[1], 8)
         return {nz[0]: (0, 1), nz[1]: (1, 1)}
     bw.write(0, 1)  # code-length-coded form
+    # degenerate main code (a single symbol >= 256, e.g. one cache ref and
+    # nothing else): a 0-length-only dict would emit an all-zero header the
+    # decoder rejects — promote to a complete 1-bit code with a padding
+    # symbol
+    if not any(l > 0 for l in lengths.values()):
+        only = next(iter(lengths))
+        lengths = _complete_lengths({only: 1}, alphabet_size)
     full = [lengths.get(s, 0) for s in range(alphabet_size)]
     # RLE only for zero runs (17/18); literal code-length symbols otherwise
     tokens: list[tuple[int, int, int]] = []  # (cl_symbol, extra_val, extra_bits)
@@ -717,12 +826,19 @@ def _write_prefix_code(
     for sym, _, _ in tokens:
         cl_freq[sym] = cl_freq.get(sym, 0) + 1
     cl_lengths = _huffman_lengths(cl_freq, 7)
+    if not any(l > 0 for l in cl_lengths.values()):
+        # every token shares one code-length value (e.g. a flat 2-bit main
+        # code with no zero runs): {sym: 0} would write an all-zero
+        # code-length header — an EMPTY prefix code the decoder rejects.
+        # Promote to a complete 1-bit code (1 bit per token; the padding
+        # symbol never occurs). Round-7 review catch: this crashed
+        # encode_webp with KeyError on a 2x2 image with greens {0,1,2,3}.
+        only = next(iter(cl_lengths))
+        cl_lengths = {only: 1}
     cl_lengths = _complete_lengths(cl_lengths, 19)
-    if len([l for l in cl_lengths.values() if l > 0]) == 1:
-        # a single-symbol code-length code is legal (0-bit reads)
-        pass
     cl_codes = _canonical_codes(cl_lengths)
     order_pos = {s: i for i, s in enumerate(_CL_ORDER)}
+    single_cl = False  # cl code always has >= 2 nonzero lengths now
     num_cl = max((order_pos[s] for s in cl_lengths if cl_lengths[s] > 0), default=3) + 1
     num_cl = max(num_cl, 4)
     bw.write(num_cl - 4, 4)
@@ -738,7 +854,6 @@ def _write_prefix_code(
     bw.write(1, 1)
     bw.write(k, 3)
     bw.write(n_tok - 2, 2 + 2 * k)
-    single_cl = len(cl_codes) == 1
     for sym, extra_val, extra_bits in tokens:
         if not single_cl:
             code, ln = cl_codes[sym]
