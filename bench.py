@@ -80,10 +80,16 @@ def main() -> None:
         "tfidf_top_terms",
         "paragraph_dedup",
         "sq_ann_topk",
-        # round-7 additions (the portable oracle-checkable sketch family)
+        # round-7 additions: the portable oracle-checkable sketch family,
+        # the bigram LM scorer, container-metadata probing, and the two
+        # analytics-breadth joins
         "hll_user_distinct",
         "bloom_decontamination",
         "countmin_heavy_hitters",
+        "bigram_logprob_quality",
+        "media_probe_stats",
+        "nation_pair_volume",
+        "rollup_revenue",
     ]
     run_all = bool(os.environ.get("BENCH_ALL"))
     selected = (
