@@ -818,3 +818,25 @@ def test_mp3_probe_and_dispatch():
         mc.probe_mp3(b"\xff\xe0\x00\x00")  # reserved version bits
     with pytest.raises(mc.MediaDecodeError):
         mc.probe_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00garbage")
+
+
+def test_mp4_largesize_smaller_than_header_rejected():
+    """A largesize (size==1) box header is 16 bytes; a declared 64-bit size
+    of 8..15 would place the body past the box end so leaf parsers read the
+    next box's bytes as metadata (round-8 advisor catch) — must reject."""
+    # moov box containing one largesize box claiming size=12 (< 16-byte
+    # header) of type mvhd, followed by trailing bytes it would misread
+    ftyp = struct.pack(">I4s4sI", 16, b"ftyp", b"isom", 0)
+    inner = struct.pack(">I4sQ", 1, b"mvhd", 12) + b"\x00" * 32
+    moov = struct.pack(">I4s", 8 + len(inner), b"moov") + inner
+    with pytest.raises(mc.MediaDecodeError, match="bad box size"):
+        mc.probe_mp4(ftyp + moov)
+
+
+def test_mp4_truncated_largesize_header_rejected():
+    """size==1 with fewer than 16 bytes remaining must raise a clean
+    decode error, not struct.error."""
+    ftyp = struct.pack(">I4s4sI", 16, b"ftyp", b"isom", 0)
+    blob = ftyp + struct.pack(">I4s", 1, b"moov") + b"\x00\x00"
+    with pytest.raises(mc.MediaDecodeError):
+        mc.probe_mp4(blob)

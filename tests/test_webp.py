@@ -321,3 +321,19 @@ def test_predict_scalar_matches_numpy_reference():
             )
             got = wl._predict_scalar(mode, L, T, TR, TL)
             assert tuple(int(v) for v in ref) == tuple(got), (mode, L, T, TR, TL)
+
+
+def test_webp_palette_oob_index_decodes_transparent_black():
+    """RFC 9649 §4.2.3: a packed palette index past the color table must
+    decode as 0x00000000 (transparent black), not error — spec-legal files
+    can carry stray high bits in packed lanes (round-8 advisor catch)."""
+    pal = np.array([[255, 10, 20, 30], [255, 40, 50, 60]], np.uint8)
+    # width_bits=2 → 2 bits/pixel, 4 px/byte; indices 0,1,2,3 where 2 and 3
+    # exceed the 2-color table
+    ch = np.zeros((1, 4), np.uint8)
+    ch[0, 2] = 0 | (1 << 2) | (2 << 4) | (3 << 6)
+    out = wl._inverse_color_indexing(ch, 2, pal, orig_w=4)
+    assert np.array_equal(out[0], pal[0])
+    assert np.array_equal(out[1], pal[1])
+    assert np.array_equal(out[2], [0, 0, 0, 0])
+    assert np.array_equal(out[3], [0, 0, 0, 0])

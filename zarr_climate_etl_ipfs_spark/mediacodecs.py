@@ -1876,12 +1876,18 @@ def probe_mp4(content: bytes) -> dict[str, Any]:
             (size,) = struct.unpack(">I", content[pos : pos + 4])
             btype = content[pos + 4 : pos + 8]
             body = pos + 8
-            if size == 1:  # 64-bit largesize
+            if size == 1:  # 64-bit largesize — 16-byte header
+                if pos + 16 > hi:
+                    raise MediaDecodeError("MP4: truncated largesize header")
                 (size,) = struct.unpack(">Q", content[pos + 8 : pos + 16])
                 body = pos + 16
             elif size == 0:  # box extends to end of enclosing scope
                 size = hi - pos
-            if size < 8 or pos + size > hi:
+            # the box must at least cover its own header (8 or 16 bytes):
+            # a declared largesize of 8..15 would place `body` past the box
+            # end and leaf parsers would read the following box's bytes as
+            # metadata (round-8 advisor catch)
+            if size < body - pos or pos + size > hi:
                 raise MediaDecodeError("MP4: bad box size")
             if btype in _CONTAINERS:
                 if btype == b"trak":

@@ -607,8 +607,14 @@ def _inverse_color_indexing(
         idx = (greens[:, xs // per] >> shifts[None, :]) & mask
     else:
         idx = greens[:, :orig_w]
-    if int(idx.max(initial=0)) >= pal.shape[0]:
-        raise MediaDecodeError("VP8L: palette index out of range")
+    # RFC 9649 §4.2.3: a packed index past the color table selects
+    # 0x00000000 (transparent black), not an error — spec-legal files can
+    # carry stray high bits in the packed lanes (round-8 advisor catch).
+    oob = idx >= pal.shape[0]
+    if oob.any():
+        out = pal[np.where(oob, 0, idx).reshape(-1)].copy()
+        out[oob.reshape(-1)] = 0
+        return out
     return pal[idx.reshape(-1)]
 
 
