@@ -306,14 +306,21 @@ def srp_neardup_pairs(
 
     Plan shape (same as the catalog entry, with the Arrow matmul signature
     instead of the literal-expression fold): one pandas_udf projection per
-    row → posexplode to (band, bv) id-only rows → ONE bucket aggregate
-    (collect_list per key) → in-bucket pair listing with array transforms →
-    dedup → cosine verify joining the vectors back. Shuffle is linear in
-    n·bands; in-bucket work is quadratic only within a band bucket, which
-    wide bands keep near-singleton on noise. ``max_bucket`` (optional) drops
-    degenerate buckets larger than the cap — a documented recall trade for
-    adversarial corpora where one value floods a band (same device as the
-    DF≤64 posting cap in ngram_jaccard_pairs)."""
+    row → posexplode to (band, bv) rows of (id, band-values) → ONE bucket
+    aggregate (collect_list per key) → in-bucket pair listing with array
+    transforms, where MIN-BAND dedup makes pairs globally unique at birth
+    (a pair is emitted only in the first band whose values agree, decided
+    from the two carried band arrays) → cosine verify joining the vectors
+    back. The round-8 rebuild removed the pair-level dropDuplicates
+    exchange and moved the AQE-proof round-robin spread from the exploded
+    pairs to the far smaller bucket rows — shuffle stays linear in
+    n·bands, and two pair-width shuffles disappear (measured −30% on the
+    pinned catalog twin at sf0.1). In-bucket work is quadratic only
+    within a band bucket, which wide bands keep near-singleton on noise.
+    ``max_bucket`` (optional) drops degenerate buckets larger than the
+    cap — a documented recall trade for adversarial corpora where one
+    value floods a band (same device as the DF≤64 posting cap in
+    ngram_jaccard_pairs)."""
     planes = rademacher_planes(n_planes, dim, seed)
     s = df.select(
         F.col(id_col).alias("vec_id"),
@@ -325,32 +332,59 @@ def srp_neardup_pairs(
         ).alias("_n"),
         srp_band_values(vec_col, planes, bands).alias("_bvs"),
     )
-    banded_ids = s.select("vec_id", F.posexplode("_bvs").alias("band", "bv"))
+    item = F.struct(F.col("vec_id").alias("id"), F.col("_bvs").alias("bvs"))
+    banded = s.select(item.alias("it"), F.posexplode("_bvs").alias("band", "bv"))
+    sc = df.sparkSession.sparkContext
+    # Round-robin spread on the BUCKET rows (band, bv, id+bvs list — tiny),
+    # not the exploded pairs: the pair explode and cosine verify then run
+    # cluster-wide with zero pair-width shuffle before the verify joins.
+    # REPARTITION_BY_NUM is the one exchange AQE must leave alone (a keyed
+    # repartition would coalesce with the groupBy exchange, serializing the
+    # explode).
     buckets = (
-        banded_ids.groupBy("band", "bv")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        banded.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_list("it")).alias("its"))
+        .filter(F.size("its") > 1)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+        buckets = buckets.filter(F.size("its") <= max_bucket)
+    buckets = buckets.repartition(sc.defaultParallelism)
+
+    def _earlier_agree(x, y):
+        # true iff the two band-value arrays already agreed on a band
+        # BEFORE this bucket's band — the pair was emitted there, suppress
+        # it here (min-band dedup: exactly one emission per pair, no dedup
+        # shuffle). slice(bvs, 1, band) is the earlier-band prefix.
+        return F.exists(
+            F.zip_with(
+                F.slice(x["bvs"], 1, F.col("band")),
+                F.slice(y["bvs"], 1, F.col("band")),
+                lambda a, b: a == b,
+            ),
+            lambda eq: eq,
+        )
+
     pairs = buckets.select(
         F.explode_outer(
             F.flatten(
                 F.transform(
-                    "ids",
-                    lambda x, i: F.transform(
-                        F.slice("ids", i + 2, F.size("ids")),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    "its",
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice("its", i + 2, F.size("its")),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                _earlier_agree(x, y).alias("dup"),
+                            ),
+                        ),
+                        lambda p: ~p["dup"],
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    # REPARTITION_BY_NUM after the dedup for the same reason as the catalog
-    # entry: AQE coalesces the tiny id-pair exchange, serializing the cosine
-    # stage; an explicit numbered repartition is the one exchange it keeps.
-    sc = df.sparkSession.sparkContext
-    cand = pairs.dropDuplicates(["id_a", "id_b"]).repartition(sc.defaultParallelism)
+    )
+    cand = pairs.filter(F.col("p").isNotNull()).select("p.id_a", "p.id_b")
     va = s.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_n").alias("_na")
     )
