@@ -331,12 +331,16 @@ def running_extremes_v2(
     stateful pipelines toward.
 
     Requires the `protobuf` python package (Spark's TransformWithState
-    driver worker serializes state-server messages with it); this
-    container ships a broken protobuf, so the operator raises a clear
-    ImportError at call time and its test skips — :func:`running_extremes`
-    is the same semantics on the v1 API, oracle-checked via the
-    ``streaming_running_extremes`` catalog entry, so the operator's
-    behavior is driver-proven even where this v2 surface cannot run."""
+    driver worker serializes state-server messages with it) and a state
+    store provider with column-family support
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider — the bundled rocksdbjni; the default
+    HDFS-backed provider rejects TWS queries).  Without protobuf the
+    operator raises a clear ImportError at call time;
+    :func:`running_extremes` is the same semantics on the v1 API,
+    oracle-checked via the ``streaming_running_extremes`` catalog entry,
+    and the test suite asserts the two operators emit identical output
+    over identical micro-batch sequences."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:
