@@ -362,6 +362,13 @@ def write_md(out_md: Path, results: dict) -> None:
         "  O(log n), each a fixed number of shuffles; the 100x point pays more",
         "  rounds only if the dup-graph diameter grows.",
     ]
+    # preserve the GridStore write-path section owned by tools/store_bench.py
+    from tools.store_bench import STORE_MARK_BEGIN, STORE_MARK_END
+
+    if out_md.exists() and STORE_MARK_BEGIN in out_md.read_text():
+        prev = out_md.read_text()
+        block = prev.split(STORE_MARK_BEGIN, 1)[1].split(STORE_MARK_END, 1)[0]
+        lines += ["", STORE_MARK_BEGIN + block + STORE_MARK_END]
     out_md.write_text("\n".join(lines) + "\n")
     print(f"wrote {out_md}")
 
