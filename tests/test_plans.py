@@ -121,3 +121,50 @@ def test_no_expensive_scan_stage_filters_in_hot_family(spark):
                 f"directly above the scan — the subtree will evaluate at file "
                 f"parallelism, not cluster width:\n{line[:300]}"
             )
+
+
+def test_no_broadcast_hints_on_sf_scaled_base_tables(spark):
+    """Round-7/8 rule, catalog-wide: only the fixed-cardinality dims
+    (nation: 25 rows, region: 5 at EVERY scale factor) may carry a forced
+    broadcast hint over their base scan. customer/supplier/orders/
+    lineitem/part/documents/embeddings/events all scale with SF — a
+    forced broadcast of any of them OOMs the driver at the 100 TB design
+    point, so those joins must stay hint-free (AQE broadcasts them at
+    test SFs, shuffles at scale). Hints over DERIVED subtrees (bounded
+    aggregates, hash samples, key frames) are legitimate and exempt: the
+    walk only descends through pass-through Project/Filter/SubqueryAlias
+    nodes, so any aggregation/sample between hint and scan clears it."""
+    SCALED_MARKERS = [
+        "o_orderkey", "l_orderkey", "c_custkey", "s_suppkey", "p_partkey",
+        "doc_id", "vec_id", "event_type",
+    ]
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-"))
+
+    offenders = {}
+    for name in REGISTRY:
+        if name == "streaming_hourly_stats":
+            continue  # streaming plans materialize on start(), not here
+        plan = (
+            REGISTRY[name].fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+        )
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line or "broadcast" not in line:
+                continue
+            j = i + 1
+            while j < len(lines):
+                node = lines[j].strip().lstrip(":+- ")
+                if node.startswith(("Project", "Filter", "SubqueryAlias")):
+                    j += 1
+                    continue
+                if node.startswith("Relation"):
+                    hit = [m for m in SCALED_MARKERS if m + "#" in node]
+                    if hit:
+                        offenders.setdefault(name, []).extend(hit)
+                break
+    assert not offenders, (
+        f"broadcast hints over SF-scaled base tables: {offenders} — drop the "
+        "hint and let AQE decide (dims broadcast, facts shuffle)"
+    )
