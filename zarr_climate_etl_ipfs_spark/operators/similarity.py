@@ -354,15 +354,19 @@ def srp_neardup_pairs(
         # true iff the two band-value arrays already agreed on a band
         # BEFORE this bucket's band — the pair was emitted there, suppress
         # it here (min-band dedup: exactly one emission per pair, no dedup
-        # shuffle). slice(bvs, 1, band) is the earlier-band prefix.
-        return F.exists(
-            F.zip_with(
-                F.slice(x["bvs"], 1, F.col("band")),
-                F.slice(y["bvs"], 1, F.col("band")),
-                lambda a, b: a == b,
-            ),
-            lambda eq: eq,
-        )
+        # shuffle). Written as a flat OR-chain of element_at comparisons,
+        # NOT slice+zip_with+exists: this predicate runs once per
+        # CANDIDATE pair, and the array-allocating HOF form measured
+        # slower than the dropDuplicates shuffle it replaces at the 200k-
+        # vector point (x100 wide-band, 5 alternating reps: getItem chain
+        # 17.0 s vs zip_with 27.6 s vs the old pair-dedup shuffle 21.9 s).
+        if bands == 1:
+            return F.lit(False)  # single band: nothing earlier to agree on
+        conds = None
+        for bp in range(bands - 1):
+            c = (F.col("band") > bp) & (x["bvs"][bp] == y["bvs"][bp])
+            conds = c if conds is None else (conds | c)
+        return conds
 
     pairs = buckets.select(
         F.explode_outer(
