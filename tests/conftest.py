@@ -40,15 +40,25 @@ def _shim_protobuf() -> None:
     sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
     if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
         return
+    prev_check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+    prev_pp = os.environ.get("PYTHONPATH")
     os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
     sys.path.append(sdk)  # append: never shadow a real site-packages install
-    pp = os.environ.get("PYTHONPATH", "")
+    pp = prev_pp or ""
     if sdk not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = (pp + os.pathsep + sdk) if pp else sdk
     try:
         import google.protobuf  # noqa: F401
-    except Exception:  # noqa: BLE001 — SDK copy unusable; revert to skip
+    except Exception:  # noqa: BLE001 — SDK copy unusable; revert FULLY so
+        # Spark workers don't inherit a known-broken module (clean skip
+        # beats confusing worker-side ImportErrors — round-8 review catch)
         sys.path.remove(sdk)
+        if prev_pp is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = prev_pp
+        if prev_check is None:
+            os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
 
 
 _shim_protobuf()

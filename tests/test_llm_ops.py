@@ -559,6 +559,39 @@ def test_srp_neardup_pairs_max_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_srp_neardup_pairs_cap_keeps_pairs_from_surviving_bands(spark):
+    """Round-8 review regression: under max_bucket, a pair whose MINIMAL
+    agreeing band lives in a dropped hot bucket must still be emitted
+    from a later surviving bucket (min-band suppression is unsound under
+    the cap — the capped path must use the shuffle dedup). Engineered
+    with 1-bit bands: all six vectors share the band-0 value (bucket of
+    6 > cap 5, dropped); {A,B} and {C,D,E,F} split band 1 into two
+    surviving buckets whose pairs must ALL appear."""
+    planes = similarity.rademacher_planes(2, 8, 42)
+    p0, p1 = planes[0], planes[1]
+    rng = np.random.default_rng(3)
+
+    def vec(sign1, k):
+        # sign of p1.v = p0.p1 + 8c = -2 + 8c for these planes: need |c| > 0.25
+        v = p0 + (0.5 * sign1) * p1 + rng.normal(scale=1e-3, size=8)
+        return v.astype(np.float32).tolist()
+
+    rows = [(0, vec(+1, 0)), (1, vec(+1, 1))]          # A, B: bands (+,+)
+    rows += [(i, vec(-1, i)) for i in range(2, 6)]     # C..F: bands (+,-)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # sanity: uncapped emits every pair (all six share the band-0 bucket)
+    full = similarity.srp_neardup_pairs(
+        df, threshold=-1.0, n_planes=2, bands=2, dim=8
+    )
+    assert full.count() == 6 * 5 // 2
+    capped = similarity.srp_neardup_pairs(
+        df, threshold=-1.0, n_planes=2, bands=2, dim=8, max_bucket=5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    expect = {(0, 1)} | {(a, b) for a in range(2, 6) for b in range(a + 1, 6)}
+    assert got == expect  # 7 pairs: the band-1 buckets' full pair sets
+
+
 def test_pack_sequences_shard_invariants(spark, docs):
     """Shard count moves WHERE docs pack, never what is packed: total docs
     and total tokens are invariant across shard counts, no window

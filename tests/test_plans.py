@@ -139,9 +139,6 @@ def test_no_broadcast_hints_on_sf_scaled_base_tables(spark):
         "doc_id", "vec_id", "event_type",
     ]
 
-    def indent(s: str) -> int:
-        return len(s) - len(s.lstrip(" :+-"))
-
     offenders = {}
     for name in REGISTRY:
         if name == "streaming_hourly_stats":

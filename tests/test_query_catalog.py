@@ -36,13 +36,14 @@ def test_registry_rejects_duplicate_names():
     from zarr_climate_etl_ipfs_spark.plans.queries import q
 
     existing = next(iter(REGISTRY))
+    n0 = len(REGISTRY)
     with pytest.raises(ValueError, match="duplicate query registration"):
 
         @q(existing, None)
         def _shadow(spark, sf_dir):  # pragma: no cover — must never register
             raise AssertionError
 
-    assert len(REGISTRY) == 100  # the catalog is unchanged by the refusal
+    assert len(REGISTRY) == n0  # the catalog is unchanged by the refusal
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -220,7 +220,10 @@ def main() -> int:
         Path(json_out).write_text(_json.dumps(payload, indent=1) + "\n")
         print(f"wrote {json_out}")
     spark.stop()
-    return 1 if failures else 0
+    # exit nonzero on any failure, on typo'd names, and on a filtered run
+    # that checked nothing — a run that verified zero queries must never
+    # read as a pass at the exit-code level either (round-8 review catch)
+    return 1 if (failures or missing or (only and n_checked == 0)) else 0
 
 
 if __name__ == "__main__":

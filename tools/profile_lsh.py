@@ -1,7 +1,13 @@
-"""Stage-level timing breakdown for embedding_lsh_neardups (round-7 judge
-ask #3): signature / banding+bucket-agg / pair-gen+dedup / verify / sort,
-each timed as the incremental cost of materializing one more stage of the
-same plan (noop sink, warm session, min of N).
+"""Stage-level timing breakdown of the ROUND-7 embedding_lsh_neardups plan
+(round-7 judge ask #3) — kept as the measurement record that motivated the
+round-8 rebuild, NOT a profile of the shipped query.
+
+The stages below hand-inline the r7 plan (including the `cand_dedup`
+dropDuplicates stage the rebuild deleted); the shipped plan in
+plans/queries.py uses min-band dedup and a bucket-level repartition
+instead, with the before/after numbers recorded in its docstring. To
+profile the CURRENT query end-to-end, time
+``REGISTRY["embedding_lsh_neardups"].fn`` directly.
 
 Usage: python tools/profile_lsh.py [sf_dir] [n_reps]
 """

@@ -240,13 +240,13 @@ def main() -> None:
 
 
 def _cell(results: dict, qname: str, key: str, scale: str = "x100"):
-    return results.get(qname, {}).get(scale, {}).get(key, 0)
+    # loud on a missing/renamed query: silently writing 0 into SCALE.md
+    # prose would falsify published evidence (round-8 review catch)
+    return results[qname][scale][key]
 
 
 def _ratio(results: dict, qname: str) -> float:
-    by = results.get(qname, {})
-    r1, r100 = by.get("x1", {}).get("sec"), by.get("x100", {}).get("sec")
-    return round(r100 / r1, 1) if r1 and r100 else 0.0
+    return round(results[qname]["x100"]["sec"] / results[qname]["x1"]["sec"], 1)
 
 
 def _table(results: dict, names: list[str]) -> list[str]:

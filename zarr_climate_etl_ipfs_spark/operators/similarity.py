@@ -320,7 +320,9 @@ def srp_neardup_pairs(
     ``max_bucket`` (optional) drops degenerate buckets larger than the
     cap — a documented recall trade for adversarial corpora where one
     value floods a band (same device as the DF≤64 posting cap in
-    ngram_jaccard_pairs)."""
+    ngram_jaccard_pairs). Under the cap the pair dedup reverts to the
+    dropDuplicates shuffle: min-band suppression is unsound when a pair's
+    minimal agreeing band may have been dropped as hot."""
     planes = rademacher_planes(n_planes, dim, seed)
     s = df.select(
         F.col(id_col).alias("vec_id"),
@@ -368,27 +370,54 @@ def srp_neardup_pairs(
             conds = c if conds is None else (conds | c)
         return conds
 
-    pairs = buckets.select(
-        F.explode_outer(
-            F.flatten(
-                F.transform(
-                    "its",
-                    lambda x, i: F.filter(
-                        F.transform(
+    # Min-band dedup is only SAFE without a bucket cap: under max_bucket, a
+    # pair's minimal agreeing band may sit in a dropped hot bucket, and the
+    # suppression in its later (surviving) buckets would erase the pair
+    # entirely — a silent recall loss beyond the documented drop-the-hot-
+    # bucket trade (round-8 review catch; hamming_blocked_pairs documents
+    # the identical rule). The capped path therefore keeps the shuffle
+    # dedup; the exact path deduplicates map-side.
+    if max_bucket is None:
+        pairs = buckets.select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        "its",
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice("its", i + 2, F.size("its")),
+                                lambda y: F.struct(
+                                    x["id"].alias("id_a"),
+                                    y["id"].alias("id_b"),
+                                    _earlier_agree(x, y).alias("dup"),
+                                ),
+                            ),
+                            lambda p: ~p["dup"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        cand = pairs.filter(F.col("p").isNotNull()).select("p.id_a", "p.id_b")
+    else:
+        pairs = buckets.select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        "its",
+                        lambda x, i: F.transform(
                             F.slice("its", i + 2, F.size("its")),
                             lambda y: F.struct(
-                                x["id"].alias("id_a"),
-                                y["id"].alias("id_b"),
-                                _earlier_agree(x, y).alias("dup"),
+                                x["id"].alias("id_a"), y["id"].alias("id_b")
                             ),
                         ),
-                        lambda p: ~p["dup"],
-                    ),
+                    )
                 )
-            )
-        ).alias("p")
-    )
-    cand = pairs.filter(F.col("p").isNotNull()).select("p.id_a", "p.id_b")
+            ).alias("p")
+        ).select("p.id_a", "p.id_b")
+        cand = pairs.dropDuplicates(["id_a", "id_b"]).repartition(
+            sc.defaultParallelism
+        )
     va = s.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_n").alias("_na")
     )

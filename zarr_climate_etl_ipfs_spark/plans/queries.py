@@ -3161,24 +3161,17 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         # true iff the two signatures already agreed on a band BEFORE this
         # bucket's band — in which case this pair was emitted there and
         # must be suppressed here (min-band dedup: exactly one emission
-        # per candidate pair, no dedup shuffle)
-        conds = []
-        for b in range(1, 4):
-            agree = [
-                (
-                    F.shiftrightunsigned(x["sg"], 4 * bp).bitwiseAND(F.lit(15))
-                    == F.shiftrightunsigned(y["sg"], 4 * bp).bitwiseAND(F.lit(15))
-                )
-                for bp in range(b)
-            ]
-            c = agree[0]
-            for a in agree[1:]:
-                c = c | a
-            conds.append((F.col("band") == b) & c)
-        out = conds[0]
-        for c in conds[1:]:
-            out = out | c
-        return out
+        # per candidate pair, no dedup shuffle). Flat ((band > bp) AND
+        # agree_bp) OR-chain, the same form as operators/similarity's
+        # _earlier_agree — each band extraction evaluated once per pair.
+        conds = None
+        for bp in range(3):
+            c = (F.col("band") > bp) & (
+                F.shiftrightunsigned(x["sg"], 4 * bp).bitwiseAND(F.lit(15))
+                == F.shiftrightunsigned(y["sg"], 4 * bp).bitwiseAND(F.lit(15))
+            )
+            conds = c if conds is None else conds | c
+        return conds
 
     pairs = buckets.select(
         F.explode_outer(
