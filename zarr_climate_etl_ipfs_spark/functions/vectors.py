@@ -29,4 +29,12 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL when either vector has zero norm (cosine is undefined there):
+    try_divide keeps the expression ANSI-safe — a plain ``/`` raises
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode the moment a corpus
+    contains a zero embedding (round-8 adversarial-corpus catch). NULL
+    composes correctly downstream: threshold filters drop it and desc
+    ordering ranks it last, matching the DuckDB oracle's treatment of
+    zero vectors (LIST_COSINE_SIMILARITY yields -1.0, also dropped by
+    thresholds and ranked last)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

@@ -424,13 +424,17 @@ def srp_neardup_pairs(
     vb = s.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_n").alias("_nb")
     )
-    cos_expr = (
+    # try_divide: zero-norm vectors share the all-zero signature, pair up,
+    # and must yield NULL cosine (threshold-dropped on both engines; the
+    # DuckDB oracle's LIST_COSINE_SIMILARITY yields -1.0 there) instead of
+    # an ANSI-mode DIVIDE_BY_ZERO error (round-8 adversarial-corpus catch)
+    cos_expr = F.try_divide(
         F.aggregate(
             F.zip_with("_va", "_vb", lambda a, b: a.cast("double") * b.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        / (F.col("_na") * F.col("_nb"))
+        ),
+        F.col("_na") * F.col("_nb"),
     )
     return (
         cand.join(va, "id_a")
@@ -606,9 +610,12 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            (
-                dot(F.col(vec_col), F.col("_qvec"))
-                / (F.col("_cn") * F.col("_qn"))
+            # try_divide: a zero-norm candidate gets NULL cosine and ranks
+            # last (desc nulls-last), matching the oracle's -1.0 ranking —
+            # a plain `/` errors under ANSI mode (adversarial-corpus catch)
+            F.try_divide(
+                dot(F.col(vec_col), F.col("_qvec")),
+                F.col("_cn") * F.col("_qn"),
             ).alias("cosine"),
         )
     )

@@ -929,7 +929,16 @@ def snap_to_grid_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis (beyond-reference: LLM-pipeline operators on documents)
 # ---------------------------------------------------------------------------
 
-_WORDS_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+# Exact oracle twin of operators/textanalysis.words(): empty/NULL/whitespace
+# text yields an EMPTY list. A bare REGEXP_SPLIT_TO_ARRAY(TRIM(''), '\s+')
+# yields [''] — one phantom empty-string token — which silently diverged
+# from Spark on every word-derived statistic the moment a corpus contained
+# an empty doc (round-8 adversarial-corpus sweep caught 9 such queries;
+# tools/adversarial_check.py now pins the whole class).
+_WORDS_SQL = (
+    r"(CASE WHEN TRIM(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') END)"
+)
 _PUNCT_SQL = r"'[.,;:!?''\"()\[\]{}\-]'"
 
 
@@ -982,7 +991,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(punct_ratio), 4) AS avg_punct_ratio,
            ROUND(AVG(GREATEST(0.0, 1.0
              - (CASE WHEN n_words < 10 THEN 0.5 WHEN n_words > 5000 THEN 0.3 ELSE 0.0 END)
-             - (CASE WHEN awl < 2.0 OR awl > 12.0 THEN 0.3 ELSE 0.0 END)
+             -- COALESCE mirrors quality_score's awl fallback: a 0-word doc
+             -- has undefined awl and takes the word-shape penalty (NULL in
+             -- a bare CASE would silently skip it — adversarial-corpus catch)
+             - (CASE WHEN COALESCE(awl, 0.0) < 2.0 OR COALESCE(awl, 0.0) > 12.0
+                     THEN 0.3 ELSE 0.0 END)
              - (CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END))), 4) AS avg_quality
     FROM m GROUP BY source ORDER BY source
     """,
@@ -1020,9 +1033,13 @@ def _lang_scores_sql() -> str:
     parts = []
     for lang, words in STOPWORDS.items():
         lst = ", ".join(f"'{w}'" for w in words)
+        # COALESCE mirrors stopword_ratio_from_words' otherwise-0.0: a
+        # 0-word doc scores 0.0 in every language (DuckDB's 0/0 is NULL,
+        # which would fall through the argmax CASE to 'de' while Spark's
+        # all-zero scores argmax to 'zh' — adversarial-corpus catch)
         parts.append(
-            f"CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS([{lst}], LOWER(x)))) AS DOUBLE)"
-            f" / LEN(w) AS s_{lang}"
+            f"COALESCE(CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS([{lst}], LOWER(x)))) AS DOUBLE)"
+            f" / LEN(w), 0.0) AS s_{lang}"
         )
     return ",\n             ".join(parts)
 
@@ -1488,7 +1505,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
         F.col("_n").alias("nb"), "label",
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # try_divide: zero-norm vectors yield NULL cosine (dropped by the
+    # threshold on both engines — the oracle's LIST_COSINE_SIMILARITY
+    # yields -1.0 there, also dropped) instead of an ANSI-mode error
+    cos = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -3198,9 +3218,12 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real scale: bucketed joins on vec_id, same shape).
     vv = s.select("vec_id", "embedding", "_n")
     A, B = vv.alias("A"), vv.alias("B")
-    cos = (
-        dot(F.col("A.embedding"), F.col("B.embedding"))
-        / (F.col("A._n") * F.col("B._n"))
+    # try_divide: zero-norm vectors hash to the all-zero SRP signature on
+    # both engines, pair up there, and must then yield NULL cosine (dropped
+    # by the threshold, matching the oracle's -1.0) instead of erroring
+    cos = F.try_divide(
+        dot(F.col("A.embedding"), F.col("B.embedding")),
+        F.col("A._n") * F.col("B._n"),
     )
     verified = (
         cand.join(F.broadcast(A), F.col("id_a") == F.col("A.vec_id"))
