@@ -52,7 +52,47 @@ EDGE_DOCS = [
     (1012, "one\ntwo\nthree", "de", "src0"),
     (1013, "tab\tseparated\ttokens", "en", "src1"),
     (1014, "repeat repeat repeat repeat repeat", "fr", "src2"),
+    (1015, None, "en", "src0"),  # NULL text — words() must treat like ''
 ]
+
+
+#: edge events appended to 200 base rows. NULL ts is deliberately absent:
+#: the ingest contract (canonicalize) drops records without a time key, so
+#: a NULL time never reaches the query layer. Everything else is in-domain
+#: hostile: ordering ties, bucket boundaries, IEEE specials, NULL/malformed
+#: payloads, duplicate ids, epoch extremes.
+def _edge_events(base: pd.DataFrame) -> pd.DataFrame:
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        # identical ts for one user — ordering/window/as-of tie
+        (10000, t0.replace(hour=3, minute=7), 901, "click", 1.5, '{"k": 1}'),
+        (10001, t0.replace(hour=3, minute=7), 901, "click", 2.5, '{"k": 2}'),
+        # exact hour/day bucket boundaries
+        (10002, t0, 902, "purchase", 10.0, '{"k": 3}'),
+        (10003, t0.replace(hour=1), 902, "purchase", 20.0, '{"k": 4}'),
+        # IEEE specials + NULL in the value column
+        (10004, t0.replace(hour=5), 903, "error", float("nan"), '{"k": 5}'),
+        (10005, t0.replace(hour=6), 903, "error", float("inf"), '{"k": 6}'),
+        (10006, t0.replace(hour=7), 903, "error", float("-inf"), '{"k": 7}'),
+        (10007, t0.replace(hour=8), 903, "error", None, '{"k": 8}'),
+        # NULL / malformed / empty JSON props, NULL event_type
+        (10008, t0.replace(hour=9), 904, "signup", 1.0, None),
+        (10009, t0.replace(hour=10), 904, "signup", 2.0, "{not json"),
+        (10010, t0.replace(hour=11), 904, "signup", 3.0, ""),
+        (10011, t0.replace(hour=12), 904, None, 4.0, '{"k": 9}'),
+        # duplicate event_id under a different ts
+        (10000, t0.replace(hour=13), 905, "click", 5.0, '{"k": 10}'),
+        # single-event user; epoch extremes
+        (10012, t0.replace(hour=14), 906, "view", 6.0, '{"k": 11}'),
+        (10013, dt.datetime(1970, 1, 1, 0, 0, 1), 907, "view", 7.0, '{"k": 12}'),
+        (10014, dt.datetime(2030, 12, 31, 23, 59, 59), 907, "view", 8.0, '{"k": 13}'),
+    ]
+    edge = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    return pd.concat([base, edge], ignore_index=True)
 
 
 def build_corpus() -> Path:
@@ -60,12 +100,27 @@ def build_corpus() -> Path:
     WORK.mkdir(parents=True)
     for t in TABLES:
         src = BASE_SF / f"{t}.parquet"
-        if t not in ("documents", "embeddings") and src.exists():
+        if t not in ("documents", "embeddings", "events") and src.exists():
             shutil.copy(src, WORK / f"{t}.parquet")
+
+    base_events = pd.read_parquet(BASE_SF / "events.parquet").head(200)
+    ev = _edge_events(base_events)
+    # match the base table's physical layout exactly: INT64 Timestamp(us,
+    # isAdjustedToUTC=false) — a pandas default ns write makes the
+    # streaming queries' explicit timestamp_ntz schemas fail the scan
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    tbl = pa.Table.from_pandas(ev, preserve_index=False)
+    i = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        i, pa.field("ts", pa.timestamp("us")), tbl.column("ts").cast(pa.timestamp("us"))
+    )
+    papq.write_table(tbl, WORK / "events.parquet")
 
     base_docs = pd.read_parquet(BASE_SF / "documents.parquet").head(20)
     edge = pd.DataFrame(EDGE_DOCS, columns=["doc_id", "text", "lang", "source"])
-    edge["n_chars"] = edge["text"].str.len().astype("int64")
+    edge["n_chars"] = edge["text"].str.len().fillna(0).astype("int64")
     docs = pd.concat([base_docs, edge], ignore_index=True)
     docs.to_parquet(WORK / "documents.parquet", index=False)
 
@@ -99,7 +154,7 @@ def affected_queries(registry, oracles) -> list[str]:
     out = []
     for name, qd in registry.items():
         o = oracles.get(name)
-        if o and ("documents" in o or "embeddings" in o):
+        if o and ("documents" in o or "embeddings" in o or "events" in o):
             out.append(name)
     return out
 

@@ -26,9 +26,14 @@ PUNCT_RE = r"[.,;:!?'\"()\[\]{}\-]"
 
 
 def words(text: Column | str) -> Column:
-    """Whitespace tokenization; empty string → empty array (not [''])."""
+    """Whitespace tokenization; empty/NULL/whitespace-only → empty array.
+
+    NULL must map to [] and not propagate: split(NULL) is a NULL array,
+    whose size() is NULL — silently dropping the doc from AVG/COUNT paths
+    while the SQL oracle counts it as 0 tokens (round-8 adversarial-corpus
+    catch; the oracle twin _WORDS_SQL coalesces identically)."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

@@ -853,8 +853,15 @@ def regex_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props",
     """
     SELECT event_type,
-           ROUND(AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)), 4) AS avg_k,
-           MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS max_k
+           -- JSON_VALID guard: DuckDB's extractor ERRORS on malformed
+           -- JSON while Spark's get_json_object yields NULL — the
+           -- shared contract is NULL for unparseable/empty/NULL props
+           ROUND(AVG(CASE WHEN JSON_VALID(props)
+                          THEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)
+                     END), 4) AS avg_k,
+           MAX(CASE WHEN JSON_VALID(props)
+                    THEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)
+               END) AS max_k
     FROM events
     GROUP BY event_type ORDER BY event_type
     """,
@@ -2033,9 +2040,12 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "climatology_anomaly",
     """
     WITH clim AS (
+      -- NULL series keys carry no climatology: the join form drops them
+      -- implicitly (NULL never equi-joins) while the window form groups
+      -- them — excluded explicitly on both engines
       SELECT event_type, EXTRACT(HOUR FROM ts) AS hod,
              AVG(value) AS clim_mean, COUNT(*) AS n
-      FROM events GROUP BY event_type, hod
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type, hod
     ), joined AS (
       SELECT e.event_type, e.value, c.clim_mean
       FROM events e JOIN clim c
@@ -2053,7 +2063,9 @@ def climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Climatology + anomaly (groupby('time.hour').mean() and ds − clim) in
     one window pass: partition by (key, hour-of-day), subtract the partition
     mean — no join back to the climatology table."""
-    e = t(spark, sf_dir, "events")
+    # NULL series keys excluded (matches the oracle's implicit equi-join
+    # semantics — a record without a series is unattributable)
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("event_type", F.hour("ts"))
     an = e.withColumn("anom", F.col("value") - F.avg("value").over(w))
     return (
@@ -2856,6 +2868,11 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
+      -- percentiles are over the non-NULL distribution: Spark windows
+      -- order NULLS FIRST and DuckDB NULLS LAST, so an unfiltered NULL
+      -- shifts every rank on one engine only (NaN/±inf order the same
+      -- on both: -inf < finite < inf < NaN)
+      WHERE value IS NOT NULL
     )
     SELECT event_type,
            MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS p50,
@@ -2873,7 +2890,9 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the series key; the rank window runs per group. At 100 TB you'd reach
     for approx_percentile (t-digest sketch, no global sort) — this is the
     exact small-cardinality-group form."""
-    e = t(spark, sf_dir, "events")
+    # NULLs out of the distribution (matches the oracle WHERE; the engines
+    # disagree on NULL rank placement, see the oracle comment)
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     ranked = e.select(
@@ -2902,7 +2921,10 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH l AS (
       SELECT event_type, list_sort(list(value), 'DESC') AS tv,
              LEN(list(value)) AS n
-      FROM events GROUP BY event_type
+      -- NULL values excluded: DuckDB's list() keeps NULL elements while
+      -- Spark's collect_list drops them — the shared contract is the
+      -- non-NULL value list (count(value) already matches it)
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, tv[1] AS top1, tv[2] AS top2, tv[3] AS top3,
            tv[4] AS top4, tv[5] AS top5, n
@@ -3758,7 +3780,14 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     merged = feed().unionByName(feed())
-    deduped = merged.dropDuplicates(["event_id"])
+    # full-identity key (event_id, ts): re-delivered copies of one record
+    # share both, while two legitimately distinct events that collide on a
+    # sharded id generator differ in ts and BOTH survive — dedup on the id
+    # alone dropped one of them, silently diverging from the batch truth
+    # (round-8 adversarial catch: duplicate id at different timestamps).
+    # Rows sharing the full key are assumed identical payloads (the
+    # re-delivery contract); the batch oracle needs no dedup at all.
+    deduped = merged.dropDuplicates(["event_id", "ts"])
     agg = (
         deduped.groupBy("event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
@@ -3985,6 +4014,8 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
+      -- finite-only, mirroring the operator's corrupt-record guard
+      WHERE value IS NOT NULL AND ISFINITE(value)
     ), s AS (
       SELECT user_id, cents,
              COUNT(*) OVER w AS k,
@@ -4056,6 +4087,10 @@ def streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_cents,
            MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents
     FROM events
+    -- finite-only: the stateful operator ignores NULL/NaN/inf values (no
+    -- defined cents representation; corrupt-record guard), so the oracle
+    -- filters identically — a user with no finite values has no state row
+    WHERE value IS NOT NULL AND ISFINITE(value)
     GROUP BY user_id
     ORDER BY user_id
     """,
@@ -4841,7 +4876,12 @@ def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
              / (100.0 * COUNT(value)) AS mean_value,
            MIN(value) AS min_value, MAX(value) AS max_value
-    FROM events GROUP BY event_type, day ORDER BY event_type, day
+    FROM events
+    -- finite-only: exact-cents state has no representation for NaN/inf
+    -- (CAST(FLOOR(inf*100)) overflows/errors on BOTH engines); non-finite
+    -- records are data-quality rejects at rollup ingest
+    WHERE value IS NOT NULL AND ISFINITE(value)
+    GROUP BY event_type, day ORDER BY event_type, day
     """,
 )
 def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4858,11 +4898,22 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregations (each pruned by the cutover predicate at the
     scan), one union, one merge aggregation — refresh cost ∝ batch, not
     history."""
-    e = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        "value",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    e = (
+        t(spark, sf_dir, "events")
+        # finite-only (matches the oracle WHERE): exact-cents state has no
+        # representation for NULL/NaN/inf — floor(inf*100).cast(long)
+        # raises ARITHMETIC_OVERFLOW under ANSI mode (adversarial catch)
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "value",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
     )
     cutover = F.lit("2024-02-01").cast("date")
 

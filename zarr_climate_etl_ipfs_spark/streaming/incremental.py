@@ -241,6 +241,13 @@ def zscore_anomalies_exact(
         n_batch = 0
         n_anom = 0
         for v in pdf[value_col].astype(float):
+            # non-finite/NULL values are data-quality rejects: they carry
+            # no defined cents representation, and an unguarded
+            # int(floor(nan)) raises — one corrupt record would kill the
+            # whole streaming query (round-8 adversarial-corpus catch).
+            # Ignored entirely: not counted, not tested, no state update.
+            if not math.isfinite(v):
+                continue
             cents = int(math.floor(v * 100.0 + 0.5))
             if n >= min_history:
                 d = cents * n - s
@@ -251,6 +258,9 @@ def zscore_anomalies_exact(
             q += cents * cents
             n_batch += 1
         state.update((n, s, q))
+        if n_batch == 0:
+            return  # no finite rows this batch: nothing to report — a
+            # garbage-only key must not materialize a zero row downstream
         yield pd.DataFrame(
             [[key[0], n_batch, n_anom]],
             columns=[key_col, "n_batch", "n_anomalies"],
@@ -296,11 +306,15 @@ def running_extremes(
         n = int(n)
         for pdf in pdf_iter:
             for v in pdf[value_col].astype(float):
+                if not math.isfinite(v):  # corrupt-record guard, see zscore
+                    continue
                 cents = int(math.floor(v * 100.0 + 0.5))
                 lo = cents if lo is None else min(int(lo), cents)
                 hi = cents if hi is None else max(int(hi), cents)
                 n += 1
         state.update((n, lo, hi))
+        if n == 0:
+            return  # key has never produced a finite value: no state row
         yield pd.DataFrame(
             [[key[0], n, lo, hi]],
             columns=[key_col, "n_total", "min_cents", "max_cents"],
@@ -370,11 +384,15 @@ def running_extremes_v2(
             n = int(n)
             for pdf in rows:
                 for v in pdf[value_col].astype(float):
+                    if not math.isfinite(v):  # corrupt-record guard
+                        continue
                     cents = int(math.floor(v * 100.0 + 0.5))
                     lo = cents if lo is None else min(int(lo), cents)
                     hi = cents if hi is None else max(int(hi), cents)
                     n += 1
             self._state.update((n, lo, hi))
+            if n == 0:
+                return  # never a finite value: no state row (v1 parity)
             yield pd.DataFrame(
                 [[key[0], n, lo, hi]],
                 columns=[key_col, "n_total", "min_cents", "max_cents"],
