@@ -167,6 +167,8 @@ def running_anomaly_detector(
     state_schema = "n long, mean double, m2 double"
 
     def detect(key, pdf_iter, state: GroupState):
+        import math
+
         import pandas as pd  # executor-side
 
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
@@ -174,6 +176,11 @@ def running_anomaly_detector(
         n_anoms = 0
         for pdf in pdf_iter:
             for v in pdf[value_col].astype(float):
+                # corrupt-record guard: one NaN would poison the Welford
+                # mean/m2 floats FOREVER (every later mean is NaN), worse
+                # than the exact-int ops' crash — skip non-finite values
+                if not math.isfinite(v):
+                    continue
                 n_batch += 1
                 if n >= 10 and m2 > 0:
                     std = (m2 / n) ** 0.5
