@@ -1,0 +1,62 @@
+"""Smoke-pin for tools/adversarial_check.py — the edge-case oracle gate.
+
+The full 71-query sweep is a tool run (several minutes); this test keeps
+the gate itself from bit-rotting: the corpus must build with every edge
+family present, and a representative subset spanning the three fixed
+divergence classes (word-split semantics, zero-norm cosine, non-finite
+event values) must stay engine-identical on it.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tools.adversarial_check import TABLES, build_corpus
+from tools.check import canon_rows
+
+SUBSET = [
+    "token_stats",            # words() empty/NULL semantics
+    "embedding_neardup_pairs",  # zero-norm cosine contract
+    "value_percentiles",      # NULL rank placement contract
+    "incremental_rollup_merge",  # finite-only exact-cents gate
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    root = build_corpus()
+    docs = pd.read_parquet(root / "documents.parquet")
+    emb = pd.read_parquet(root / "embeddings.parquet")
+    ev = pd.read_parquet(root / "events.parquet")
+    # the edge families the gate exists for must actually be present
+    assert (docs["text"].fillna("").str.strip() == "").sum() >= 3  # empty-ish
+    assert docs["text"].isna().any()
+    assert any(sum(abs(x) for x in v) == 0 for v in emb["embedding"])  # zero-norm
+    assert ev["value"].isna().any()
+    assert (~ev["value"].apply(lambda v: pd.isna(v) or abs(v) != float("inf"))).any()
+    assert ev["event_id"].duplicated().any()
+    return root
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_adversarial_subset_matches_oracle(spark, corpus, name):
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = corpus / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    qd = REGISTRY[name]
+    sdf = qd.fn(spark, str(corpus))
+    srows = sdf.collect()
+    res = con.execute(qd.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ocols), name
+    assert len(srows) == len(orows), name
+    sc = canon_rows(sdf.columns, [[r[c] for c in sdf.columns] for r in srows])
+    assert sc == canon_rows(ocols, orows), name
