@@ -84,6 +84,12 @@ def _edge_events(base: pd.DataFrame) -> pd.DataFrame:
         (10011, t0.replace(hour=12), 904, None, 4.0, '{"k": 9}'),
         # duplicate event_id under a different ts
         (10000, t0.replace(hour=13), 905, "click", 5.0, '{"k": 10}'),
+        # full-key (event_id, ts) duplicate with identical payload — the
+        # re-delivery contract: streams AND batch oracles must count 1
+        (10015, t0.replace(hour=15), 905, "click", 9.0, '{"k": 14}'),
+        (10015, t0.replace(hour=15), 905, "click", 9.0, '{"k": 14}'),
+        # valid JSON, non-integer k — try_cast contract: NULL, not a crash
+        (10016, t0.replace(hour=16), 906, "signup", 1.0, '{"k": "x"}'),
         # single-event user; epoch extremes
         (10012, t0.replace(hour=14), 906, "view", 6.0, '{"k": 11}'),
         (10013, dt.datetime(1970, 1, 1, 0, 0, 1), 907, "view", 7.0, '{"k": 12}'),
@@ -194,8 +200,13 @@ def main() -> int:
     from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
 
     names = affected_queries(REGISTRY, oracles)
+    missing_filter = []
     if only:
+        missing_filter = sorted(only - set(names))
         names = [n for n in names if n in only]
+        for m in missing_filter:
+            print(f"WARNING: requested query {m!r} is not an adversarial-gate query "
+                  "(unknown name, or its oracle touches none of documents/embeddings/events)")
     failures = []
     for name in names:
         try:
@@ -234,6 +245,10 @@ def main() -> int:
     print(f"\n{len(names) - len(failures)}/{len(names)} matched on the adversarial corpus")
     if failures:
         print("failing:", failures)
+    if missing_filter:
+        print("missing from gate (treated as failure):", missing_filter)
+    if only and not names:
+        print("ERROR: the filter matched zero gate queries — nothing was checked")
     if json_out:
         import json as _json
 
@@ -251,7 +266,7 @@ def main() -> int:
         Path(json_out).write_text(_json.dumps(payload, indent=1) + "\n")
         print(f"wrote {json_out}")
     spark.stop()
-    return 1 if failures else 0
+    return 1 if failures or missing_filter or (only and not names) else 0
 
 
 if __name__ == "__main__":

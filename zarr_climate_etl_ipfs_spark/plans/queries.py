@@ -855,12 +855,15 @@ def regex_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            -- JSON_VALID guard: DuckDB's extractor ERRORS on malformed
            -- JSON while Spark's get_json_object yields NULL — the
-           -- shared contract is NULL for unparseable/empty/NULL props
+           -- shared contract is NULL for unparseable/empty/NULL props.
+           -- TRY_CAST (not CAST) on both engines: valid JSON whose $.k
+           -- is a non-numeric string ('{"k":"x"}') must map to NULL,
+           -- not crash either engine (round-8 advisor catch).
            ROUND(AVG(CASE WHEN JSON_VALID(props)
-                          THEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)
+                          THEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)
                      END), 4) AS avg_k,
            MAX(CASE WHEN JSON_VALID(props)
-                    THEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)
+                    THEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)
                END) AS max_k
     FROM events
     GROUP BY event_type ORDER BY event_type
@@ -868,9 +871,11 @@ def regex_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10 — JSON attr handling (metadata.py:820-833): extract typed values
-    from the free-form props map."""
+    from the free-form props map. try_cast, not cast: under ANSI mode a
+    plain cast errors on '{"k":"x"}' — the NULL-on-uncastable contract is
+    pinned by the adversarial corpus."""
     e = t(spark, sf_dir, "events").withColumn(
-        "k", F.get_json_object("props", "$.k").cast("int")
+        "k", F.get_json_object("props", "$.k").try_cast("int")
     )
     return (
         e.groupBy("event_type")
@@ -3742,8 +3747,15 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "streaming_backfill_dedup",
     """
+    -- the oracle implements the SAME re-delivery contract as the stream:
+    -- rows sharing the full (event_id, ts) key are one logical record
+    -- (DISTINCT ON keeps one arbitrarily; payloads are identical by the
+    -- contract, so the pick is value-neutral). Without this, a corpus
+    -- with a full-key duplicate counts 2 here and 1 in the stream
+    -- (round-8 advisor catch; pinned by the adversarial corpus).
     SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM (SELECT DISTINCT ON (event_id, ts) * FROM events)
+    GROUP BY event_type ORDER BY event_type
     """,
 )
 def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3786,7 +3798,9 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alone dropped one of them, silently diverging from the batch truth
     # (round-8 adversarial catch: duplicate id at different timestamps).
     # Rows sharing the full key are assumed identical payloads (the
-    # re-delivery contract); the batch oracle needs no dedup at all.
+    # re-delivery contract); the batch oracle dedups on the same key
+    # (DISTINCT ON) so a full-key duplicate in the BASE table — a
+    # re-ingested record at rest — counts once on both engines.
     deduped = merged.dropDuplicates(["event_id", "ts"])
     agg = (
         deduped.groupBy("event_type")
