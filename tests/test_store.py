@@ -259,3 +259,67 @@ def test_content_addressing_and_integrity(store, spark, desc):
     victim.write_bytes(bytes(blob))
     with pytest.raises(StoreError, match="content mismatch"):
         store.verify_integrity()
+
+
+def test_commit_conflict_put_if_absent(store):
+    """Two writers that both computed version N: the commit point is a
+    put-if-absent hard link, so exactly one wins and the loser raises a
+    commit-conflict StoreError — POSIX rename would let the second writer
+    silently clobber the first (the Delta mutual-exclusion property)."""
+    prev = store.manifest()["files"]
+    df = store.dataset()
+    # both writers observed version 1 (the race window)
+    assert store._commit("append", prev, df, base_version=1) == 2
+    with pytest.raises(StoreError, match="commit conflict"):
+        store._commit("append", prev, df, base_version=1)
+    # exactly one v2 exists and the loser left no staging debris
+    assert sorted(p.name for p in store.manifest_path.iterdir()) == [
+        "v1.json",
+        "v2.json",
+    ]
+
+
+def test_two_writer_race_no_lost_update(store, spark, desc):
+    """Genuinely concurrent appends from two threads: either both serialize
+    (v2 then v3) or one gets a commit conflict — but a committed append's
+    rows are NEVER silently lost, and the loser's files enter no manifest."""
+    import threading
+
+    df_a = spark.createDataFrame(_tall(daily("2022-02-01", 3), seed=11), schema=desc.schema())
+    df_b = spark.createDataFrame(_tall(daily("2022-02-04", 3), seed=12), schema=desc.schema())
+    barrier = threading.Barrier(2)
+    errs: dict[str, Exception] = {}
+
+    def run(tag, df):
+        barrier.wait()
+        try:
+            store.append(df)
+        except StoreError as e:
+            errs[tag] = e
+
+    threads = [
+        threading.Thread(target=run, args=("a", df_a)),
+        threading.Thread(target=run, args=("b", df_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for e in errs.values():  # only the conflict error is acceptable
+        assert "commit conflict" in str(e)
+    n_success = 2 - len(errs)
+    assert n_success >= 1
+    # no lost update: one manifest version per successful commit, and every
+    # committed append's time steps are readable in the final dataset
+    assert store.current_version() == 1 + n_success
+    times = {r[0] for r in store.dataset().select("time").distinct().collect()}
+    if "a" not in errs:
+        assert set(daily("2022-02-01", 3)) <= times
+    if "b" not in errs:
+        assert set(daily("2022-02-04", 3)) <= times
+    # a losing writer's rows must be absent (its files entered no manifest)
+    if "a" in errs:
+        assert not (set(daily("2022-02-01", 3)) & times)
+    if "b" in errs:
+        assert not (set(daily("2022-02-04", 3)) & times)

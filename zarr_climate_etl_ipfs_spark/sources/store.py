@@ -19,8 +19,17 @@ table with a **manifest log** — a minimal Delta-style commit protocol:
 
 Commit atomicity: the manifest file is written once, last; a crash mid-write
 leaves orphan data files (vacuumable) but never a half-visible table. The
-reference's ``update_in_progress`` flag protocol (publish.py:153-180) is kept
-as informational properties for parity.
+commit point is a **put-if-absent** hard link of a writer-unique temp file
+onto ``v{N}.json``, where N is one past the version the writer READ when it
+built its file list (optimistic concurrency) — if a concurrent writer
+already committed N, the link raises and the loser gets a commit-conflict
+:class:`StoreError` with none of its files in any manifest (mutual exclusion
+on the version counter, the Delta-protocol property a plain rename lacks:
+POSIX rename silently overwrites, so two racing writers would both "succeed"
+and the second would clobber the first — and re-reading the counter at
+commit time would be just as lossy, landing a stale snapshot's file list on
+top of the winner's at N+1). The reference's ``update_in_progress`` flag protocol
+(publish.py:153-180) is kept as informational properties for parity.
 
 Scale design: partition grain (descriptor.time_bucket) is the analog of the
 Zarr time-chunk spec (chirps.py:26-28). A bucket holds one calendar unit of
@@ -38,7 +47,9 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 import json
+import os
 import shutil
+import uuid
 from pathlib import Path
 from typing import Any
 
@@ -120,13 +131,30 @@ class GridStore:
         return json.loads(p.read_text())
 
     def _commit(
-        self, action: str, files: list[str], df: DataFrame, update_props: bool = True
+        self,
+        action: str,
+        files: list[str],
+        df: DataFrame,
+        update_props: bool = True,
+        base_version: int | None = None,
     ) -> int:
+        """Commit ``files`` as version ``base_version + 1``.
+
+        ``base_version`` is the version the WRITER READ when it built the
+        file list (optimistic concurrency, the Delta protocol's conflict
+        rule): committing against a re-read of ``current_version()`` would
+        let a writer whose snapshot went stale mid-write land v(N+2) on top
+        of vN's file list, silently dropping v(N+1)'s data — the put-if-
+        absent link below only arbitrates writers that computed the SAME
+        version. Callers that read no prior state (initial write) pass
+        None and race for whatever slot is next.
+        """
         td = self.desc.time_dim
         rng = df.agg(
             F.min(td).alias("lo"), F.max(td).alias("hi"), F.count("*").alias("n")
         ).first()
-        v = self.current_version() + 1
+        base = self.current_version() if base_version is None else base_version
+        v = base + 1
         self.manifest_path.mkdir(parents=True, exist_ok=True)
         manifest = {
             "version": v,
@@ -137,15 +165,31 @@ class GridStore:
             # whole file set — a Merkle link, so a manifest version names
             # immutable content the way a CID does. Carried-over files reuse
             # the prior manifest's digests (no rehash of unchanged data).
-            "file_digests": self._digests(files, v - 1),
+            "file_digests": self._digests(files, base),
             "time_start": str(rng["lo"]),
             "time_end": str(rng["hi"]),
             "rows": rng["n"],
         }
         manifest["content_digest"] = _content_digest(manifest["file_digests"])
-        tmp = self.manifest_path / f".v{v}.json.tmp"
+        # writer-unique temp name: two racing writers that both computed
+        # version v must not share a staging file either, or one could
+        # hard-link the OTHER's content into the commit slot
+        tmp = self.manifest_path / f".v{v}.{os.getpid()}.{uuid.uuid4().hex[:8]}.json.tmp"
         tmp.write_text(json.dumps(manifest, indent=2))
-        tmp.rename(self.manifest_path / f"v{v}.json")  # the commit point
+        final = self.manifest_path / f"v{v}.json"
+        try:
+            # the commit point — put-if-absent: os.link is atomic and raises
+            # if v{N}.json exists, giving mutual exclusion on the version
+            # counter (a rename would silently overwrite a racing commit)
+            os.link(tmp, final)
+        except FileExistsError:
+            tmp.unlink(missing_ok=True)
+            raise StoreError(
+                f"commit conflict: manifest v{v} already exists — a concurrent "
+                "writer won this version; re-read the latest version and retry"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
         if update_props:  # maintenance actions (compact) aren't data updates
             self.set_properties(
                 update_date_range=[str(rng["lo"]), str(rng["hi"])],
@@ -257,10 +301,11 @@ class GridStore:
     def _stage_files(self, df: DataFrame) -> list[str]:
         """Write df into a staging dir, move the part files into the live
         partition dirs (unique job-scoped names — no collisions), return the
-        relative paths. Files become *live* only when a manifest commits."""
-        staging = self.root / "_staging"
-        if staging.exists():
-            shutil.rmtree(staging)
+        relative paths. Files become *live* only when a manifest commits.
+        The staging dir is writer-unique: a shared path would let one
+        concurrent writer rmtree the other's in-flight part files (the
+        sibling race to the manifest commit conflict)."""
+        staging = self.root / f"_staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         out = self._layout(self._with_bucket(df.select(*self.desc.schema().fieldNames())))
         out.write.mode("overwrite").option("compression", self.compression).partitionBy(
             _BUCKET_COL
@@ -292,9 +337,9 @@ class GridStore:
         if dry_run:
             return
         self._flag_update(True, append_only=True)
-        prev = self.manifest()["files"]
+        m = self.manifest()
         files = self._stage_files(df)
-        self._commit("append", prev + files, df)
+        self._commit("append", m["files"] + files, df, base_version=m["version"])
         self._flag_update(False, append_only=True)
 
     def insert(self, df: DataFrame, dry_run: bool = False) -> None:
@@ -308,7 +353,8 @@ class GridStore:
         update = self._with_bucket(df.select(*self.desc.schema().fieldNames()))
         replaced_times = update.select(td).distinct()
         touched = {r[0] for r in update.select(_BUCKET_COL).distinct().collect()}
-        prev = self.manifest()["files"]
+        m = self.manifest()
+        prev = m["files"]
         touched_paths = [
             str(self.data_path / f) for f in prev if _bucket_of(f) in touched
         ]
@@ -325,7 +371,7 @@ class GridStore:
             combined = df.select(*self.desc.schema().fieldNames())
         files = self._stage_files(combined)
         untouched = [f for f in prev if _bucket_of(f) not in touched]
-        self._commit("insert", untouched + files, df)
+        self._commit("insert", untouched + files, df, base_version=m["version"])
         self._flag_update(False, append_only=False)
 
     def update(self, df: DataFrame, dry_run: bool = False) -> dict[str, int]:
@@ -375,7 +421,8 @@ class GridStore:
 
         Returns {bucket: n_files_rewritten} for the compacted buckets.
         """
-        prev = self.manifest()["files"]
+        m = self.manifest()
+        prev = m["files"]
         by_bucket: dict[str, list[str]] = {}
         for f in prev:
             by_bucket.setdefault(_bucket_of(f), []).append(f)
@@ -389,7 +436,9 @@ class GridStore:
         self._flag_update(True, append_only=False)
         new_files = self._stage_files(df)
         keep = [f for f in prev if _bucket_of(f) not in crowded]
-        self._commit("compact", keep + new_files, df, update_props=False)
+        self._commit(
+            "compact", keep + new_files, df, update_props=False, base_version=m["version"]
+        )
         self._flag_update(False, append_only=False)
         return {b: len(fs) for b, fs in crowded.items()}
 
@@ -435,7 +484,12 @@ class GridStore:
                 v = ""
             cur[k] = v
         self.meta_path.mkdir(parents=True, exist_ok=True)
-        self._props_file().write_text(json.dumps(cur, indent=2, sort_keys=True, default=str))
+        # temp + atomic rename: properties are informational last-writer-wins
+        # metadata, but an in-place write_text lets a concurrent reader see a
+        # truncated file (JSONDecodeError) — rename makes reads all-or-nothing
+        tmp = self.meta_path / f".properties.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(cur, indent=2, sort_keys=True, default=str))
+        tmp.rename(self._props_file())
 
     # -- per-column encoding gardening (M6) ----------------------------------
 
