@@ -1,10 +1,10 @@
 """Smoke-pin for tools/adversarial_check.py — the edge-case oracle gate.
 
-The full 71-query sweep is a tool run (several minutes); this test keeps
+The full 100-query sweep is a tool run (several minutes); this test keeps
 the gate itself from bit-rotting: the corpus must build with every edge
-family present, and a representative subset spanning the three fixed
-divergence classes (word-split semantics, zero-norm cosine, non-finite
-event values) must stay engine-identical on it.
+family present, and a representative subset spanning the fixed divergence
+classes (word-split semantics, zero-norm cosine, non-finite event values,
+TPC-H filter-boundary/tie/extreme rows) must stay engine-identical on it.
 """
 
 from __future__ import annotations
@@ -21,6 +21,9 @@ SUBSET = [
     "embedding_neardup_pairs",  # zero-norm cosine contract
     "value_percentiles",      # NULL rank placement contract
     "incremental_rollup_merge",  # finite-only exact-cents gate
+    "pricing_summary",        # shipdate boundary + unseen returnflag group
+    "extreme_bounds",         # quantity/price exactly at the QC bounds
+    "json_props",             # non-numeric $.k must try_cast to NULL
 ]
 
 
@@ -37,6 +40,12 @@ def corpus():
     assert ev["value"].isna().any()
     assert (~ev["value"].apply(lambda v: pd.isna(v) or abs(v) != float("inf"))).any()
     assert ev["event_id"].duplicated().any()
+    li = pd.read_parquet(root / "lineitem.parquet")
+    od = pd.read_parquet(root / "orders.parquet")
+    assert (li["l_shipdate"] == pd.Timestamp("1998-09-02")).any()  # filter edge
+    assert (li["l_quantity"] <= 0).any() and (li["l_discount"] >= 1.0).any()
+    assert li.duplicated(["l_orderkey", "l_linenumber"]).any()
+    assert od.duplicated(["o_totalprice", "o_orderdate"]).any()  # sort-key tie
     return root
 
 

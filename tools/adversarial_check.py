@@ -3,15 +3,21 @@ advisor kept finding one instance at a time (empty/whitespace docs hashing
 differently through DuckDB's REGEXP_SPLIT_TO_ARRAY — which yields [''] on
 '' — vs Spark's words() — which yields []), closed wholesale.
 
-Builds a corpus directory whose documents/embeddings tables are packed with
-the edge cases the sf corpora never contain — empty text, whitespace-only
+Builds a corpus directory whose tables are packed with the edge cases the
+sf corpora never contain — documents: empty text, whitespace-only
 (spaces/tabs/newlines), single word, repeated word, leading/trailing
-whitespace, punctuation-only, digits, unicode (accents/CJK/emoji), a
-zero-norm embedding, duplicate embeddings, an all-equal-component vector —
-then runs EVERY catalog query whose oracle touches those tables on both
+whitespace, punctuation-only, digits, unicode (accents/CJK/emoji);
+embeddings: a zero-norm vector, duplicates, an all-equal-component vector;
+events: ts ties, IEEE specials, malformed/non-numeric JSON, duplicate and
+full-key-duplicate ids, epoch extremes; TPC-H family: a row exactly AT
+(and one second either side of) every timestamp literal a catalog filter
+compares against, ORDER BY-key ties, 0/negative/boundary quantity-discount-
+price extremes, duplicate (orderkey, linenumber), orphan foreign keys,
+unseen enum values — then runs EVERY catalog query with an oracle on both
 engines and compares rows + columns + repr-exact values, same comparator as
-tools/check.py. A query family that implicitly assumes "no empty docs"
-fails here even though every sf attestation stays green.
+tools/check.py. A query family that implicitly assumes "no empty docs" or
+"dates never land on the filter edge" fails here even though every sf
+attestation stays green.
 
 Usage: python tools/adversarial_check.py [query ...]
 Exit 0 only if every checked query matches.
@@ -101,12 +107,167 @@ def _edge_events(base: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([base, edge], ignore_index=True)
 
 
+#: every timestamp literal a catalog filter compares against — each gets an
+#: order/lineitem row exactly AT the boundary plus one second on either
+#: side, so inclusive-vs-exclusive edge semantics must agree on both engines
+_BOUNDARY_DATES = [
+    "1995-06-01", "1995-07-01", "1995-10-01",
+    "1996-01-01", "1996-03-15", "1996-04-01", "1996-12-31",
+    "1997-01-01", "1997-03-15", "1997-06-01",
+    "1998-01-01", "1998-06-30", "1998-09-02",
+]
+
+
+def _edge_orders(base: pd.DataFrame) -> pd.DataFrame:
+    """Boundary-date rows, sort-key ties, zero/extreme totalprice, orphan
+    custkey, unseen status/priority values, empty-string priority."""
+    import datetime as dt
+
+    rows = []
+    k = 900000
+    cust = int(base["o_custkey"].iloc[0])
+    for d in _BOUNDARY_DATES:
+        b = dt.datetime.fromisoformat(d)
+        for ts in (b - dt.timedelta(seconds=1), b, b + dt.timedelta(seconds=1)):
+            rows.append((k, cust, "O", 1000.0 + k % 7, ts, "3-MEDIUM"))
+            k += 1
+    t0 = dt.datetime(1996, 6, 15)
+    rows += [
+        # exact o_totalprice tie on one date — ORDER BY ties must break
+        # deterministically (or the query is wrong on BOTH engines)
+        (k + 0, cust, "F", 5555.55, t0, "1-URGENT"),
+        (k + 1, cust, "F", 5555.55, t0, "1-URGENT"),
+        (k + 2, cust, "P", 0.0, t0, "5-LOW"),           # zero totalprice
+        (k + 3, cust, "P", -12.5, t0, "5-LOW"),          # negative totalprice
+        (k + 4, 999999999, "O", 42.0, t0, "2-HIGH"),     # orphan custkey
+        (k + 5, cust, "X", 77.0, t0, "9-UNSEEN"),        # unseen enums
+        (k + 6, cust, "O", 88.0, t0, ""),                # empty priority
+    ]
+    edge = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    return pd.concat([base, edge], ignore_index=True)
+
+
+def _edge_lineitem(base: pd.DataFrame) -> pd.DataFrame:
+    """Quantity/discount/price at and beyond the QC bounds, shipdate at the
+    pricing-summary boundary, duplicate (orderkey, linenumber), a lineitem
+    whose orderkey has no order, unseen returnflag."""
+    import datetime as dt
+
+    part = int(base["l_partkey"].iloc[0])
+    supp = int(base["l_suppkey"].iloc[0])
+    ship = dt.datetime(1996, 6, 20)
+    b902 = dt.datetime(1998, 9, 2)
+
+    def li(ok, ln, qty, price, disc, tax, rf, ls, sd):
+        return (ok, part, supp, ln, qty, price, disc, tax, rf, ls, sd)
+
+    rows = [
+        # extreme_bounds edges: NOT BETWEEN 1 AND 50 / >100000 OR <=0
+        li(900000, 1, 0.0, 50.0, 0.0, 0.0, "N", "O", ship),
+        li(900000, 2, 1.0, 100000.0, 0.0, 0.0, "N", "O", ship),
+        li(900000, 3, 50.0, 100000.01, 0.0, 0.0, "N", "O", ship),
+        li(900000, 4, 51.0, 0.0, 0.0, 0.0, "N", "O", ship),
+        li(900001, 1, -5.0, -10.0, 0.0, 0.0, "R", "F", ship),
+        # discount/tax extremes: 100% discount, negative discount
+        li(900002, 1, 10.0, 100.0, 1.0, 0.0, "A", "F", ship),
+        li(900002, 2, 10.0, 100.0, -0.1, 0.5, "A", "F", ship),
+        # pricing_summary boundary: l_shipdate <= 1998-09-02 — at, and 1 s past
+        li(900003, 1, 5.0, 500.0, 0.05, 0.04, "N", "O", b902),
+        li(900003, 2, 5.0, 500.0, 0.05, 0.04, "N", "O", b902 + dt.timedelta(seconds=1)),
+        # as-of boundary: l_shipdate > 1997-03-15 strict
+        li(900004, 1, 2.0, 200.0, 0.0, 0.0, "N", "O", dt.datetime(1997, 3, 15)),
+        li(900004, 2, 2.0, 200.0, 0.0, 0.0, "N", "O", dt.datetime(1997, 3, 15, 0, 0, 1)),
+        # duplicate (l_orderkey, l_linenumber) — a violated "primary key"
+        li(900005, 1, 3.0, 300.0, 0.01, 0.02, "N", "O", ship),
+        li(900005, 1, 3.0, 300.0, 0.01, 0.02, "N", "O", ship),
+        # lineitem whose orderkey matches no order (referential break)
+        li(999999998, 1, 4.0, 400.0, 0.02, 0.03, "N", "O", ship),
+        # unseen returnflag value groups a fresh key through every rollup
+        li(900006, 1, 6.0, 600.0, 0.03, 0.01, "X", "X", ship),
+    ]
+    edge = pd.DataFrame(rows, columns=list(base.columns))
+    return pd.concat([base, edge], ignore_index=True)
+
+
+def _edge_customer(base: pd.DataFrame) -> pd.DataFrame:
+    """A customer with no orders, acctbal ties and negatives, an unseen
+    market segment, an empty name, an orphan nationkey."""
+    rows = [
+        (888001, "edge-no-orders", 1, 0.0, "BUILDING"),
+        (888002, "edge-tie-a", 1, 1234.56, "AUTOMOBILE"),
+        (888003, "edge-tie-b", 1, 1234.56, "AUTOMOBILE"),
+        (888004, "edge-negative", 2, -999.99, "MACHINERY"),
+        (888005, "", 2, 10.0, "HOUSEHOLD"),
+        (888006, "edge-orphan-nation", 99, 20.0, "SPACE"),
+    ]
+    edge = pd.DataFrame(rows, columns=list(base.columns))
+    return pd.concat([base, edge], ignore_index=True)
+
+
+def _edge_supplier(base: pd.DataFrame) -> pd.DataFrame:
+    rows = [
+        (777001, "edge-supp-tie", 1, -500.0),
+        (777002, "edge-supp-tie", 1, -500.0),  # name AND acctbal tie
+        (777003, "edge-supp-orphan", 99, 30.0),
+    ]
+    edge = pd.DataFrame(rows, columns=list(base.columns))
+    return pd.concat([base, edge], ignore_index=True)
+
+
+def _edge_part(base: pd.DataFrame) -> pd.DataFrame:
+    rows = [
+        (666001, "edge part zero size", "Brand#55", "PROMO EDGE", 0, 100.0),
+        (666002, "edge part negative", "Brand#55", "PROMO EDGE", -1, 100.0),
+        (666003, "edge (regex) *special*", "Brand#55", "", 10, 0.0),
+        (666004, "café part über", "Brand#55", "PROMO (BRASS)*", 10, 100.0),
+    ]
+    edge = pd.DataFrame(rows, columns=list(base.columns))
+    return pd.concat([base, edge], ignore_index=True)
+
+
+def _write_like_base(df: pd.DataFrame, base_path: Path, out_path: Path) -> None:
+    """Write df with the base table's EXACT physical parquet schema (INT64
+    Timestamp(us) time columns, int32 keys, …) so Spark's inferred schema —
+    and any query's explicit schema — matches the production corpora."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    base_schema = papq.read_schema(base_path)
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    cols = []
+    for f in base_schema:
+        cols.append(tbl.column(f.name).cast(f.type))
+    papq.write_table(pa.Table.from_arrays(cols, schema=base_schema), out_path)
+
+
+#: TPC-H-family tables that get an edge build; nation/region stay verbatim
+#: (every query treats them as immutable dims)
+_TPCH_EDGES = {
+    "orders": _edge_orders,
+    "lineitem": _edge_lineitem,
+    "customer": _edge_customer,
+    "supplier": _edge_supplier,
+    "part": _edge_part,
+}
+
+
 def build_corpus() -> Path:
     shutil.rmtree(WORK, ignore_errors=True)
     WORK.mkdir(parents=True)
     for t in TABLES:
         src = BASE_SF / f"{t}.parquet"
-        if t not in ("documents", "embeddings", "events") and src.exists():
+        if not src.exists():
+            continue
+        if t in _TPCH_EDGES:
+            base = pd.read_parquet(src)
+            _write_like_base(_TPCH_EDGES[t](base), src, WORK / f"{t}.parquet")
+        elif t not in ("documents", "embeddings", "events"):
             shutil.copy(src, WORK / f"{t}.parquet")
 
     base_events = pd.read_parquet(BASE_SF / "events.parquet").head(200)
@@ -157,12 +318,10 @@ def build_corpus() -> Path:
 
 
 def affected_queries(registry, oracles) -> list[str]:
-    out = []
-    for name, qd in registry.items():
-        o = oracles.get(name)
-        if o and ("documents" in o or "embeddings" in o or "events" in o):
-            out.append(name)
-    return out
+    """Every catalog query with an oracle: the corpus now carries edge rows
+    for ALL ten tables (round-8 it covered only documents/embeddings/events;
+    the ~29 TPC-H-family oracles had no edge corpus — round-8 judge ask #3)."""
+    return [name for name in registry if oracles.get(name)]
 
 
 def main() -> int:
@@ -255,7 +414,10 @@ def main() -> int:
         payload = {
             "corpus": "sf0.001 base + edge documents (empty/whitespace/unicode/"
             "punctuation/digits) + edge embeddings (zero-norm/duplicate/"
-            "constant/planted near-dup)",
+            "constant/planted near-dup) + edge events (ts ties/IEEE specials/"
+            "bad JSON/dup ids/epoch extremes) + edge TPC-H (filter-boundary "
+            "timestamps/sort ties/quantity-discount-price extremes/orphan "
+            "FKs/dup line numbers/unseen enums)",
             "n_queries": len(names),
             "n_ok": len(names) - len(failures),
             "n_fail": len(failures),
