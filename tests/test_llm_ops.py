@@ -692,3 +692,42 @@ def test_simhash_vote_kernel_trailing_empty_groups(spark):
         .collect()
     }
     assert got == {0: 3, 1: 0, 2: 5, 3: 0}
+
+
+def test_dot_fixed_bit_identical_to_hof_dot(spark):
+    """dot_fixed (flat codegen getItem chain) must be BIT-identical to the
+    higher-order-function fold — same left-associated double adds, same
+    float→double casts, same 0.0 seed — across random, zero, signed-zero,
+    and subnormal-ish vectors. The LSH verify stage swaps between them
+    freely on known-width embeddings."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from zarr_climate_etl_ipfs_spark.functions.vectors import dot, dot_fixed
+
+    rng = np.random.RandomState(5)
+    dims = 64
+    vecs = [rng.standard_normal(dims).astype(np.float32) for _ in range(20)]
+    vecs.append(np.zeros(dims, dtype=np.float32))
+    vecs.append(-np.zeros(dims, dtype=np.float32))  # all -0.0 components
+    vecs.append(np.full(dims, 1e-30, dtype=np.float32))
+    rows = [
+        (i, [float(x) for x in a], [float(y) for y in b])
+        for i, (a, b) in enumerate(zip(vecs, vecs[::-1]))
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["i", "a", "b"])
+    ).select(
+        "i",
+        F.col("a").cast("array<float>").alias("a"),
+        F.col("b").cast("array<float>").alias("b"),
+    )
+    got = df.select(
+        "i",
+        dot("a", "b").alias("hof"),
+        dot_fixed("a", "b", dims).alias("flat"),
+    ).collect()
+    for r in got:
+        # exact bit equality, not approx — the whole point of the helper
+        assert repr(r.hof) == repr(r.flat), (r.i, r.hof, r.flat)

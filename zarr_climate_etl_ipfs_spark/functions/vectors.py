@@ -16,9 +16,39 @@ def _c(col: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Σ aᵢ·bᵢ as a single codegen'd expression (double accumulator)."""
+    """Σ aᵢ·bᵢ as a single JVM expression (double accumulator)."""
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot_fixed(a: Column | str, b: Column | str, dims: int) -> Column:
+    """Σ aᵢ·bᵢ for a KNOWN vector width, as a flat getItem multiply-add
+    chain instead of a higher-order-function fold.
+
+    Spark's lambda HOFs (``zip_with``/``aggregate``) are interpreted per
+    element — each lambda invocation walks the expression tree — while a
+    flat ``a[0]·b[0] + … + a[d−1]·b[d−1]`` chain is ordinary codegen'd
+    arithmetic. Left-associated double adds over float→double casts, so
+    the result is BIT-IDENTICAL to :func:`dot`'s fold (same order, same
+    types); the two are interchangeable wherever the width is known.
+    Wrong-width rows yield NULL (getItem past the end), versus :func:`dot`
+    which would silently sum the shorter zip — callers relying on that
+    distinction should keep :func:`dot`.
+
+    Measured OUTCOME (r9, sf0.1 embeddings, 64 dims): ~2× faster than the
+    fold as an isolated sum over a pair join (0.032 vs 0.052 s warm), but
+    5× SLOWER inside the near-dup queries' fused join+filter+project
+    stage (4.4 vs 0.85 s warm) — the ~4,000-node expression wrecks the
+    fused stage's generated-code locality. The shipped near-dup plans
+    therefore keep :func:`dot`; use this form only for narrow vectors or
+    isolated aggregate shapes, and re-measure in situ."""
+    av, bv = _c(a), _c(b)
+    # seed with literal 0.0 exactly like the fold's accumulator — keeps
+    # even the signed-zero edge (0.0 + -0.0 = +0.0) bit-identical
+    total = F.lit(0.0)
+    for i in range(dims):
+        total = total + av[i].cast("double") * bv[i].cast("double")
+    return total
 
 
 def l2_norm(a: Column | str) -> Column:

@@ -83,19 +83,38 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
     return encode_webp(img, use_subtract_green=rotate_variants and d % 10 == 9)
 
 
-def _drain_memory_sink(spark: SparkSession, writer, prefix: str) -> DataFrame:
+def _drain_memory_sink(
+    spark: SparkSession, writer, prefix: str, state_partitions: int = 8
+) -> DataFrame:
     """Run a streaming writer into a uuid-named memory sink with an
     available-now trigger, materialize the result, and DROP the temp view —
     repeated invocations (BENCH_RUNS=3, the correctness driver) must not
-    leak complete-mode result tables for the life of the session."""
+    leak complete-mode result tables for the life of the session.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to the
+    stream's lifetime: for a stateful streaming query that conf is the
+    STATE-STORE partition count (pinned at the first checkpoint), and every
+    state partition pays per-micro-batch commit I/O for every stateful
+    operator whether or not it holds data — a stream-stream join carries
+    four stores per partition, so 32 partitions is 128 commits per batch of
+    pure fixed cost against kilobytes of state. Size it to expected state
+    volume (state bytes / ~64 MB per partition), not to batch CPU; these
+    catalog corpora hold kilobytes of state, so 8. Output is partition-
+    count-invariant (the gates verify); the conf is restored before the
+    post-drain batch rollup so batch plans keep the session's parallelism.
+    """
     import uuid
 
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
     try:
+        spark.conf.set(conf_key, str(state_partitions))
         writer.queryName(sink).trigger(availableNow=True).start().awaitTermination()
         rows = spark.table(sink).collect()
         out_schema = spark.table(sink).schema
     finally:
+        spark.conf.set(conf_key, prev)
         # drop even when the stream/collect raises — otherwise the failed
         # run leaks the very complete-mode table this helper exists to reap
         try:
@@ -1501,7 +1520,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row each — computing ‖v‖ once per row BEFORE the join leaves one
     array pass on the O(pairs) side. The fold is the same left-to-right
     aggregate over the same array, so the result is bit-identical to the
-    per-pair form (no oracle drift); measured 1.74→0.9s at sf0.1."""
+    per-pair form (no oracle drift); measured 1.74→0.9s at sf0.1.
+
+    Negative result (r9): replacing the fold with a flat 64-term getItem
+    multiply-add chain (functions/vectors.dot_fixed — bit-identical by
+    test) measured 0.85→4.4 s warm HERE, despite beating the fold ~2× in
+    an isolated sum over the same join (0.032 vs 0.052 s) — the huge
+    single expression inside the fused join+filter+project stage defeats
+    JIT/codegen locality that the isolated aggregate shape preserves.
+    The interpreted HOF fold stays."""
     from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
 
     emb = (
@@ -3156,7 +3183,18 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors costs more than the fold it replaces (opposite trade from
     simhash, whose kernel input is one array per ROW). Carrying vectors
     through the bucket lists instead of joining back measured 3.83 s —
-    collect_list over embedding-width structs swamps the join savings."""
+    collect_list over embedding-width structs swamps the join savings.
+
+    Third negative result (r9, closing the verify-floor question): a flat
+    codegen'd 64-term getItem multiply-add chain in place of the
+    interpreted fold (functions/vectors.dot_fixed, bit-identical by test)
+    measured ~2× FASTER in an isolated sum over the pair join (0.032 vs
+    0.052 s warm) but 5× SLOWER inside this query's fused
+    join+filter+project+sort shape (4.4 vs 0.85 s warm on the sibling
+    embedding_neardup_pairs; same blowup here) — the huge single
+    expression destroys the fused stage's JIT behavior. With Arrow
+    transfer (r7), vector-carry (r8), and flat-codegen (r9) all measured
+    losers, the ~1.0 s interpreted-HOF verify is the documented floor."""
     from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
     from zarr_climate_etl_ipfs_spark.operators.similarity import (
         rademacher_planes,
