@@ -161,12 +161,18 @@ def run_stream(spark, src: Path, op_name: str, build_op, ckpt_root: Path) -> dic
     }
 
 
-def main() -> None:
-    n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    rows_per_key = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    _shim_protobuf()
+#: op registry: name -> (builder factory, fresh_keys). The builder factory
+#: is resolved inside the per-op subprocess.
+OP_NAMES = [
+    "zscore_exact_v1",
+    "running_extremes_v1",
+    "running_extremes_v2_rocksdb",
+    "dedup_within_watermark",
+]
 
-    from pyspark.sql import SparkSession
+
+def _resolve_op(name: str):
+    from pyspark.sql import functions as F
 
     from zarr_climate_etl_ipfs_spark.streaming.incremental import (
         running_extremes,
@@ -175,48 +181,19 @@ def main() -> None:
         zscore_anomalies_exact,
     )
 
-    def fresh_session():
-        # one JVM per op: a long RocksDB/TWS run measurably contaminates the
-        # NEXT query's per-batch latency in the same JVM (measured: the
-        # dedup op at 3.4 s/batch after a 250 s TWS run vs 0.6 s/batch in a
-        # fresh session) — per-op isolation keeps every row attributable
+    if name == "zscore_exact_v1":
+        return zscore_anomalies_exact, False
+    if name == "running_extremes_v1":
+        return running_extremes, False
+    if name == "running_extremes_v2_rocksdb":
+        return running_extremes_v2, False
+    if name == "dedup_within_watermark":
+        # watermark eviction corpus: fresh keys every batch, 1-hour
+        # event-time advance per batch against a 2-hour watermark → only a
+        # watermark-horizon's worth of keys may legally stay in state.
+        # watermarks require TIMESTAMP (tz-adjusted), not the parquet NTZ
+        # read type; the session TZ is pinned UTC so the cast is value-exact
         return (
-            SparkSession.builder.master("local[32]")
-            .appName("streaming_bench")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.ui.enabled", "false")
-            .config(
-                "spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider",
-            )
-            .getOrCreate()
-        )
-
-    try:
-        import google.protobuf  # noqa: F401
-
-        have_v2 = True
-    except ImportError:
-        have_v2 = False
-
-    ops = [
-        ("zscore_exact_v1", zscore_anomalies_exact, False),
-        ("running_extremes_v1", running_extremes, False),
-    ]
-    if have_v2:
-        ops.append(("running_extremes_v2_rocksdb", running_extremes_v2, False))
-    # watermark eviction corpus: fresh keys every batch, 1-hour event-time
-    # advance per batch against a 2-hour watermark → only ~3 batches of
-    # keys may legally be retained in state at any time
-    from pyspark.sql import functions as F
-
-    # watermarks require TIMESTAMP (tz-adjusted), not the parquet NTZ read
-    # type; session TZ is pinned UTC so the cast is value-neutral
-    ops.append(
-        (
-            "dedup_within_watermark",
             lambda s: stream_dedup(
                 s.withColumn("ts", F.col("ts").cast("timestamp")),
                 ["event_id"],
@@ -225,24 +202,80 @@ def main() -> None:
             ),
             True,
         )
+    raise SystemExit(f"unknown op {name!r}")
+
+
+def _run_one_op(name: str, n_keys: int, rows_per_key: int) -> None:
+    """Subprocess entry: run BOTH scales for one op in this process's own
+    JVM and print one JSON line per scale. Process-per-op isolation is
+    load-bearing: SparkSession.stop()+getOrCreate() reuses the py4j JVM,
+    and a long RocksDB/TWS run measurably contaminates the next query's
+    per-batch latency in that JVM (measured: the dedup op at 3.4-3.9
+    s/batch after a 250 s TWS run vs 0.6 s/batch in a fresh process)."""
+    _shim_protobuf()
+    from pyspark.sql import SparkSession
+
+    build, fresh = _resolve_op(name)
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("streaming_bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .getOrCreate()
     )
+    spark.sparkContext.setLogLevel("ERROR")
+    for n_batches in SCALES:
+        src = build_drops(n_batches, n_keys, rows_per_key, fresh)
+        r = run_stream(spark, src, name, build, WORK / "ckpt")
+        r["scale_batches"] = n_batches
+        # the dedup op keys state on event_id — one distinct key per ROW
+        # of the fresh corpus; the keyed ops key on the fixed user pool
+        r["keys_seen"] = n_keys * rows_per_key * n_batches if fresh else n_keys
+        print(json.dumps(r), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    argv = [a for a in sys.argv[1:]]
+    if argv and argv[0] == "--run-op":
+        _run_one_op(argv[1], int(argv[2]), int(argv[3]))
+        return
+    n_keys = int(argv[0]) if argv else 200
+    rows_per_key = int(argv[1]) if len(argv) > 1 else 20
+    _shim_protobuf()
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_v2 = True
+    except ImportError:
+        have_v2 = False
+
+    import subprocess
 
     results: list[dict] = []
-    for name, build, fresh in ops:
-        spark = fresh_session()
-        spark.sparkContext.setLogLevel("ERROR")
-        for n_batches in SCALES:
-            src = build_drops(n_batches, n_keys, rows_per_key, fresh)
-            r = run_stream(spark, src, name, build, WORK / "ckpt")
-            r["scale_batches"] = n_batches
-            # the dedup op keys state on event_id — one distinct key per ROW
-            # of the fresh corpus; the keyed ops key on the fixed user pool
-            r["keys_seen"] = (
-                n_keys * rows_per_key * n_batches if fresh else n_keys
-            )
-            print(json.dumps(r))
-            results.append(r)
-        spark.stop()
+    for name in OP_NAMES:
+        if name == "running_extremes_v2_rocksdb" and not have_v2:
+            continue
+        proc = subprocess.run(
+            [sys.executable, __file__, "--run-op", name, str(n_keys), str(rows_per_key)],
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        if proc.returncode != 0:
+            print(f"op {name} FAILED:\n{proc.stderr[-2000:]}", file=sys.stderr)
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                r = json.loads(line)
+                print(json.dumps(r))
+                results.append(r)
 
     by_op: dict[str, list[dict]] = {}
     for r in results:
@@ -278,8 +311,9 @@ def main() -> None:
         "with the stream, state rows must NOT — eviction, not accumulation,",
         "is the pass criterion. One parquet drop per micro-batch",
         "(maxFilesPerTrigger=1, AvailableNow), local[32], RocksDB provider,",
-        "one fresh JVM per op (a long TWS run measurably slows the next",
-        "query's batches in a shared JVM). Reproduce:",
+        "one PROCESS per op (stop()+getOrCreate() reuses the py4j JVM, and",
+        "a long TWS run measurably slows the next query's batches there —",
+        "0.6 vs 3.9 s/batch for the same dedup stream). Reproduce:",
         "`python tools/streaming_bench.py`.",
         "",
         *table,
