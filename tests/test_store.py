@@ -149,7 +149,7 @@ def test_vacuum_reclaims_old_files(store, spark, desc):
     update = spark.createDataFrame(_tall([t], seed=5), schema=desc.schema())
     store.update(update)
     n_before = sum(1 for _ in store.data_path.rglob("*.parquet"))
-    removed = store.vacuum()
+    removed = store.vacuum(retention=dt.timedelta(0))  # single-writer test
     n_after = sum(1 for _ in store.data_path.rglob("*.parquet"))
     assert removed > 0 and n_after == n_before - removed
     # latest still fully readable, exactly one manifest left
@@ -231,7 +231,7 @@ def test_compact_consolidates_buckets(store, spark, desc):
     # idempotent: nothing crowded now
     assert store.compact(max_files_per_bucket=1) == {}
     # vacuum reclaims the replaced small files
-    assert store.vacuum() > 0
+    assert store.vacuum(retention=dt.timedelta(0)) > 0
     assert store.dataset().count() == rows_before
 
 
@@ -323,3 +323,37 @@ def test_two_writer_race_no_lost_update(store, spark, desc):
         assert not (set(daily("2022-02-01", 3)) & times)
     if "b" in errs:
         assert not (set(daily("2022-02-04", 3)) & times)
+
+
+def test_vacuum_retention_protects_inflight_writer(store, spark, desc):
+    """The Delta-style retention window: files a concurrent writer staged
+    into the live partition dirs but has not yet committed are younger
+    than any sane retention, so vacuum must NOT delete them — an
+    unwindowed vacuum racing a writer destroys its staged files and the
+    writer's subsequent commit points at nothing."""
+    # create an unreferenced file the way a racing writer would: staged
+    # into a live partition dir, no manifest entry yet
+    update = spark.createDataFrame(_tall(daily("2022-03-01", 2), seed=31), schema=desc.schema())
+    staged = store._stage_files(update)
+    assert staged  # present on disk, referenced by no manifest
+    removed = store.vacuum()  # default retention
+    for rel in staged:
+        assert (store.data_path / rel).exists(), rel
+    assert removed == 0
+    # the "writer" now commits them — the table must read cleanly
+    m = store.manifest()
+    store._commit("append", m["files"] + staged, update, base_version=m["version"])
+    store.verify_integrity()
+    # with retention waived (single-writer), nothing is live-unreferenced
+    assert store.vacuum(retention=dt.timedelta(0)) == 0
+
+
+def test_vacuum_retention_keeps_young_old_versions_travelable(store, spark, desc):
+    """Old versions whose files all survive the retention window stay
+    time-travelable; vacuum only retires manifests whose files are gone."""
+    v1_rows = store.dataset().count()
+    upd = spark.createDataFrame(_tall(daily("2022-04-01", 2), seed=33), schema=desc.schema())
+    store.append(upd)
+    assert store.vacuum() == 0  # everything younger than the window
+    assert [e["version"] for e in store.versions()] == [1, 2]
+    assert store.dataset(version=1).count() == v1_rows  # still readable

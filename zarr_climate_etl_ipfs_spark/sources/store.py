@@ -442,23 +442,43 @@ class GridStore:
         self._flag_update(False, append_only=False)
         return {b: len(fs) for b, fs in crowded.items()}
 
-    def vacuum(self) -> int:
-        """Delete data files referenced by no manifest ≤ current — after
-        which only the latest version is readable (Delta VACUUM analog).
-        Returns the number of files removed."""
+    def vacuum(self, retention: dt.timedelta = dt.timedelta(days=7)) -> int:
+        """Delete unreferenced data files older than ``retention`` — after
+        which only versions whose files all survive stay readable (Delta
+        VACUUM analog, including its retention window). Returns the number
+        of files removed.
+
+        The retention window is concurrency protection, not a convenience:
+        a concurrent writer moves its data files into the live partition
+        dirs BEFORE its manifest commit (see :meth:`_stage_files`), so an
+        unwindowed vacuum racing that writer would delete its staged-but-
+        uncommitted files and leave the subsequent commit pointing at
+        nothing — silent data loss with every gate green. Files younger
+        than the window are never touched, exactly like Delta's
+        ``deletedFileRetentionDuration``. Pass ``timedelta(0)`` only when
+        single-writer operation is guaranteed (tests, offline compaction).
+        """
+        cutoff = dt.datetime.now().timestamp() - retention.total_seconds()
         live = set(self.manifest()["files"])
         removed = 0
         for part_dir in self.data_path.glob(f"{_BUCKET_COL}=*"):
             for f in part_dir.glob("*.parquet"):
                 rel = f"{part_dir.name}/{f.name}"
-                if rel not in live:
+                if rel not in live and f.stat().st_mtime <= cutoff:
                     f.unlink()
                     removed += 1
             if not any(part_dir.iterdir()):
                 part_dir.rmdir()
-        # retire older manifests — they may now reference deleted files
-        for p in self.manifest_path.glob("v*.json"):
-            if int(p.stem[1:]) < self.current_version():
+        # retire manifests that now reference deleted files; keep any old
+        # version whose file set fully survived the retention window (it
+        # stays time-travelable until its files age out)
+        cur = self.current_version()
+        for p in sorted(self.manifest_path.glob("v*.json")):
+            v = int(p.stem[1:])
+            if v >= cur:
+                continue
+            m = json.loads(p.read_text())
+            if any(not (self.data_path / f).exists() for f in m["files"]):
                 p.unlink()
         return removed
 
