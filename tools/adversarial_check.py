@@ -19,8 +19,11 @@ tools/check.py. A query family that implicitly assumes "no empty docs" or
 "dates never land on the filter edge" fails here even though every sf
 attestation stays green.
 
-Usage: python tools/adversarial_check.py [query ...]
-Exit 0 only if every checked query matches.
+Usage: python tools/adversarial_check.py [--corpus edge|minimal|empty] [query ...]
+``--corpus minimal`` truncates every table to one row (single-element
+groups/windows, empty joins); ``--corpus empty`` to zero rows (empty scans,
+empty streams, global aggs over nothing) — the degenerate cardinalities any
+100 TB filter can produce. Exit 0 only if every checked query matches.
 """
 
 from __future__ import annotations
@@ -257,6 +260,28 @@ _TPCH_EDGES = {
 }
 
 
+def build_minimal_corpus(n_rows: int) -> Path:
+    """Degenerate-cardinality corpus: every table truncated to ``n_rows``
+    (0 = empty) with the base tables' exact physical schema. Probes the
+    class the edge corpus can't: empty groups, empty joins, empty streams,
+    single-element windows/percentiles/top-k — at 100 TB any filter can
+    produce an empty or single-row partition, and both engines must agree
+    on what that yields (0 rows for grouped aggs, one NULL row for global
+    aggs, no crashes)."""
+    import pyarrow.parquet as papq
+
+    work = Path(f"/tmp/adversarial_corpus_min{n_rows}")
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    for t in TABLES:
+        src = BASE_SF / f"{t}.parquet"
+        if not src.exists():
+            continue
+        tbl = papq.read_table(src)
+        papq.write_table(tbl.slice(0, n_rows), work / f"{t}.parquet")
+    return work
+
+
 def build_corpus() -> Path:
     shutil.rmtree(WORK, ignore_errors=True)
     WORK.mkdir(parents=True)
@@ -331,8 +356,21 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    mode = "edge"
+    if "--corpus" in argv:
+        i = argv.index("--corpus")
+        mode = argv[i + 1]
+        del argv[i : i + 2]
     only = set(argv)
-    corpus = build_corpus()
+    if mode == "edge":
+        corpus = build_corpus()
+    elif mode == "minimal":
+        corpus = build_minimal_corpus(1)
+    elif mode == "empty":
+        corpus = build_minimal_corpus(0)
+    else:
+        print(f"ERROR: unknown --corpus {mode!r} (edge|minimal|empty)")
+        return 1
 
     from pyspark.sql import SparkSession
 
@@ -412,12 +450,19 @@ def main() -> int:
         import json as _json
 
         payload = {
-            "corpus": "sf0.001 base + edge documents (empty/whitespace/unicode/"
-            "punctuation/digits) + edge embeddings (zero-norm/duplicate/"
-            "constant/planted near-dup) + edge events (ts ties/IEEE specials/"
-            "bad JSON/dup ids/epoch extremes) + edge TPC-H (filter-boundary "
-            "timestamps/sort ties/quantity-discount-price extremes/orphan "
-            "FKs/dup line numbers/unseen enums)",
+            "mode": mode,
+            "corpus": {
+                "edge": "sf0.001 base + edge documents (empty/whitespace/"
+                "unicode/punctuation/digits) + edge embeddings (zero-norm/"
+                "duplicate/constant/planted near-dup) + edge events (ts ties/"
+                "IEEE specials/bad JSON/dup ids/epoch extremes) + edge TPC-H "
+                "(filter-boundary timestamps/sort ties/quantity-discount-"
+                "price extremes/orphan FKs/dup line numbers/unseen enums)",
+                "minimal": "every table truncated to ONE row — single-element "
+                "groups/windows/percentiles, empty joins after filters",
+                "empty": "every table truncated to ZERO rows — empty scans, "
+                "empty streams, global aggs over nothing",
+            }[mode],
             "n_queries": len(names),
             "n_ok": len(names) - len(failures),
             "n_fail": len(failures),

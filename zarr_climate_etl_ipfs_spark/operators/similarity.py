@@ -505,6 +505,13 @@ def ivf_index(
             .collect()
         )
         centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+        if not centroids:
+            # empty input: nothing to train — return the (empty) frame with
+            # the assigned-schema cell column so downstream probe joins are
+            # empty rather than a driver-side numpy crash on a (0,) matrix
+            # (empty-corpus gate catch, r9)
+            return candidates.withColumn("cell", F.lit(None).cast("int")), []
+
         def _cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             return pd.DataFrame(
@@ -598,6 +605,18 @@ def ivf_topk(
     broadcast semi-join on the tiny (query, cell) relation, so the big side
     is one pruned scan — the same shape FAISS IVF gives on a single node.
     """
+    if not centroids:
+        # an index over an empty corpus has no cells: every search returns
+        # empty, with the output schema intact (the probe-cell expression
+        # would otherwise be a zero-element array of VOID type and fail
+        # analysis — empty-corpus gate catch, r9)
+        return (
+            query.select(query_id_col)
+            .limit(0)
+            .crossJoin(assigned.select(id_col).limit(0))
+            .withColumn("cosine", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+        )
     probed = assign_probe_cells(query, centroids, n_probe, vec_col, query_id_col)
     # Norm hoisting: ‖v‖ once per candidate row and ‖q‖ once per probe row
     # BEFORE the join — cosine on the O(candidates × probes) side is then a

@@ -697,6 +697,11 @@ def next_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         days.agg(F.max("day").alias("last_day"))
+        # empty table → no last day → NO next date (0 rows, matching the
+        # oracle's GROUP BY over the empty cross product); without the
+        # filter Spark's global agg emits one all-NULL row. d is never
+        # NULL when any day exists (a single day gives d=0).
+        .filter(F.col("last_day").isNotNull())
         .crossJoin(first_two)
         .select(F.date_add(F.col("last_day"), F.col("d")).alias("next_expected_day"))
     )
@@ -2123,6 +2128,11 @@ def climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    -- pinned contract: an EMPTY relation emits NO grouping-set rows
+    -- (Spark's cube/rollup semantics); the SQL standard's () set would
+    -- emit one global row over empty input, which DuckDB follows — the
+    -- HAVING only bites there (every real grand total has COUNT > 0)
+    HAVING COUNT(*) > 0
     ORDER BY status NULLS FIRST, priority NULLS FIRST
     """,
 )
@@ -5065,8 +5075,10 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 3, 'purchase_after_click', COUNT(*) FROM purc
     )
     SELECT stage_no, stage, n_users,
-           n_users / CAST(FIRST_VALUE(n_users)
-                          OVER (ORDER BY stage_no) AS DOUBLE) AS frac_of_top
+           -- NULLIF: an empty funnel top yields NULL fractions on both
+           -- engines (Spark try_divide) instead of a 0/0 ANSI error
+           n_users / CAST(NULLIF(FIRST_VALUE(n_users)
+                                 OVER (ORDER BY stage_no), 0) AS DOUBLE) AS frac_of_top
     FROM counts ORDER BY stage_no
     """,
 )
@@ -5124,7 +5136,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn(
             "frac_of_top",
-            F.col("n_users") / F.first("n_users").over(top).cast("double"),
+            # try_divide: an empty funnel top (0 signups after a filter)
+            # must yield NULL fractions, not a 0/0 ANSI crash — the
+            # minimal-corpus gate's catch (r9)
+            F.try_divide(
+                F.col("n_users"), F.first("n_users").over(top).cast("double")
+            ),
         )
         .orderBy("stage_no")
     )
@@ -5773,6 +5790,10 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name, YEAR(o_orderdate))
+    -- pinned contract: an EMPTY relation emits NO grouping-set rows
+    -- (Spark semantics; DuckDB would emit the standard's () row) — the
+    -- HAVING only bites on empty input, every real subtotal has COUNT > 0
+    HAVING COUNT(*) > 0
     ORDER BY region, nation, o_year
     """,
 )
