@@ -69,3 +69,32 @@ def test_adversarial_subset_matches_oracle(spark, corpus, name):
     assert len(srows) == len(orows), name
     sc = canon_rows(sdf.columns, [[r[c] for c in sdf.columns] for r in srows])
     assert sc == canon_rows(ocols, orows), name
+
+
+@pytest.mark.parametrize("n_rows", [0, 1])
+def test_degenerate_corpus_subset_matches_oracle(spark, n_rows):
+    """The minimal/empty corpus modes (every table truncated to one/zero
+    rows) must keep a representative subset engine-identical — pins the
+    empty-grouping-set, empty-funnel, and empty-index contracts fixed in
+    round 9."""
+    from tools.adversarial_check import build_minimal_corpus
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+    root = build_minimal_corpus(n_rows)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = root / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    for name in ("cube_revenue", "funnel_conversion", "next_date", "ivf_knn"):
+        qd = REGISTRY[name]
+        sdf = qd.fn(spark, str(root))
+        srows = sdf.collect()
+        res = con.execute(qd.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert len(srows) == len(orows), (name, len(srows), len(orows))
+        sc = canon_rows(sdf.columns, [[r[c] for c in sdf.columns] for r in srows])
+        assert sc == canon_rows(ocols, orows), name
+    con.close()
