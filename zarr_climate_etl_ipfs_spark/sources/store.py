@@ -328,19 +328,44 @@ class GridStore:
             return
         self.meta_path.mkdir(parents=True, exist_ok=True)
         self._flag_update(True, append_only=False)
-        files = self._stage_files(df)
-        self._commit("initial", files, df)
-        self._flag_update(False, append_only=False)
+        try:
+            files = self._stage_files(df)
+            self._commit("initial", files, df)
+        finally:
+            # the in-progress flag must clear even on a failed write —
+            # a stuck True would wedge every later update's guard
+            self._flag_update(False, append_only=False)
 
-    def append(self, df: DataFrame, dry_run: bool = False) -> None:
-        """S14: extend along the time dim (update_is_append_only=True)."""
+    def append(self, df: DataFrame, dry_run: bool = False, max_retries: int = 3) -> None:
+        """S14: extend along the time dim (update_is_append_only=True).
+
+        Commit conflicts auto-resolve, Delta-style: an append's staged
+        files stay valid whatever a concurrent writer committed, so losing
+        the version race just means re-reading the latest manifest and
+        recombining — the data files are NOT restaged. (An :meth:`insert`
+        can't do this: its rewritten buckets were computed against the
+        snapshot it read, so a racing commit is a true conflict there.)
+        Raises the final commit-conflict StoreError after ``max_retries``
+        losses — pathological contention should be visible, not looped on
+        forever."""
         if dry_run:
             return
         self._flag_update(True, append_only=True)
-        m = self.manifest()
-        files = self._stage_files(df)
-        self._commit("append", m["files"] + files, df, base_version=m["version"])
-        self._flag_update(False, append_only=True)
+        try:
+            m = self.manifest()
+            files = self._stage_files(df)
+            for attempt in range(max_retries + 1):
+                try:
+                    self._commit(
+                        "append", m["files"] + files, df, base_version=m["version"]
+                    )
+                    break
+                except StoreError:
+                    if attempt == max_retries:
+                        raise
+                    m = self.manifest()  # re-read the winner's file list
+        finally:
+            self._flag_update(False, append_only=True)
 
     def insert(self, df: DataFrame, dry_run: bool = False) -> None:
         """S15: overwrite existing time steps in place — only the buckets
@@ -359,20 +384,25 @@ class GridStore:
             str(self.data_path / f) for f in prev if _bucket_of(f) in touched
         ]
         self._flag_update(True, append_only=False)
-        if touched_paths:
-            existing = self.spark.read.option("basePath", str(self.data_path)).parquet(
-                *touched_paths
-            )
-            keep = existing.join(F.broadcast(replaced_times), td, "left_anti").drop(
-                _BUCKET_COL
-            )
-            combined = keep.unionByName(df.select(*self.desc.schema().fieldNames()))
-        else:
-            combined = df.select(*self.desc.schema().fieldNames())
-        files = self._stage_files(combined)
-        untouched = [f for f in prev if _bucket_of(f) not in touched]
-        self._commit("insert", untouched + files, df, base_version=m["version"])
-        self._flag_update(False, append_only=False)
+        try:
+            if touched_paths:
+                existing = self.spark.read.option(
+                    "basePath", str(self.data_path)
+                ).parquet(*touched_paths)
+                keep = existing.join(F.broadcast(replaced_times), td, "left_anti").drop(
+                    _BUCKET_COL
+                )
+                combined = keep.unionByName(df.select(*self.desc.schema().fieldNames()))
+            else:
+                combined = df.select(*self.desc.schema().fieldNames())
+            files = self._stage_files(combined)
+            untouched = [f for f in prev if _bucket_of(f) not in touched]
+            # no conflict retry here: the rewritten buckets were computed
+            # against the snapshot this insert READ — a racing commit is a
+            # true conflict the caller must re-plan against (Delta parity)
+            self._commit("insert", untouched + files, df, base_version=m["version"])
+        finally:
+            self._flag_update(False, append_only=False)
 
     def update(self, df: DataFrame, dry_run: bool = False) -> dict[str, int]:
         """The parse orchestration (publish.py:265-397 ``update_zarr``):
@@ -434,12 +464,15 @@ class GridStore:
         paths = [str(self.data_path / f) for fs in crowded.values() for f in fs]
         df = self.spark.read.option("basePath", str(self.data_path)).parquet(*paths)
         self._flag_update(True, append_only=False)
-        new_files = self._stage_files(df)
-        keep = [f for f in prev if _bucket_of(f) not in crowded]
-        self._commit(
-            "compact", keep + new_files, df, update_props=False, base_version=m["version"]
-        )
-        self._flag_update(False, append_only=False)
+        try:
+            new_files = self._stage_files(df)
+            keep = [f for f in prev if _bucket_of(f) not in crowded]
+            self._commit(
+                "compact", keep + new_files, df, update_props=False,
+                base_version=m["version"],
+            )
+        finally:
+            self._flag_update(False, append_only=False)
         return {b: len(fs) for b, fs in crowded.items()}
 
     def vacuum(self, retention: dt.timedelta = dt.timedelta(days=7)) -> int:
