@@ -3414,10 +3414,18 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through one explode + broadcast-hash semi-join + partial agg.
     No shuffle of the train grams beyond the final per-doc count; eval
     membership is a broadcast anti-join."""
-    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int, shingles
+    from zarr_climate_etl_ipfs_spark.operators.dedup import (
+        md5int,
+        shingles_from_words,
+        words,
+    )
 
     d = t_wide(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles("text", 3).alias("grams"))
+    # materialized word array — not shingles(text): the embedded form
+    # re-runs the regex split per shingle position (see repetition_ratio)
+    sh = d.select("doc_id", words("text").alias("ws")).select(
+        "doc_id", shingles_from_words("ws", 3).alias("grams")
+    )
     # explode_outer + IS NOT NULL, not explode: avoids the inferred
     # size(grams) > 0 filter that would inline the shingle subtree into the
     # scan stage (see the scale note above the dedup family)
@@ -3651,12 +3659,18 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-tokenized column — no explode, no join, no shuffle except
     the top-k; at 100 TB it is a single codegen'd map over the scan with
     a TakeOrderedAndProject on top."""
-    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles
+    from zarr_climate_etl_ipfs_spark.operators.dedup import shingles_from_words, words
 
     d = t(spark, sf_dir, "documents")
-    g = d.select("doc_id", shingles("text", 3, distinct=False).alias("grams")).filter(
-        F.size("grams") > 0
-    )
+    # materialize the word array in its own Project: embedding words(text)
+    # inside the shingle lambda re-runs the regex split once per shingle
+    # POSITION (O(words²) regex work per doc — the trap shingles' own
+    # docstring names). Measured at sf0.1: 6.0 → 3.15 s, value-identical;
+    # CollapseProject leaves the multi-referenced alias un-inlined.
+    w = d.select("doc_id", words("text").alias("ws"))
+    g = w.select(
+        "doc_id", shingles_from_words("ws", 3, distinct=False).alias("grams")
+    ).filter(F.size("grams") > 0)
     n = F.size("grams")
     nd = F.size(F.array_distinct("grams"))
     return (
