@@ -4058,14 +4058,19 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     input size."""
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
-    d = t_wide(spark, sf_dir, "documents")
-    ws = words(F.col("text"))
+    # materialized word array, not an inline words(text) expression: the
+    # inline form re-runs the regex split once per CHUNK position inside
+    # the transform lambda (the repetition_ratio trap, r9)
+    dw = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words(F.col("text")).alias("ws")
+    )
+    ws = F.col("ws")
     n_chunk = F.ceil(F.size(ws) / F.lit(12.0)).cast("int")
     chunk_arr = F.when(F.size(ws) > 0, F.transform(
         F.sequence(F.lit(0), n_chunk - 1),
         lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i * 12 + 1, 12))),
     )).otherwise(F.array().cast("array<string>"))
-    chunks = d.select(
+    chunks = dw.select(
         "doc_id", "lang", F.explode_outer(chunk_arr).alias("ch")
     ).filter(F.col("ch").isNotNull())
     occ = chunks.withColumn("n_occ", F.count("*").over(Window.partitionBy("ch")))
