@@ -1,0 +1,372 @@
+"""Zarr v2 store reader/writer (sources/zarr2.py) — the reference's native
+format (utils/publish.py write_initial_zarr / utils/store.py mappers),
+implemented from the public Zarr v2 spec with stdlib + numpy."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zarr_climate_etl_ipfs_spark.sources import encryption
+from zarr_climate_etl_ipfs_spark.sources import zarr2 as z
+
+
+# ---------------------------------------------------------------------------
+# local (driver-side) round-trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "dtype",
+    ["<f4", "<f8", "<i2", "<i4", "<i8", ">f8", ">i4", "|b1", "<M8[ns]"],
+)
+def test_local_roundtrip_dtypes(tmp_path, dtype):
+    store = str(tmp_path / "s")
+    dt = np.dtype(dtype)
+    if dt.kind == "M":
+        arr = np.arange(30, dtype="<i8").reshape(5, 6).astype("<M8[D]").astype(dt)
+    elif dt.kind == "b":
+        arr = (np.arange(30).reshape(5, 6) % 3 == 0)
+    else:
+        arr = np.arange(30, dtype=dt).reshape(5, 6)
+    z.write_zarr_array_local(store, "v", arr, chunks=(2, 4))
+    back = z.read_zarr_array_local(store, "v")
+    assert back.dtype == dt
+    assert (back == arr).all()
+
+
+@pytest.mark.parametrize(
+    "compressor",
+    [
+        None,
+        {"id": "zlib", "level": 6},
+        {"id": "gzip", "level": 1},
+        {"id": "bz2", "level": 9},
+        {"id": "lzma"},
+    ],
+)
+def test_local_roundtrip_compressors(tmp_path, compressor):
+    store = str(tmp_path / "s")
+    arr = np.linspace(0, 1, 97, dtype="<f8")  # prime length → edge chunk
+    z.write_zarr_array_local(store, "v", arr, chunks=(16,), compressor=compressor)
+    zarray = json.loads((tmp_path / "s" / "v" / ".zarray").read_text())
+    assert zarray["compressor"] == compressor
+    assert (z.read_zarr_array_local(store, "v") == arr).all()
+
+
+@pytest.mark.parametrize("order", ["C", "F"])
+@pytest.mark.parametrize("separator", [".", "/"])
+def test_local_order_and_separator(tmp_path, order, separator):
+    store = str(tmp_path / "s")
+    arr = np.arange(24, dtype="<i4").reshape(4, 6)
+    z.write_zarr_array_local(
+        store, "v", arr, chunks=(3, 4), order=order, separator=separator
+    )
+    key0 = "0.0" if separator == "." else os.path.join("0", "0")
+    assert (tmp_path / "s" / "v" / key0).exists()
+    assert (z.read_zarr_array_local(store, "v") == arr).all()
+
+
+def test_missing_chunk_reads_as_fill(tmp_path):
+    store = str(tmp_path / "s")
+    arr = np.arange(16, dtype="<f4").reshape(4, 4)
+    z.write_zarr_array_local(store, "v", arr, chunks=(2, 2), fill_value=np.nan)
+    os.remove(tmp_path / "s" / "v" / "1.1")
+    back = z.read_zarr_array_local(store, "v")
+    assert np.isnan(back[2:, 2:]).all()
+    assert (back[:2] == arr[:2]).all()
+
+
+def test_fill_value_json_specials():
+    dt = np.dtype("<f8")
+    assert np.isnan(z.parse_fill("NaN", dt))
+    assert z.parse_fill("Infinity", dt) == np.inf
+    assert z.parse_fill("-Infinity", dt) == -np.inf
+    assert z.encode_fill(np.float64("nan"), dt) == "NaN"
+    assert z.encode_fill(np.float64("-inf"), dt) == "-Infinity"
+    assert z.parse_fill(None, dt) is None
+
+
+def test_delta_filter_roundtrip(tmp_path):
+    store = str(tmp_path / "s")
+    arr = np.cumsum(np.random.default_rng(7).integers(0, 9, 200)).astype("<i8")
+    z.write_zarr_array_local(
+        store, "v", arr, chunks=(64,), filters=[{"id": "delta", "dtype": "<i8"}]
+    )
+    assert (z.read_zarr_array_local(store, "v") == arr).all()
+
+
+def test_fixedscaleoffset_filter_roundtrip(tmp_path):
+    store = str(tmp_path / "s")
+    # values exactly representable at scale=100 → decode is exact
+    arr = (np.arange(50, dtype="<f8") * 7 % 90) / 100.0 + 1000.0
+    filt = {
+        "id": "fixedscaleoffset",
+        "offset": 1000.0,
+        "scale": 100.0,
+        "dtype": "<f8",
+        "astype": "<i2",
+    }
+    z.write_zarr_array_local(store, "v", arr, chunks=(32,), filters=[filt])
+    back = z.read_zarr_array_local(store, "v")
+    assert np.allclose(back, arr, atol=1e-12)
+
+
+@pytest.mark.parametrize("cid", ["blosc", "zstd", "lz4"])
+def test_compiled_codecs_raise_named_seam(cid):
+    meta = z.ArrayMeta("v", (1,), (1,), "<f4", compressor={"id": cid})
+    with pytest.raises(z.ZarrError, match=cid):
+        z.decode_chunk(b"\x00\x00\x00\x00", meta)
+
+
+def test_unknown_codec_and_filter_raise():
+    with pytest.raises(z.ZarrError, match="unknown compressor"):
+        z.decode_chunk(b"", z.ArrayMeta("v", (1,), (1,), "<f4", compressor={"id": "nope"}))
+    with pytest.raises(z.ZarrError, match="unknown filter"):
+        z.encode_chunk(
+            np.zeros(1, "<f4"),
+            z.ArrayMeta("v", (1,), (1,), "<f4", filters=[{"id": "nope"}]),
+        )
+
+
+def test_encrypted_chunks_roundtrip_reference_config(tmp_path):
+    """The reference's EncryptionFilter config (encryption.py:96-99:
+    codec_id 'xchacha20poly1305', key looked up by SHA3-256 hash) decodes
+    through our parity codec — an encrypted published store is readable."""
+    key = bytes(range(32))
+    kh = encryption.register_key(key)
+    store = str(tmp_path / "s")
+    arr = np.arange(40, dtype="<f8")
+    filt = {"id": "xchacha20poly1305", "key_hash": kh}
+    z.write_zarr_array_local(
+        store, "v", arr, chunks=(16,), compressor=None, filters=[filt]
+    )
+    raw = (tmp_path / "s" / "v" / "0").read_bytes()
+    assert raw[:24] != arr[:3].tobytes()  # ciphertext, not plaintext
+    assert (z.read_zarr_array_local(store, "v") == arr).all()
+    # chunks decrypt one-off through the reference blob layout too
+    meta = z.open_group(store)["v"]
+    plain = encryption.xdecrypt_bytes(raw, key)
+    assert np.frombuffer(plain, "<f8")[0] == 0.0
+    assert meta.filters == [filt]
+
+
+def test_encrypted_chunk_missing_key_raises(tmp_path):
+    store = str(tmp_path / "s")
+    key = os.urandom(32)
+    kh = encryption.register_key(key)
+    z.write_zarr_array_local(
+        store,
+        "v",
+        np.zeros(4, "<f4"),
+        filters=[{"id": "xchacha20poly1305", "key_hash": kh}],
+    )
+    # simulate a fresh process with an empty registry entry for this hash
+    meta = z.open_group(store)["v"]
+    meta.filters = [{"id": "xchacha20poly1305", "key_hash": "0" * 64}]
+    with open(tmp_path / "s" / "v" / "0", "rb") as f:
+        with pytest.raises(encryption.EncryptionError):
+            z.decode_chunk(f.read(), meta)
+
+
+def test_consolidated_metadata_fast_path_and_fallback(tmp_path):
+    store = str(tmp_path / "s")
+    z.write_zarr_array_local(store, "a", np.arange(4, dtype="<i4"))
+    z.write_zarr_array_local(store, "b", np.arange(6, dtype="<f8"))
+    z.consolidate_metadata(store)
+    metas = z.open_group(store)
+    assert set(metas) == {"a", "b"}
+    # corrupt consolidation → the walk fallback still finds the arrays
+    (tmp_path / "s" / ".zmetadata").write_text("{not json")
+    assert set(z.open_group(store)) == {"a", "b"}
+    # no arrays at all → explicit error
+    with pytest.raises(z.ZarrError, match="no Zarr v2 arrays"):
+        z.open_group(str(tmp_path / "empty"))
+
+
+# ---------------------------------------------------------------------------
+# distributed read
+# ---------------------------------------------------------------------------
+
+
+def _grid_store(tmp_path, fill=-999.0):
+    store = str(tmp_path / "grid")
+    times = np.array(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"],
+        dtype="M8[ns]",
+    )
+    lats = np.array([10.0, 20.0, 30.0])
+    vals = np.arange(15, dtype="<f8").reshape(5, 3)
+    vals[1, 1] = fill
+    z.write_zarr_array_local(store, "time", times, attrs={z.DIM_ATTR: ["time"]})
+    z.write_zarr_array_local(store, "lat", lats, attrs={z.DIM_ATTR: ["lat"]})
+    z.write_zarr_array_local(
+        store,
+        "pr",
+        vals,
+        chunks=(2, 2),
+        compressor={"id": "zlib", "level": 1},
+        attrs={z.DIM_ATTR: ["time", "lat"]},
+        fill_value=fill,
+    )
+    z.consolidate_metadata(store)
+    return store, times, lats, vals
+
+
+def test_read_tall_values_and_coords(spark, tmp_path):
+    store, times, lats, vals = _grid_store(tmp_path)
+    df = z.read_zarr_tall(spark, store)  # var auto-detected: pr
+    assert df.columns == ["time", "lat", "pr"]
+    rows = {(r["time"], r["lat"]): r["pr"] for r in df.collect()}
+    assert len(rows) == 15
+    for i, t in enumerate(pd.DatetimeIndex(times)):
+        for j, la in enumerate(lats):
+            assert rows[(t.to_pydatetime(), la)] == vals[i, j]
+
+
+def test_read_tall_mask_and_skip_fill(spark, tmp_path):
+    store, *_ = _grid_store(tmp_path)
+    masked = z.read_zarr_tall(spark, store, mask_fill=True)
+    assert masked.filter(F.col("pr").isNull()).count() == 1
+    skipped = z.read_zarr_tall(spark, store, skip_fill=True)
+    assert skipped.count() == 14
+    assert skipped.filter(F.col("pr") == -999.0).count() == 0
+
+
+def test_read_tall_absent_chunk_is_fill_block(spark, tmp_path):
+    store, *_ = _grid_store(tmp_path)
+    os.remove(os.path.join(store, "pr", "1.0"))  # disjoint from the fill cell
+    df = z.read_zarr_tall(spark, store, mask_fill=True)
+    assert df.count() == 15  # absent chunk emitted as fill → NULL
+    assert df.filter(F.col("pr").isNull()).count() == 5  # 2x2 block + masked cell
+    assert z.read_zarr_tall(spark, store, skip_fill=True).count() == 10
+
+
+def test_read_tall_bounds_prune_and_filter(spark, tmp_path):
+    store, times, lats, vals = _grid_store(tmp_path)
+    df = z.read_zarr_tall(
+        spark, store, bounds={"time": ("2024-01-02", "2024-01-03")}, skip_fill=True
+    )
+    rows = df.collect()
+    dates = {str(r["time"].date()) for r in rows}
+    assert dates == {"2024-01-02", "2024-01-03"}
+    assert len(rows) == 5  # 2 days × 3 lats − 1 fill cell
+    # boundary inclusivity on both ends
+    lo = z.read_zarr_tall(spark, store, bounds={"time": ("2024-01-01", "2024-01-01")})
+    assert lo.count() == 3
+    # out-of-range bounds prune every chunk
+    none = z.read_zarr_tall(spark, store, bounds={"time": ("2030-01-01", "2030-12-31")})
+    assert none.count() == 0
+
+
+def test_read_tall_positional_axis_when_no_coord_array(spark, tmp_path):
+    store = str(tmp_path / "s")
+    arr = np.arange(6, dtype="<i8").reshape(2, 3)
+    z.write_zarr_array_local(store, "v", arr, attrs={z.DIM_ATTR: ["row", "col"]})
+    df = z.read_zarr_tall(spark, store, var="v")
+    got = {(r["row"], r["col"]): r["v"] for r in df.collect()}
+    assert got[(0, 0)] == 0 and got[(1, 2)] == 5
+
+
+def test_read_tall_ambiguous_var_raises(spark, tmp_path):
+    store = str(tmp_path / "s")
+    z.write_zarr_array_local(store, "a", np.zeros((2, 2), "<f4"), attrs={z.DIM_ATTR: ["x", "y"]})
+    z.write_zarr_array_local(store, "b", np.zeros((2, 2), "<f4"), attrs={z.DIM_ATTR: ["x", "y"]})
+    with pytest.raises(z.ZarrError, match="ambiguous"):
+        z.read_zarr_tall(spark, store)
+
+
+# ---------------------------------------------------------------------------
+# distributed write
+# ---------------------------------------------------------------------------
+
+
+def _tall_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "t": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"] * 3),
+            "y": [0, 1, 2, 0, 1, 2],
+            "x": [5, 5, 5, 7, 7, 7],
+            "cents": np.array([10, 20, 30, 40, 50, 60], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_write_tall_roundtrip(spark, tmp_path):
+    sdf, pdf = _tall_df(spark)
+    store = str(tmp_path / "w")
+    summary = z.write_zarr_tall(
+        sdf, store, "cents", ["t", "y", "x"], (1, 2, 2), fill_value=-1
+    )
+    assert summary["cells"] == 6 and summary["shape"] == [2, 3, 2]
+    # store is spec-valid: consolidated, dims attr, coord arrays
+    metas = z.open_group(store)
+    assert set(metas) == {"cents", "t", "y", "x"}
+    assert metas["cents"].dims == ["t", "y", "x"]
+    assert (z.read_zarr_array_local(store, "x") == np.array([5, 7])).all()
+    back = z.read_zarr_tall(spark, store, "cents", skip_fill=True)
+    got = sorted((r["t"], r["y"], r["x"], r["cents"]) for r in back.collect())
+    want = sorted(
+        (t.to_pydatetime(), int(y), int(x), int(c))
+        for t, y, x, c in zip(pdf["t"], pdf["y"], pdf["x"], pdf["cents"])
+    )
+    assert got == want
+
+
+def test_write_tall_duplicate_cells_raise(spark, tmp_path):
+    sdf, pdf = _tall_df(spark)
+    dup = sdf.unionAll(sdf.limit(1))
+    store = str(tmp_path / "w")
+    with pytest.raises(Exception, match="duplicate cells"):
+        z.write_zarr_tall(dup, store, "cents", ["t", "y", "x"], (1, 2, 2))
+    # on_duplicates="any" keeps one arbitrary winner
+    shutil.rmtree(store, ignore_errors=True)
+    z.write_zarr_tall(
+        dup, store, "cents", ["t", "y", "x"], (1, 2, 2), on_duplicates="any"
+    )
+    assert z.read_zarr_tall(spark, store, "cents", skip_fill=True).count() == 6
+
+
+def test_write_tall_empty_input(spark, tmp_path):
+    sdf, _ = _tall_df(spark)
+    store = str(tmp_path / "w")
+    summary = z.write_zarr_tall(
+        sdf.filter(F.lit(False)), store, "cents", ["t", "y", "x"], (1, 2, 2)
+    )
+    assert summary == {"n_chunks": 0, "bytes": 0, "cells": 0, "shape": [0, 0, 0]}
+    assert z.read_zarr_tall(spark, store, "cents").count() == 0
+
+
+def test_write_tall_overwrite_guard(spark, tmp_path):
+    sdf, _ = _tall_df(spark)
+    store = str(tmp_path / "w")
+    z.write_zarr_tall(sdf, store, "cents", ["t", "y", "x"], (1, 2, 2))
+    with pytest.raises(z.ZarrError, match="overwrite"):
+        z.write_zarr_tall(sdf, store, "cents", ["t", "y", "x"], (1, 2, 2))
+    z.write_zarr_tall(sdf, store, "cents", ["t", "y", "x"], (2, 3, 2), overwrite=True)
+    assert z.open_group(store)["cents"].chunks == (2, 3, 2)
+
+
+def test_write_tall_float_with_filters(spark, tmp_path):
+    pdf = pd.DataFrame({"k": np.arange(10, dtype="int64"), "v": np.arange(10) / 4.0})
+    sdf = spark.createDataFrame(pdf)
+    store = str(tmp_path / "w")
+    z.write_zarr_tall(
+        sdf,
+        store,
+        "v",
+        ["k"],
+        (4,),
+        fill_value=np.nan,
+        compressor={"id": "bz2", "level": 1},
+    )
+    back = z.read_zarr_tall(spark, store, "v")
+    got = {r["k"]: r["v"] for r in back.collect()}
+    assert got == {int(k): float(v) for k, v in zip(pdf["k"], pdf["v"])}

@@ -5860,3 +5860,87 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation", "o_year")
     )
+
+
+@q(
+    "zarr_store_roundtrip",
+    """
+    WITH grid AS (
+      SELECT date_trunc('hour', ts) AS t,
+             user_id % 8 AS cell_y,
+             event_id % 16 AS cell_x,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events
+      -- finite-only, NULL-free cell keys: a grid cell must have a real
+      -- coordinate on every axis and an exactly-representable value
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY 1, 2, 3
+    )
+    SELECT t, CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_cells
+    FROM grid GROUP BY t ORDER BY t
+    """,
+)
+def zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NATIVE storage format, end to end: pivot events into
+    a 3-D (hour × user-slot × event-slot) grid of exact-integer cents,
+    publish it as a real Zarr v2 store with the distributed sink
+    (sources/zarr2.write_zarr_tall — the write_initial_zarr analog,
+    publish.py:240-261: coord axes + chunk files + .zarray/.zattrs +
+    consolidated .zmetadata), re-open that store with the distributed
+    reader (sources/zarr2.read_zarr_tall — store.py:154-170 dataset() /
+    transform.py:560-600 zarr_json_to_dataset), and aggregate the tall
+    frame back per hour. The oracle aggregates the same grid directly, so
+    any byte-level divergence in the codec chain (zlib chunks, fill
+    padding, edge-chunk trim, coordinate round-trip through datetime64)
+    surfaces as a value-hash mismatch. Exact int64 cents make the
+    round-trip hash-stable by construction. Plan shape: one aggregate to
+    build cells, one axis-resolving aggregate, broadcast coord-index
+    joins + a single shuffle on chunk ordinal to write; spark.range over
+    chunk ordinals (no driver enumeration) + mapInPandas to read — the
+    same plan at 10^8 chunks."""
+    import hashlib as _hashlib
+    import tempfile as _tempfile
+
+    from zarr_climate_etl_ipfs_spark.sources.zarr2 import (
+        read_zarr_tall,
+        write_zarr_tall,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    grid = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("t"),
+            (F.col("user_id") % 8).alias("cell_y"),
+            (F.col("event_id") % 16).alias("cell_x"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"))
+    )
+    # deterministic per-sf_dir scratch store, overwritten per run; the
+    # returned frame stays lazy, so the store must outlive this call
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"{_tempfile.gettempdir()}/spark_graft_zarr_rt_{tag}"
+    fill = -(2**62)  # unreachable by any cents sum at catalog scale
+    write_zarr_tall(
+        grid,
+        store,
+        var="cents",
+        dims=["t", "cell_y", "cell_x"],
+        chunks=(24, 8, 16),
+        fill_value=fill,
+        overwrite=True,
+    )
+    back = read_zarr_tall(spark, store, var="cents", skip_fill=True)
+    return (
+        back.groupBy("t")
+        .agg(F.sum("cents").alias("sum_cents"), F.count("*").alias("n_cells"))
+        .orderBy("t")
+    )
