@@ -5944,3 +5944,88 @@ def zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("sum_cents"), F.count("*").alias("n_cells"))
         .orderBy("t")
     )
+
+
+@q(
+    "duplicate_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), hs AS (
+      SELECT doc_id, LEN(ws) - 15 AS n_windows,
+             [{_MD5INT_SQL.format(x="ARRAY_TO_STRING(LIST_SLICE(ws, i + 1, i + 16), ' ')")}
+              FOR i IN RANGE(0, LEN(ws) - 15)] AS hs
+      FROM w WHERE LEN(ws) >= 16
+    ), spans AS (
+      SELECT doc_id, UNNEST(hs) AS h FROM hs
+    ), per_h_doc AS (
+      SELECT h, doc_id, COUNT(*) AS c FROM spans GROUP BY h, doc_id
+    ), flagged AS (
+      SELECT h, doc_id, c, COUNT(*) OVER (PARTITION BY h) AS n_docs
+      FROM per_h_doc
+    ), dup AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_dup_windows
+      FROM flagged WHERE n_docs >= 2 GROUP BY doc_id
+    )
+    SELECT hs.doc_id, CAST(hs.n_windows AS BIGINT) AS n_windows, dup.n_dup_windows
+    FROM hs JOIN dup ON hs.doc_id = dup.doc_id
+    ORDER BY hs.doc_id
+    """,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span deduplication metric (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    window-hash form): for every document with >= 16 words, count the
+    16-word windows whose exact word sequence also occurs in at LEAST one
+    other document. Where minhash/simhash score whole-document similarity,
+    this surfaces PARTIAL copying — boilerplate, quoted passages,
+    templated paragraphs — the span-level contamination a 100 TB corpus
+    curation pass removes. Integer outputs (window counts, not a rounded
+    fraction) keep the oracle hash exact.
+
+    Plan: the window hashes are one `transform`/`slice`/`md5` array
+    expression per row — pure codegen, the word array materialized in its
+    own Project first (the CollapseProject barrier `winnowing_fingerprints`
+    documents). Then: explode, ONE aggregate keyed on the 56-bit hash +
+    doc (map-side combinable — repeated spans within a doc collapse before
+    the shuffle), a count-over-hash window to flag cross-doc spans, and a
+    per-doc rollup. Every shuffle key is hash-uniform; no pair join exists
+    at all — cost is linear in total windows, which is what makes exact
+    span dedup tractable where naive suffix comparison is not."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents")
+    dws = d.select("doc_id", words(F.col("text")).alias("ws"))
+    dhs = dws.select(
+        "doc_id",
+        (F.size("ws") - 15).alias("n_windows"),
+        F.when(
+            F.size("ws") >= 16,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 16),
+                lambda i: md5int(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 16))),
+            ),
+        ).alias("hs"),
+    )
+    spans = (
+        dhs.select("doc_id", F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+    per_h_doc = spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    flagged = per_h_doc.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("h"))
+    )
+    dup = (
+        flagged.filter(F.col("n_docs") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_dup_windows"))
+    )
+    tot = dhs.filter(F.col("n_windows") >= 1).select(
+        "doc_id", F.col("n_windows").cast("long").alias("n_windows")
+    )
+    return (
+        tot.join(dup, "doc_id")
+        .select("doc_id", "n_windows", "n_dup_windows")
+        .orderBy("doc_id")
+    )
