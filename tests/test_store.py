@@ -367,3 +367,42 @@ def test_vacuum_retention_keeps_young_old_versions_travelable(store, spark, desc
     assert store.vacuum() == 0  # everything younger than the window
     assert [e["version"] for e in store.versions()] == [1, 2]
     assert store.dataset(version=1).count() == v1_rows  # still readable
+
+
+def test_zarr_export_ingest_roundtrip(tmp_path, desc, spark):
+    """Zarr v2 interop: publish the store as a real zarr group
+    (publish.py:240-261 analog), re-ingest it into a fresh store, and get
+    the identical dataset back — NULL data cells surviving as NULL via the
+    NaN fill_value round trip (transform.py:341-369 missing-value model)."""
+    import numpy as np
+
+    from zarr_climate_etl_ipfs_spark.sources import zarr2 as z
+
+    pdf = _tall(daily("2021-09-16", 10), seed=9)
+    pdf.loc[3, "data"] = np.nan  # one missing cell
+    df = spark.createDataFrame(pdf, schema=desc.schema())
+    df = df.withColumn(
+        "data", F.when(F.isnan("data"), F.lit(None)).otherwise(F.col("data"))
+    )
+    src = GridStore(tmp_path / "src", desc, spark)
+    src.write_initial(df)
+
+    summary = src.export_zarr(tmp_path / "pub")
+    assert summary["cells"] == 10 * 16 and summary["shape"] == [10, 4, 4]
+    metas = z.open_group(str(tmp_path / "pub"))
+    assert metas["data"].dims == ["time", "latitude", "longitude"]
+    assert metas["data"].attrs["dataset_name"] == desc.dataset_name
+    assert z.parse_fill(metas["data"].fill_value, metas["data"].np_dtype) is not None
+
+    dst = GridStore(tmp_path / "dst", desc, spark)
+    dst.ingest_zarr(tmp_path / "pub")
+    a = sorted(map(tuple, src.dataset().collect()), key=lambda r: r[:3])
+    b = sorted(map(tuple, dst.dataset().collect()), key=lambda r: r[:3])
+    assert a == b
+    assert sum(1 for r in b if r[3] is None) == 1  # the NULL survived
+
+    # existing target refuses a silent clobber
+    with pytest.raises(z.ZarrError, match="overwrite"):
+        src.export_zarr(tmp_path / "pub")
+    src.destroy()
+    dst.destroy()

@@ -612,6 +612,54 @@ class GridStore:
             update_in_progress=in_progress, update_is_append_only=append_only
         )
 
+    # -- Zarr v2 interop ------------------------------------------------------
+
+    def export_zarr(
+        self,
+        path: str | Path,
+        chunks: tuple[int, ...] | None = None,
+        compressor: dict[str, Any] | None = None,
+        version: int | None = None,
+        overwrite: bool = False,
+    ) -> dict[str, Any]:
+        """Publish this store's dataset (any ``version``) as a real Zarr v2
+        group — the output surface the reference's ``to_zarr`` /
+        ``write_initial_zarr`` produce (publish.py:124-180, 240-261), so a
+        downstream xarray/zarr consumer keeps working after a migration.
+        NULL data cells and absent grid cells both land on the NaN
+        ``fill_value`` — exactly the missing-data representation a
+        reference-published zarr uses (transform.py:341-369)."""
+        from zarr_climate_etl_ipfs_spark.sources.zarr2 import write_zarr_tall
+
+        dims = [
+            f.name for f in self.desc.schema().fields if f.name != self.desc.data_var
+        ]
+        return write_zarr_tall(
+            self.dataset(version),
+            str(path),
+            self.desc.data_var,
+            dims,
+            chunks=chunks,
+            compressor=compressor,
+            fill_value=float("nan"),
+            overwrite=overwrite,
+            attrs={"dataset_name": self.desc.dataset_name},
+        )
+
+    def ingest_zarr(self, path: str | Path, var: str | None = None) -> None:
+        """Migrate OFF a published Zarr v2 store in one step: open it
+        distributed (S10/S11), canonicalize to the declared schema — fill
+        cells arrive masked to NULL (F6), dtypes enforced — and take it as
+        this store's initial write (S13). Dim arrays must carry the
+        descriptor's dim names (true for any reference-published store with
+        xarray ``_ARRAY_DIMENSIONS``); rename upstream otherwise."""
+        from zarr_climate_etl_ipfs_spark.sources.ingest import canonicalize
+        from zarr_climate_etl_ipfs_spark.sources.zarr2 import read_zarr_tall
+
+        df = read_zarr_tall(self.spark, str(path), var=var, mask_fill=True)
+        df = canonicalize(df, self.desc, source_var=df.columns[-1])
+        self.write_initial(df)
+
     def destroy(self) -> None:
         if self.root.exists():
             shutil.rmtree(self.root)

@@ -663,7 +663,7 @@ def write_zarr_tall(
     store: str,
     var: str,
     dims: list[str],
-    chunks: tuple[int, ...],
+    chunks: tuple[int, ...] | None = None,
     compressor: dict[str, Any] | None = None,
     filters: list[dict[str, Any]] | None = None,
     fill_value: Any = 0,
@@ -703,7 +703,7 @@ def write_zarr_tall(
         compressor = {"id": "zlib", "level": 1}
     if on_duplicates not in ("error", "any"):
         raise ZarrError(f"on_duplicates must be 'error' or 'any', not {on_duplicates!r}")
-    if len(chunks) != len(dims):
+    if chunks is not None and len(chunks) != len(dims):
         raise ZarrError(f"chunks {chunks} must have one entry per dim {dims}")
     dtypes = dict(df.dtypes)
     missing = [c for c in [*dims, var] if c not in dtypes]
@@ -736,6 +736,15 @@ def write_zarr_tall(
     if np_val_t is None:
         raise ZarrError(f"value {var!r}: no zarr mapping for Spark type {dtypes[var]!r}")
     val_dtype = np.dtype(np_val_t)
+
+    if chunks is None:
+        # default chunking: slab the leading (time-like) axis, keep the
+        # trailing spatial axes whole — the reference's own chunk shape
+        # (attributes.py dask/zarr chunk config: time-major slabs)
+        chunks = tuple(
+            max(1, min(256, len(coords[d]))) if i == 0 else max(1, len(coords[d]))
+            for i, d in enumerate(dims)
+        )
 
     meta = ArrayMeta(
         name=var,
