@@ -6029,3 +6029,118 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_windows", "n_dup_windows")
         .orderBy("doc_id")
     )
+
+
+@q(
+    "semdedup_survivors",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), scored AS (
+      SELECT v.vec_id, s.seed_id,
+             LIST_COSINE_SIMILARITY(v.ve, s.sv) AS cos
+      FROM v CROSS JOIN seeds s
+    ), assign AS (
+      SELECT vec_id, seed_id AS cluster FROM (
+        SELECT vec_id, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, seed_id) AS rn
+        FROM scored) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM assign x
+      JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN v vx ON vx.vec_id = x.vec_id
+      JOIN v vy ON vy.vec_id = y.vec_id
+      WHERE LIST_COSINE_SIMILARITY(vx.ve, vy.ve) >= 0.35
+    )
+    SELECT a.cluster, COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_survivors
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.cluster ORDER BY a.cluster
+    """,
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): partition the embedding
+    space into clusters, then deduplicate ONLY within clusters — cosine
+    pairs never cross cluster boundaries, so the pair space shrinks from
+    n² to Σ n_c², which is the whole trick that makes semantic dedup
+    tractable at corpus scale. Clustering here is a single deterministic
+    assignment to the k=8 lowest-vec_id seed vectors (argmax cosine, ties
+    to the lowest seed id) — one non-iterative step both engines can
+    express exactly, standing in for the k-means fit the paper uses (the
+    iterative fit lives in operators/similarity.py ivf_fit; swapping it in
+    changes the clustering, not this operator's shape). Within a cluster
+    the keep-lowest-id rule drops any vector with a smaller-id neighbor at
+    cosine >= 0.35; the output is the per-cluster census (members, dropped,
+    survivors) — exact integers, hash-stable across engines.
+
+    Plan: seeds are a bounded driver collect (k rows — the ivf_fit
+    centroid pattern), broadcast; assignment is a crossJoin against the
+    k-row literal plus one row_number window partitioned by vec_id; the
+    within-cluster pair join repartitions BOTH sides on the cluster key
+    (the `embedding_neardup_pairs` lesson: a user-specified hash
+    partition the AQE byte-coalescer can't collapse while the stage is
+    CPU-bound on cosines); norms are hoisted to one pass per ROW before
+    the join so the O(pairs) side folds once, not three times. Zero-norm
+    vectors: cosine = -1.0 on both engines (DuckDB's convention; Spark's
+    NULL try_divide coalesced to match) — they cluster by seed-id
+    tie-break and never exceed the threshold, so they always survive."""
+    from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings").withColumn("_n", l2_norm("embedding"))
+    k = 8
+    seed_rows = emb.orderBy("vec_id").limit(k).select("vec_id", "embedding", "_n").collect()
+    seeds = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]], float(r["_n"]))
+         for r in seed_rows],
+        "seed_id bigint, sv array<double>, sn double",
+    )
+    cos_seed = F.coalesce(
+        F.try_divide(dot(F.col("embedding"), F.col("sv")), F.col("_n") * F.col("sn")),
+        F.lit(-1.0),
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).withColumn("cos", cos_seed)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "seed_id")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster"), "embedding", "_n")
+        .repartition(spark.sparkContext.defaultParallelism, "cluster")
+    )
+    x = assign.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("_n").alias("na"), "cluster",
+    )
+    y = assign.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("_n").alias("nb"), "cluster",
+    )
+    pair_cos = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+    dropped = (
+        x.join(y, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= 0.35)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.coalesce(F.sum("_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.count("*") - F.coalesce(F.sum("_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+        .orderBy("cluster")
+    )
