@@ -25,6 +25,15 @@ stdlib + numpy only (the same boundary as :mod:`.netcdf3`):
     index joins + pure JVM arithmetic, one ``applyInPandas`` group per
     chunk assembles/encodes/writes the chunk file.
 
+The READ path also speaks the Zarr v3 core spec (the format current
+zarr-python writes): per-node ``zarr.json`` metadata, ``c/``-style chunk
+key encodings, codec pipelines (``bytes`` endianness, ``gzip``,
+``transpose``, ``crc32c`` with a real Castagnoli CRC), inline
+consolidated metadata, first-class ``dimension_names`` — all mapped onto
+the same :class:`ArrayMeta`/distributed-reader machinery, with mixed
+v2+v3 stores merging (v3 wins name conflicts). The write surface stays
+v2, the reference's format.
+
 Codecs (numcodecs-config-compatible): compressors ``zlib`` ``gzip`` ``bz2``
 ``lzma`` and ``null``; array filters ``delta`` and ``fixedscaleoffset``;
 and the reference's encrypted-chunk filter ``xchacha20poly1305``
@@ -89,7 +98,10 @@ DIM_ATTR = "_ARRAY_DIMENSIONS"
 
 @dataclass
 class ArrayMeta:
-    """One array's ``.zarray`` + ``.zattrs`` (Zarr v2 spec §"Arrays")."""
+    """One array's metadata — v2 ``.zarray`` + ``.zattrs``, or a v3
+    ``zarr.json`` mapped onto the same fields (``zarr_format=3`` rows set
+    ``codecs``/``dimension_names``/``key_encoding`` and leave the v2-only
+    ``compressor``/``filters`` empty)."""
 
     name: str
     shape: tuple[int, ...]
@@ -101,6 +113,10 @@ class ArrayMeta:
     filters: list[dict[str, Any]] = field(default_factory=list)
     separator: str = "."
     attrs: dict[str, Any] = field(default_factory=dict)
+    zarr_format: int = 2
+    codecs: list[dict[str, Any]] = field(default_factory=list)  # v3 pipeline
+    dimension_names: list[str] | None = None  # v3 first-class dim names
+    key_encoding: str = "v2"  # v3: "default" ("c/0/0") or "v2" ("0.0")
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -108,6 +124,8 @@ class ArrayMeta:
 
     @property
     def dims(self) -> list[str] | None:
+        if self.dimension_names is not None:
+            return list(self.dimension_names)
         d = self.attrs.get(DIM_ATTR)
         return list(d) if isinstance(d, list) else None
 
@@ -122,6 +140,12 @@ class ArrayMeta:
         return int(math.prod(self.chunk_grid)) if self.shape else 1
 
     def chunk_key(self, idx: tuple[int, ...]) -> str:
+        if self.zarr_format == 3 and self.key_encoding == "default":
+            # v3 default encoding: "c" for 0-d, else "c/<i>/<j>" (spec's
+            # default separator "/"; a configured "." gives "c.0.0")
+            if not idx:
+                return "c"
+            return "c" + self.separator + self.separator.join(str(i) for i in idx)
         if not idx:  # 0-d array: single chunk stored under "0"
             return "0"
         return self.separator.join(str(i) for i in idx)
@@ -218,6 +242,58 @@ def _read_json(path: str) -> dict[str, Any]:
         return json.loads(f.read().decode("utf-8"))
 
 
+# -- Zarr v3 metadata (core spec: one zarr.json per node) -------------------
+
+#: v3 abstract data_type → numpy kind+size (byte ORDER comes from the
+#: "bytes" codec configuration, not the type — spec §data types)
+_V3_DTYPES = {
+    "bool": "b1",
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float16": "f2", "float32": "f4", "float64": "f8",
+}
+_V3_DTYPE_NAMES = {v: k for k, v in _V3_DTYPES.items()}
+
+
+def _meta_from_v3_json(name: str, doc: dict[str, Any]) -> ArrayMeta:
+    if doc.get("node_type") != "array":
+        raise ZarrError(f"{name}: zarr.json node_type {doc.get('node_type')!r} != 'array'")
+    grid = doc.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ZarrError(f"{name}: unsupported chunk_grid {grid.get('name')!r}")
+    codecs = list(doc.get("codecs") or [])
+    base = _V3_DTYPES.get(doc.get("data_type"))
+    if base is None:
+        raise ZarrError(f"{name}: unsupported v3 data_type {doc.get('data_type')!r}")
+    endian = "<"
+    for c in codecs:
+        if c.get("name") == "bytes":
+            endian = {"little": "<", "big": ">"}.get(
+                (c.get("configuration") or {}).get("endian", "little"), "<"
+            )
+    dtype = ("|" if base in ("b1", "i1", "u1") else endian) + base
+    key = doc.get("chunk_key_encoding") or {"name": "default"}
+    key_name = key.get("name", "default")
+    if key_name not in ("default", "v2"):
+        raise ZarrError(f"{name}: unsupported chunk_key_encoding {key_name!r}")
+    sep = (key.get("configuration") or {}).get(
+        "separator", "/" if key_name == "default" else "."
+    )
+    return ArrayMeta(
+        name=name,
+        shape=tuple(doc["shape"]),
+        chunks=tuple(grid["configuration"]["chunk_shape"]),
+        dtype=dtype,
+        fill_value=doc.get("fill_value"),
+        separator=sep,
+        attrs=dict(doc.get("attributes") or {}),
+        zarr_format=3,
+        codecs=codecs,
+        dimension_names=doc.get("dimension_names"),
+        key_encoding=key_name,
+    )
+
+
 def open_group(store: str) -> dict[str, ArrayMeta]:
     """Array name → metadata for every array under ``store``.
 
@@ -227,8 +303,33 @@ def open_group(store: str) -> dict[str, ArrayMeta]:
     ``.zarray`` files. Metadata is a few KB — driver-side by design.
     """
     metas: dict[str, ArrayMeta] = {}
+    root_v3 = os.path.join(store, "zarr.json")
+    if os.path.exists(root_v3):
+        doc = _read_json(root_v3)
+        if doc.get("zarr_format") == 3:
+            if doc.get("node_type") == "array":
+                return {"": _meta_from_v3_json("", doc)}
+            # group: inline consolidated metadata fast path, else walk;
+            # v2 siblings (e.g. datetime coordinate axes, a v2-only dtype)
+            # merge in below, v3 winning name conflicts
+            cons = (doc.get("consolidated_metadata") or {}).get("metadata") or {}
+            for path, sub in cons.items():
+                if sub.get("node_type") == "array":
+                    metas[path] = _meta_from_v3_json(path, sub)
+            if not metas:
+                for root, _dirs, files in os.walk(store):
+                    if (
+                        "zarr.json" not in files
+                        or os.path.abspath(root) == os.path.abspath(store)
+                    ):
+                        continue
+                    sub = _read_json(os.path.join(root, "zarr.json"))
+                    if sub.get("node_type") != "array":
+                        continue
+                    name = os.path.relpath(root, store).replace(os.sep, "/")
+                    metas[name] = _meta_from_v3_json(name, sub)
     zmeta = os.path.join(store, ".zmetadata")
-    if os.path.exists(zmeta):
+    if not metas and os.path.exists(zmeta):
         try:
             blob = _read_json(zmeta)
             md = blob["metadata"]
@@ -246,12 +347,14 @@ def open_group(store: str) -> dict[str, ArrayMeta]:
             continue
         name = os.path.relpath(root, store).replace(os.sep, "/")
         name = "" if name == "." else name
+        if name in metas:  # a v3 zarr.json on the same node wins
+            continue
         zarray = _read_json(os.path.join(root, ".zarray"))
         zattrs_p = os.path.join(root, ".zattrs")
         attrs = _read_json(zattrs_p) if os.path.exists(zattrs_p) else {}
         metas[name] = _meta_from_json(name, zarray, attrs)
     if not metas:
-        raise ZarrError(f"no Zarr v2 arrays under {store!r}")
+        raise ZarrError(f"no Zarr v2 or v3 arrays under {store!r}")
     return metas
 
 
@@ -366,8 +469,113 @@ def _as_array(obj: Any, dtype: np.dtype) -> np.ndarray:
     return np.frombuffer(obj, dtype=dtype)
 
 
+# -- Zarr v3 codec pipeline (array→array, array→bytes, bytes→bytes) --------
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the v3 ``crc32c``
+    checksum codec; stdlib zlib.crc32 is plain CRC-32, a different poly."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    tab = _CRC32C_TABLE
+    for b in data:
+        crc = (crc >> 8) ^ tab[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _encode_chunk_v3(arr: np.ndarray, meta: ArrayMeta) -> bytes:
+    """Forward codec pipeline: array→array codecs, the ``bytes`` codec,
+    then bytes→bytes codecs (v3 core spec §codecs)."""
+    cur: Any = np.asarray(arr, dtype=meta.np_dtype)
+    saw_bytes = False
+    for c in meta.codecs:
+        cname, conf = c.get("name"), c.get("configuration") or {}
+        if cname == "transpose":
+            cur = np.transpose(cur, axes=conf.get("order"))
+        elif cname == "bytes":
+            cur = np.ascontiguousarray(cur).tobytes()
+            saw_bytes = True
+        elif cname == "gzip":
+            cur = gzip.compress(bytes(cur), compresslevel=conf.get("level", 1))
+        elif cname == "crc32c":
+            cur = bytes(cur)
+            cur = cur + _crc32c(cur).to_bytes(4, "little")
+        elif cname in ("blosc", "zstd", "lz4"):
+            raise ZarrError(f"v3 codec {cname!r} requires {_NEEDS_LIB.get(cname, cname)} (not installed)")
+        else:
+            raise ZarrError(f"unknown v3 codec {cname!r}")
+    if not saw_bytes:  # spec: exactly one array→bytes codec is required
+        cur = np.ascontiguousarray(cur).tobytes()
+    return bytes(cur)
+
+
+def _decode_chunk_v3(buf: bytes, meta: ArrayMeta) -> np.ndarray:
+    cur: Any = buf
+    # bytes→bytes codecs, reversed, down to (and including) "bytes"
+    arr: np.ndarray | None = None
+    post_bytes: list[dict[str, Any]] = []  # array→array codecs, forward order
+    pipeline = list(meta.codecs)
+    if not any(c.get("name") == "bytes" for c in pipeline):
+        pipeline.append({"name": "bytes"})
+    for c in reversed(pipeline):
+        cname, conf = c.get("name"), c.get("configuration") or {}
+        if arr is None:
+            if cname == "gzip":
+                cur = gzip.decompress(cur)
+            elif cname == "crc32c":
+                body, tail = cur[:-4], cur[-4:]
+                if _crc32c(body) != int.from_bytes(tail, "little"):
+                    raise ZarrError(f"{meta.name}: crc32c checksum mismatch")
+                cur = body
+            elif cname == "bytes":
+                arr = np.frombuffer(cur, dtype=meta.np_dtype)
+            elif cname in ("blosc", "zstd", "lz4"):
+                raise ZarrError(
+                    f"v3 codec {cname!r} requires {_NEEDS_LIB.get(cname, cname)} (not installed)"
+                )
+            elif cname == "transpose":
+                post_bytes.insert(0, c)
+            else:
+                raise ZarrError(f"unknown v3 codec {cname!r}")
+        else:
+            if cname == "transpose":
+                post_bytes.insert(0, c)
+            else:
+                raise ZarrError(f"v3 codec {cname!r} on the array side is unsupported")
+    assert arr is not None
+    expected = int(math.prod(meta.chunks)) if meta.chunks else 1
+    if arr.size != expected:
+        raise ZarrError(f"{meta.name}: chunk has {arr.size} elements, expected {expected}")
+    # the encoded array may be a transposed view of the chunk — reshape to
+    # the transposed shape, then invert each transpose (reverse order)
+    shape = tuple(meta.chunks)
+    for c in post_bytes:
+        order = (c.get("configuration") or {}).get("order")
+        if order:
+            shape = tuple(shape[i] for i in order)
+    arr = arr.reshape(shape)
+    for c in reversed(post_bytes):
+        order = (c.get("configuration") or {}).get("order")
+        if order:
+            inv = np.argsort(order)
+            arr = np.transpose(arr, axes=inv)
+    return np.ascontiguousarray(arr)
+
+
 def encode_chunk(arr: np.ndarray, meta: ArrayMeta) -> bytes:
     """Full-shape chunk ndarray → stored bytes (filters then compressor)."""
+    if meta.zarr_format == 3:
+        return _encode_chunk_v3(arr, meta)
     obj: Any = np.asarray(arr, dtype=meta.np_dtype)
     if isinstance(obj, np.ndarray) and obj.ndim > 1:
         obj = obj.ravel(order=meta.order)
@@ -380,6 +588,8 @@ def encode_chunk(arr: np.ndarray, meta: ArrayMeta) -> bytes:
 def decode_chunk(buf: bytes, meta: ArrayMeta) -> np.ndarray:
     """Stored bytes → full-shape chunk ndarray (compressor then filters,
     reversed). Edge chunks are stored FULL-size per spec; callers trim."""
+    if meta.zarr_format == 3:
+        return _decode_chunk_v3(buf, meta)
     obj: Any = _decompress(buf, meta.compressor)
     for conf in reversed(meta.filters):
         obj = _filter_decode(obj, conf)
@@ -476,6 +686,70 @@ def write_zarr_array_local(
     _atomic_write(os.path.join(base, ".zarray"), json.dumps(meta.to_zarray(), indent=1).encode())
     if meta.attrs:
         _atomic_write(os.path.join(base, ".zattrs"), json.dumps(meta.attrs, indent=1).encode())
+    return meta
+
+
+def write_zarr3_array_local(
+    store: str,
+    name: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    codecs: list[dict[str, Any]] | None = None,
+    attrs: dict[str, Any] | None = None,
+    fill_value: Any = None,
+    dimension_names: list[str] | None = None,
+    chunk_key_encoding: dict[str, Any] | None = None,
+) -> ArrayMeta:
+    """Minimal Zarr v3 array writer (fixtures, round-trip tests): one
+    ``zarr.json`` per node + chunk files under the v3 key encoding. The
+    production sink stays v2 (the reference's format); this exists so the
+    v3 READ path is tested against bytes written from the v3 spec."""
+    arr = np.asarray(arr)
+    tname = _V3_DTYPE_NAMES.get(f"{arr.dtype.kind}{arr.dtype.itemsize}")
+    if tname is None:
+        raise ZarrError(f"no v3 data_type for numpy dtype {arr.dtype}")
+    chunks = tuple(chunks) if chunks else tuple(max(1, s) for s in arr.shape)
+    doc: dict[str, Any] = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": tname,
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": chunk_key_encoding
+        or {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": None,
+        "codecs": codecs or [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "attributes": dict(attrs or {}),
+    }
+    if dimension_names is not None:
+        doc["dimension_names"] = list(dimension_names)
+    meta = _meta_from_v3_json(name, doc)
+    doc["fill_value"] = encode_fill(
+        meta.np_dtype.type(fill_value) if fill_value is not None else None, meta.np_dtype
+    )
+    meta.fill_value = doc["fill_value"]
+    base = os.path.join(store, *name.split("/")) if name else store
+    os.makedirs(base, exist_ok=True)
+    for idx in np.ndindex(*meta.chunk_grid) if arr.shape else [()]:
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, arr.shape)
+        )
+        block = arr[sel]
+        if block.shape != chunks:
+            fill = meta.fill_scalar()
+            full = np.full(chunks, 0 if fill is None else fill, dtype=arr.dtype)
+            full[tuple(slice(0, e) for e in block.shape)] = block
+            block = full
+        path = os.path.join(base, *meta.chunk_key(tuple(idx)).split("/"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _atomic_write(path, encode_chunk(block, meta))
+    _atomic_write(os.path.join(base, "zarr.json"), json.dumps(doc, indent=1).encode())
+    root_doc = os.path.join(store, "zarr.json")
+    if name and not os.path.exists(root_doc):
+        _atomic_write(
+            root_doc, json.dumps({"zarr_format": 3, "node_type": "group"}).encode()
+        )
     return meta
 
 
