@@ -26,10 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # r3-r8: the first 50 names in iteration order). The rotation contract
 # (round-8 judge ask #5): alternate the two 50-query halves so no driver row
 # ever ages past two rounds. r8 attested the r5-era classics; this round
-# leads with the other half — exactly the 50 names in CORRECTNESS_r07.json
-# (the r6/r7 additions, last driver-attested in r7), so cumulative r8+r9
-# coverage is again 100/100 with no row older than two rounds.
+# leads with the other half — the names in CORRECTNESS_r07.json (the r6/r7
+# additions, last driver-attested in r7) — PLUS the three brand-new round-9
+# operators up front so they earn a driver row immediately. The three
+# displaced r7-era names (funnel_conversion, image_resize_stats,
+# pagerank_exact) keep their r7 driver row + r9 local/adversarial coverage
+# and MUST join round-10's prefix alongside the r8-era half.
 _ROTATE_FIRST = [
+    "zarr_store_roundtrip", "duplicate_spans", "semdedup_survivors",
     "streaming_running_extremes", "hll_user_distinct", "bloom_decontamination",
     "countmin_heavy_hitters", "bigram_logprob_quality", "media_probe_stats",
     "nation_pair_volume", "rollup_revenue", "resample_daily", "coarsen_grid",
@@ -45,8 +49,7 @@ _ROTATE_FIRST = [
     "unigram_logprob_quality", "winnowing_fingerprints", "bpe_token_estimate",
     "bilinear_regrid", "streaming_stream_join", "video_frame_sample",
     "audio_feature_extract", "url_canonicalize", "sq_ann_topk",
-    "incremental_rollup_merge", "image_resize_stats", "funnel_conversion",
-    "pagerank_exact",
+    "incremental_rollup_merge",
 ]
 
 
