@@ -407,3 +407,96 @@ def test_webp_palette_oob_indices_property(ncolors, h, w, seed):
             idx = (int(greens[y, x // per]) >> ((x % per) * bpp)) & mask
             expect = pal[idx] if idx < ncolors else np.zeros(4, np.int64)
             assert np.array_equal(out[y * w + x], expect), (y, x, idx)
+
+
+# -- Zarr v2/v3 chunk codec chain: decode∘encode identity --------------------
+# (sources/zarr2.py — the reference's storage format; property coverage over
+# random shapes/chunks/dtypes/codec stacks, driver-side, no Spark needed)
+
+import numpy as np
+
+from zarr_climate_etl_ipfs_spark.sources import zarr2 as _z
+
+
+_zarr_dtypes = st.sampled_from(["<f4", "<f8", "<i2", "<i4", "<i8", ">i4", ">f8", "|b1"])
+_zarr_comps = st.sampled_from(
+    [None, {"id": "zlib", "level": 1}, {"id": "gzip", "level": 1},
+     {"id": "bz2", "level": 1}, {"id": "lzma"}]
+)
+
+
+@st.composite
+def _zarr_array_and_chunks(draw):
+    ndim = draw(st.integers(min_value=1, max_value=3))
+    shape = tuple(draw(st.integers(min_value=1, max_value=9)) for _ in range(ndim))
+    chunks = tuple(draw(st.integers(min_value=1, max_value=s + 2)) for s in shape)
+    dtype = np.dtype(draw(_zarr_dtypes))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.RandomState(seed)
+    if dtype.kind == "b":
+        arr = rng.rand(*shape) < 0.5
+    elif dtype.kind == "f":
+        arr = (rng.standard_normal(shape) * 100).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.randint(info.min // 2, info.max // 2, size=shape).astype(dtype)
+    return arr, chunks
+
+
+@given(_zarr_array_and_chunks(), _zarr_comps, st.sampled_from(["C", "F"]),
+       st.sampled_from([".", "/"]))
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zarr_v2_roundtrip_property(tmp_path_factory, arr_chunks, comp, order, sep):
+    arr, chunks = arr_chunks
+    store = str(tmp_path_factory.mktemp("zprop"))
+    _z.write_zarr_array_local(
+        store, "v", arr, chunks=chunks, compressor=comp, order=order, separator=sep
+    )
+    back = _z.read_zarr_array_local(store, "v")
+    assert back.dtype == arr.dtype and back.shape == arr.shape
+    assert (back == arr).all()
+
+
+@given(_zarr_array_and_chunks())
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zarr_v2_delta_filter_property(tmp_path_factory, arr_chunks):
+    arr, chunks = arr_chunks
+    if arr.dtype.kind not in "iu":  # delta is an integer filter here
+        arr = np.asarray(arr, dtype="<i8")
+    store = str(tmp_path_factory.mktemp("zprop"))
+    _z.write_zarr_array_local(
+        store, "v", arr, chunks=chunks,
+        filters=[{"id": "delta", "dtype": arr.dtype.str}],
+        compressor={"id": "zlib", "level": 1},
+    )
+    assert (_z.read_zarr_array_local(store, "v") == arr).all()
+
+
+@given(_zarr_array_and_chunks(),
+       st.sampled_from(["little", "big"]),
+       st.booleans(), st.booleans())
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zarr_v3_roundtrip_property(tmp_path_factory, arr_chunks, endian, gz, crc):
+    arr, chunks = arr_chunks
+    # v3 data_types are endian-abstract; the bytes codec sets the order
+    base = np.dtype(arr.dtype.str[-2:]) if arr.dtype.kind != "b" else arr.dtype
+    arr = np.asarray(arr, dtype=base.newbyteorder("=") if arr.dtype.kind != "b" else arr.dtype)
+    codecs = [{"name": "bytes", "configuration": {"endian": endian}}]
+    if gz:
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    if crc:
+        codecs.append({"name": "crc32c"})
+    store = str(tmp_path_factory.mktemp("zprop"))
+    _z.write_zarr3_array_local(store, "v", arr, chunks=chunks, codecs=codecs)
+    back = _z.read_zarr_array_local(store, "v")
+    assert back.shape == arr.shape
+    assert (back == arr).all()
+
+
+@given(st.binary(min_size=0, max_size=64), st.binary(min_size=1, max_size=16))
+@settings(max_examples=60, deadline=None)
+def test_crc32c_appending_changes_checksum(prefix, extra):
+    # CRC sanity: deterministic, and extending the message changes it
+    a = _z._crc32c(prefix)
+    assert a == _z._crc32c(prefix)
+    assert _z._crc32c(prefix + extra) != a or prefix + extra == prefix
