@@ -487,3 +487,86 @@ def test_v3_pure_group_walk_and_consolidated(tmp_path):
     doc["consolidated_metadata"] = {"kind": "inline", "metadata": {"a": a_doc}}
     root.write_text(_json.dumps(doc))
     assert set(z.open_group(store)) == {"a"}
+
+
+def _shard_conf(**over):
+    conf = {
+        "chunk_shape": [2, 3],
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+                   {"name": "gzip", "configuration": {"level": 1}}],
+        "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+        "index_location": "end",
+    }
+    conf.update(over)
+    return conf
+
+
+def test_v3_sharding_roundtrip_and_missing_inner(tmp_path):
+    """sharding_indexed: a stored chunk is a shard of encoded inner chunks
+    plus a crc-guarded (offset, nbytes) index; 2^64-1 entries mark absent
+    inner chunks, which must read as fill."""
+    store = str(tmp_path / "s")
+    arr = np.arange(10 * 9, dtype="<f8").reshape(10, 9)
+    z.write_zarr3_array_local(
+        store, "v", arr, chunks=(4, 6), fill_value=float("nan"),
+        codecs=[{"name": "sharding_indexed", "configuration": _shard_conf()}],
+    )
+    assert (z.read_zarr_array_local(store, "v") == arr).all()
+    # mark inner chunk (1,1) of shard c/0/0 absent, recompute the index crc
+    p = tmp_path / "s" / "v" / "c" / "0" / "0"
+    buf = bytearray(p.read_bytes())
+    idx_size = 4 * 16 + 4
+    idx = np.frombuffer(bytes(buf[-idx_size:-4]), dtype="<u8").reshape(2, 2, 2).copy()
+    idx[1, 1] = (z._SHARD_MISSING, z._SHARD_MISSING)
+    raw = idx.tobytes()
+    buf[-idx_size:] = raw + z._crc32c(raw).to_bytes(4, "little")
+    p.write_bytes(bytes(buf))
+    back = z.read_zarr_array_local(store, "v")
+    assert np.isnan(back[2:4, 3:6]).all()
+    assert (back[0:2] == arr[0:2]).all()
+
+
+def test_v3_sharding_index_corruption_detected(tmp_path):
+    store = str(tmp_path / "s")
+    arr = np.arange(8, dtype="<i8").reshape(4, 2)
+    z.write_zarr3_array_local(
+        store, "v", arr, chunks=(4, 2),
+        codecs=[{"name": "sharding_indexed",
+                 "configuration": _shard_conf(chunk_shape=[2, 2])}],
+    )
+    p = tmp_path / "s" / "v" / "c" / "0" / "0"
+    buf = bytearray(p.read_bytes())
+    buf[-1] ^= 0xFF  # flip a bit in the index crc
+    p.write_bytes(bytes(buf))
+    with pytest.raises(z.ZarrError, match="shard index crc32c"):
+        z.read_zarr_array_local(store, "v")
+
+
+def test_v3_sharding_index_at_start(tmp_path):
+    store = str(tmp_path / "s")
+    arr = np.arange(24, dtype="<i4").reshape(4, 6)
+    z.write_zarr3_array_local(
+        store, "v", arr, chunks=(4, 6),
+        codecs=[{"name": "sharding_indexed",
+                 "configuration": _shard_conf(index_location="start",
+                                              index_codecs=[{"name": "bytes"}])}],
+    )
+    assert (z.read_zarr_array_local(store, "v") == arr).all()
+
+
+def test_v3_sharding_distributed_read(spark, tmp_path):
+    store = str(tmp_path / "s")
+    arr = np.arange(12 * 4, dtype="<f8").reshape(12, 4)
+    z.write_zarr3_array_local(
+        store, "step", np.arange(12, dtype="<i8"), dimension_names=["step"]
+    )
+    z.write_zarr3_array_local(
+        store, "v", arr, chunks=(4, 4), dimension_names=["step", "k"],
+        codecs=[{"name": "sharding_indexed",
+                 "configuration": _shard_conf(chunk_shape=[2, 2])}],
+    )
+    df = z.read_zarr_tall(spark, store, var="v", bounds={"step": (5, 9)})
+    rows = df.collect()
+    assert len(rows) == 5 * 4
+    got = {(r["step"], r["k"]): r["v"] for r in rows}
+    assert got[(5, 0)] == arr[5, 0] and got[(9, 3)] == arr[9, 3]

@@ -28,7 +28,9 @@ stdlib + numpy only (the same boundary as :mod:`.netcdf3`):
 The READ path also speaks the Zarr v3 core spec (the format current
 zarr-python writes): per-node ``zarr.json`` metadata, ``c/``-style chunk
 key encodings, codec pipelines (``bytes`` endianness, ``gzip``,
-``transpose``, ``crc32c`` with a real Castagnoli CRC), inline
+``transpose``, ``crc32c`` with a real Castagnoli CRC, and
+``sharding_indexed`` — shards of encoded inner chunks with a
+crc-guarded offset index, absent entries reading as fill), inline
 consolidated metadata, first-class ``dimension_names`` — all mapped onto
 the same :class:`ArrayMeta`/distributed-reader machinery, with mixed
 v2+v3 stores merging (v3 wins name conflicts). The write surface stays
@@ -265,12 +267,22 @@ def _meta_from_v3_json(name: str, doc: dict[str, Any]) -> ArrayMeta:
     base = _V3_DTYPES.get(doc.get("data_type"))
     if base is None:
         raise ZarrError(f"{name}: unsupported v3 data_type {doc.get('data_type')!r}")
+    def _find_bytes(cs: list[dict[str, Any]]) -> dict[str, Any] | None:
+        for c in cs:
+            if c.get("name") == "bytes":
+                return c
+            if c.get("name") == "sharding_indexed":
+                found = _find_bytes((c.get("configuration") or {}).get("codecs") or [])
+                if found is not None:
+                    return found
+        return None
+
     endian = "<"
-    for c in codecs:
-        if c.get("name") == "bytes":
-            endian = {"little": "<", "big": ">"}.get(
-                (c.get("configuration") or {}).get("endian", "little"), "<"
-            )
+    bc = _find_bytes(codecs)
+    if bc is not None:
+        endian = {"little": "<", "big": ">"}.get(
+            (bc.get("configuration") or {}).get("endian", "little"), "<"
+        )
     dtype = ("|" if base in ("b1", "i1", "u1") else endian) + base
     key = doc.get("chunk_key_encoding") or {"name": "default"}
     key_name = key.get("name", "default")
@@ -493,9 +505,92 @@ def _crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+_SHARD_MISSING = 0xFFFFFFFFFFFFFFFF
+
+
+def _shard_layout(meta: ArrayMeta, conf: dict[str, Any]):
+    inner = tuple(conf["chunk_shape"])
+    if len(inner) != len(meta.chunks):
+        raise ZarrError(f"{meta.name}: shard chunk_shape {inner} rank mismatch")
+    grid = tuple(-(-c // i) for c, i in zip(meta.chunks, inner))
+    index_codecs = list(conf.get("index_codecs") or [{"name": "bytes"}, {"name": "crc32c"}])
+    for c in index_codecs:
+        if c.get("name") not in ("bytes", "crc32c"):
+            raise ZarrError(f"unsupported shard index codec {c.get('name')!r}")
+    has_crc = any(c.get("name") == "crc32c" for c in index_codecs)
+    idx_size = int(math.prod(grid)) * 16 + (4 if has_crc else 0)
+    from dataclasses import replace
+
+    inner_meta = replace(
+        meta, chunks=inner, codecs=list(conf.get("codecs") or [{"name": "bytes"}])
+    )
+    return inner, grid, inner_meta, idx_size, has_crc, conf.get("index_location", "end")
+
+
+def _decode_shard(buf: bytes, meta: ArrayMeta, conf: dict[str, Any]) -> np.ndarray:
+    """v3 ``sharding_indexed`` codec: a stored chunk is a SHARD — encoded
+    inner chunks concatenated, plus a (offset, nbytes) uint64-LE index per
+    inner chunk (2^64-1 pairs mark absent = all-fill inner chunks) at the
+    start or end, itself run through bytes[+crc32c] index codecs."""
+    inner, grid, inner_meta, idx_size, has_crc, loc = _shard_layout(meta, conf)
+    raw_idx = buf[-idx_size:] if loc == "end" else buf[:idx_size]
+    if has_crc:
+        body, tail = raw_idx[:-4], raw_idx[-4:]
+        if _crc32c(body) != int.from_bytes(tail, "little"):
+            raise ZarrError(f"{meta.name}: shard index crc32c mismatch")
+        raw_idx = body
+    idx = np.frombuffer(raw_idx, dtype="<u8").reshape(grid + (2,))
+    fill = meta.fill_scalar()
+    out = np.full(meta.chunks, 0 if fill is None else fill, dtype=meta.np_dtype)
+    for pos in np.ndindex(*grid):
+        off, nb = (int(v) for v in idx[pos])
+        if off == _SHARD_MISSING:
+            continue
+        sub = _decode_chunk_v3(buf[off: off + nb], inner_meta)
+        sel = tuple(
+            slice(p * i, min((p + 1) * i, c))
+            for p, i, c in zip(pos, inner, meta.chunks)
+        )
+        out[sel] = sub[tuple(slice(0, s.stop - s.start) for s in sel)]
+    return out
+
+
+def _encode_shard(arr: np.ndarray, meta: ArrayMeta, conf: dict[str, Any]) -> bytes:
+    inner, grid, inner_meta, _idx_size, has_crc, loc = _shard_layout(meta, conf)
+    blobs: list[bytes] = []
+    idx = np.full(grid + (2,), _SHARD_MISSING, dtype="<u8")
+    offset = 0 if loc == "end" else _idx_size
+    for pos in np.ndindex(*grid):
+        sel = tuple(
+            slice(p * i, min((p + 1) * i, c))
+            for p, i, c in zip(pos, inner, meta.chunks)
+        )
+        block = np.asarray(arr[sel])
+        if block.shape != inner:  # pad edge inner chunks to full size
+            fill = meta.fill_scalar()
+            full = np.full(inner, 0 if fill is None else fill, dtype=meta.np_dtype)
+            full[tuple(slice(0, e) for e in block.shape)] = block
+            block = full
+        blob = _encode_chunk_v3(block, inner_meta)
+        idx[pos] = (offset, len(blob))
+        offset += len(blob)
+        blobs.append(blob)
+    raw_idx = idx.tobytes()
+    if has_crc:
+        raw_idx += _crc32c(raw_idx).to_bytes(4, "little")
+    body = b"".join(blobs)
+    return body + raw_idx if loc == "end" else raw_idx + body
+
+
 def _encode_chunk_v3(arr: np.ndarray, meta: ArrayMeta) -> bytes:
     """Forward codec pipeline: array→array codecs, the ``bytes`` codec,
     then bytes→bytes codecs (v3 core spec §codecs)."""
+    if meta.codecs and meta.codecs[0].get("name") == "sharding_indexed":
+        return _encode_shard(
+            np.asarray(arr, dtype=meta.np_dtype),
+            meta,
+            meta.codecs[0].get("configuration") or {},
+        )
     cur: Any = np.asarray(arr, dtype=meta.np_dtype)
     saw_bytes = False
     for c in meta.codecs:
@@ -520,6 +615,8 @@ def _encode_chunk_v3(arr: np.ndarray, meta: ArrayMeta) -> bytes:
 
 
 def _decode_chunk_v3(buf: bytes, meta: ArrayMeta) -> np.ndarray:
+    if meta.codecs and meta.codecs[0].get("name") == "sharding_indexed":
+        return _decode_shard(buf, meta, meta.codecs[0].get("configuration") or {})
     cur: Any = buf
     # bytes→bytes codecs, reversed, down to (and including) "bytes"
     arr: np.ndarray | None = None
