@@ -570,3 +570,91 @@ def test_v3_sharding_distributed_read(spark, tmp_path):
     assert len(rows) == 5 * 4
     got = {(r["step"], r["k"]): r["v"] for r in rows}
     assert got[(5, 0)] == arr[5, 0] and got[(9, 3)] == arr[9, 3]
+
+
+# ---------------------------------------------------------------------------
+# kerchunk refs — the reference pipeline's virtual-zarr artifact
+# ---------------------------------------------------------------------------
+
+_CHIRPS_REFS = "/root/reference/tests/unit/inputs/chirps_example_zarr.json"
+
+
+@pytest.mark.skipif(not os.path.exists(_CHIRPS_REFS), reason="reference fixture absent")
+def test_reference_chirps_refs_golden(spark, tmp_path):
+    """Golden parity test on the reference's OWN unit fixture: the CHIRPS
+    kerchunk refs JSON (tests/unit/inputs/chirps_example_zarr.json, the
+    artifact create_zarr_json produces) materializes into a store this
+    engine opens, with CF time decode and sentinel masking producing the
+    canonical tall frame."""
+    import base64
+
+    import datetime as dt
+
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.sources.ingest import canonicalize
+
+    store = z.materialize_kerchunk_refs(_CHIRPS_REFS, str(tmp_path / "chirps"))
+    metas = z.open_group(store)
+    assert set(metas) == {"latitude", "longitude", "precip", "time"}
+    assert metas["precip"].dims == ["time", "latitude", "longitude"]
+    assert metas["precip"].fill_value == -9999.0
+
+    lat = z.read_zarr_array_local(store, "latitude")
+    assert lat.tolist() == [14.125, 14.375, 14.625, 14.875, 15.125, 15.375, 15.625, 15.875]
+
+    # independent expectation straight from the refs JSON bytes
+    refs = json.loads(open(_CHIRPS_REFS).read())["refs"]
+    raw_pr = np.frombuffer(base64.b64decode(refs["precip/0.0.0"][7:]), "<f4")
+    raw_t = np.frombuffer(base64.b64decode(refs["time/0"][7:]), "<f4")[0]
+
+    df = z.read_zarr_tall(spark, store, var="precip")
+    assert df.count() == 64
+    desc = DatasetDescriptor(
+        dataset_name="chirps_refs",
+        data_var="precip",
+        time_resolution="daily",
+        dataset_start_date=dt.datetime(1980, 1, 1),
+        allow_overwrite=True,
+        missing_value=-9999.0,
+    )
+    canon = canonicalize(df, desc, cf_epoch="1980-01-01")
+    rows = canon.collect()
+    assert len(rows) == 64
+    n_null = sum(1 for r in rows if r["precip"] is None)
+    assert n_null == int((raw_pr == -9999.0).sum()) > 0
+    expect_day = dt.datetime(1980, 1, 1) + dt.timedelta(days=float(raw_t))
+    assert {r["time"] for r in rows} == {expect_day}
+    vals = sorted(r["precip"] for r in rows if r["precip"] is not None)
+    expect_vals = sorted(float(v) for v in raw_pr if v != -9999.0)
+    assert vals == expect_vals
+
+
+def test_kerchunk_local_ranges_and_seams(tmp_path):
+    data_file = tmp_path / "blob.bin"
+    payload = np.arange(6, dtype="<f8")
+    data_file.write_bytes(b"JUNKJUNK" + payload.tobytes() + b"TAIL")
+    refs = {
+        "version": 1,
+        "refs": {
+            ".zgroup": '{"zarr_format":2}',
+            "v/.zarray": json.dumps({
+                "chunks": [6], "compressor": None, "dtype": "<f8",
+                "fill_value": None, "filters": None, "order": "C",
+                "shape": [6], "zarr_format": 2,
+            }),
+            "v/.zattrs": '{"_ARRAY_DIMENSIONS":["v"]}',
+            "v/0": ["blob.bin", 8, 48],
+        },
+    }
+    store = z.materialize_kerchunk_refs(refs, str(tmp_path / "s"), base_dir=str(tmp_path))
+    assert (z.read_zarr_array_local(store, "v") == payload).all()
+    # remote byte-range → named seam
+    refs["refs"]["v/0"] = ["s3://bucket/blob.bin", 8, 48]
+    with pytest.raises(z.ZarrError, match="fsspec"):
+        z.materialize_kerchunk_refs(refs, str(tmp_path / "s2"))
+    # templated refs → named seam
+    with pytest.raises(z.ZarrError, match="templated"):
+        z.materialize_kerchunk_refs(
+            {"version": 1, "templates": {"u": "http://x"}, "refs": {}},
+            str(tmp_path / "s3"),
+        )

@@ -786,6 +786,61 @@ def write_zarr_array_local(
     return meta
 
 
+def materialize_kerchunk_refs(
+    refs: dict[str, Any] | str,
+    dest: str,
+    base_dir: str | None = None,
+) -> str:
+    """Write a kerchunk reference set to an on-disk Zarr store.
+
+    The refs JSON is the reference pipeline's central artifact — the
+    virtual Zarr it builds per input file and combines across files
+    (utils/transform.py ``create_zarr_json``/``zarr_json_to_dataset``,
+    SURVEY §2 S9/S10; dm.zarr_jsons). This materializes one so the
+    distributed reader can open it without the ``reference://`` fsspec
+    engine: accepts a path or dict, version-1 ``{"version", "refs"}``
+    wrappers or the bare key→value map; inline values are raw latin-1
+    bytes or ``base64:``-prefixed; ``[path, offset, length]`` triples are
+    resolved against the LOCAL filesystem (relative to ``base_dir``) —
+    remote URLs raise a named seam. Refs metadata is small by design (it
+    is the index, not the data), so this is a driver-side step."""
+    if isinstance(refs, str):
+        refs = _read_json(refs)
+    if "refs" in refs and isinstance(refs["refs"], dict):
+        if refs.get("templates") or refs.get("gen"):
+            raise ZarrError("templated kerchunk refs need fsspec's reference filesystem")
+        refs = refs["refs"]
+    os.makedirs(dest, exist_ok=True)
+    for key, val in refs.items():
+        path = os.path.join(dest, *key.split("/"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if isinstance(val, str):
+            if val.startswith("base64:"):
+                data = base64.b64decode(val[len("base64:"):])
+            else:
+                data = val.encode("latin-1")
+        elif isinstance(val, list) and val and isinstance(val[0], str):
+            url = val[0]
+            if "://" in url and not url.startswith("file://"):
+                raise ZarrError(
+                    f"ref {key!r} points at {url!r}: remote byte-ranges need "
+                    f"fsspec; fetch the file locally first"
+                )
+            src = url[len("file://"):] if url.startswith("file://") else url
+            if base_dir is not None and not os.path.isabs(src):
+                src = os.path.join(base_dir, src)
+            with open(src, "rb") as f:
+                if len(val) >= 3:
+                    f.seek(int(val[1]))
+                    data = f.read(int(val[2]))
+                else:
+                    data = f.read()
+        else:
+            raise ZarrError(f"unsupported ref value for {key!r}: {type(val).__name__}")
+        _atomic_write(path, data)
+    return dest
+
+
 def write_zarr3_array_local(
     store: str,
     name: str,
