@@ -406,3 +406,39 @@ def test_zarr_export_ingest_roundtrip(tmp_path, desc, spark):
         src.export_zarr(tmp_path / "pub")
     src.destroy()
     dst.destroy()
+
+
+def test_zarr_encrypted_export_roundtrip(tmp_path, desc, spark):
+    """Encrypted publish (metadata.py:711-717: EncryptionFilter on the data
+    variable): chunk files are ciphertext on disk, and both the distributed
+    read and a full ingest_zarr migration recover the data given the
+    registered key — including across Spark's separate worker processes,
+    which receive the resolved key through the kernel closure."""
+    from zarr_climate_etl_ipfs_spark.sources import encryption
+    from zarr_climate_etl_ipfs_spark.sources import zarr2 as z
+
+    pdf = _tall(daily("2021-09-16", 6), seed=11)
+    df = spark.createDataFrame(pdf, schema=desc.schema())
+    src = GridStore(tmp_path / "src", desc, spark)
+    src.write_initial(df)
+
+    kh = encryption.register_key(bytes(range(32, 64)))
+    pub = tmp_path / "pub_enc"
+    src.export_zarr(pub, filters=[{"id": "xchacha20poly1305", "key_hash": kh}])
+    # data chunks are ciphertext; coordinate axes stay browsable plaintext
+    meta = z.open_group(str(pub))["data"]
+    assert meta.filters[0]["id"] == "xchacha20poly1305"
+    chunk0 = next(p for p in (pub / "data").iterdir() if not p.name.startswith("."))
+    plain_probe = pdf["data"].to_numpy().tobytes()[:8]
+    assert plain_probe not in chunk0.read_bytes()
+    assert z.open_group(str(pub))["latitude"].filters == []
+
+    back = z.read_zarr_tall(spark, str(pub), "data", skip_fill=False)
+    assert back.count() == len(pdf)
+    dst = GridStore(tmp_path / "dst", desc, spark)
+    dst.ingest_zarr(pub)
+    a = sorted(map(tuple, src.dataset().collect()), key=lambda r: r[:3])
+    b = sorted(map(tuple, dst.dataset().collect()), key=lambda r: r[:3])
+    assert a == b
+    src.destroy()
+    dst.destroy()

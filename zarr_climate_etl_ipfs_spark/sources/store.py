@@ -619,6 +619,7 @@ class GridStore:
         path: str | Path,
         chunks: tuple[int, ...] | None = None,
         compressor: dict[str, Any] | None = None,
+        filters: list[dict[str, Any]] | None = None,
         version: int | None = None,
         overwrite: bool = False,
     ) -> dict[str, Any]:
@@ -628,7 +629,11 @@ class GridStore:
         downstream xarray/zarr consumer keeps working after a migration.
         NULL data cells and absent grid cells both land on the NaN
         ``fill_value`` — exactly the missing-data representation a
-        reference-published zarr uses (transform.py:341-369)."""
+        reference-published zarr uses (transform.py:341-369). ``filters``
+        passes through to the data variable's chunk pipeline: with
+        ``[{"id": "xchacha20poly1305", "key_hash": ...}]`` this is the
+        reference's ENCRYPTED publish (metadata.py:711-717 wiring of
+        EncryptionFilter), chunk-ciphertext-compatible."""
         from zarr_climate_etl_ipfs_spark.sources.zarr2 import write_zarr_tall
 
         dims = [
@@ -641,6 +646,7 @@ class GridStore:
             dims,
             chunks=chunks,
             compressor=compressor,
+            filters=filters,
             fill_value=float("nan"),
             overwrite=overwrite,
             attrs={"dataset_name": self.desc.dataset_name},

@@ -481,6 +481,31 @@ def _as_array(obj: Any, dtype: np.dtype) -> np.ndarray:
     return np.frombuffer(obj, dtype=dtype)
 
 
+def _filter_keys(meta: ArrayMeta) -> dict[str, bytes]:
+    """Resolve encrypted-chunk keys DRIVER-side (failing fast if a key is
+    unregistered). The registry is per-process, and Spark's Python workers
+    are separate processes — so the distributed read/write kernels carry
+    the resolved keys in their closure and re-register them worker-side,
+    the cluster equivalent of the reference's 'register at run time'
+    contract (encryption.py:59-99)."""
+    keys: dict[str, bytes] = {}
+    for conf in meta.filters:
+        if conf.get("id") == "xchacha20poly1305":
+            from zarr_climate_etl_ipfs_spark.sources import encryption
+
+            kh = conf["key_hash"]
+            keys[kh] = encryption.get_key(kh)
+    return keys
+
+
+def _register_keys(keys: dict[str, bytes]) -> None:
+    if keys:
+        from zarr_climate_etl_ipfs_spark.sources import encryption
+
+        for key in keys.values():
+            encryption.register_key(key)
+
+
 # -- Zarr v3 codec pipeline (array→array, array→bytes, bytes→bytes) --------
 
 _CRC32C_TABLE = None
@@ -1016,8 +1041,10 @@ def read_zarr_tall(
     base = os.path.join(store, *var.split("/"))
     fill = meta.fill_scalar()
     dims_t = list(dims)
+    enc_keys = _filter_keys(meta)
 
     def kernel(batches):
+        _register_keys(enc_keys)
         m: ArrayMeta = b_meta.value
         axes = b_coords.value
         g, ch, sh = m.chunk_grid, m.chunks, m.shape
@@ -1205,8 +1232,10 @@ def write_zarr_tall(
     os.makedirs(base, exist_ok=True)
     fill = meta.fill_scalar()
     n_cell_total = int(math.prod(chunks))
+    enc_keys = _filter_keys(meta)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        _register_keys(enc_keys)
         ordn = int(pdf["__ordinal"].iloc[0])
         off = pdf["__offset"].to_numpy()
         if on_duplicates == "error" and len(np.unique(off)) != len(off):
