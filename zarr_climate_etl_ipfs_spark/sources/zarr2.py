@@ -1166,7 +1166,15 @@ def write_zarr_tall(
         if not overwrite:
             raise ZarrError(f"store {store!r} exists; pass overwrite=True")
         shutil.rmtree(store)
-    os.makedirs(store)
+    try:
+        # put-if-absent on the store directory: two racing exporters both
+        # passing the exists-check above resolve here — exactly one mkdir
+        # wins (the GridStore manifest-commit lesson, at directory grain)
+        os.makedirs(store)
+    except FileExistsError:
+        raise ZarrError(
+            f"store {store!r} was created concurrently by another writer"
+        ) from None
 
     spark = df.sparkSession
     # one job: every axis's distinct values (axis-sized — driver-safe by
