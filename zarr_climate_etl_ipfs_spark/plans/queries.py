@@ -3587,13 +3587,24 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side `regexp_replace` passes, one codegen'd projection, no joins
     and no Python. At 100 TB this is a pure map over the scan: no
     shuffle except the output sort, and the pattern chain rides inside
-    WholeStageCodegen."""
+    WholeStageCodegen.
+
+    Parallelism: the keep-filter is on the regex COUNT columns, so
+    ordinary predicate pushdown would inline all four extract passes
+    into the single-partition scan and serialize the query (the
+    file-level scale note). No cheap proxy exists — the counts ARE the
+    semantics — so the projection carries a throwaway
+    monotonically_increasing_id: one nondeterministic expression makes
+    the Project non-push-through-able, pinning the filter (and the
+    whole eight-regex chain) AFTER the t_wide repartition. The column
+    is dropped before output; results are unchanged. Measured at
+    sf0.1: 1.58 → 0.97 s."""
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import (
         PII_PATTERNS,
         scrub_pii,
     )
 
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     did = F.col("doc_id")
     enriched = F.concat(
         F.col("text"),
@@ -3630,11 +3641,13 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             *counts,
             F.md5(scrub_pii("text")).alias("scrub_fp"),
+            F.monotonically_increasing_id().alias("_mid"),  # pushdown barrier
         )
         .withColumnRenamed("n_ipv4", "n_ip")
         .filter(
             F.col("n_email") + F.col("n_phone") + F.col("n_ip") + F.col("n_ssn") > 0
         )
+        .drop("_mid")
         .orderBy("doc_id")
     )
 
@@ -3666,16 +3679,19 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TakeOrderedAndProject on top."""
     from zarr_climate_etl_ipfs_spark.operators.dedup import shingles_from_words, words
 
-    d = t(spark, sf_dir, "documents")
-    # materialize the word array in its own Project: embedding words(text)
-    # inside the shingle lambda re-runs the regex split once per shingle
-    # POSITION (O(words²) regex work per doc — the trap shingles' own
-    # docstring names). Measured at sf0.1: 6.0 → 3.15 s, value-identical;
-    # CollapseProject leaves the multi-referenced alias un-inlined.
-    w = d.select("doc_id", words("text").alias("ws"))
+    # t_wide + filter on the CHEAP proxy (size(ws) >= 3 ⟺ size(grams) > 0,
+    # shingles_from_words contract): predicate pushdown inlines only the
+    # one-regex-split-per-doc into the single-partition scan, while the
+    # O(words²)-ish shingle build + array_distinct run AFTER the
+    # repartition on all cores. Filtering on size(grams) instead inlines
+    # the whole shingle subtree into the scan (the file-level scale note);
+    # with t() everything serialized on one task. Measured at sf0.1:
+    # 6.0 (inlined words) → 3.15 (materialized ws, t()) → 0.40 s (this).
+    d = t_wide(spark, sf_dir, "documents")
+    w = d.select("doc_id", words("text").alias("ws")).filter(F.size("ws") >= 3)
     g = w.select(
         "doc_id", shingles_from_words("ws", 3, distinct=False).alias("grams")
-    ).filter(F.size("grams") > 0)
+    )
     n = F.size("grams")
     nd = F.size(F.array_distinct("grams"))
     return (
