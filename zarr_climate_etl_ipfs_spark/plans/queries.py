@@ -4276,7 +4276,13 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "model" is never materialized driver-side — it IS the window over the
     shuffled aggregate; everything keys on term or doc_id, both
     hash-uniform after the tf collapse. NLL rounds at 4 decimals on both
-    engines (the per-doc sum is dozens of terms, ulp noise ~1e-13)."""
+    engines (the per-doc sum is dozens of terms, ulp noise ~1e-13).
+
+    Negative result (r9): t_wide measured 1.18 s vs 0.77 s here — the
+    explode already feeds the (doc, term) groupBy shuffle, so
+    repartitioning the raw text first is pure extra I/O, unlike the
+    repetition_ratio/pii_scrub cases where heavy per-row work sat in the
+    scan stage with no shuffle behind it."""
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t(spark, sf_dir, "documents")
