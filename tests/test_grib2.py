@@ -371,3 +371,43 @@ def test_ingest_real_grib2_bytes_end_to_end(spark, tmp_path, g2_desc):
         & (F.col("longitude") == 110.0)
     ).collect()
     assert len(hole) == 1 and hole[0]["precip"] is None
+
+
+def test_png_packing_matches_simple_packing():
+    """Template 5.40 (PNG packing, e.g. NCEP MRMS): same R/E/D/bits as
+    simple packing, so the decoded field must be BIT-identical to the
+    template 5.0 decode of the same message — the PNG layer is pure
+    transport for the scaled integers."""
+    import datetime as dt
+
+    lats = np.linspace(50, 40, 5)
+    lons = np.linspace(-110, -100, 6)
+    vals = np.arange(30, dtype="f8").reshape(5, 6) * 0.37 + 2.5
+    vals[2, 3] = np.nan  # exercise the bitmap interaction
+    msg = GRIB2Message(
+        discipline=0, parameter_category=1, parameter_number=8,
+        ref_time=dt.datetime(2024, 3, 1, 6), forecast_seconds=3600,
+        level_type=1, level=0, lats=lats, lons=lons, values=vals,
+        ensemble_member=None, attrs={},
+    )
+    for bits in (8, 16):
+        simple = parse_grib2(write_grib2([msg], bits_per_value=bits, template=0))[0]
+        png = parse_grib2(write_grib2([msg], bits_per_value=bits, template=40))[0]
+        s, p = simple.values, png.values
+        assert np.isnan(s[2, 3]) and np.isnan(p[2, 3])
+        m = ~np.isnan(s)
+        assert (s[m] == p[m]).all()
+        assert png.attrs["bits"] == bits
+
+
+def test_png_packing_writer_rejects_odd_depths():
+    import datetime as dt
+
+    msg = GRIB2Message(
+        discipline=0, parameter_category=1, parameter_number=8,
+        ref_time=dt.datetime(2024, 3, 1, 6), forecast_seconds=0,
+        level_type=1, level=0, lats=np.array([1.0]), lons=np.array([2.0]),
+        values=np.array([[3.0]]), ensemble_member=None, attrs={},
+    )
+    with pytest.raises(GRIB2Error, match="8- or 16-bit"):
+        write_grib2([msg], bits_per_value=12, template=40)

@@ -520,8 +520,10 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
 
 @_clean_errors
 def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
-    """PNG → (H, W, C) uint8 array. Supports bit depth 8, color types
-    0/2/4/6, no interlace; undoes all five scanline filters."""
+    """PNG → (H, W, C) uint8 array (or uint16 for 16-bit images). Supports
+    bit depths 8 and 16, color types 0/2/4/6, no interlace; undoes all five
+    scanline filters (which operate on BYTES with a lane distance of bytes-
+    per-pixel, per the PNG spec — the 16-bit case GRIB2 PNG packing uses)."""
     if content[:8] != _PNG_SIG:
         raise MediaDecodeError("not a PNG (bad signature)")
     pos, idat, ihdr = 8, [], None
@@ -539,16 +541,17 @@ def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     if ihdr is None or not idat:
         raise MediaDecodeError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
         raise MediaDecodeError(
             f"unsupported PNG (depth={depth}, interlace={interlace}); "
-            "only 8-bit non-interlaced is implemented"
+            "only 8/16-bit non-interlaced is implemented"
         )
     if color not in _PNG_CHANNELS:
         raise MediaDecodeError(f"unsupported PNG color type {color} (palette needs PLTE)")
     c = _PNG_CHANNELS[color]
+    bpp = c * (depth // 8)  # filter lane distance: bytes per pixel
     raw = zlib.decompress(b"".join(idat))
-    stride = w * c
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise MediaDecodeError("PNG data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -560,22 +563,22 @@ def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         ).astype(np.int32)
         if ftype == 0:  # None
             rec = line
-        elif ftype == 1:  # Sub: prefix sum per channel lane
-            rec = line.reshape(w, c).cumsum(axis=0).reshape(stride)
+        elif ftype == 1:  # Sub: prefix sum per byte lane
+            rec = line.reshape(w, bpp).cumsum(axis=0).reshape(stride)
         elif ftype == 2:  # Up
             rec = line + prev
         elif ftype == 3:  # Average — sequential in x
             rec = line.copy()
             for x in range(stride):
-                left = rec[x - c] if x >= c else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = line[x] + ((left + prev[x]) >> 1)
                 rec[x] &= 0xFF
         elif ftype == 4:  # Paeth — sequential in x
             rec = line.copy()
             for x in range(stride):
-                a = rec[x - c] if x >= c else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                cc = prev[x - c] if x >= c else 0
+                cc = prev[x - bpp] if x >= bpp else 0
                 p = a + b - cc
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
@@ -586,13 +589,24 @@ def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         rec = rec & 0xFF
         out[y] = rec.astype(np.uint8)
         prev = rec
-    meta = {"format": "png", "width": w, "height": h, "n_channels": c}
+    meta = {"format": "png", "width": w, "height": h, "n_channels": c, "bit_depth": depth}
+    if depth == 16:  # network byte order per spec
+        return out.reshape(h, w, c, 2).astype(np.uint16)[..., 0] * 256 + out.reshape(
+            h, w, c, 2
+        )[..., 1], meta
     return out.reshape(h, w, c), meta
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """(H, W) or (H, W, C) uint8 → PNG bytes (filter 0, one IDAT)."""
-    img = np.asarray(img, dtype=np.uint8)
+    """(H, W) or (H, W, C) uint8/uint16 → PNG bytes (filter 0, one IDAT);
+    uint16 input produces a 16-bit image with network-byte-order samples."""
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        depth = 16
+        img = img.astype(">u2")
+    else:
+        depth = 8
+        img = img.astype(np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -606,7 +620,7 @@ def encode_png(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     scan = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     return (
         _PNG_SIG

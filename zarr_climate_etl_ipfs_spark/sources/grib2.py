@@ -29,8 +29,12 @@ without kerchunk/cfgrib, implementing the published WMO GRIB2 format
   - Section 7 data (big-endian bitstream, vectorized unpack);
   - Section 8 "7777"; multi-message concatenation.
 
-Out of scope (clear errors): JPEG2000/PNG packing (5.40/5.41 need image
-codecs), complex-packing missing-value management (bitmaps cover the
+      template 5.40 — PNG packing (the scaled integers arrive as a PNG
+      raster, e.g. NCEP MRMS; decoded/encoded with the repo's own
+      pure-stdlib PNG codec, 8/16-bit greyscale + 24/32-bit RGB(A) read)
+
+Out of scope (clear errors): JPEG2000 packing (5.41 needs a JPEG2000
+codec), complex-packing missing-value management (bitmaps cover the
 reference's products), non-lat/lon grids, GRIB1 (see sources/grib1.py).
 """
 
@@ -214,7 +218,7 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 return None  # skip before sections 5-7: no bitstream decode
         elif sec_num == 5:
             tmpl = _u(s, 9, 2)
-            if tmpl not in (0, 2, 3):
+            if tmpl not in (0, 2, 3, 40):
                 raise GRIB2Error(f"data representation template 5.{tmpl} not supported")
             packing = {
                 "template": tmpl,
@@ -264,6 +268,11 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
                     10.0 ** packing["decimal_scale"]
                 )
+            elif packing["template"] == 40:
+                x = _unpack_png(bytes(s[5:]), n, packing["bits"])
+                present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
+                    10.0 ** packing["decimal_scale"]
+                )
             elif packing["bits"] == 0:
                 present = np.full(n, packing["ref"] / 10.0 ** packing["decimal_scale"])
             else:
@@ -301,6 +310,35 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
         forecast_seconds=product["forecast_seconds"],
         ensemble_member=product.get("ensemble_member"),
     )
+
+
+def _unpack_png(payload: bytes, n: int, bits: int) -> np.ndarray:
+    """Template 7.40: the scaled integers X arrive as a PNG image (WMO
+    template 5.40; e.g. NCEP MRMS products). Depths 1-16 are greyscale,
+    24 is 8-bit RGB and 32 is 8-bit RGBA, with the pixel raster in scan
+    order carrying X big-endian across channels. Decoded with the repo's
+    own pure-stdlib PNG codec (mediacodecs.decode_png)."""
+    from zarr_climate_etl_ipfs_spark.mediacodecs import MediaDecodeError, decode_png
+
+    try:
+        img, _meta = decode_png(payload)
+    except MediaDecodeError as e:
+        raise GRIB2Error(f"PNG-packed data section: {e}") from e
+    flat = img.reshape(img.shape[0] * img.shape[1], img.shape[2]).astype(np.int64)
+    c = flat.shape[1]
+    if bits <= 16:
+        if c != 1:
+            raise GRIB2Error(f"PNG packing with {bits} bits expects greyscale, got {c} channels")
+        x = flat[:, 0]
+    elif bits == 24 and c == 3:
+        x = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    elif bits == 32 and c == 4:
+        x = (flat[:, 0] << 24) | (flat[:, 1] << 16) | (flat[:, 2] << 8) | flat[:, 3]
+    else:
+        raise GRIB2Error(f"PNG packing bits={bits} with {c} channels not supported")
+    if x.size != n:
+        raise GRIB2Error(f"PNG-packed section has {x.size} points, expected {n}")
+    return x
 
 
 def _read_block(bits: np.ndarray, pos: int, n: int, w: int) -> tuple[np.ndarray, int]:
@@ -452,9 +490,12 @@ def write_grib2(
 
     ``template`` selects the data representation: 0 = simple packing,
     2 = complex packing (group splitting), 3 = complex packing with
-    spatial differencing of ``diff_order`` (1 or 2)."""
-    if template not in (0, 2, 3):
-        raise GRIB2Error(f"write_grib2 supports templates 0/2/3, not {template}")
+    spatial differencing of ``diff_order`` (1 or 2), 40 = PNG packing
+    (greyscale image of the scaled integers; ``bits_per_value`` 8 or 16)."""
+    if template not in (0, 2, 3, 40):
+        raise GRIB2Error(f"write_grib2 supports templates 0/2/3/40, not {template}")
+    if template == 40 and bits_per_value not in (8, 16):
+        raise GRIB2Error("PNG packing (template=40) writes 8- or 16-bit greyscale")
     return b"".join(
         _write_message(m, bits_per_value, decimal_scale, template, diff_order)
         for m in messages
@@ -653,17 +694,25 @@ def _write_message(
         sec4[b + 19] = 255  # no time increment between successive fields
         sec4[b + 20 : b + 24] = (0).to_bytes(4, "big")
 
-    if template == 0:
+    if template in (0, 40):
         sec5 = (
             (21).to_bytes(4, "big") + bytes([5])
             + present.size.to_bytes(4, "big")
-            + (0).to_bytes(2, "big")  # template 5.0
+            + template.to_bytes(2, "big")  # template 5.0 / 5.40
             + struct.pack(">f", rmin)
             + _s16_bytes(e)
             + _s16_bytes(decimal_scale)
             + bytes([bits_per_value, 0])  # original field type: float
         )
-        packed = _pack_bits(x, bits_per_value)
+        if template == 40:
+            from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
+
+            # one-row greyscale raster: image shape is the encoder's choice
+            # per the template — present points in scan order
+            dtype = np.uint16 if bits_per_value == 16 else np.uint8
+            packed = encode_png(x.astype(dtype).reshape(1, present.size))
+        else:
+            packed = _pack_bits(x, bits_per_value)
     else:
         fields, packed = _encode_complex(x, template, diff_order)
         sec5_len = 49 if template == 3 else 47
