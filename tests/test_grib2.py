@@ -374,7 +374,7 @@ def test_ingest_real_grib2_bytes_end_to_end(spark, tmp_path, g2_desc):
 
 
 def test_png_packing_matches_simple_packing():
-    """Template 5.40 (PNG packing, e.g. NCEP MRMS): same R/E/D/bits as
+    """Template 5.41 (PNG packing, e.g. NCEP MRMS): same R/E/D/bits as
     simple packing, so the decoded field must be BIT-identical to the
     template 5.0 decode of the same message — the PNG layer is pure
     transport for the scaled integers."""
@@ -392,7 +392,7 @@ def test_png_packing_matches_simple_packing():
     )
     for bits in (8, 16):
         simple = parse_grib2(write_grib2([msg], bits_per_value=bits, template=0))[0]
-        png = parse_grib2(write_grib2([msg], bits_per_value=bits, template=40))[0]
+        png = parse_grib2(write_grib2([msg], bits_per_value=bits, template=41))[0]
         s, p = simple.values, png.values
         assert np.isnan(s[2, 3]) and np.isnan(p[2, 3])
         m = ~np.isnan(s)
@@ -410,4 +410,35 @@ def test_png_packing_writer_rejects_odd_depths():
         values=np.array([[3.0]]), ensemble_member=None, attrs={},
     )
     with pytest.raises(GRIB2Error, match="8- or 16-bit"):
-        write_grib2([msg], bits_per_value=12, template=40)
+        write_grib2([msg], bits_per_value=12, template=41)
+
+
+def test_template_numbers_follow_wmo_table_5_0():
+    """WMO Table 5.0: 5.40 = JPEG2000 code stream, 5.41 = PNG. A 5.40
+    message must raise the named JPEG2000 seam (not be misread as PNG),
+    and PNG frames must carry 41 in section 5 octets 10-11."""
+    import datetime as dt
+    import struct as _struct
+
+    msg = GRIB2Message(
+        discipline=0, parameter_category=1, parameter_number=8,
+        ref_time=dt.datetime(2024, 3, 1, 6), forecast_seconds=0,
+        level_type=1, level=0, lats=np.array([1.0]), lons=np.array([2.0, 3.0]),
+        values=np.array([[3.0, 4.0]]), ensemble_member=None, attrs={},
+    )
+    raw = bytearray(write_grib2([msg], template=41))
+    # locate section 5 (first section with number byte 5 after the 16-byte
+    # indicator) and check its template number octets
+    p = 16
+    tmpl_off = None
+    while p < len(raw) - 4:
+        sec_len = int.from_bytes(raw[p : p + 4], "big")
+        if raw[p + 4] == 5:
+            tmpl_off = p + 9
+            break
+        p += sec_len
+    assert tmpl_off is not None
+    assert _struct.unpack_from(">H", raw, tmpl_off)[0] == 41
+    raw[tmpl_off : tmpl_off + 2] = (40).to_bytes(2, "big")
+    with pytest.raises(GRIB2Error, match="JPEG2000"):
+        parse_grib2(bytes(raw))

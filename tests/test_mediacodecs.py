@@ -905,7 +905,7 @@ def test_real_wav_audio_features():
 
 def test_png_16bit_roundtrip_and_filters():
     """16-bit PNG (network byte order, byte-lane filters) — the depth GRIB2
-    PNG packing (template 5.40) uses."""
+    PNG packing (template 5.41) uses."""
     import struct
     import zlib
 

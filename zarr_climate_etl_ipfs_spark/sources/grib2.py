@@ -29,11 +29,11 @@ without kerchunk/cfgrib, implementing the published WMO GRIB2 format
   - Section 7 data (big-endian bitstream, vectorized unpack);
   - Section 8 "7777"; multi-message concatenation.
 
-      template 5.40 — PNG packing (the scaled integers arrive as a PNG
+      template 5.41 — PNG packing (the scaled integers arrive as a PNG
       raster, e.g. NCEP MRMS; decoded/encoded with the repo's own
       pure-stdlib PNG codec, 8/16-bit greyscale + 24/32-bit RGB(A) read)
 
-Out of scope (clear errors): JPEG2000 packing (5.41 needs a JPEG2000
+Out of scope (clear errors): JPEG2000 packing (5.40 needs a JPEG2000
 codec), complex-packing missing-value management (bitmaps cover the
 reference's products), non-lat/lon grids, GRIB1 (see sources/grib1.py).
 """
@@ -218,7 +218,12 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 return None  # skip before sections 5-7: no bitstream decode
         elif sec_num == 5:
             tmpl = _u(s, 9, 2)
-            if tmpl not in (0, 2, 3, 40):
+            if tmpl == 40:
+                raise GRIB2Error(
+                    "data representation template 5.40 (JPEG2000 code "
+                    "stream) needs a JPEG2000 codec (OpenJPEG / Pillow)"
+                )
+            if tmpl not in (0, 2, 3, 41):
                 raise GRIB2Error(f"data representation template 5.{tmpl} not supported")
             packing = {
                 "template": tmpl,
@@ -268,7 +273,7 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
                     10.0 ** packing["decimal_scale"]
                 )
-            elif packing["template"] == 40:
+            elif packing["template"] == 41:
                 x = _unpack_png(bytes(s[5:]), n, packing["bits"])
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
                     10.0 ** packing["decimal_scale"]
@@ -314,7 +319,7 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
 
 def _unpack_png(payload: bytes, n: int, bits: int) -> np.ndarray:
     """Template 7.40: the scaled integers X arrive as a PNG image (WMO
-    template 5.40; e.g. NCEP MRMS products). Depths 1-16 are greyscale,
+    template 5.41; e.g. NCEP MRMS products). Depths 1-16 are greyscale,
     24 is 8-bit RGB and 32 is 8-bit RGBA, with the pixel raster in scan
     order carrying X big-endian across channels. Decoded with the repo's
     own pure-stdlib PNG codec (mediacodecs.decode_png)."""
@@ -490,12 +495,12 @@ def write_grib2(
 
     ``template`` selects the data representation: 0 = simple packing,
     2 = complex packing (group splitting), 3 = complex packing with
-    spatial differencing of ``diff_order`` (1 or 2), 40 = PNG packing
+    spatial differencing of ``diff_order`` (1 or 2), 41 = PNG packing
     (greyscale image of the scaled integers; ``bits_per_value`` 8 or 16)."""
-    if template not in (0, 2, 3, 40):
-        raise GRIB2Error(f"write_grib2 supports templates 0/2/3/40, not {template}")
-    if template == 40 and bits_per_value not in (8, 16):
-        raise GRIB2Error("PNG packing (template=40) writes 8- or 16-bit greyscale")
+    if template not in (0, 2, 3, 41):
+        raise GRIB2Error(f"write_grib2 supports templates 0/2/3/41, not {template}")
+    if template == 41 and bits_per_value not in (8, 16):
+        raise GRIB2Error("PNG packing (template=41) writes 8- or 16-bit greyscale")
     return b"".join(
         _write_message(m, bits_per_value, decimal_scale, template, diff_order)
         for m in messages
@@ -694,17 +699,17 @@ def _write_message(
         sec4[b + 19] = 255  # no time increment between successive fields
         sec4[b + 20 : b + 24] = (0).to_bytes(4, "big")
 
-    if template in (0, 40):
+    if template in (0, 41):
         sec5 = (
             (21).to_bytes(4, "big") + bytes([5])
             + present.size.to_bytes(4, "big")
-            + template.to_bytes(2, "big")  # template 5.0 / 5.40
+            + template.to_bytes(2, "big")  # template 5.0 / 5.41
             + struct.pack(">f", rmin)
             + _s16_bytes(e)
             + _s16_bytes(decimal_scale)
             + bytes([bits_per_value, 0])  # original field type: float
         )
-        if template == 40:
+        if template == 41:
             from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
 
             # one-row greyscale raster: image shape is the encoder's choice
