@@ -1,0 +1,450 @@
+"""CCSDS 121.0-B lossless coder (Rice/AEC) — GRIB2 template 5.42.
+
+GRIB2's template 5.42 packs the scaled non-negative integers with the
+CCSDS Adaptive Entropy Coder (the algorithm behind libaec/szip; DWD ICON
+and several EUMETSAT feeds ship it). The reference reads such products
+through kerchunk→cfgrib→eccodes→libaec; this module implements the coder
+itself from the published CCSDS 121.0-B standard so the Spark GRIB2
+source needs no compiled codec.
+
+Coder structure (CCSDS 121.0-B-2):
+
+* Samples are processed in BLOCKS of J samples (GRIB octet 23; 8-64) and
+  REFERENCE SAMPLE INTERVALS of r blocks (octets 24-25). With
+  preprocessing enabled, the first sample of each RSI is transmitted raw
+  (n bits) and every other sample is the unit-delay prediction error
+  mapped to a non-negative integer:
+
+      theta = min(pred - x_min, x_max - pred);  e = x - pred
+      d = 2e        (0 <= e <= theta)
+        | 2|e| - 1  (-theta <= e < 0)
+        | theta+|e| (otherwise)
+
+* Each block is coded with the best of several options, announced by an
+  ID field of 3/4/5 bits for n <= 8 / <= 16 / <= 32:
+    - ID 0 + ext bit 0: ZERO-BLOCK — a run of all-zero blocks; the run
+      length is a fundamental-sequence codeword (values 0-3 mean runs of
+      1-4, value 4 is the rest-of-segment ROS marker, values >= 5 are
+      the literal run; a segment is 64 blocks).
+    - ID 0 + ext bit 1: SECOND-EXTENSION — consecutive sample pairs
+      transformed to m = (d1+d2)(d1+d2+1)/2 + d2 and FS-coded.
+    - ID 1 .. 2^L-2: SAMPLE SPLITTING with k = ID-1 — FS codes of
+      d >> k, then the k split LSBs of every sample.
+    - ID all-ones: NO COMPRESSION — raw n-bit samples.
+  A fundamental-sequence (FS) codeword for value v is v zero bits then a
+  one ("unary"); all bit packing is MSB-first.
+
+* In a block that carries the RSI reference sample, the raw reference
+  follows the option ID (libaec's layout); the remaining J-1 samples are
+  coded by the option. The encoder never chooses second-extension for a
+  reference block (the odd sample count has no pairing defined here);
+  the decoder rejects that combination with a named error.
+
+Parity status: spec-derived and self-validated (hand-built bitstream
+vectors for every option + property round-trips); no AEC implementation
+exists in this container to cross-check bit-exactness against libaec,
+so — like the repo's other from-spec encoders — treat interop with
+foreign 5.42 streams as test-grade. The SIGNED / RESTRICTED / 3BYTE /
+PAD_RSI option-mask bits (GRIB octet 22) are rejected with named errors;
+GRIB's scaled values are unsigned and mainstream encoders set only
+MSB|PREPROCESS.
+
+Scale note: the coder runs inside the per-message ``mapInPandas`` decode
+kernel exactly like the other GRIB templates — one message per row,
+embarrassingly parallel across messages; the per-sample Python loop is
+only the saturated-mapper fallback, the common path is vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["AECError", "aec_encode", "aec_decode", "FLAG_MSB", "FLAG_PREPROCESS"]
+
+
+class AECError(RuntimeError):
+    """Malformed AEC stream or unsupported option."""
+
+
+# libaec option-mask bits (aec.h), carried in GRIB2 template 5.42 octet 22
+FLAG_SIGNED = 1
+FLAG_3BYTE = 2
+FLAG_MSB = 4
+FLAG_PREPROCESS = 8
+FLAG_RESTRICTED = 16
+FLAG_PAD_RSI = 32
+
+_SEGMENT = 64  # blocks per zero-run segment
+_ROS = 4  # FS value marking "rest of segment is zero"
+
+
+def _id_len(nbits: int) -> int:
+    if nbits <= 8:
+        return 3
+    if nbits <= 16:
+        return 4
+    return 5
+
+
+def check_flags(flags: int) -> bool:
+    """Validate a GRIB octet-22 option mask; returns preprocess on/off."""
+    for bit, name in (
+        (FLAG_SIGNED, "signed samples"),
+        (FLAG_3BYTE, "3-byte storage"),
+        (FLAG_RESTRICTED, "restricted coding options"),
+        (FLAG_PAD_RSI, "RSI padding"),
+    ):
+        if flags & bit:
+            raise AECError(f"CCSDS option mask bit {bit} ({name}) not supported")
+    return bool(flags & FLAG_PREPROCESS)
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nacc")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def write_fs(self, value: int) -> None:
+        while value >= 32:
+            self.write(0, 32)
+            value -= 32
+        self.write(1, value + 1)  # `value` zeros then a one
+
+    def bytes(self) -> bytes:
+        if self.nacc:
+            self.buf.append((self.acc << (8 - self.nacc)) & 0xFF)
+            self.acc = self.nacc = 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "nbits_total")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+        self.nbits_total = 8 * len(data)
+
+    def read(self, nbits: int) -> int:
+        if self.pos + nbits > self.nbits_total:
+            raise AECError("AEC stream truncated")
+        out = 0
+        pos = self.pos
+        remaining = nbits
+        while remaining:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, remaining)
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            remaining -= take
+        self.pos = pos
+        return out
+
+    def read_fs(self) -> int:
+        count = 0
+        pos = self.pos
+        data = self.data
+        total = self.nbits_total
+        while True:
+            if pos >= total:
+                raise AECError("AEC stream truncated inside FS codeword")
+            bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+            pos += 1
+            if bit:
+                self.pos = pos
+                return count
+            count += 1
+
+
+# ---------------------------------------------------------------------------
+# Preprocessor (unit-delay predictor + standard mapper)
+# ---------------------------------------------------------------------------
+
+
+def _map_rsi(x: np.ndarray, nbits: int) -> np.ndarray:
+    """Forward-map one RSI's samples (vectorized); d[0] is the RAW
+    reference sample, d[1:] the mapped prediction errors."""
+    xmax = (1 << nbits) - 1
+    x = x.astype(np.int64)
+    pred = x[:-1]
+    e = x[1:] - pred
+    theta = np.minimum(pred, xmax - pred)
+    d = np.where(
+        np.abs(e) <= theta,
+        np.where(e >= 0, 2 * e, -2 * e - 1),
+        theta + np.abs(e),
+    )
+    out = np.empty(len(x), dtype=np.int64)
+    out[0] = x[0]
+    out[1:] = d
+    return out
+
+
+def _unmap_rsi(d: np.ndarray, nbits: int) -> np.ndarray:
+    """Invert :func:`_map_rsi`. Optimistic vectorized path assumes no
+    mapper saturation (|e| <= theta everywhere — the overwhelmingly
+    common case for smooth fields); verified by re-mapping, with a
+    sequential exact fallback when saturation occurred."""
+    xmax = (1 << nbits) - 1
+    d = d.astype(np.int64)
+    if len(d) == 1:
+        return d.copy()
+    body = d[1:]
+    e = np.where(body % 2 == 0, body // 2, -(body + 1) // 2)
+    x = np.empty(len(d), dtype=np.int64)
+    x[0] = d[0]
+    x[1:] = d[0] + np.cumsum(e)
+    if (x >= 0).all() and (x <= xmax).all() and np.array_equal(_map_rsi(x, nbits), d):
+        return x
+    # exact sequential inverse (mapper saturated somewhere)
+    pred = int(d[0])
+    x[0] = pred
+    for i in range(1, len(d)):
+        di = int(d[i])
+        theta = min(pred, xmax - pred)
+        if di <= 2 * theta:
+            e_i = di // 2 if di % 2 == 0 else -(di + 1) // 2
+        else:
+            mag = di - theta
+            e_i = mag if xmax - pred > theta else -mag
+        pred += e_i
+        if not 0 <= pred <= xmax:
+            raise AECError("AEC preprocessor inverse out of range (corrupt stream)")
+        x[i] = pred
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def aec_encode(
+    samples: np.ndarray,
+    nbits: int,
+    block_size: int = 32,
+    rsi: int = 128,
+    preprocess: bool = True,
+) -> bytes:
+    if not 1 <= nbits <= 32:
+        raise AECError(f"bits per sample {nbits} outside 1..32")
+    if block_size not in (8, 16, 32, 64):
+        raise AECError(f"block size {block_size} not in 8/16/32/64")
+    if rsi < 1:
+        raise AECError("reference sample interval must be >= 1")
+    x = np.asarray(samples, dtype=np.int64).ravel()
+    if len(x) == 0:
+        return b""
+    if x.min() < 0 or x.max() > (1 << nbits) - 1:
+        raise AECError("sample out of range for bits per sample")
+    idl = _id_len(nbits)
+    uncomp_id = (1 << idl) - 1
+    max_k = min(uncomp_id - 2, nbits - 1)
+    w = _BitWriter()
+    rsi_samples = rsi * block_size
+
+    for r0 in range(0, len(x), rsi_samples):
+        chunk = x[r0 : r0 + rsi_samples]
+        d = _map_rsi(chunk, nbits) if preprocess else chunk
+        nblocks = -(-len(d) // block_size)
+        zero_run = 0  # pending all-zero blocks, ref flag of run start
+        run_ref = False
+        run_ref_val = 0
+
+        def flush_zero_run(at_segment_end: bool, bi: int) -> None:
+            nonlocal zero_run, run_ref, run_ref_val
+            if not zero_run:
+                return
+            w.write(0, idl)  # ID 0
+            w.write(0, 1)  # ext bit: zero-block
+            if run_ref:
+                w.write(run_ref_val, nbits)
+            if at_segment_end and zero_run > 4:
+                w.write_fs(_ROS)
+            elif zero_run <= 4:
+                w.write_fs(zero_run - 1)
+            else:
+                w.write_fs(zero_run)
+            zero_run = 0
+            run_ref = False
+
+        for bi in range(nblocks):
+            blk = d[bi * block_size : (bi + 1) * block_size]
+            is_ref = preprocess and bi == 0
+            body = blk[1:] if is_ref else blk
+            if len(body) == 0 or not body.any():
+                if not zero_run:
+                    run_ref = is_ref
+                    run_ref_val = int(blk[0]) if is_ref else 0
+                zero_run += 1
+                if (bi + 1) % _SEGMENT == 0:  # segment boundary flush
+                    flush_zero_run(True, bi)
+                continue
+            flush_zero_run(False, bi)
+            _encode_block(w, blk, is_ref, nbits, idl, uncomp_id, max_k, block_size)
+        flush_zero_run(True, nblocks - 1)
+    return w.bytes()
+
+
+def _encode_block(
+    w: _BitWriter,
+    blk: np.ndarray,
+    is_ref: bool,
+    nbits: int,
+    idl: int,
+    uncomp_id: int,
+    max_k: int,
+    block_size: int,
+) -> None:
+    body = blk[1:] if is_ref else blk
+    # short trailing blocks are padded conceptually by coding only what
+    # exists; option costs use the actual sample count
+    ncoded = len(body)
+    best_cost = ncoded * nbits  # no-compression baseline
+    best = ("raw", 0)
+    for k in range(max_k + 1):
+        cost = int((body >> k).sum()) + ncoded * (k + 1)
+        if cost < best_cost:
+            best_cost = cost
+            best = ("split", k)
+    if not is_ref and ncoded % 2 == 0 and ncoded > 0:
+        pairs = body.reshape(-1, 2)
+        s = pairs[:, 0] + pairs[:, 1]
+        m = s * (s + 1) // 2 + pairs[:, 1]
+        if (m < (1 << 62)).all():
+            cost = int(m.sum()) + len(m)
+            if cost < best_cost:
+                best_cost = cost
+                best = ("se", 0)
+    kind, k = best
+    if kind == "raw":
+        w.write(uncomp_id, idl)
+        if is_ref:
+            w.write(int(blk[0]), nbits)
+        for v in body:
+            w.write(int(v), nbits)
+    elif kind == "split":
+        w.write(k + 1, idl)
+        if is_ref:
+            w.write(int(blk[0]), nbits)
+        for v in body >> k:
+            w.write_fs(int(v))
+        if k:
+            for v in body:
+                w.write(int(v), k)
+    else:  # second extension (never on a reference block)
+        w.write(0, idl)
+        w.write(1, 1)
+        pairs = body.reshape(-1, 2)
+        s = pairs[:, 0] + pairs[:, 1]
+        for mv in s * (s + 1) // 2 + pairs[:, 1]:
+            w.write_fs(int(mv))
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def aec_decode(
+    data: bytes,
+    n_samples: int,
+    nbits: int,
+    block_size: int = 32,
+    rsi: int = 128,
+    preprocess: bool = True,
+) -> np.ndarray:
+    if n_samples == 0:
+        return np.zeros(0, dtype=np.int64)
+    if not 1 <= nbits <= 32:
+        raise AECError(f"bits per sample {nbits} outside 1..32")
+    if block_size not in (8, 16, 32, 64):
+        raise AECError(f"block size {block_size} not in 8/16/32/64")
+    r = _BitReader(data)
+    idl = _id_len(nbits)
+    uncomp_id = (1 << idl) - 1
+    out = np.empty(n_samples, dtype=np.int64)
+    rsi_samples = rsi * block_size
+
+    for r0 in range(0, n_samples, rsi_samples):
+        n_here = min(rsi_samples, n_samples - r0)
+        d = np.zeros(n_here, dtype=np.int64)
+        nblocks = -(-n_here // block_size)
+        bi = 0
+        while bi < nblocks:
+            base = bi * block_size
+            blen = min(block_size, n_here - base)
+            is_ref = preprocess and bi == 0
+            opt = r.read(idl)
+            if opt == 0:
+                ext = r.read(1)
+                if ext == 0:  # zero-block run
+                    if is_ref:
+                        d[0] = r.read(nbits)
+                    fs = r.read_fs()
+                    if fs == _ROS:
+                        seg_end = ((bi // _SEGMENT) + 1) * _SEGMENT
+                        run = min(seg_end, nblocks) - bi
+                    elif fs < _ROS:
+                        run = fs + 1
+                    else:
+                        run = fs
+                    if bi + run > nblocks:
+                        raise AECError("zero-block run beyond data end")
+                    bi += run  # samples already zero-initialized
+                    continue
+                # second extension
+                if is_ref:
+                    raise AECError(
+                        "second-extension option in a reference block is "
+                        "not defined by this coder"
+                    )
+                if blen % 2:
+                    raise AECError("second-extension block with odd sample count")
+                vals = np.empty(blen, dtype=np.int64)
+                for p in range(blen // 2):
+                    m = r.read_fs()
+                    # invert m = s(s+1)/2 + d2  (s = d1 + d2)
+                    s = int((np.sqrt(8.0 * m + 1.0) - 1.0) // 2)
+                    while s * (s + 1) // 2 > m:
+                        s -= 1
+                    while (s + 1) * (s + 2) // 2 <= m:
+                        s += 1
+                    d2 = m - s * (s + 1) // 2
+                    vals[2 * p] = s - d2
+                    vals[2 * p + 1] = d2
+                d[base : base + blen] = vals
+                bi += 1
+                continue
+            start = base
+            if is_ref:
+                d[0] = r.read(nbits)
+                start = base + 1
+            count = base + blen - start
+            if opt == uncomp_id:  # no compression
+                for i in range(count):
+                    d[start + i] = r.read(nbits)
+            else:  # sample splitting, k = opt - 1
+                k = opt - 1
+                if k >= nbits:
+                    raise AECError(f"split k={k} >= bits per sample {nbits}")
+                for i in range(count):
+                    d[start + i] = r.read_fs() << k
+                if k:
+                    for i in range(count):
+                        d[start + i] |= r.read(k)
+            bi += 1
+        out[r0 : r0 + n_here] = _unmap_rsi(d, nbits) if preprocess else d
+    return out

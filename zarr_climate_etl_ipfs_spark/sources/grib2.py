@@ -32,6 +32,8 @@ without kerchunk/cfgrib, implementing the published WMO GRIB2 format
       template 5.41 — PNG packing (the scaled integers arrive as a PNG
       raster, e.g. NCEP MRMS; decoded/encoded with the repo's own
       pure-stdlib PNG codec, 8/16-bit greyscale + 24/32-bit RGB(A) read)
+      template 5.42 — CCSDS/AEC packing (Rice coding, e.g. DWD ICON;
+      via the from-spec CCSDS 121.0-B coder in sources/ccsds_aec.py)
 
 Out of scope (clear errors): JPEG2000 packing (5.40 needs a JPEG2000
 codec), complex-packing missing-value management (bitmaps cover the
@@ -223,7 +225,7 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                     "data representation template 5.40 (JPEG2000 code "
                     "stream) needs a JPEG2000 codec (OpenJPEG / Pillow)"
                 )
-            if tmpl not in (0, 2, 3, 41):
+            if tmpl not in (0, 2, 3, 41, 42):
                 raise GRIB2Error(f"data representation template 5.{tmpl} not supported")
             packing = {
                 "template": tmpl,
@@ -233,6 +235,14 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 "decimal_scale": _s16(s, 17),
                 "bits": s[19],
             }
+            if tmpl == 42:  # CCSDS/AEC: octets 22-25 = flags, block, RSI
+                packing.update(
+                    {
+                        "aec_flags": s[21],
+                        "aec_block": s[22],
+                        "aec_rsi": _u(s, 23, 2),
+                    }
+                )
             if tmpl in (2, 3):
                 if s[22] != 0:
                     raise GRIB2Error(
@@ -275,6 +285,20 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 )
             elif packing["template"] == 41:
                 x = _unpack_png(bytes(s[5:]), n, packing["bits"])
+                present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
+                    10.0 ** packing["decimal_scale"]
+                )
+            elif packing["template"] == 42:
+                from zarr_climate_etl_ipfs_spark.sources import ccsds_aec
+
+                try:
+                    pp = ccsds_aec.check_flags(packing["aec_flags"])
+                    x = ccsds_aec.aec_decode(
+                        bytes(s[5:]), n, packing["bits"] or 1,
+                        packing["aec_block"], packing["aec_rsi"] or 1, pp,
+                    )
+                except ccsds_aec.AECError as exc:
+                    raise GRIB2Error(f"CCSDS packing: {exc}") from exc
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
                     10.0 ** packing["decimal_scale"]
                 )
@@ -496,9 +520,10 @@ def write_grib2(
     ``template`` selects the data representation: 0 = simple packing,
     2 = complex packing (group splitting), 3 = complex packing with
     spatial differencing of ``diff_order`` (1 or 2), 41 = PNG packing
-    (greyscale image of the scaled integers; ``bits_per_value`` 8 or 16)."""
-    if template not in (0, 2, 3, 41):
-        raise GRIB2Error(f"write_grib2 supports templates 0/2/3/41, not {template}")
+    (greyscale image of the scaled integers; ``bits_per_value`` 8 or 16),
+    42 = CCSDS/AEC packing (Rice coding via sources/ccsds_aec.py)."""
+    if template not in (0, 2, 3, 41, 42):
+        raise GRIB2Error(f"write_grib2 supports templates 0/2/3/41/42, not {template}")
     if template == 41 and bits_per_value not in (8, 16):
         raise GRIB2Error("PNG packing (template=41) writes 8- or 16-bit greyscale")
     return b"".join(
@@ -699,17 +724,25 @@ def _write_message(
         sec4[b + 19] = 255  # no time increment between successive fields
         sec4[b + 20 : b + 24] = (0).to_bytes(4, "big")
 
-    if template in (0, 41):
+    if template in (0, 41, 42):
+        sec5_len = 25 if template == 42 else 21
         sec5 = (
-            (21).to_bytes(4, "big") + bytes([5])
+            sec5_len.to_bytes(4, "big") + bytes([5])
             + present.size.to_bytes(4, "big")
-            + template.to_bytes(2, "big")  # template 5.0 / 5.41
+            + template.to_bytes(2, "big")  # template 5.0 / 5.41 / 5.42
             + struct.pack(">f", rmin)
             + _s16_bytes(e)
             + _s16_bytes(decimal_scale)
             + bytes([bits_per_value, 0])  # original field type: float
         )
-        if template == 41:
+        if template == 42:
+            from zarr_climate_etl_ipfs_spark.sources import ccsds_aec
+
+            # eccodes' defaults: MSB + preprocessing, J=32, RSI=128
+            flags = ccsds_aec.FLAG_MSB | ccsds_aec.FLAG_PREPROCESS
+            sec5 += bytes([flags, 32]) + (128).to_bytes(2, "big")
+            packed = ccsds_aec.aec_encode(x, bits_per_value or 1, 32, 128, True)
+        elif template == 41:
             from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
 
             # one-row greyscale raster: image shape is the encoder's choice
