@@ -747,3 +747,81 @@ def test_write_tall_blosc_distributed_roundtrip(spark, tmp_path):
     got = sorted((r["y"], r["x"], r["cents"]) for r in back.collect())
     want = sorted(zip(pdf["y"], pdf["x"], pdf["cents"]))
     assert [(y, x, c) for y, x, c in got] == [(int(y), int(x), int(c)) for y, x, c in want]
+
+
+# ---------------------------------------------------------------------------
+# Zarr v3 distributed WRITE surface
+# ---------------------------------------------------------------------------
+
+
+def test_write_tall_v3_distributed_roundtrip(spark, tmp_path):
+    """zarr_format=3: per-node zarr.json, c/-keyed chunks, default
+    bytes+zstd codecs, dimension_names, root inline consolidated
+    metadata; the datetime axis is written as a v2 sibling (no v3
+    datetime dtype) and the mixed store reads back through the same
+    distributed reader."""
+    sdf, pdf = _tall_df(spark)
+    store = str(tmp_path / "v3")
+    summary = z.write_zarr_tall(
+        sdf, store, "cents", ["t", "y", "x"], (1, 2, 2), fill_value=-1,
+        zarr_format=3,
+    )
+    assert summary["cells"] == 6
+    root = json.loads((tmp_path / "v3" / "zarr.json").read_text())
+    assert root["zarr_format"] == 3 and root["node_type"] == "group"
+    cons = root["consolidated_metadata"]["metadata"]
+    assert set(cons) == {"cents", "y", "x"}  # t is a v2 datetime sibling
+    doc = json.loads((tmp_path / "v3" / "cents" / "zarr.json").read_text())
+    assert doc["dimension_names"] == ["t", "y", "x"]
+    assert [c["name"] for c in doc["codecs"]] == ["bytes", "zstd"]
+    assert (tmp_path / "v3" / "t" / ".zarray").exists()
+    assert (tmp_path / "v3" / "cents" / "c" / "0" / "0" / "0").exists()
+    metas = z.open_group(store)
+    assert metas["cents"].zarr_format == 3 and metas["t"].zarr_format == 2
+    back = z.read_zarr_tall(spark, store, "cents", skip_fill=False)
+    got = {(r["t"], r["y"], r["x"]): r["cents"] for r in back.collect()}
+    for t, y, x, c in zip(pdf["t"], pdf["y"], pdf["x"], pdf["cents"]):
+        assert got[(t.to_pydatetime(), y, x)] == c
+    assert got[(pdf["t"][0].to_pydatetime(), 0, 7)] == -1  # fill cell
+
+
+def test_write_tall_v3_sharded(spark, tmp_path):
+    """A sharding_indexed codecs= config makes the distributed sink write
+    SHARDS (one stored object per grid cell, inner chunks indexed)."""
+    sdf, pdf = _tall_df(spark)
+    store = str(tmp_path / "v3s")
+    z.write_zarr_tall(
+        sdf, store, "cents", ["t", "y", "x"], (2, 3, 2), fill_value=-1,
+        zarr_format=3,
+        codecs=[{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [1, 2, 2],
+                "codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "zstd", "configuration": {"level": 1, "checksum": False}},
+                ],
+            },
+        }],
+    )
+    # whole grid = one shard file
+    assert (tmp_path / "v3s" / "cents" / "c" / "0" / "0" / "0").exists()
+    back = z.read_zarr_tall(spark, store, "cents", skip_fill=True)
+    got = sorted((r["y"], r["x"], r["cents"]) for r in back.collect())
+    assert got == sorted(
+        (int(y), int(x), int(c)) for y, x, c in zip(pdf["y"], pdf["x"], pdf["cents"])
+    )
+
+
+def test_write_tall_v3_rejects_v2_options(spark, tmp_path):
+    sdf, _ = _tall_df(spark)
+    with pytest.raises(z.ZarrError, match="codecs"):
+        z.write_zarr_tall(
+            sdf, str(tmp_path / "e1"), "cents", ["t", "y", "x"],
+            zarr_format=3, compressor={"id": "zlib"},
+        )
+    with pytest.raises(z.ZarrError, match="v3 option"):
+        z.write_zarr_tall(
+            sdf, str(tmp_path / "e2"), "cents", ["t", "y", "x"],
+            codecs=[{"name": "bytes"}],
+        )

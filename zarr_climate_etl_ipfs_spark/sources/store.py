@@ -622,11 +622,15 @@ class GridStore:
         filters: list[dict[str, Any]] | None = None,
         version: int | None = None,
         overwrite: bool = False,
+        zarr_format: int = 2,
+        codecs: list[dict[str, Any]] | None = None,
     ) -> dict[str, Any]:
         """Publish this store's dataset (any ``version``) as a real Zarr v2
         group — the output surface the reference's ``to_zarr`` /
         ``write_initial_zarr`` produce (publish.py:124-180, 240-261), so a
         downstream xarray/zarr consumer keeps working after a migration.
+        ``zarr_format=3`` publishes zarr-python 3's default format instead
+        (v3 ``codecs`` pipeline, sharding included, via write_zarr_tall).
         NULL data cells and absent grid cells both land on the NaN
         ``fill_value`` — exactly the missing-data representation a
         reference-published zarr uses (transform.py:341-369). ``filters``
@@ -650,6 +654,8 @@ class GridStore:
             fill_value=float("nan"),
             overwrite=overwrite,
             attrs={"dataset_name": self.desc.dataset_name},
+            zarr_format=zarr_format,
+            codecs=codecs,
         )
 
     def ingest_zarr(self, path: str | Path, var: str | None = None) -> None:

@@ -33,8 +33,13 @@ key encodings, codec pipelines (``bytes`` endianness, ``gzip``,
 crc-guarded offset index, absent entries reading as fill), inline
 consolidated metadata, first-class ``dimension_names`` — all mapped onto
 the same :class:`ArrayMeta`/distributed-reader machinery, with mixed
-v2+v3 stores merging (v3 wins name conflicts). The write surface stays
-v2, the reference's format.
+v2+v3 stores merging (v3 wins name conflicts). The WRITE surface covers
+both formats: v2 (the reference's format, the default) and, with
+``write_zarr_tall(..., zarr_format=3)``, the v3 layout current
+zarr-python writes — per-node ``zarr.json``, ``c/`` chunk keys, v3
+codec pipelines including ``sharding_indexed`` shards, inline
+consolidated metadata (datetime axes fall back to v2 siblings; v3 has
+no datetime dtype).
 
 Codecs (numcodecs-config-compatible): compressors ``blosc`` (the zarr v2
 DEFAULT — full c-blosc1 container with byte/bit shuffle, split streams
@@ -372,6 +377,60 @@ def open_group(store: str) -> dict[str, ArrayMeta]:
     if not metas:
         raise ZarrError(f"no Zarr v2 or v3 arrays under {store!r}")
     return metas
+
+
+def _v3_doc_from_meta(meta: ArrayMeta) -> dict[str, Any]:
+    """Serialize a ``zarr_format=3`` :class:`ArrayMeta` back to its
+    ``zarr.json`` document (inverse of :func:`_meta_from_v3_json`)."""
+    dt = meta.np_dtype
+    tname = _V3_DTYPE_NAMES.get(f"{dt.kind}{dt.itemsize}")
+    if tname is None:
+        raise ZarrError(f"no v3 data_type for numpy dtype {dt} (v3 has no datetimes)")
+    doc: dict[str, Any] = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(meta.shape),
+        "data_type": tname,
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(meta.chunks)},
+        },
+        "chunk_key_encoding": {
+            "name": meta.key_encoding,
+            "configuration": {"separator": meta.separator},
+        },
+        "fill_value": meta.fill_value if meta.fill_value is not None else 0,
+        "codecs": list(meta.codecs),
+        "attributes": dict(meta.attrs),
+    }
+    if meta.dimension_names:
+        doc["dimension_names"] = list(meta.dimension_names)
+    return doc
+
+
+def consolidate_metadata_v3(store: str) -> None:
+    """Write the root group ``zarr.json`` with INLINE consolidated
+    metadata (zarr-python 3's consolidated format): every v3 array node's
+    document under ``consolidated_metadata.metadata``, keyed by path. v2
+    sibling nodes (e.g. datetime coordinate axes, a v2-only dtype) are
+    intentionally absent — :func:`open_group` merges them by walking."""
+    md: dict[str, Any] = {}
+    for root, _dirs, files in os.walk(store):
+        if "zarr.json" not in files or os.path.abspath(root) == os.path.abspath(store):
+            continue
+        rel = os.path.relpath(root, store).replace(os.sep, "/")
+        md[rel] = _read_json(os.path.join(root, "zarr.json"))
+    doc = {
+        "zarr_format": 3,
+        "node_type": "group",
+        "attributes": {},
+        "consolidated_metadata": {
+            "kind": "inline",
+            "must_understand": False,
+            "metadata": md,
+        },
+    }
+    _atomic_write(os.path.join(store, "zarr.json"), json.dumps(doc, indent=1).encode())
 
 
 def consolidate_metadata(store: str) -> None:
@@ -1179,8 +1238,18 @@ def write_zarr_tall(
     attrs: dict[str, Any] | None = None,
     overwrite: bool = False,
     on_duplicates: str = "error",
+    zarr_format: int = 2,
+    codecs: list[dict[str, Any]] | None = None,
 ) -> dict[str, Any]:
-    """Write a tall ``(dim…, value)`` DataFrame as a Zarr v2 group.
+    """Write a tall ``(dim…, value)`` DataFrame as a Zarr v2 group —
+    or, with ``zarr_format=3``, a Zarr v3 group (zarr-python 3's default
+    format): per-node ``zarr.json``, ``c/``-keyed chunks, a v3 ``codecs``
+    pipeline (default ``bytes``+``zstd``; pass a ``sharding_indexed``
+    config to write SHARDS — the kernel encodes whole shards per grid
+    cell), first-class ``dimension_names``, and a root group with inline
+    consolidated metadata. Datetime coordinate axes have no v3 dtype and
+    are written as v2 siblings, which :func:`open_group` merges — the
+    exact mixed-store shape the v3 READ dialect already handles.
 
     The reference's initial-write sink (publish.py:240-261
     ``write_initial_zarr``: rechunk → ``to_zarr`` → consolidate)
@@ -1208,8 +1277,18 @@ def write_zarr_tall(
     keeps an arbitrary one. Empty input produces a valid all-empty store.
     Compressor default: zlib-1 (stdlib-decodable everywhere).
     """
-    if compressor is None:
-        compressor = {"id": "zlib", "level": 1}
+    if zarr_format not in (2, 3):
+        raise ZarrError(f"zarr_format must be 2 or 3, not {zarr_format}")
+    if zarr_format == 3:
+        if compressor is not None or filters:
+            raise ZarrError(
+                "zarr v3 takes a codecs= pipeline, not compressor=/filters="
+            )
+    else:
+        if codecs is not None:
+            raise ZarrError("codecs= is a zarr v3 option; v2 takes compressor=")
+        if compressor is None:
+            compressor = {"id": "zlib", "level": 1}
     if on_duplicates not in ("error", "any"):
         raise ZarrError(f"on_duplicates must be 'error' or 'any', not {on_duplicates!r}")
     if chunks is not None and len(chunks) != len(dims):
@@ -1263,16 +1342,40 @@ def write_zarr_tall(
             for i, d in enumerate(dims)
         )
 
-    meta = ArrayMeta(
-        name=var,
-        shape=tuple(len(coords[d]) for d in dims),
-        chunks=tuple(chunks),
-        dtype=val_dtype.str,
-        fill_value=encode_fill(val_dtype.type(fill_value) if fill_value is not None else None, val_dtype),
-        compressor=compressor,
-        filters=list(filters or []),
-        attrs={DIM_ATTR: list(dims), **(attrs or {})},
-    )
+    if zarr_format == 3:
+        meta = ArrayMeta(
+            name=var,
+            shape=tuple(len(coords[d]) for d in dims),
+            chunks=tuple(chunks),
+            dtype=val_dtype.str,
+            # v3 requires a fill_value; None coerces to the dtype's zero
+            fill_value=encode_fill(
+                val_dtype.type(fill_value if fill_value is not None else 0), val_dtype
+            ),
+            attrs=dict(attrs or {}),
+            zarr_format=3,
+            codecs=list(codecs)
+            if codecs
+            else [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "zstd", "configuration": {"level": 0, "checksum": False}},
+            ],
+            dimension_names=list(dims),
+            key_encoding="default",
+            separator="/",
+        )
+        _v3_doc_from_meta(meta)  # fail fast on un-v3-able dtypes
+    else:
+        meta = ArrayMeta(
+            name=var,
+            shape=tuple(len(coords[d]) for d in dims),
+            chunks=tuple(chunks),
+            dtype=val_dtype.str,
+            fill_value=encode_fill(val_dtype.type(fill_value) if fill_value is not None else None, val_dtype),
+            compressor=compressor,
+            filters=list(filters or []),
+            attrs={DIM_ATTR: list(dims), **(attrs or {})},
+        )
     grid = meta.chunk_grid
     strides = [int(math.prod(grid[i + 1:])) for i in range(len(grid))]
     offs = [int(math.prod(chunks[i + 1:])) for i in range(len(chunks))]
@@ -1336,15 +1439,25 @@ def write_zarr_tall(
         F.coalesce(F.sum("n_cells"), F.lit(0)).alias("cells"),
     ).collect()[0]
 
-    # data is on disk — now commit metadata (coords, .zarray, group, index)
+    # data is on disk — now commit metadata (coords, array docs, group, index)
     for d in dims:
-        write_zarr_array_local(
-            store, d, coords[d], compressor=compressor, attrs={DIM_ATTR: [d]}
+        if zarr_format == 3 and coords[d].dtype.kind != "M":
+            write_zarr3_array_local(store, d, coords[d], dimension_names=[d])
+        else:  # v2 store, or a datetime axis (no v3 dtype): v2 sibling
+            write_zarr_array_local(
+                store, d, coords[d], compressor=compressor, attrs={DIM_ATTR: [d]}
+            )
+    if zarr_format == 3:
+        _atomic_write(
+            os.path.join(base, "zarr.json"),
+            json.dumps(_v3_doc_from_meta(meta), indent=1).encode(),
         )
-    _atomic_write(os.path.join(base, ".zarray"), json.dumps(meta.to_zarray(), indent=1).encode())
-    _atomic_write(os.path.join(base, ".zattrs"), json.dumps(meta.attrs, indent=1).encode())
-    _atomic_write(os.path.join(store, ".zgroup"), json.dumps({"zarr_format": 2}).encode())
-    consolidate_metadata(store)
+        consolidate_metadata_v3(store)
+    else:
+        _atomic_write(os.path.join(base, ".zarray"), json.dumps(meta.to_zarray(), indent=1).encode())
+        _atomic_write(os.path.join(base, ".zattrs"), json.dumps(meta.attrs, indent=1).encode())
+        _atomic_write(os.path.join(store, ".zgroup"), json.dumps({"zarr_format": 2}).encode())
+        consolidate_metadata(store)
     return {
         "n_chunks": int(stats["n_chunks"]),
         "bytes": int(stats["bytes"]),
