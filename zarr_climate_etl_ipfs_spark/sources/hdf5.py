@@ -72,12 +72,19 @@ class _Datatype:
     cls: int
     size: int
     bits0: int
+    base_cls: int = -1  # vlen/array element class (class 9 only)
     # float layouts are validated as standard IEEE; ints carry signedness
 
     @property
     def is_vlen_string(self) -> bool:
         # class 9 (variable-length), bit-field type 1 = string
         return self.cls == 9 and (self.bits0 & 0x0F) == 1
+
+    @property
+    def is_vlen_ref(self) -> bool:
+        # vlen SEQUENCE (type 0) of object references (class 7) — the
+        # netCDF4 DIMENSION_LIST attribute's type
+        return self.cls == 9 and (self.bits0 & 0x0F) == 0 and self.base_cls == 7
 
     def numpy_dtype(self) -> np.dtype:
         order = ">" if (self.bits0 & 0x01) else "<"
@@ -366,7 +373,8 @@ def _messages(content: bytes, addr: int) -> list[tuple[int, int, int]]:
 def _parse_datatype(d: bytes) -> _Datatype:
     cls = d[0] & 0x0F
     size = _u(d, 4, 4)
-    return _Datatype(cls=cls, size=size, bits0=d[1])
+    base_cls = (d[8] & 0x0F) if cls == 9 and len(d) > 8 else -1
+    return _Datatype(cls=cls, size=size, bits0=d[1], base_cls=base_cls)
 
 
 def _parse_dataspace(d: bytes) -> tuple[int, ...]:
@@ -389,7 +397,19 @@ def _decode_attr_value(
     if dt.is_vlen_string and content:
         vals = _vlen_strings(content, raw, n)
         return vals if shape else vals[0]
-    return None  # references / compound / non-string vlen: present but undecoded
+    if dt.is_vlen_ref and content:
+        # each element: (count u32, GCOL address u64, object index u32);
+        # the heap object holds `count` object-header addresses
+        out: list[list[int]] = []
+        for i in range(n):
+            length, gaddr, gidx = struct.unpack_from("<IQI", raw, 16 * i)
+            if gaddr in (0, UNDEF) or length == 0:
+                out.append([])
+                continue
+            data = _gcol_object(content, gaddr, gidx)
+            out.append(list(struct.unpack_from(f"<{length}Q", data, 0)))
+        return out if shape else out[0]
+    return None  # compound / other vlen: present but undecoded
 
 
 def _parse_attribute(d: bytes, content: bytes = b"") -> tuple[str, Any]:
@@ -691,6 +711,15 @@ def parse_hdf5(content: bytes) -> HDF5File:
         v = _parse_dataset(content, name, addr)
         if v is not None:
             variables[name] = v
+    by_addr = {addr: name for name, addr in links.items()}
+    for v in variables.values():
+        dl = v.attrs.get("DIMENSION_LIST")
+        if isinstance(dl, list) and all(isinstance(e, list) for e in dl):
+            # netCDF4 dimension scales: one reference per axis — resolve
+            # object-header addresses to variable names
+            v.attrs["DIMENSION_LIST"] = [
+                [by_addr.get(a, a) for a in e] for e in dl
+            ]
     return HDF5File(attrs=root_attrs, variables=variables, _content=content)
 
 
