@@ -143,3 +143,51 @@ def test_chunk_property_roundtrip(shape, cdiv, level, dtype):
         {"v": (("a", "b", "c"), arr, {})}, chunks={"v": cs}, compress=level
     )
     assert (parse_hdf5(blob).read("v") == arr).all()
+
+
+def test_gridstore_export_netcdf4_distributed(spark, tmp_path):
+    """GridStore → sharded NetCDF4 export (one file per time bucket,
+    executor-side writes) → files re-ingest through the distributed
+    netcdf4 decoder path: the full migration loop."""
+    import pandas as pd
+
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.sources.ingest import read_binary_gridded
+    from zarr_climate_etl_ipfs_spark.sources.hdf5 import netcdf4_decoder
+    from zarr_climate_etl_ipfs_spark.sources.store import GridStore, StoreError
+
+    desc = DatasetDescriptor(dataset_name="t2m", data_var="t2m", time_bucket="month")
+    pdf = pd.DataFrame({
+        "time": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-02-01", "2024-02-02"] * 2
+        ),
+        "latitude": [10.0] * 4 + [20.0] * 4,
+        "longitude": [100.0] * 8,
+        "t2m": np.arange(8, dtype="float32"),
+    })
+    gs = GridStore(tmp_path / "gs", desc, spark)
+    gs.write_initial(spark.createDataFrame(pdf))
+
+    out = tmp_path / "nc"
+    summary = gs.export_netcdf4(out)
+    assert summary["files"] == 2 and summary["rows"] == 8
+    assert sorted(p.name for p in out.iterdir()) == ["2024-01.nc", "2024-02.nc"]
+
+    jan = parse_hdf5((out / "2024-01.nc").read_bytes())
+    assert jan.variables["t2m"].attrs["DIMENSION_LIST"] == [
+        ["time"], ["latitude"], ["longitude"]
+    ]
+    assert (jan.read("latitude") == [10.0, 20.0]).all()
+
+    back = read_binary_gridded(
+        spark, str(out / "*.nc"), desc, decoder=netcdf4_decoder(desc)
+    )
+    rows = {
+        (str(r["time"])[:10], r["latitude"]): r["t2m"] for r in back.collect()
+    }
+    assert rows[("2024-02-02", 20.0)] == 7.0
+    assert len(rows) == 8
+
+    with pytest.raises(StoreError, match="overwrite"):
+        gs.export_netcdf4(out)
+    assert gs.export_netcdf4(out, overwrite=True)["files"] == 2

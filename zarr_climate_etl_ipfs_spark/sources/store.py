@@ -658,6 +658,103 @@ class GridStore:
             codecs=codecs,
         )
 
+    def export_netcdf4(
+        self,
+        path: str | Path,
+        version: int | None = None,
+        compress: int | None = 5,
+        overwrite: bool = False,
+    ) -> dict[str, Any]:
+        """Distributed NetCDF4 export: ONE ``.nc`` file per time bucket,
+        each written executor-side by the pure-numpy HDF5 writer
+        (sources/hdf5write.py) — the sharded-collection shape every
+        at-scale NetCDF archive uses (and the shape the ingest side's
+        ``read_binary_gridded``/``netcdf4_decoder`` consumes, so the
+        export round-trips through this engine too).
+
+        Scale design: spatial axes are resolved once driver-side
+        (axis-sized) and broadcast in the kernel closure; the data takes
+        ONE shuffle keyed on the time bucket (the storage grain — the
+        same key the store itself partitions by, so at scale this is a
+        near-aligned exchange), and each group materializes only its own
+        bucket's (time, lat, lon) slab. No single-writer bottleneck: the
+        HDF5 format is per-file single-writer, so the parallel unit is
+        the file, never the byte stream."""
+        from zarr_climate_etl_ipfs_spark.sources.hdf5write import write_hdf5
+
+        out = Path(path)
+        if out.exists():
+            if not overwrite:
+                raise StoreError(f"export target {out} exists; pass overwrite=True")
+            shutil.rmtree(out)
+        try:  # put-if-absent, as export_zarr does
+            os.makedirs(out)
+        except FileExistsError:
+            raise StoreError(f"{out} was created concurrently by another writer") from None
+
+        import numpy as np
+        import pandas as pd
+
+        desc = self.desc
+        var, td = desc.data_var, desc.time_dim
+        dims = [f.name for f in desc.schema().fields if f.name != var]
+        spatial = [d for d in dims if d != td]
+        row = self.dataset(version).agg(
+            *[F.collect_set(d).alias(d) for d in spatial]
+        ).collect()[0]
+        axes = {
+            d: np.sort(np.asarray(row[d] or [], dtype="float64")) for d in spatial
+        }
+        out_str = str(out)
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = str(pdf[_BUCKET_COL].iloc[0])
+            tvals = np.sort(pd.DatetimeIndex(pdf[td].unique()).values)
+            secs = tvals.astype("datetime64[s]").astype("int64").astype("float64")
+            shape = (len(tvals), *(len(axes[d]) for d in spatial))
+            vals = pdf[var].to_numpy()
+            dtype = vals.dtype if vals.dtype.kind == "f" else np.dtype("float64")
+            grid = np.full(shape, np.nan, dtype=dtype)
+            ti = np.searchsorted(tvals, pd.DatetimeIndex(pdf[td]).values)
+            sidx = [np.searchsorted(axes[d], pdf[d].to_numpy()) for d in spatial]
+            grid[(ti, *sidx)] = vals.astype(dtype, copy=False)
+            variables = {
+                td: ((td,), secs, {"units": "seconds since 1970-01-01"}),
+                var: (tuple(dims), grid, {"dataset_name": desc.dataset_name}),
+            }
+            for d in spatial:
+                variables[d] = ((d,), axes[d], {})
+            blob = write_hdf5(
+                variables,
+                global_attrs={"dataset_name": desc.dataset_name},
+                chunks={var: (1, *(len(axes[d]) for d in spatial))},
+                compress=compress,
+            )
+            fn = os.path.join(out_str, f"{bucket}.nc")
+            tmp = f"{fn}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, fn)
+            return pd.DataFrame(
+                {"bucket": [bucket], "nbytes": [len(blob)], "rows": [len(pdf)]}
+            )
+
+        manifest = (
+            self._with_bucket(self.dataset(version))
+            .groupBy(_BUCKET_COL)
+            .applyInPandas(emit, schema="bucket string, nbytes long, rows long")
+        )
+        stats = manifest.agg(
+            F.count("*").alias("files"),
+            F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes"),
+            F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
+        ).collect()[0]
+        return {
+            "files": int(stats["files"]),
+            "bytes": int(stats["bytes"]),
+            "rows": int(stats["rows"]),
+        }
+
     def ingest_zarr(self, path: str | Path, var: str | None = None) -> None:
         """Migrate OFF a published Zarr v2 store in one step: open it
         distributed (S10/S11), canonicalize to the declared schema — fill
