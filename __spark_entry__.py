@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pagerank_exact) keep their r7 driver row + r9 local/adversarial coverage
 # and MUST join round-10's prefix alongside the r8-era half.
 _ROTATE_FIRST = [
-    "zarr_store_roundtrip", "duplicate_spans", "semdedup_survivors",
+    "dedup_keep_best", "zarr_store_roundtrip", "duplicate_spans", "semdedup_survivors",
     "streaming_running_extremes", "hll_user_distinct", "bloom_decontamination",
     "countmin_heavy_hitters", "bigram_logprob_quality", "media_probe_stats",
     "nation_pair_volume", "rollup_revenue", "resample_daily", "coarsen_grid",

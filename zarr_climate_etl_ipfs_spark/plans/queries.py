@@ -2590,6 +2590,94 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS grams FROM documents
+    ), ex AS (
+      SELECT doc_id, UNNEST(grams) AS g FROM sh
+    ), kept AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM ex
+      ) WHERE df <= 64
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+    ), und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u WHERE n.v <> r.u
+    ), comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ), allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component,
+           FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component ORDER BY n_chars DESC, doc_id
+           ) AS keeper_id,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component ORDER BY n_chars DESC, doc_id
+           ) AS is_kept
+    FROM allc ORDER BY doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the decision rule real corpus
+    dedups actually apply after grouping: within each duplicate cluster,
+    KEEP THE BEST document, not an arbitrary one (Lee et al. 2022 keep
+    the longest member; Gopher/RefinedWeb keep by quality score). Every
+    document is labelled: component (transitive near-dup cluster via
+    connected components over the n-gram Jaccard pair graph; singletons
+    are their own cluster), keeper_id (the cluster member with the most
+    characters, doc_id tie-break — an integer proxy so the oracle hashes
+    stably, standing in for any quality score), and is_kept.
+
+    Scale shape: the pair graph is the banded/capped n-gram generator
+    (never all-pairs), components converge in O(log n) rounds, and the
+    keeper choice is ONE window over (component) — cluster-count scale,
+    not corpus scale; the left join back to documents broadcasts the
+    component labels at real-world dup rates (clusters ≪ corpus)."""
+    from pyspark.sql import Window
+
+    from zarr_climate_etl_ipfs_spark.operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = docs.join(cc, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", "doc_id")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("keeper_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "component",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: per-process IVF index memo: sf_dir -> (persisted assignment DF, centroids)
 _IVF_INDEX: dict[str, tuple] = {}
 
