@@ -100,72 +100,103 @@ def check_flags(flags: int) -> bool:
 
 
 class _BitWriter:
-    __slots__ = ("buf", "acc", "nacc")
+    """MSB-first bit stream built as numpy bool segments, packed once at
+    the end — the vectorized bulk writers (unary runs, fixed-width field
+    arrays) are what make the coder numpy-speed instead of per-sample
+    Python."""
+
+    __slots__ = ("parts",)
 
     def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nacc = 0
+        self.parts: list[np.ndarray] = []
 
     def write(self, value: int, nbits: int) -> None:
-        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.nacc += nbits
-        while self.nacc >= 8:
-            self.nacc -= 8
-            self.buf.append((self.acc >> self.nacc) & 0xFF)
-        self.acc &= (1 << self.nacc) - 1
+        bits = (int(value) >> np.arange(nbits - 1, -1, -1)) & 1
+        self.parts.append(bits.astype(np.uint8))
 
     def write_fs(self, value: int) -> None:
-        while value >= 32:
-            self.write(0, 32)
-            value -= 32
-        self.write(1, value + 1)  # `value` zeros then a one
+        bits = np.zeros(value + 1, dtype=np.uint8)
+        bits[-1] = 1
+        self.parts.append(bits)
+
+    def write_fs_array(self, values: np.ndarray) -> None:
+        """Unary codewords for every value: v zeros then a one."""
+        if len(values) == 0:
+            return
+        lens = values.astype(np.int64) + 1
+        bits = np.zeros(int(lens.sum()), dtype=np.uint8)
+        bits[np.cumsum(lens) - 1] = 1
+        self.parts.append(bits)
+
+    def write_fields_array(self, values: np.ndarray, nbits: int) -> None:
+        """`nbits`-wide big-endian fields for every value."""
+        if len(values) == 0 or nbits == 0:
+            return
+        shifts = np.arange(nbits - 1, -1, -1)
+        bits = (values.astype(np.int64)[:, None] >> shifts) & 1
+        self.parts.append(bits.astype(np.uint8).reshape(-1))
 
     def bytes(self) -> bytes:
-        if self.nacc:
-            self.buf.append((self.acc << (8 - self.nacc)) & 0xFF)
-            self.acc = self.nacc = 0
-        return bytes(self.buf)
+        if not self.parts:
+            return b""
+        return np.packbits(np.concatenate(self.parts)).tobytes()
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "nbits_total")
+    """MSB-first reader over a pre-unpacked bit array; FS runs decode in
+    bulk from the precomputed one-positions index."""
+
+    __slots__ = ("bits", "ones", "pos", "nbits_total")
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0  # bit position
-        self.nbits_total = 8 * len(data)
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+        self.pos = 0
+        self.nbits_total = len(self.bits)
 
     def read(self, nbits: int) -> int:
         if self.pos + nbits > self.nbits_total:
             raise AECError("AEC stream truncated")
+        chunk = self.bits[self.pos : self.pos + nbits]
+        self.pos += nbits
         out = 0
-        pos = self.pos
-        remaining = nbits
-        while remaining:
-            byte = self.data[pos >> 3]
-            avail = 8 - (pos & 7)
-            take = min(avail, remaining)
-            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
-            pos += take
-            remaining -= take
-        self.pos = pos
+        for b in chunk:
+            out = (out << 1) | int(b)
         return out
 
     def read_fs(self) -> int:
-        count = 0
-        pos = self.pos
-        data = self.data
-        total = self.nbits_total
-        while True:
-            if pos >= total:
-                raise AECError("AEC stream truncated inside FS codeword")
-            bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
-            pos += 1
-            if bit:
-                self.pos = pos
-                return count
-            count += 1
+        i = np.searchsorted(self.ones, self.pos)
+        if i >= len(self.ones):
+            raise AECError("AEC stream truncated inside FS codeword")
+        one = int(self.ones[i])
+        value = one - self.pos
+        self.pos = one + 1
+        return value
+
+    def read_fs_array(self, count: int) -> np.ndarray:
+        """`count` consecutive unary codewords, decoded in one indexed
+        subtraction over the one-positions array."""
+        i = np.searchsorted(self.ones, self.pos)
+        if i + count > len(self.ones):
+            raise AECError("AEC stream truncated inside FS codewords")
+        ones = self.ones[i : i + count].astype(np.int64)
+        starts = np.empty(count, dtype=np.int64)
+        starts[0] = self.pos
+        starts[1:] = ones[:-1] + 1
+        self.pos = int(ones[-1]) + 1
+        return ones - starts
+
+    def read_fields_array(self, count: int, nbits: int) -> np.ndarray:
+        """`count` fixed-width big-endian fields as one bit-matrix fold."""
+        if nbits == 0 or count == 0:
+            return np.zeros(count, dtype=np.int64)
+        total = count * nbits
+        if self.pos + total > self.nbits_total:
+            raise AECError("AEC stream truncated")
+        m = self.bits[self.pos : self.pos + total].reshape(count, nbits)
+        self.pos += total
+        weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+        return m.astype(np.int64) @ weights
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +290,44 @@ def aec_encode(
         chunk = x[r0 : r0 + rsi_samples]
         d = _map_rsi(chunk, nbits) if preprocess else chunk
         nblocks = -(-len(d) // block_size)
+
+        # batched option choice over the RSI's block matrix: one numpy
+        # pass per k instead of per-block Python (the 16k-block profile
+        # hotspot). Semantics identical to the per-block search: argmin
+        # over [raw, k=0..max_k] (ties → earliest), second extension
+        # only when STRICTLY better, never on the reference block.
+        pad = nblocks * block_size - len(d)
+        D = np.concatenate([d, np.zeros(pad, dtype=np.int64)]).reshape(
+            nblocks, block_size
+        )
+        counts = np.full(nblocks, block_size, dtype=np.int64)
+        if pad:
+            counts[-1] -= pad
+        Dv = D
+        if preprocess:
+            Dv = D.copy()
+            Dv[0, 0] = 0  # the reference sample is not entropy-coded
+            counts = counts.copy()
+            counts[0] -= 1
+        blk_zero = (Dv != 0).sum(axis=1) == 0
+        cost = np.empty((max_k + 2, nblocks), dtype=np.int64)
+        cost[0] = counts * nbits  # raw
+        for k in range(max_k + 1):
+            cost[k + 1] = (Dv >> k).sum(axis=1) + counts * (k + 1)
+        blk_choice = cost.argmin(axis=0)  # 0 = raw, 1+k = split k
+        blk_min = cost[blk_choice, np.arange(nblocks)]
+        blk_se = np.zeros(nblocks, dtype=bool)
+        if block_size % 2 == 0:
+            S = Dv[:, 0::2] + Dv[:, 1::2]
+            M = S * (S + 1) // 2 + Dv[:, 1::2]
+            se_cost = M.sum(axis=1) + block_size // 2
+            eligible = (M < (1 << 62)).all(axis=1)
+            if preprocess:
+                eligible[0] = False
+            if pad:
+                eligible[-1] = False
+            blk_se = eligible & (se_cost < blk_min)
+
         zero_run = 0  # pending all-zero blocks, ref flag of run start
         run_ref = False
         run_ref_val = 0
@@ -281,76 +350,39 @@ def aec_encode(
             run_ref = False
 
         for bi in range(nblocks):
-            blk = d[bi * block_size : (bi + 1) * block_size]
             is_ref = preprocess and bi == 0
-            body = blk[1:] if is_ref else blk
-            if len(body) == 0 or not body.any():
+            if blk_zero[bi]:
                 if not zero_run:
                     run_ref = is_ref
-                    run_ref_val = int(blk[0]) if is_ref else 0
+                    run_ref_val = int(d[bi * block_size]) if is_ref else 0
                 zero_run += 1
                 if (bi + 1) % _SEGMENT == 0:  # segment boundary flush
                     flush_zero_run(True, bi)
                 continue
             flush_zero_run(False, bi)
-            _encode_block(w, blk, is_ref, nbits, idl, uncomp_id, max_k, block_size)
+            body = Dv[bi, : counts[bi] + (1 if is_ref else 0)]
+            body = body[1:] if is_ref else body
+            if blk_se[bi]:  # second extension (never on a reference block)
+                w.write(0, idl)
+                w.write(1, 1)
+                pairs = body.reshape(-1, 2)
+                s = pairs[:, 0] + pairs[:, 1]
+                w.write_fs_array(s * (s + 1) // 2 + pairs[:, 1])
+            elif blk_choice[bi] == 0:  # no compression
+                w.write(uncomp_id, idl)
+                if is_ref:
+                    w.write(int(d[bi * block_size]), nbits)
+                w.write_fields_array(body, nbits)
+            else:  # sample splitting, k = choice - 1
+                k = int(blk_choice[bi]) - 1
+                w.write(k + 1, idl)
+                if is_ref:
+                    w.write(int(d[bi * block_size]), nbits)
+                w.write_fs_array(body >> k)
+                if k:
+                    w.write_fields_array(body, k)
         flush_zero_run(True, nblocks - 1)
     return w.bytes()
-
-
-def _encode_block(
-    w: _BitWriter,
-    blk: np.ndarray,
-    is_ref: bool,
-    nbits: int,
-    idl: int,
-    uncomp_id: int,
-    max_k: int,
-    block_size: int,
-) -> None:
-    body = blk[1:] if is_ref else blk
-    # short trailing blocks are padded conceptually by coding only what
-    # exists; option costs use the actual sample count
-    ncoded = len(body)
-    best_cost = ncoded * nbits  # no-compression baseline
-    best = ("raw", 0)
-    for k in range(max_k + 1):
-        cost = int((body >> k).sum()) + ncoded * (k + 1)
-        if cost < best_cost:
-            best_cost = cost
-            best = ("split", k)
-    if not is_ref and ncoded % 2 == 0 and ncoded > 0:
-        pairs = body.reshape(-1, 2)
-        s = pairs[:, 0] + pairs[:, 1]
-        m = s * (s + 1) // 2 + pairs[:, 1]
-        if (m < (1 << 62)).all():
-            cost = int(m.sum()) + len(m)
-            if cost < best_cost:
-                best_cost = cost
-                best = ("se", 0)
-    kind, k = best
-    if kind == "raw":
-        w.write(uncomp_id, idl)
-        if is_ref:
-            w.write(int(blk[0]), nbits)
-        for v in body:
-            w.write(int(v), nbits)
-    elif kind == "split":
-        w.write(k + 1, idl)
-        if is_ref:
-            w.write(int(blk[0]), nbits)
-        for v in body >> k:
-            w.write_fs(int(v))
-        if k:
-            for v in body:
-                w.write(int(v), k)
-    else:  # second extension (never on a reference block)
-        w.write(0, idl)
-        w.write(1, 1)
-        pairs = body.reshape(-1, 2)
-        s = pairs[:, 0] + pairs[:, 1]
-        for mv in s * (s + 1) // 2 + pairs[:, 1]:
-            w.write_fs(int(mv))
 
 
 # ---------------------------------------------------------------------------
@@ -413,18 +445,17 @@ def aec_decode(
                     )
                 if blen % 2:
                     raise AECError("second-extension block with odd sample count")
+                m = r.read_fs_array(blen // 2)
+                # invert m = s(s+1)/2 + d2  (s = d1 + d2): float sqrt
+                # seed, then exact integer correction (vectorized)
+                s = ((np.sqrt(8.0 * m + 1.0) - 1.0) // 2).astype(np.int64)
+                for _ in range(3):  # float seed can be off ±1/ULP at 2^60+
+                    s = np.where(s * (s + 1) // 2 > m, s - 1, s)
+                    s = np.where((s + 1) * (s + 2) // 2 <= m, s + 1, s)
+                d2 = m - s * (s + 1) // 2
                 vals = np.empty(blen, dtype=np.int64)
-                for p in range(blen // 2):
-                    m = r.read_fs()
-                    # invert m = s(s+1)/2 + d2  (s = d1 + d2)
-                    s = int((np.sqrt(8.0 * m + 1.0) - 1.0) // 2)
-                    while s * (s + 1) // 2 > m:
-                        s -= 1
-                    while (s + 1) * (s + 2) // 2 <= m:
-                        s += 1
-                    d2 = m - s * (s + 1) // 2
-                    vals[2 * p] = s - d2
-                    vals[2 * p + 1] = d2
+                vals[0::2] = s - d2
+                vals[1::2] = d2
                 d[base : base + blen] = vals
                 bi += 1
                 continue
@@ -434,17 +465,14 @@ def aec_decode(
                 start = base + 1
             count = base + blen - start
             if opt == uncomp_id:  # no compression
-                for i in range(count):
-                    d[start + i] = r.read(nbits)
+                d[start : start + count] = r.read_fields_array(count, nbits)
             else:  # sample splitting, k = opt - 1
                 k = opt - 1
                 if k >= nbits:
                     raise AECError(f"split k={k} >= bits per sample {nbits}")
-                for i in range(count):
-                    d[start + i] = r.read_fs() << k
+                d[start : start + count] = r.read_fs_array(count) << k
                 if k:
-                    for i in range(count):
-                        d[start + i] |= r.read(k)
+                    d[start : start + count] |= r.read_fields_array(count, k)
             bi += 1
         out[r0 : r0 + n_here] = _unmap_rsi(d, nbits) if preprocess else d
     return out
