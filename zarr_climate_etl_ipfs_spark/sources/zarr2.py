@@ -1275,7 +1275,9 @@ def write_zarr_tall(
     ``on_duplicates="error"`` raises inside the kernel when two input rows
     land on the same cell (cheap: one ``np.unique`` per chunk); ``"any"``
     keeps an arbitrary one. Empty input produces a valid all-empty store.
-    Compressor default: zlib-1 (stdlib-decodable everywhere).
+    Compressor default: blosc lz4+shuffle — zarr-python's own v2
+    default, and measured 3.7× faster than zlib-1 through this sink at
+    equal stored size (SCALE.md codec-kernels section).
     """
     if zarr_format not in (2, 3):
         raise ZarrError(f"zarr_format must be 2 or 3, not {zarr_format}")
@@ -1288,7 +1290,7 @@ def write_zarr_tall(
         if codecs is not None:
             raise ZarrError("codecs= is a zarr v3 option; v2 takes compressor=")
         if compressor is None:
-            compressor = {"id": "zlib", "level": 1}
+            compressor = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}
     if on_duplicates not in ("error", "any"):
         raise ZarrError(f"on_duplicates must be 'error' or 'any', not {on_duplicates!r}")
     if chunks is not None and len(chunks) != len(dims):
