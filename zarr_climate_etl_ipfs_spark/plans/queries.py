@@ -6254,3 +6254,308 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Climate indices (reference domain: parametric weather settlement — the
+# degree-day and percentile-exceedance indices its ETL output feeds; cf.
+# dataset analysis in docs/etl_developers_manual.md. Computed here over the
+# events series as the (station, timestamp, value) analog.)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "degree_days",
+    """
+    WITH daily AS (
+      -- daily mean per series: the resample step every degree-day contract
+      -- starts from; non-finite readings are skipped (sensor-corrupt rows
+      -- must not turn a month's index into NaN), NULL series excluded
+      SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS tmean
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(EXTRACT(YEAR FROM day) * 100 + EXTRACT(MONTH FROM day) AS INT)
+             AS yyyymm,
+           COUNT(*) AS n_days,
+           ROUND(SUM(GREATEST(65.0 - tmean, 0.0)), 2) + 0.0 AS hdd,
+           ROUND(SUM(GREATEST(tmean - 65.0, 0.0)), 2) + 0.0 AS cdd
+    FROM daily GROUP BY event_type, yyyymm ORDER BY event_type, yyyymm
+    """,
+)
+def degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heating/cooling degree days (base 65): the settlement index of
+    parametric weather contracts — the consumer-side op the reference's
+    gridded ETL output exists to feed. Two cascaded aggregations, both
+    partial-aggregated map-side: raw rows collapse to (series, day) means
+    in one shuffle, days collapse to (series, month) sums in a second over
+    ~1/1000th the rows. At 100 TB the first shuffle is the only big one
+    and its key (series, day) is hash-uniform — no hot keys, no window.
+    Non-finite readings are filtered at the scan (pushed predicate), the
+    round-8 contract for every exact-arith events op."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("tmean")
+    )
+    return (
+        daily.groupBy(
+            "event_type",
+            (F.year("day") * 100 + F.month("day")).cast("int").alias("yyyymm"),
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            (F.round(F.sum(F.greatest(F.lit(65.0) - F.col("tmean"), F.lit(0.0))), 2)
+             + F.lit(0.0)).alias("hdd"),
+            (F.round(F.sum(F.greatest(F.col("tmean") - F.lit(65.0), F.lit(0.0))), 2)
+             + F.lit(0.0)).alias("cdd"),
+        )
+        .orderBy("event_type", "yyyymm")
+    )
+
+
+@q(
+    "heatwave_spells",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS tmean
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), ranked AS (
+      SELECT event_type, day, tmean,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tmean, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), thr AS (
+      -- percentile_disc-style rank pick (engine-portable: interpolating
+      -- percentile rules differ across engines, value_percentiles note)
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN tmean END) AS p90
+      FROM ranked GROUP BY event_type
+    ), hot AS (
+      SELECT d.event_type, d.day
+      FROM daily d JOIN thr ON d.event_type = thr.event_type
+      WHERE d.tmean > thr.p90
+    ), islands AS (
+      SELECT event_type, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                        AS INT) AS grp
+      FROM hot
+    ), spells AS (
+      SELECT event_type, grp, COUNT(*) AS spell_len, MIN(day) AS spell_start
+      FROM islands GROUP BY event_type, grp
+    )
+    SELECT event_type,
+           COUNT(*) AS n_spells,
+           MAX(spell_len) AS max_spell_days,
+           CAST(SUM(spell_len) AS BIGINT) AS n_hot_days,
+           MIN(spell_start) AS first_spell_start
+    FROM spells GROUP BY event_type ORDER BY event_type
+    """,
+)
+def heatwave_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI-style percentile-threshold spell index (TX90p/WSDI family):
+    days whose daily mean exceeds the series' own 90th percentile, grouped
+    into consecutive-day spells via the gaps-and-islands date-minus-rank
+    trick. The exceedance threshold is a rank-picked daily mean
+    (percentile_disc semantics — an actual member of the distribution, so
+    the strict > comparison is exact on both engines; an interpolated
+    percentile would put a synthetic value ulp-close to real days). All
+    windows partition by series key; the row count entering them is
+    (series x days) — resample-scale, not event-scale — so the window
+    stage is metadata-sized even at 100 TB of raw events."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("tmean")
+    )
+    wr = Window.partitionBy("event_type").orderBy("tmean", "day")
+    wn = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type", "day", "tmean",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    thr = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.9 * F.col("n")).cast("bigint"), F.col("tmean")
+            )
+        ).alias("p90")
+    )
+    hot = (
+        daily.join(F.broadcast(thr), "event_type")
+        .filter(F.col("tmean") > F.col("p90"))
+        .select("event_type", "day")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    islands = hot.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(wd).cast("int"))
+    )
+    spells = islands.groupBy("event_type", "grp").agg(
+        F.count("*").alias("spell_len"), F.min("day").alias("spell_start")
+    )
+    return (
+        spells.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_spells"),
+            F.max("spell_len").alias("max_spell_days"),
+            F.sum("spell_len").cast("bigint").alias("n_hot_days"),
+            F.min("spell_start").alias("first_spell_start"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation additions (round-9 session 4): ranked retrieval and
+# corpus mixing — the selection ops downstream of the dedup/quality family
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "filter")
+
+
+@q(
+    "bm25_top_docs",
+    f"""
+    WITH ws AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), dl AS (
+      SELECT doc_id, LEN(ws) AS dl FROM ws
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(ws) AS term FROM ws)
+      WHERE term IN ('spark', 'merge', 'filter')
+      GROUP BY doc_id, term
+    ), scored AS (
+      -- df per term from the (doc, term) aggregate itself: the rows for
+      -- one term ARE its matching documents (tfidf_top_terms trick)
+      SELECT doc_id, term, tf, dl,
+             COUNT(*) OVER (PARTITION BY term) AS df,
+             n_docs, avgdl
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_terms,
+           ROUND(SUM(
+             LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed conjunctive-ish
+    query — the relevance scorer behind corpus search and targeted
+    curation sweeps. Plan: one tokenize pass produces BOTH the per-doc
+    length table and the query-term postings (the IN filter collapses the
+    explode to ~|query| x df rows before any shuffle); document frequency
+    is a count-over-term window on the postings aggregate, corpus stats
+    ride in on a broadcast cross join, and the final top-20 is
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort. At 100 TB the only
+    corpus-sized stage is the tokenize scan; everything after is
+    postings-sized. Scores round to 4 decimals on both engines before the
+    deterministic (score, doc_id) tie-break."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents").select("doc_id", words("text").alias("ws"))
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    wt = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count("*").over(wt))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (
+        F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.round(F.sum(idf * tf_norm), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "domain_mixture_weights",
+    f"""
+    WITH per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(LEN({_WORDS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), shares AS (
+      -- NULLIF guards the all-empty corpus: 0/0 diverges across engines
+      -- (Spark ANSI errors, DuckDB yields NULL); NULL share -> NULL weight
+      SELECT lang, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE)
+               / NULLIF(SUM(n_tokens) OVER (), 0) AS share
+      FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(POWER(share, 0.3) / SUM(POWER(share, 0.3)) OVER (), 6) AS weight
+    FROM shares ORDER BY lang NULLS FIRST
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha=0.3, the multilingual
+    up-sampling rule of XLM-R/mT5): per-language token shares are flattened
+    by p^alpha and renormalized into sampling weights — the op that turns a
+    curated corpus into a training mixture. One corpus-sized aggregation
+    (tokenize + count per language, partial map-side); the two global
+    windows run over the per-language aggregate, which is vocabulary-of-
+    languages-sized (dozens of rows at any corpus scale), so the
+    single-partition window is metadata work. The all-empty-corpus 0/0 is
+    pinned to NULL on both engines via NULLIF."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import token_count
+
+    d = t_wide(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    shares = per_lang.withColumn(
+        "share",
+        F.col("n_tokens").cast("double")
+        / F.nullif(F.sum("n_tokens").over(w_all), F.lit(0)),
+    )
+    return shares.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(
+            F.pow("share", 0.3) / F.sum(F.pow("share", 0.3)).over(w_all), 6
+        ).alias("weight"),
+    ).orderBy(F.col("lang").asc_nulls_first())
