@@ -6464,32 +6464,40 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed conjunctive-ish
     query — the relevance scorer behind corpus search and targeted
     curation sweeps. Plan: one tokenize pass produces BOTH the per-doc
-    length table and the query-term postings (the IN filter collapses the
-    explode to ~|query| x df rows before any shuffle); document frequency
-    is a count-over-term window on the postings aggregate, corpus stats
-    ride in on a broadcast cross join, and the final top-20 is
-    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
-    heaps + driver merge), never a global sort. At 100 TB the only
-    corpus-sized stage is the tokenize scan; everything after is
-    postings-sized. Scores round to 4 decimals on both engines before the
+    length table and the query-term postings; doc length rides THROUGH the
+    explode as a grouping column (it is functionally dependent on doc_id),
+    so postings never join back to a corpus-sized length table; document
+    frequency is a count-over-term window on the postings AGGREGATE (the
+    rows for one term are its matching documents — tfidf_top_terms trick;
+    computing it as a separate groupBy + join would clone the whole
+    tokenize subtree, doubling the corpus scan); corpus stats ride in on a
+    broadcast cross join, and the final top-20 is orderBy+limit — Spark
+    plans TakeOrderedAndProject (per-partition heaps + driver merge),
+    never a global sort. explode_outer, NOT explode: InferFiltersFromGenerate
+    turns a plain explode into a `size(ws) > 0` scan-stage filter, which
+    inlines the tokenizer under t_wide's repartition and serializes it
+    into the single file-scan task (the module-level t_wide note; measured
+    8.8 s -> 1.3 s at sf0.1). Two tokenize passes remain (corpus stats
+    need every doc's length, postings only matched docs); at 100 TB you
+    persist n_tokens as a column at ingest and the stats pass becomes a
+    column scan. Scores round to 4 decimals on both engines before the
     deterministic (score, doc_id) tie-break."""
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t_wide(spark, sf_dir, "documents").select("doc_id", words("text").alias("ws"))
-    dl = d.select("doc_id", F.size("ws").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    stats = d.select(F.size("ws").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
     tf = (
-        d.select("doc_id", F.explode("ws").alias("term"))
+        d.select(
+            "doc_id", F.size("ws").alias("dl"), F.explode_outer("ws").alias("term")
+        )
         .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
     wt = Window.partitionBy("term")
-    scored = (
-        tf.withColumn("df", F.count("*").over(wt))
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = tf.withColumn("df", F.count("*").over(wt)).crossJoin(F.broadcast(stats))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_norm = (
         F.col("tf") * 2.2
