@@ -442,3 +442,73 @@ def test_template_numbers_follow_wmo_table_5_0():
     raw[tmpl_off : tmpl_off + 2] = (40).to_bytes(2, "big")
     with pytest.raises(GRIB2Error, match="JPEG2000"):
         parse_grib2(bytes(raw))
+
+
+def test_gridstore_export_grib2_distributed(spark, tmp_path):
+    """GridStore → sharded GRIB2 export (one file per time bucket, one
+    message per time step, executor-side writes) → re-ingest through the
+    distributed grib2 decoder path: the full migration loop, including the
+    all-missing-slice skip and the uneven-axis constraint error."""
+    import pandas as pd
+
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.sources.grib2 import grib2_decoder
+    from zarr_climate_etl_ipfs_spark.sources.ingest import read_binary_gridded
+    from zarr_climate_etl_ipfs_spark.sources.store import GridStore, StoreError
+
+    desc = DatasetDescriptor(dataset_name="t2m", data_var="t2m", time_bucket="month")
+    pdf = pd.DataFrame({
+        "time": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-02-01", "2024-02-02"] * 2
+        ),
+        "latitude": [10.0] * 4 + [20.0] * 4,
+        "longitude": [100.0] * 8,
+        # 2-decimal values round-trip exactly at decimal_scale=2
+        "t2m": np.arange(8, dtype="float64") / 4.0,
+    })
+    # an all-missing time slice: both cells NULL on 2024-02-02
+    pdf.loc[pdf.time == "2024-02-02", "t2m"] = np.nan
+    gs = GridStore(tmp_path / "gs", desc, spark)
+    gs.write_initial(spark.createDataFrame(pdf))
+
+    out = tmp_path / "grib"
+    summary = gs.export_grib2(out, parameter=(0, 0), level_type=1)
+    assert summary["files"] == 2 and summary["rows"] == 8
+    assert summary["messages"] == 3 and summary["skipped_slices"] == 1
+    assert sorted(p.name for p in out.iterdir()) == [
+        "2024-01.grib2", "2024-02.grib2",
+    ]
+
+    jan = parse_grib2((out / "2024-01.grib2").read_bytes())
+    assert len(jan) == 2
+    assert [m.ref_time.day for m in jan] == [1, 2]
+    # scanning mode 0: rows run N→S
+    assert jan[0].lats[0] == 20.0 and jan[0].lats[-1] == 10.0
+    assert jan[0].values.shape == (2, 1)
+
+    back = read_binary_gridded(
+        spark, str(out / "*.grib2"), desc, decoder=grib2_decoder(desc)
+    )
+    rows = {
+        (str(r["time"])[:10], r["latitude"]): r["t2m"] for r in back.collect()
+    }
+    assert len(rows) == 6  # 3 messages x 2 cells; the all-NaN slice is gone
+    assert rows[("2024-01-02", 20.0)] == 1.25
+    assert rows[("2024-02-01", 10.0)] == 0.5
+
+    with pytest.raises(StoreError, match="overwrite"):
+        gs.export_grib2(out)
+    assert gs.export_grib2(out, overwrite=True, template=2)["files"] == 2
+
+    # uneven axis: section 3 stores endpoints + increment only
+    desc2 = DatasetDescriptor(dataset_name="x", data_var="x", time_bucket="month")
+    pdf2 = pd.DataFrame({
+        "time": pd.to_datetime(["2024-01-01"] * 3),
+        "latitude": [0.0, 1.0, 5.0],
+        "longitude": [0.0] * 3,
+        "x": [1.0, 2.0, 3.0],
+    })
+    gs2 = GridStore(tmp_path / "gs2", desc2, spark)
+    gs2.write_initial(spark.createDataFrame(pdf2))
+    with pytest.raises(GRIB2Error, match="evenly spaced"):
+        gs2.export_grib2(tmp_path / "grib2b")
