@@ -6567,3 +6567,103 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow("share", 0.3) / F.sum(F.pow("share", 0.3)).over(w_all), 6
         ).alias("weight"),
     ).orderBy(F.col("lang").asc_nulls_first())
+
+
+@q(
+    "grib2_publish_roundtrip",
+    """
+    WITH grid AS (
+      SELECT date_trunc('hour', ts) AS t,
+             CAST(user_id % 8 AS DOUBLE) AS lat,
+             CAST(event_id % 16 AS DOUBLE) AS lon,
+             -- % 8192 keeps every cell an exactly-representable 16-bit
+             -- integer so the lossy GRIB packing is exact at scale 0
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) % 8192
+                  AS DOUBLE) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY 1, 2, 3
+    )
+    SELECT t, CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(*) AS n_cells
+    FROM grid GROUP BY t ORDER BY t
+    """,
+)
+def grib2_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRIB2 publish loop, end to end: pivot events into an (hour x
+    8-lat x 16-lon) grid of exact 16-bit integers, publish it as sharded
+    GRIB2 with the distributed sink (grib2.write_grib2_sharded — one file
+    per month bucket, one message per hour, executor-side encode), re-open
+    the files with the distributed binary-ingest path
+    (read_binary_gridded + grib2_decoder, the reference's GRIB scan,
+    utils/transform.py:137-218), and aggregate the tall frame back per
+    hour. The oracle aggregates the same grid directly, so any divergence
+    in the writer/parser pair (simple packing, bitmap for absent cells,
+    section-3 axis reconstruction, ref-time seconds round-trip) surfaces
+    as a value-hash mismatch. Values are pinned to 16-bit integers at
+    decimal_scale 0, making the lossy format exact by construction. Plan:
+    one aggregate to build cells, one axis-resolving aggregate, ONE
+    shuffle on the bucket to write; binaryFile scan + flatMap decode to
+    read — the per-file parallel unit of any at-scale GRIB archive."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.sources.grib2 import (
+        grib2_decoder,
+        write_grib2_sharded,
+    )
+    from zarr_climate_etl_ipfs_spark.sources.ingest import read_binary_gridded
+
+    ev = t(spark, sf_dir, "events")
+    grid = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("t"),
+            (F.col("user_id") % 8).cast("double").alias("lat"),
+            (F.col("event_id") % 16).cast("double").alias("lon"),
+        )
+        .agg(
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) % 8192)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    # deterministic per-sf_dir scratch store, overwritten per run; the
+    # returned frame stays lazy, so the store must outlive this call
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"{_tempfile.gettempdir()}/spark_graft_grib_rt_{tag}"
+    if _os.path.exists(store):
+        _shutil.rmtree(store)
+    _os.makedirs(store)
+    man = write_grib2_sharded(
+        grid, store, var="v", time_dim="t", lat_dim="lat", lon_dim="lon",
+        bucket_fmt="yyyy-MM", bits_per_value=16, decimal_scale=0,
+    )
+    out_schema = "t timestamp, sum_v bigint, n_cells bigint"
+    if man["files"] == 0:  # empty corpus: nothing published, nothing read
+        return spark.createDataFrame([], out_schema)
+    desc = DatasetDescriptor(dataset_name="grib_rt", data_var="v")
+    back = read_binary_gridded(
+        spark, f"{store}/*.grib2", desc, decoder=grib2_decoder(desc)
+    )
+    # bitmap-masked cells arrive as NULL (read_binary_gridded canonicalizes
+    # NaN to the engine's missing representation)
+    return (
+        back.filter(F.col("v").isNotNull())
+        .groupBy(F.col("time").alias("t"))
+        .agg(
+            F.sum("v").cast("bigint").alias("sum_v"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("t")
+    )

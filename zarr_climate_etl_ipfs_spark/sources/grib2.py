@@ -43,6 +43,7 @@ reference's products), non-lat/lon grids, GRIB1 (see sources/grib1.py).
 from __future__ import annotations
 
 import datetime as dt
+import os
 import struct
 from dataclasses import dataclass, field
 
@@ -854,3 +855,132 @@ def grib2_decoder(
         return pd.concat(frames, ignore_index=True)
 
     return decode
+
+
+# ---------------------------------------------------------------------------
+# distributed sharded sink (GridStore.export_grib2 delegates here)
+# ---------------------------------------------------------------------------
+
+
+def write_grib2_sharded(
+    df,
+    path: str,
+    var: str,
+    time_dim: str,
+    lat_dim: str,
+    lon_dim: str,
+    bucket_fmt: str = "yyyy-MM",
+    template: int = 0,
+    bits_per_value: int = 16,
+    decimal_scale: int = 2,
+    discipline: int = 0,
+    parameter: tuple[int, int] = (0, 0),
+    level_type: int = 1,
+    level: int = 0,
+) -> dict:
+    """Distributed GRIB2 sink over a tall (time, lat, lon, value) frame —
+    one ``.grib2`` file per ``bucket_fmt`` time bucket, one message per time
+    step, written executor-side. The directory at ``path`` must already
+    exist (callers own create/overwrite semantics). Scale shape: spatial
+    axes resolve once driver-side (axis-sized) and ride the kernel closure;
+    the data takes ONE shuffle keyed on the bucket; each group materializes
+    only its own (time, lat, lon) slab. Section-3 template 3.0 stores only
+    endpoints + integer-microdegree increments, so axes must be evenly
+    spaced on that grid — enforced with a named error. All-missing time
+    slices are skipped (a message cannot carry zero present points) and
+    counted in the returned manifest."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.collect_set(d).alias(d) for d in (lat_dim, lon_dim)]
+    ).collect()[0]
+    axes = {}
+    for d in (lat_dim, lon_dim):
+        ax = np.sort(np.asarray(row[d] or [], dtype="float64"))
+        n = len(ax)
+        if n > 1:
+            recon = np.linspace(
+                round(ax[0] * 1e6) / 1e6, round(ax[-1] * 1e6) / 1e6, n
+            )
+            if np.abs(recon - ax).max() > 5e-7:
+                raise GRIB2Error(
+                    f"axis {d!r} is not evenly spaced on GRIB's microdegree "
+                    "grid; section 3 template 3.0 cannot represent it "
+                    "(write_zarr_tall/export_netcdf4 carry explicit "
+                    "coordinate arrays instead)"
+                )
+        axes[d] = ax
+    lats_asc, lons_asc = axes[lat_dim], axes[lon_dim]
+    out_str = str(path)
+    disc, (pcat, pnum) = discipline, parameter
+    ltyp, lev = level_type, level
+    tmpl, bits, dscale = template, bits_per_value, decimal_scale
+    td = time_dim
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = str(pdf["__grib_bucket"].iloc[0])
+        tvals = np.sort(pd.DatetimeIndex(pdf[td].unique()).values)
+        shape = (len(tvals), len(lats_asc), len(lons_asc))
+        vals = pdf[var].to_numpy()
+        grid = np.full(shape, np.nan, dtype="float64")
+        ti = np.searchsorted(tvals, pd.DatetimeIndex(pdf[td]).values)
+        li = np.searchsorted(lats_asc, pdf[lat_dim].to_numpy())
+        oi = np.searchsorted(lons_asc, pdf[lon_dim].to_numpy())
+        grid[(ti, li, oi)] = vals.astype("float64", copy=False)
+        msgs = []
+        skipped = 0
+        for k, tv in enumerate(tvals):
+            slab = grid[k][::-1]  # N→S rows: scanning mode 0
+            if np.isnan(slab).all():
+                skipped += 1
+                continue
+            msgs.append(
+                GRIB2Message(
+                    discipline=disc,
+                    parameter_category=pcat,
+                    parameter_number=pnum,
+                    level_type=ltyp,
+                    level=lev,
+                    ref_time=pd.Timestamp(tv).to_pydatetime(),
+                    lats=lats_asc[::-1],
+                    lons=lons_asc,
+                    values=slab,
+                )
+            )
+        if not msgs:  # a bucket of all-missing slices emits no file
+            return pd.DataFrame(
+                {"bucket": [bucket], "nbytes": [0], "rows": [len(pdf)],
+                 "messages": [0], "skipped": [skipped]}
+            )
+        blob = write_grib2(msgs, bits, dscale, tmpl)
+        fn = os.path.join(out_str, f"{bucket}.grib2")
+        tmp = f"{fn}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, fn)
+        return pd.DataFrame(
+            {"bucket": [bucket], "nbytes": [len(blob)], "rows": [len(pdf)],
+             "messages": [len(msgs)], "skipped": [skipped]}
+        )
+
+    manifest = (
+        df.withColumn("__grib_bucket", F.date_format(F.col(td), bucket_fmt))
+        .groupBy("__grib_bucket")
+        .applyInPandas(
+            emit,
+            schema="bucket string, nbytes long, rows long, "
+            "messages long, skipped long",
+        )
+    )
+    stats = manifest.agg(
+        F.coalesce(F.sum((F.col("messages") > 0).cast("long")), F.lit(0)).alias(
+            "files"
+        ),
+        F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes"),
+        F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
+        F.coalesce(F.sum("messages"), F.lit(0)).alias("messages"),
+        F.coalesce(F.sum("skipped"), F.lit(0)).alias("skipped_slices"),
+    ).collect()[0]
+    return {k: int(stats[k]) for k in
+            ("files", "bytes", "rows", "messages", "skipped_slices")}

@@ -788,11 +788,12 @@ class GridStore:
         endpoints + increments). Encoding is lossy at ``decimal_scale``
         like any real GRIB product; all-missing time slices are skipped
         (a GRIB message cannot carry zero present points) and counted in
-        the returned manifest."""
-        from zarr_climate_etl_ipfs_spark.sources.grib2 import GRIB2Error
-
-        import numpy as np
-        import pandas as pd
+        the returned manifest. Delegates to grib2.write_grib2_sharded —
+        the same sink the grib2_publish_roundtrip catalog query drives."""
+        from zarr_climate_etl_ipfs_spark.sources.grib2 import (
+            GRIB2Error,
+            write_grib2_sharded,
+        )
 
         desc = self.desc
         var, td = desc.data_var, desc.time_dim
@@ -818,105 +819,22 @@ class GridStore:
         except FileExistsError:
             raise StoreError(f"{out} was created concurrently by another writer") from None
 
-        row = self.dataset(version).agg(
-            *[F.collect_set(d).alias(d) for d in (lat_dim, lon_dim)]
-        ).collect()[0]
-        axes = {}
-        for d in (lat_dim, lon_dim):
-            ax = np.sort(np.asarray(row[d] or [], dtype="float64"))
-            n = len(ax)
-            if n:
-                # section 3 stores endpoints + increment in integer
-                # microdegrees; the reader reconstructs a linspace — so the
-                # axis must BE that linspace at microdegree resolution
-                recon = np.linspace(
-                    round(ax[0] * 1e6) / 1e6, round(ax[-1] * 1e6) / 1e6, n
-                )
-                if n > 1 and np.abs(recon - ax).max() > 5e-7:
-                    raise GRIB2Error(
-                        f"axis {d!r} is not evenly spaced on GRIB's "
-                        "microdegree grid; section 3 template 3.0 cannot "
-                        "represent it (write_zarr_tall/export_netcdf4 carry "
-                        "explicit coordinate arrays instead)"
-                    )
-            axes[d] = ax
-        lats_asc, lons_asc = axes[lat_dim], axes[lon_dim]
-        out_str = str(out)
-        disc, (pcat, pnum) = discipline, parameter
-        ltyp, lev = level_type, level
-        tmpl, bits, dscale = template, bits_per_value, decimal_scale
-
-        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            from zarr_climate_etl_ipfs_spark.sources.grib2 import (
-                GRIB2Message,
-                write_grib2,
-            )
-
-            bucket = str(pdf[_BUCKET_COL].iloc[0])
-            tvals = np.sort(pd.DatetimeIndex(pdf[td].unique()).values)
-            shape = (len(tvals), len(lats_asc), len(lons_asc))
-            vals = pdf[var].to_numpy()
-            grid = np.full(shape, np.nan, dtype="float64")
-            ti = np.searchsorted(tvals, pd.DatetimeIndex(pdf[td]).values)
-            li = np.searchsorted(lats_asc, pdf[lat_dim].to_numpy())
-            oi = np.searchsorted(lons_asc, pdf[lon_dim].to_numpy())
-            grid[(ti, li, oi)] = vals.astype("float64", copy=False)
-            msgs = []
-            skipped = 0
-            for k, tv in enumerate(tvals):
-                slab = grid[k][::-1]  # N→S rows: scanning mode 0
-                if np.isnan(slab).all():
-                    skipped += 1
-                    continue
-                msgs.append(
-                    GRIB2Message(
-                        discipline=disc,
-                        parameter_category=pcat,
-                        parameter_number=pnum,
-                        level_type=ltyp,
-                        level=lev,
-                        ref_time=pd.Timestamp(tv).to_pydatetime(),
-                        lats=lats_asc[::-1],
-                        lons=lons_asc,
-                        values=slab,
-                    )
-                )
-            if not msgs:  # a bucket of all-missing slices emits no file
-                return pd.DataFrame(
-                    {"bucket": [bucket], "nbytes": [0], "rows": [len(pdf)],
-                     "messages": [0], "skipped": [skipped]}
-                )
-            blob = write_grib2(msgs, bits, dscale, tmpl)
-            fn = os.path.join(out_str, f"{bucket}.grib2")
-            tmp = f"{fn}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, fn)
-            return pd.DataFrame(
-                {"bucket": [bucket], "nbytes": [len(blob)], "rows": [len(pdf)],
-                 "messages": [len(msgs)], "skipped": [skipped]}
-            )
-
-        manifest = (
-            self._with_bucket(self.dataset(version))
-            .groupBy(_BUCKET_COL)
-            .applyInPandas(
-                emit,
-                schema="bucket string, nbytes long, rows long, "
-                "messages long, skipped long",
-            )
+        return write_grib2_sharded(
+            self.dataset(version),
+            str(out),
+            var,
+            td,
+            lat_dim,
+            lon_dim,
+            bucket_fmt=_BUCKET_FMT[desc.time_bucket],
+            template=template,
+            bits_per_value=bits_per_value,
+            decimal_scale=decimal_scale,
+            discipline=discipline,
+            parameter=parameter,
+            level_type=level_type,
+            level=level,
         )
-        stats = manifest.agg(
-            F.coalesce(F.sum((F.col("messages") > 0).cast("long")), F.lit(0)).alias(
-                "files"
-            ),
-            F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes"),
-            F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
-            F.coalesce(F.sum("messages"), F.lit(0)).alias("messages"),
-            F.coalesce(F.sum("skipped"), F.lit(0)).alias("skipped_slices"),
-        ).collect()[0]
-        return {k: int(stats[k]) for k in
-                ("files", "bytes", "rows", "messages", "skipped_slices")}
 
     def ingest_zarr(self, path: str | Path, var: str | None = None) -> None:
         """Migrate OFF a published Zarr v2 store in one step: open it
