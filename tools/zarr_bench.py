@@ -96,7 +96,16 @@ def main() -> None:
         cells = days * ny * nx
         store = WORK / f"{mult}x"
         shutil.rmtree(store, ignore_errors=True)
-        df = tall_df(spark, d0, days, lats, lons, mult)
+        # materialize the synthetic input once (localCheckpoint): the Arrow
+        # local relation otherwise re-converts driver-side on EVERY action,
+        # on size-dependent code paths — small scales read SLOWER than big
+        # ones and the write column mixes in createDataFrame cost (the same
+        # artifact measured in tools/grib2_bench.py)
+        df = (
+            tall_df(spark, d0, days, lats, lons, mult)
+            .repartition(32)
+            .localCheckpoint(eager=True)
+        )
 
         t0 = time.perf_counter()
         summary = write_zarr_tall(
