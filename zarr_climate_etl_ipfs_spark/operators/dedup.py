@@ -59,10 +59,27 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the lowest-id representative of each fingerprint group.
 
     Window-free formulation: min(id) per fingerprint then semi-join — two
-    metadata-size shuffles, bodies move zero times."""
-    keyed = df.withColumn("_fp", fingerprint(text_col))
+    metadata-size shuffles, bodies move zero times. The `_mid >= 0` filter
+    is a pushdown barrier: the semi-join key infers
+    `isnotnull(fingerprint)`, which Catalyst otherwise pushes through any
+    upstream repartition and evaluates (md5 + regexp of every document)
+    inside the file-scan stage, whose parallelism is the file count, not
+    the cluster width (the t_wide note in plans/queries.py). A bare unused
+    nondeterministic Project column is NOT enough — column pruning deletes
+    it before predicate pushdown runs, dissolving the barrier — but a
+    filter REFERENCING the nondeterministic column survives pruning, is
+    vacuously true, and deterministic predicates cannot push below it."""
+    keyed = (
+        df.select(
+            "*",
+            fingerprint(text_col).alias("_fp"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .filter(F.col("_mid") >= 0)  # pushdown barrier, always true
+        .drop("_mid")
+    )
     keep = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return keyed.join(keep, [ "_fp", id_col], "left_semi").drop("_fp")
+    return keyed.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
 
 
 # ---------------------------------------------------------------------------
