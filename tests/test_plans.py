@@ -45,13 +45,37 @@ def test_range_band_join_is_broadcast_nested_loop(spark):
 
 
 def test_no_cartesian_products_anywhere(spark):
-    """The whole catalog: an unintended cross join is always a bug — the one
-    legitimate non-equi join broadcasts its tiny side instead."""
+    """The whole catalog, one sweep, two hygiene invariants per plan:
+    (a) no CartesianProduct — an unintended cross join is always a bug (the
+    one legitimate non-equi join broadcasts its tiny side instead); and
+    (b) no expensive expression (tokenize/hash/regex) inside a FileScan's
+    DataFilters — Catalyst pushes filters inferred from join/aggregate
+    keys (isnotnull of a derived column, size>0 from a bare explode)
+    through repartitions into the scan, where the expression runs at
+    file-count parallelism AND is evaluated a second time by the
+    downstream projection (round-9: dedup_exact's semi-join key planted
+    isnotnull(md5(regexp_replace(text))) in the scan; the only hit in a
+    full-catalog executed-plan audit — this pins the class)."""
+    EXPENSIVE = ("split(", "md5(", "sha1(", "sha2(", "xxhash", "transform(",
+                 "aggregate(", "regexp")
+    # The md5-mod SAMPLING predicates are the query semantics: a
+    # row-discarding sample over a cheap key column belongs at the scan
+    # (drop 90-95% before anything materializes). Tolerate exactly that
+    # token for exactly those queries — the invariant targets expressions
+    # that are join/aggregate INPUTS, which the scan evaluates once for
+    # the filter and downstream again.
+    EXEMPT = {"hash_sample": {"md5("}, "decontamination": {"md5("}}
     for name in REGISTRY:
         if name == "streaming_hourly_stats":
             continue  # streaming plans materialize on start(), not here
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+        for line in plan.splitlines():
+            if "FileScan" not in line or "DataFilters: []" in line:
+                continue
+            hit = [p for p in EXPENSIVE if p in line.split("PushedFilters")[0]]
+            hit = [p for p in hit if p not in EXEMPT.get(name, set())]
+            assert not hit, f"{name}: expensive scan-stage filter {hit}: {line[:160]}"
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark):
@@ -94,9 +118,10 @@ def test_no_expensive_scan_stage_filters_in_hot_family(spark):
     stage — whose parallelism is the FILE count, not the cluster width
     (measured: 3.6 s single-task at sf0.1). The shuffle-bearing dedup/
     similarity queries must keep their optimized plans free of such
-    filters; queries that are pure scans (pii_scrub, repetition_ratio,
-    dedup_keep_first) are exempt because filter-at-scan is exactly right
-    once the input has many files."""
+    filters; pure-scan queries (pii_scrub, repetition_ratio) are exempt
+    here because filter-at-scan parallelizes by file count — but the
+    catalog-wide executed-plan sweep (test_no_cartesian_products_anywhere)
+    still bounds what may reach a FileScan's DataFilters."""
     EXPENSIVE = ("split(", "md5(", "transform(", "aggregate(", "regexp")
     GUARDED = [
         "minhash_signatures",

@@ -333,7 +333,13 @@ def srp_neardup_pairs(
             )
         ).alias("_n"),
         srp_band_values(vec_col, planes, bands).alias("_bvs"),
-    )
+        F.monotonically_increasing_id().alias("_mid"),
+    ).filter(
+        # always-true pushdown barrier (dedup_exact note in dedup.py): the
+        # verify threshold's constraint chain otherwise plants the whole
+        # isnotnull(sqrt(aggregate(...))) norm in the scan's DataFilters
+        F.col("_mid") >= 0
+    ).drop("_mid")
     item = F.struct(F.col("vec_id").alias("id"), F.col("_bvs").alias("bvs"))
     banded = s.select(item.alias("it"), F.posexplode("_bvs").alias("band", "bv"))
     sc = df.sparkSession.sparkContext

@@ -1543,7 +1543,18 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (
         t(spark, sf_dir, "embeddings")
-        .withColumn("_n", l2_norm("embedding"))
+        .select(
+            "*",
+            l2_norm("embedding").alias("_n"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        # always-true pushdown barrier (the dedup_exact note in
+        # operators/dedup.py): the cosine threshold's constraint chain
+        # otherwise plants isnotnull(sqrt(aggregate(embedding,...))) in the
+        # scan's DataFilters — the whole norm, evaluated at file-count
+        # parallelism and again in this projection
+        .filter(F.col("_mid") >= 0)
+        .drop("_mid")
         .repartition(spark.sparkContext.defaultParallelism, "label")
     )
     a = emb.select(
@@ -3308,12 +3319,20 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = rademacher_planes(16, 64, seed=42)
     # JVM-expression signature (bit-identical to the Arrow kernel, see
     # srp_signature_expr): keeps the whole query Python-free, so no
-    # worker-launch stalls in the signature stage
-    s = emb.select(
-        "vec_id",
-        "embedding",
-        l2_norm("embedding").alias("_n"),
-        srp_signature_expr("embedding", planes).alias("sig"),
+    # worker-launch stalls in the signature stage. The _mid filter is the
+    # always-true pushdown barrier (dedup_exact note): the verify
+    # threshold's constraint chain otherwise plants the whole
+    # isnotnull(sqrt(aggregate(...))) norm in the scan's DataFilters.
+    s = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            l2_norm("embedding").alias("_n"),
+            srp_signature_expr("embedding", planes).alias("sig"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .filter(F.col("_mid") >= 0)
+        .drop("_mid")
     )
     bands = F.array(
         *[
@@ -3681,12 +3700,15 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary predicate pushdown would inline all four extract passes
     into the single-partition scan and serialize the query (the
     file-level scale note). No cheap proxy exists — the counts ARE the
-    semantics — so the projection carries a throwaway
-    monotonically_increasing_id: one nondeterministic expression makes
-    the Project non-push-through-able, pinning the filter (and the
-    whole eight-regex chain) AFTER the t_wide repartition. The column
-    is dropped before output; results are unchanged. Measured at
-    sf0.1: 1.58 → 0.97 s."""
+    semantics — so an always-true filter on a throwaway
+    monotonically_increasing_id sits between the projection and the
+    count predicate: deterministic predicates cannot combine with a
+    nondeterministic filter, pinning the count filter (and the whole
+    eight-regex chain) AFTER the t_wide repartition. The filter must
+    REFERENCE the id — a bare unused nondeterministic Project column is
+    pruned before pushdown runs (round-9 plan sweep). The column is
+    dropped before output; results are unchanged. Measured at sf0.1:
+    1.58 → 0.97 s."""
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import (
         PII_PATTERNS,
         scrub_pii,
@@ -3729,13 +3751,17 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             *counts,
             F.md5(scrub_pii("text")).alias("scrub_fp"),
-            F.monotonically_increasing_id().alias("_mid"),  # pushdown barrier
+            F.monotonically_increasing_id().alias("_mid"),
         )
+        # pushdown barrier: the filter must REFERENCE _mid — a bare unused
+        # nondeterministic column is pruned before pushdown runs and the
+        # barrier dissolves (round-9 plan sweep caught exactly that here)
+        .filter(F.col("_mid") >= 0)
+        .drop("_mid")
         .withColumnRenamed("n_ipv4", "n_ip")
         .filter(
             F.col("n_email") + F.col("n_phone") + F.col("n_ip") + F.col("n_ssn") > 0
         )
-        .drop("_mid")
         .orderBy("doc_id")
     )
 
@@ -3776,7 +3802,21 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with t() everything serialized on one task. Measured at sf0.1:
     # 6.0 (inlined words) → 3.15 (materialized ws, t()) → 0.40 s (this).
     d = t_wide(spark, sf_dir, "documents")
-    w = d.select("doc_id", words("text").alias("ws")).filter(F.size("ws") >= 3)
+    w = (
+        d.select(
+            "doc_id",
+            words("text").alias("ws"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        # always-true pushdown barrier (dedup_exact note): without it the
+        # size(ws)>=3 gate inlines the tokenizer into the scan's
+        # DataFilters and the project re-tokenizes above — one split per
+        # row per side. Interleaved A/B at sf0.1: barrier ≤ proxy-at-scan
+        # on every sample (0.51-0.58 vs 0.58-0.67 s warm).
+        .filter(F.col("_mid") >= 0)
+        .drop("_mid")
+        .filter(F.size("ws") >= 3)
+    )
     g = w.select(
         "doc_id", shingles_from_words("ws", 3, distinct=False).alias("grams")
     )
@@ -5705,7 +5745,18 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t_wide(spark, sf_dir, "documents")
-    lst = d.select("doc_id", words("text").alias("lst"))
+    lst = (
+        d.select(
+            "doc_id",
+            words("text").alias("lst"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        # always-true pushdown barrier (dedup_exact note): the
+        # size(lst) >= 2 gate below otherwise inlines the tokenizer into
+        # the scan's DataFilters at file-count parallelism
+        .filter(F.col("_mid") >= 0)
+        .drop("_mid")
+    )
     pairs = F.expr(
         "zip_with(slice(lst, 1, size(lst)-1), slice(lst, 2, size(lst)-1), "
         "(a, b) -> struct(a AS w1, b AS w2))"
@@ -6106,7 +6157,18 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t_wide(spark, sf_dir, "documents")
-    dws = d.select("doc_id", words(F.col("text")).alias("ws"))
+    dws = (
+        d.select(
+            "doc_id",
+            words(F.col("text")).alias("ws"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        # always-true pushdown barrier (dedup_exact note): the
+        # n_windows >= 1 gate below otherwise inlines the tokenizer into
+        # the scan's DataFilters at file-count parallelism
+        .filter(F.col("_mid") >= 0)
+        .drop("_mid")
+    )
     dhs = dws.select(
         "doc_id",
         (F.size("ws") - 15).alias("n_windows"),
