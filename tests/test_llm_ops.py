@@ -731,3 +731,44 @@ def test_dot_fixed_bit_identical_to_hof_dot(spark):
     for r in got:
         # exact bit equality, not approx — the whole point of the helper
         assert repr(r.hof) == repr(r.flat), (r.i, r.hof, r.flat)
+
+
+def test_persisted_ivf_index_roundtrip_and_pruning(spark, embeddings, tmp_path):
+    """Build → write → read → search equals the in-memory search, the
+    probed-cell IN filter reaches the parquet source as a PARTITION filter
+    (unprobed inverted lists cost zero I/O), and the index.json commit
+    marker gates half-written indexes."""
+    assigned, centroids = similarity.ivf_index(
+        embeddings, n_cells=6, max_iter=1, engine="dataframe"
+    )
+    idx = str(tmp_path / "ivf")
+    man = similarity.write_ivf_index(assigned, centroids, idx)
+    assert man["n_cells"] == 6
+
+    query = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = [
+        (r["query_id"], r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.ivf_topk(
+            assigned, centroids, query, k=5, n_probe=2
+        ).collect()
+    ]
+    got_df = similarity.search_ivf_index(spark, idx, query, k=5, n_probe=2)
+    got = [(r["query_id"], r["vec_id"], round(r["cosine"], 9)) for r in got_df.collect()]
+    assert got == want and len(got) == 15
+
+    # partition pruning: the cell IN filter must be a PartitionFilter on the
+    # scan, not a post-scan predicate
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters: [cell" in scan.replace("[isnotnull(cell", "[cell")
+
+    # commit marker: an index without index.json must not open
+    import shutil as _shutil
+
+    half = str(tmp_path / "half")
+    _shutil.copytree(idx, half)
+    (tmp_path / "half" / "index.json").unlink()
+    with pytest.raises(FileNotFoundError, match="index.json"):
+        similarity.read_ivf_index(spark, half)

@@ -725,3 +725,96 @@ def scalar_quantize_recon(
             * ((r["hi"] - r["lo"]) / n)
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build once, search many (the FAISS-on-disk analog)
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "error",
+) -> dict:
+    """Persist a trained IVF index: the assigned vectors as parquet
+    PARTITIONED BY cell (so a probed search is a partition-pruned scan —
+    files for unprobed cells are never opened, the on-disk twin of FAISS's
+    inverted lists) plus an ``index.json`` sidecar with the centroids and
+    column names. The sidecar is written AFTER the data — its presence is
+    the commit marker, so a reader never sees a half-written index (the
+    GridStore manifest-last discipline)."""
+    import json as _json
+    import os as _os
+
+    (
+        assigned.select(id_col, vec_col, "cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    meta = {
+        "format": "ivf-index/1",
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": len(centroids),
+        "dim": len(centroids[0]) if centroids else 0,
+        "centroids": centroids,
+    }
+    tmp = f"{path}/index.json.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, f"{path}/index.json")
+    return {"n_cells": meta["n_cells"], "dim": meta["dim"]}
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]], dict]:
+    """Open a persisted IVF index: (assigned frame with its partition-column
+    ``cell``, centroids, meta). Raises FileNotFoundError when the commit
+    marker is absent (half-written or not an index)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    marker = _Path(path) / "index.json"
+    if not marker.exists():
+        raise FileNotFoundError(f"{path} has no index.json — not a committed IVF index")
+    meta = _json.loads(marker.read_text())
+    return spark.read.parquet(f"{path}/cells"), meta["centroids"], meta
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted index: resolve the probed cells for the query
+    batch driver-side (a tiny relation — at most ``n_probe`` × queries,
+    bounded by n_cells), turn them into a literal IN filter so the parquet
+    source prunes unprobed cell partitions at planning time, then run the
+    exact in-cell ranking. Scan cost ∝ probed/total cells — at 100 TB the
+    unprobed inverted lists cost zero I/O, not just zero compute."""
+    assigned, centroids, meta = read_ivf_index(spark, path)
+    if not centroids:
+        return ivf_topk(
+            assigned, centroids, query, k=k,
+            id_col=meta["id_col"], vec_col=meta["vec_col"],
+            query_id_col=query_id_col,
+        )
+    probed = assign_probe_cells(
+        query, centroids, n_probe, meta["vec_col"], query_id_col
+    )
+    cells = sorted(
+        r["cell"] for r in probed.select("cell").distinct().collect()
+    )
+    pruned = assigned.filter(F.col("cell").isin(*[int(c) for c in cells]))
+    return ivf_topk(
+        pruned, centroids, query, k=k, n_probe=n_probe,
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+        query_id_col=query_id_col,
+    )
