@@ -750,18 +750,17 @@ def write_ivf_index(
     import json as _json
     import os as _os
 
-    (
-        assigned.select(id_col, vec_col, "cell")
-        .write.mode(mode)
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
-    )
+    cells = assigned.select(id_col, vec_col, "cell")
+    cells.write.mode(mode).partitionBy("cell").parquet(f"{path}/cells")
     meta = {
         "format": "ivf-index/1",
         "id_col": id_col,
         "vec_col": vec_col,
         "n_cells": len(centroids),
         "dim": len(centroids[0]) if centroids else 0,
+        # the reader always applies this schema: an EMPTY index writes no
+        # parquet part files, so schema inference has nothing to read
+        "schema": cells.schema.json(),
         "centroids": centroids,
     }
     tmp = f"{path}/index.json.tmp.{_os.getpid()}"
@@ -778,11 +777,18 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]], dict
     import json as _json
     from pathlib import Path as _Path
 
+    from pyspark.sql import types as _T
+
     marker = _Path(path) / "index.json"
     if not marker.exists():
         raise FileNotFoundError(f"{path} has no index.json — not a committed IVF index")
     meta = _json.loads(marker.read_text())
-    return spark.read.parquet(f"{path}/cells"), meta["centroids"], meta
+    schema = _T.StructType.fromJson(_json.loads(meta["schema"]))
+    return (
+        spark.read.schema(schema).parquet(f"{path}/cells"),
+        meta["centroids"],
+        meta,
+    )
 
 
 def search_ivf_index(
