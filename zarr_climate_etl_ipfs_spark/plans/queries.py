@@ -6795,3 +6795,193 @@ def ivf_persisted_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
         F.round("cosine", 6).alias("cosine"),
     ).orderBy("query_id", "rank")
+
+
+#: Convex zones (CCW vertices) in the synthetic (lon 0-15, lat 0-7) cell
+#: space. Both engines' inside tests are generated from THIS list, so the
+#: geometry cannot drift; vertices and points are integers, so every cross
+#: product is exact int arithmetic — no float boundary risk.
+_ZONES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("west_box", [(1, 1), (6, 1), (6, 6), (1, 6)]),
+    ("east_tri", [(8, 0), (14, 0), (11, 7)]),
+    ("mid_band", [(3, 2), (12, 2), (12, 5), (3, 5)]),
+]
+
+
+def _zone_inside_sql(verts: list[tuple[int, int]]) -> str:
+    conds = []
+    for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+        conds.append(
+            f"(({x2} - {x1}) * (py - {y1}) - ({y2} - {y1}) * (px - {x1})) >= 0"
+        )
+    return " AND ".join(conds)
+
+
+@q(
+    "zonal_stats",
+    f"""
+    WITH pts AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS px,
+             CAST(user_id % 8 AS BIGINT) AS py,
+             value
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{name}' AS zone, COUNT(*) AS n_points, "
+        "ROUND(AVG(value), 4) AS mean_value, "
+        "ROUND(MAX(value), 2) AS max_value "
+        "FROM pts WHERE " + _zone_inside_sql(verts) + " GROUP BY 1"
+        for name, verts in _ZONES
+    )}
+    -- GROUP BY 1 in each branch: a zone with zero points must emit NO row
+    -- (grouped-aggregate semantics, matching Spark's groupBy); a bare
+    -- global aggregate would emit a (0, NULL, NULL) row (empty-gate catch)
+    ORDER BY zone
+    """,
+)
+def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over polygon masks — the spatial-aggregation op
+    every climate consumer runs after the bbox slice (reference users do
+    this downstream in the dClimate query layer; bbox_extent covers the
+    rectangle case). Zones are convex polygons; inside-ness is the all-
+    edges-left cross-product test, generated from ONE vertex table for
+    both engines and evaluated in exact integer arithmetic. Plan: no join
+    at all — each point evaluates |zones| literal predicates in one
+    codegen'd pass (explode of a zone-condition struct array), then one
+    aggregation on the tiny zone key. At 100 TB this is scan + map-side
+    partial agg; a vertex TABLE (arbitrary polygons) would become a
+    broadcast join with the same aggregate shape. Points on an edge count
+    as inside (>= 0) on both engines, exactly."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    px = (F.col("event_id") % 16).cast("long")
+    py = (F.col("user_id") % 8).cast("long")
+
+    def inside(verts: list[tuple[int, int]]):
+        cond = F.lit(True)
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            cross = (x2 - x1) * (py - F.lit(y1)) - (y2 - y1) * (px - F.lit(x1))
+            cond = cond & (cross >= 0)
+        return cond
+
+    zoned = e.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("zone"), inside(verts).alias("ok"))
+                    for name, verts in _ZONES
+                ]
+            )
+        ).alias("z"),
+    ).filter(F.col("z.ok"))
+    return (
+        zoned.groupBy(F.col("z.zone").alias("zone"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("zone")
+    )
+
+
+@q(
+    "dry_spell_indices",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS tmean
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), ranked AS (
+      SELECT event_type, day, tmean,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tmean, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), thr AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN tmean END) AS p50
+      FROM ranked GROUP BY event_type
+    ), flagged AS (
+      -- dry = at or below the rank-picked median (a real member of the
+      -- distribution, so the comparison is exact on both engines)
+      SELECT d.event_type, d.day, d.tmean, d.tmean <= thr.p50 AS dry
+      FROM daily d JOIN thr ON d.event_type = thr.event_type
+    ), dry_islands AS (
+      SELECT event_type, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                        AS INT) AS grp
+      FROM flagged WHERE dry
+    ), dry_spells AS (
+      SELECT event_type, grp, COUNT(*) AS len FROM dry_islands
+      GROUP BY event_type, grp
+    )
+    SELECT f.event_type,
+           COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN NOT f.dry THEN 1 ELSE 0 END) AS BIGINT) AS n_wet_days,
+           ROUND(AVG(CASE WHEN NOT f.dry THEN f.tmean END), 4) AS sdii,
+           (SELECT MAX(len) FROM dry_spells s WHERE s.event_type = f.event_type)
+             AS max_dry_spell
+    FROM flagged f GROUP BY f.event_type ORDER BY f.event_type
+    """,
+)
+def dry_spell_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI precipitation-family indices (CDD/SDII shape): days at or
+    below the series' own rank-picked median are dry; report wet-day count,
+    SDII (mean wet-day intensity) and the longest consecutive dry spell
+    (gaps-and-islands on the dry days). Same scale story as
+    heatwave_spells: every window runs at resample scale (series x days),
+    the raw-event shuffle happens once in the daily aggregate."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("tmean")
+    )
+    wr = Window.partitionBy("event_type").orderBy("tmean", "day")
+    wn = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type", "day", "tmean",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    thr = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"), F.col("tmean")
+            )
+        ).alias("p50")
+    )
+    flagged = daily.join(F.broadcast(thr), "event_type").withColumn(
+        "dry", F.col("tmean") <= F.col("p50")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    spells = (
+        flagged.filter("dry")
+        .withColumn("grp", F.date_sub("day", F.row_number().over(wd).cast("int")))
+        .groupBy("event_type", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("event_type")
+        .agg(F.max("len").alias("max_dry_spell"))
+    )
+    stats = flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.when(~F.col("dry"), 1).otherwise(0)).cast("bigint").alias("n_wet_days"),
+        F.round(F.avg(F.when(~F.col("dry"), F.col("tmean"))), 4).alias("sdii"),
+    )
+    return (
+        stats.join(spells, "event_type", "left")
+        .select("event_type", "n_days", "n_wet_days", "sdii", "max_dry_spell")
+        .orderBy("event_type")
+    )
