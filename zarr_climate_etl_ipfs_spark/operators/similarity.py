@@ -603,6 +603,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: score each query against the centroids, probe the
     ``n_probe`` nearest cells, exact cosine only within those cells.
@@ -610,6 +611,11 @@ def ivf_topk(
     Search cost ∝ n_probe/n_cells of the corpus; the probed-cell filter is a
     broadcast semi-join on the tiny (query, cell) relation, so the big side
     is one pruned scan — the same shape FAISS IVF gives on a single node.
+
+    ``probed`` (optional) supplies a precomputed (query_id, _qvec, cell)
+    relation — search_ivf_index passes a driver-computed one so the
+    n_cells × dim literal-expression tree of assign_probe_cells is never
+    planned (at 64 cells x 64 dims that tree dominated wall-clock).
     """
     if not centroids:
         # an index over an empty corpus has no cells: every search returns
@@ -623,7 +629,8 @@ def ivf_topk(
             .withColumn("cosine", F.lit(None).cast("double"))
             .withColumn("rank", F.lit(None).cast("int"))
         )
-    probed = assign_probe_cells(query, centroids, n_probe, vec_col, query_id_col)
+    if probed is None:
+        probed = assign_probe_cells(query, centroids, n_probe, vec_col, query_id_col)
     # Norm hoisting: ‖v‖ once per candidate row and ‖q‖ once per probe row
     # BEFORE the join — cosine on the O(candidates × probes) side is then a
     # single dot-product pass instead of three array folds. Same fold over
@@ -751,7 +758,12 @@ def write_ivf_index(
     import os as _os
 
     cells = assigned.select(id_col, vec_col, "cell")
-    cells.write.mode(mode).partitionBy("cell").parquet(f"{path}/cells")
+    # align the shuffle with the on-disk layout: without it every input
+    # task writes a file into every cell directory (tasks x cells tiny
+    # files); with it each cell is one writer (AQE coalesces small cells)
+    cells.repartition(F.col("cell")).write.mode(mode).partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
     meta = {
         "format": "ivf-index/1",
         "id_col": id_col,
@@ -800,11 +812,17 @@ def search_ivf_index(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Search a persisted index: resolve the probed cells for the query
-    batch driver-side (a tiny relation — at most ``n_probe`` × queries,
-    bounded by n_cells), turn them into a literal IN filter so the parquet
-    source prunes unprobed cell partitions at planning time, then run the
-    exact in-cell ranking. Scan cost ∝ probed/total cells — at 100 TB the
-    unprobed inverted lists cost zero I/O, not just zero compute."""
+    batch entirely DRIVER-SIDE (query batches are driver-sized — the FAISS
+    search contract; probe math is queries × n_cells × dim flops), turn
+    them into a literal IN filter so the parquet source prunes unprobed
+    cell partitions at planning time, then run the exact in-cell ranking
+    against the precomputed probe relation. Scan cost ∝ probed/total cells
+    — at 100 TB the unprobed inverted lists cost zero I/O, not just zero
+    compute. The driver path exists for plan economics too: the
+    expression-tree alternative (assign_probe_cells) inlines n_cells × dim
+    literals and its ANALYSIS dominated wall-clock at 64×64. Distances
+    accumulate left-to-right exactly like the JVM fold, so probe choice is
+    bit-identical to the expression path."""
     assigned, centroids, meta = read_ivf_index(spark, path)
     if not centroids:
         return ivf_topk(
@@ -812,15 +830,38 @@ def search_ivf_index(
             id_col=meta["id_col"], vec_col=meta["vec_col"],
             query_id_col=query_id_col,
         )
-    probed = assign_probe_cells(
-        query, centroids, n_probe, meta["vec_col"], query_id_col
+    qrows = query.select(query_id_col, meta["vec_col"]).collect()
+    probe_rows = []
+    cells_used = set()
+    for r in qrows:
+        qv = [float(x) for x in r[meta["vec_col"]]]
+        dists = []
+        for i, c in enumerate(centroids):
+            d = 0.0
+            for a, b in zip(qv, c):  # left-to-right, matching the JVM fold
+                d = d + (a - b) * (a - b)
+            dists.append((d, i))
+        dists.sort()
+        for d, i in dists[:n_probe]:
+            probe_rows.append((r[query_id_col], qv, int(i)))
+            cells_used.add(int(i))
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField(query_id_col, query.schema[query_id_col].dataType),
+            _T.StructField("_qvec", _T.ArrayType(_T.DoubleType())),
+            _T.StructField("cell", _T.IntegerType()),
+        ]
     )
-    cells = sorted(
-        r["cell"] for r in probed.select("cell").distinct().collect()
+    probed = spark.createDataFrame(probe_rows, schema=schema)
+    pruned = (
+        assigned.filter(F.col("cell").isin(*sorted(cells_used)))
+        if cells_used
+        else assigned.filter(F.lit(False))  # empty query batch: empty result
     )
-    pruned = assigned.filter(F.col("cell").isin(*[int(c) for c in cells]))
     return ivf_topk(
         pruned, centroids, query, k=k, n_probe=n_probe,
         id_col=meta["id_col"], vec_col=meta["vec_col"],
-        query_id_col=query_id_col,
+        query_id_col=query_id_col, probed=F.broadcast(probed),
     )
