@@ -6985,3 +6985,82 @@ def dry_spell_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_days", "n_wet_days", "sdii", "max_dry_spell")
         .orderBy("event_type")
     )
+
+
+@q(
+    "streaming_degree_days",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS tmean
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(EXTRACT(YEAR FROM day) * 100 + EXTRACT(MONTH FROM day) AS INT)
+             AS yyyymm,
+           COUNT(*) AS n_days,
+           ROUND(SUM(GREATEST(65.0 - tmean, 0.0)), 2) + 0.0 AS hdd,
+           ROUND(SUM(GREATEST(tmean - 65.0, 0.0)), 2) + 0.0 AS cdd
+    FROM daily GROUP BY event_type, yyyymm ORDER BY event_type, yyyymm
+    """,
+)
+def streaming_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The settlement index computed INCREMENTALLY: a streaming daily
+    resample (tumbling 1-day event-time windows, the stateful stage —
+    exactly what a live degree-day tracker maintains as readings arrive)
+    drained through an available-now run, then the monthly HDD/CDD rollup
+    as a batch readout over the drained daily means. Same oracle as the
+    batch `degree_days` query — the batch/streaming unification claim,
+    made on the reference domain's own settlement math. Structured
+    Streaming does not allow two chained stateful aggregations in one
+    query; the daily grain is the state (bounded: series x days), the
+    monthly rollup is stateless post-processing — at scale the drain
+    target is a Delta table and the readout is any batch query."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = (
+        stream.filter(
+            F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") != float("inf"))
+        )
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.avg("value").alias("tmean"))
+        .select("event_type", F.to_date("w.start").alias("day"), "tmean")
+    )
+    drained = _drain_memory_sink(
+        spark,
+        daily.writeStream.format("memory").outputMode("complete"),
+        "degdays",
+    )
+    return (
+        drained.groupBy(
+            "event_type",
+            (F.year("day") * 100 + F.month("day")).cast("int").alias("yyyymm"),
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            (F.round(F.sum(F.greatest(F.lit(65.0) - F.col("tmean"), F.lit(0.0))), 2)
+             + F.lit(0.0)).alias("hdd"),
+            (F.round(F.sum(F.greatest(F.col("tmean") - F.lit(65.0), F.lit(0.0))), 2)
+             + F.lit(0.0)).alias("cdd"),
+        )
+        .orderBy("event_type", "yyyymm")
+    )
