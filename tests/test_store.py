@@ -442,3 +442,34 @@ def test_zarr_encrypted_export_roundtrip(tmp_path, desc, spark):
     assert a == b
     src.destroy()
     dst.destroy()
+
+
+def test_diff_change_feed_between_versions(store, spark, desc, complex_update_df):
+    """S12 extension: the cell-level change feed. Appends surface as
+    'added' (no old value), slice-replacing inserts as 'changed' where the
+    value moved, a self-diff is empty, and a compaction (same data, new
+    files) correctly yields zero rows even though its buckets are
+    re-scanned (the manifest prune is an over-approximation the join
+    refines)."""
+    v1 = store.current_version()
+    res = store.update(complex_update_df)
+    assert res == {"inserts": 24, "appends": 36}
+    d = store.diff(v1)
+    by_kind = {r["change"]: r["n"] for r in d.groupBy("change").agg(F.count("*").alias("n")).collect()}
+    assert by_kind.get("added") == 36 * 16  # appended days
+    assert by_kind.get("removed") is None  # full-grid inserts drop nothing
+    assert 0 < by_kind.get("changed", 0) <= 24 * 16
+    one_added = d.filter(F.col("change") == "added").limit(1).collect()[0]
+    assert one_added["old_value"] is None and one_added["new_value"] is not None
+    one_changed = d.filter(F.col("change") == "changed").limit(1).collect()[0]
+    assert one_changed["old_value"] != one_changed["new_value"]
+    # self-diff and across-compaction diff are both empty
+    assert store.diff(store.current_version()).count() == 0
+    # two separate single-day appends land extra files in the 2022-03
+    # bucket so compact() has something to rewrite
+    store.append(spark.createDataFrame(_tall(daily("2022-03-09", 1), seed=7)))
+    store.append(spark.createDataFrame(_tall(daily("2022-03-10", 1), seed=8)))
+    v2 = store.current_version()
+    store.compact()
+    assert store.current_version() > v2
+    assert store.diff(v2).count() == 0

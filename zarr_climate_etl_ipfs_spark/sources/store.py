@@ -269,6 +269,76 @@ class GridStore:
         df = self.spark.read.option("basePath", str(self.data_path)).parquet(*paths)
         return df.filter(F.col(td).between(F.lit(start), F.lit(end))).drop(_BUCKET_COL)
 
+    def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Cell-level change feed between two versions (the Delta
+        change-data-feed readout on top of S12 time travel): one row per
+        grid cell that was ``added``, ``removed`` or ``changed`` between
+        ``from_version`` and ``to_version`` (default: latest), with the
+        old and new values side by side.
+
+        Scale shape: the two manifests are compared FIRST — only buckets
+        whose file SET differs are read at all (manifest-level pruning, the
+        same trick time_sliced uses), so an append-only update diffs at the
+        cost of the appended buckets, never the archive. Within changed
+        buckets a full-outer join on the dim key decides the change kind;
+        a compaction (same data, new files) scans its rewritten buckets and
+        correctly yields zero rows — the manifest prune is an
+        over-approximation the join refines. NULL-value transitions count
+        as changes (null-safe equality); values equal under ``<=>`` drop
+        out."""
+        m_old = self.manifest(from_version)
+        m_new = self.manifest(to_version)
+        by_bucket_old: dict[str, set] = {}
+        by_bucket_new: dict[str, set] = {}
+        for f in m_old["files"]:
+            by_bucket_old.setdefault(_bucket_of(f), set()).add(f)
+        for f in m_new["files"]:
+            by_bucket_new.setdefault(_bucket_of(f), set()).add(f)
+        changed_buckets = {
+            b
+            for b in by_bucket_old.keys() | by_bucket_new.keys()
+            if by_bucket_old.get(b) != by_bucket_new.get(b)
+        }
+        var = self.desc.data_var
+        dims = [f.name for f in self.desc.schema().fields if f.name != var]
+
+        def _read(m: dict[str, Any]) -> DataFrame:
+            paths = [
+                str(self.data_path / f)
+                for f in m["files"]
+                if _bucket_of(f) in changed_buckets
+            ]
+            if not paths:
+                return self.spark.createDataFrame([], self.desc.schema())
+            return (
+                self.spark.read.option("basePath", str(self.data_path))
+                .parquet(*paths)
+                .drop(_BUCKET_COL)
+            )
+
+        old = _read(m_old).select(
+            *dims,
+            F.col(var).alias("old_value"),
+            F.lit(True).alias("_has_old"),
+        )
+        new = _read(m_new).select(
+            *dims,
+            F.col(var).alias("new_value"),
+            F.lit(True).alias("_has_new"),
+        )
+        change = (
+            F.when(F.col("_has_old").isNull(), F.lit("added"))
+            .when(F.col("_has_new").isNull(), F.lit("removed"))
+            .when(~F.col("old_value").eqNullSafe(F.col("new_value")), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return (
+            old.join(new, on=dims, how="full_outer")
+            .withColumn("change", change)
+            .filter(F.col("change") != "unchanged")
+            .select(*dims, "old_value", "new_value", "change")
+        )
+
     # -- write modes (S13-S16) ----------------------------------------------
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
