@@ -27,19 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # (round-8 judge ask #5): alternate the two 50-query halves so no driver row
 # ever ages past two rounds. r8 attested the r5-era classics; this round
 # leads with the other half — the names in CORRECTNESS_r07.json (the r6/r7
-# additions, last driver-attested in r7) — PLUS the thirteen brand-new round-9
+# additions, last driver-attested in r7) — PLUS the fourteen brand-new round-9
 # operators up front so they earn a driver row immediately. With the catalog
 # past 100 entries a 50-row snapshot can no longer cover every query within
 # two rounds; the remedy is explicit bookkeeping: the r7-era names this
 # prefix displaces (funnel_conversion, image_resize_stats, pagerank_exact,
 # incremental_rollup_merge, video_frame_sample, audio_feature_extract,
 # url_canonicalize, sq_ann_topk, streaming_stream_join, bilinear_regrid,
-# bpe_token_estimate, winnowing_fingerprints, unigram_logprob_quality)
-# keep their r7 driver row + r9
+# bpe_token_estimate, winnowing_fingerprints, unigram_logprob_quality,
+# streaming_zscore_anomalies) keep their r7 driver row + r9
 # local/adversarial coverage and MUST lead round-10's prefix ahead of the
 # r8-era half (concrete ordered list: ROTATION.md at the repo root).
 _ROTATE_FIRST = [
-    "streaming_degree_days",
+    "store_lifecycle_diff", "streaming_degree_days",
     "zonal_stats", "dry_spell_indices",
     "ivf_persisted_knn", "grib2_publish_roundtrip",
     "degree_days", "heatwave_spells", "bm25_top_docs", "domain_mixture_weights",

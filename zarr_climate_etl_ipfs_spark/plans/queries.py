@@ -7064,3 +7064,141 @@ def streaming_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "yyyymm")
     )
+
+
+@q(
+    "store_lifecycle_diff",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(user_id % 4 AS BIGINT) AS la,
+             CAST(event_id % 4 AS BIGINT) AS lo,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) % 100000
+                  AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY day, la, lo
+    ), rd AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rd
+      FROM (SELECT DISTINCT day FROM cells)
+    ), base AS (
+      SELECT c.* FROM cells c JOIN rd ON c.day = rd.day WHERE rd.rd <= 10
+    ), ins AS (
+      SELECT c.day, c.la, c.lo, c.cents + 7 AS cents
+      FROM cells c JOIN rd ON c.day = rd.day WHERE rd.rd IN (3, 4)
+    ), app AS (
+      SELECT c.* FROM cells c JOIN rd ON c.day = rd.day WHERE rd.rd IN (11, 12)
+    ), newv AS (
+      SELECT * FROM base WHERE day NOT IN (SELECT day FROM ins)
+      UNION ALL SELECT * FROM ins
+      UNION ALL SELECT * FROM app
+    ), d AS (
+      SELECT CASE WHEN b.day IS NULL THEN 'added'
+                  WHEN n.day IS NULL THEN 'removed'
+                  WHEN b.cents IS DISTINCT FROM n.cents THEN 'changed'
+                  ELSE 'unchanged' END AS change,
+             b.cents AS oldv, n.cents AS newv
+      FROM base b FULL OUTER JOIN newv n
+        ON b.day = n.day AND b.la = n.la AND b.lo = n.lo
+    )
+    SELECT change, COUNT(*) AS n_cells,
+           CAST(SUM(COALESCE(oldv, 0)) AS BIGINT) AS sum_old,
+           CAST(SUM(COALESCE(newv, 0)) AS BIGINT) AS sum_new
+    FROM d WHERE change <> 'unchanged'
+    GROUP BY change ORDER BY change
+    """,
+)
+def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GridStore LIFECYCLE under the oracle gate (S11-S16 + the diff
+    readout — previously pytest-only): pivot events into a (day x 4 x 4)
+    grid of exact integers, write_initial the first 10 days, run one mixed
+    update (slice-replacing inserts on days 3-4 with shifted values +
+    bridging appends of days 11-12 — update() itself does the
+    insert/append key split), then read the store's own version DIFF back
+    and aggregate it per change kind. The oracle recomputes the expected
+    change feed from the raw events with a FULL OUTER JOIN — so the
+    store's slice-replacement semantics, manifest time travel, and the
+    diff's change classification are all value-hash-checked against an
+    independent derivation. Exact int cents (< 2^24, exact in the store's
+    float32 cells) keep every comparison hash-stable."""
+    import hashlib as _hashlib
+    import tempfile as _tempfile
+
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.sources.store import GridStore
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") % 4).cast("long").alias("la"),
+            (F.col("event_id") % 4).cast("long").alias("lo"),
+        )
+        .agg(
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) % 100000)
+            .alias("cents")
+        )
+    )
+    wd = Window.orderBy("day")
+    rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
+    ranked = cells.join(F.broadcast(rd), "day")
+    out_schema = "change string, n_cells bigint, sum_old bigint, sum_new bigint"
+
+    def to_store_schema(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("day").cast("timestamp").alias("time"),
+            F.col("la").cast("float").alias("latitude"),
+            F.col("lo").cast("float").alias("longitude"),
+            F.col("cents").cast("float").alias("cents"),
+        )
+
+    base = ranked.filter(F.col("rd") <= 10).select("day", "la", "lo", "cents")
+    if not base.head(1):  # empty corpus: no store, no diff
+        return spark.createDataFrame([], out_schema)
+    ins = ranked.filter(F.col("rd").isin(3, 4)).select(
+        "day", "la", "lo", (F.col("cents") + 7).alias("cents")
+    )
+    app = ranked.filter(F.col("rd").isin(11, 12)).select("day", "la", "lo", "cents")
+    upd = ins.unionByName(app)
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"{_tempfile.gettempdir()}/spark_graft_store_diff_{tag}"
+    desc = DatasetDescriptor(
+        dataset_name="lifecycle",
+        data_var="cents",
+        time_bucket="month",
+        # the reference default is warn-and-skip on overwrites
+        # (dataset_manager.py:175-177); this lifecycle exercises the
+        # overwrite path deliberately
+        allow_overwrite=True,
+    )
+    gs = GridStore(root, desc, spark)
+    gs.destroy()
+    gs.write_initial(to_store_schema(base))
+    v1 = gs.current_version()
+    if upd.head(1):
+        gs.update(to_store_schema(upd))
+    return (
+        gs.diff(v1)
+        .filter(F.col("change") != "unchanged")
+        .groupBy("change")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.coalesce(F.col("old_value").cast("bigint"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_old"),
+            F.sum(F.coalesce(F.col("new_value").cast("bigint"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_new"),
+        )
+        .orderBy("change")
+    )
