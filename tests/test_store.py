@@ -473,3 +473,31 @@ def test_diff_change_feed_between_versions(store, spark, desc, complex_update_df
     store.compact()
     assert store.current_version() > v2
     assert store.diff(v2).count() == 0
+
+
+def test_restore_rolls_back_as_new_version(store, spark, desc, complex_update_df):
+    """Delta RESTORE analog: a restore re-commits the old file list as a
+    NEW version (forward history), the restored dataset equals the
+    original exactly, a self-restore is a no-op, and a vacuumed target
+    raises instead of committing dangling references."""
+    v1 = store.current_version()
+    store.update(complex_update_df)
+    v2 = store.current_version()
+    assert v2 > v1
+    v3 = store.restore(v1)
+    assert v3 > v2
+    assert store.versions()[-1]["action"] == "restore"
+    # restored content == v1 content, cell for cell
+    assert store.diff(v1, v3).count() == 0
+    # and it differs from v2 exactly inversely to the update's diff
+    fwd = {(r["change"],) for r in store.diff(v1, v2).select("change").distinct().collect()}
+    back = {(r["change"],) for r in store.diff(v2, v3).select("change").distinct().collect()}
+    assert ("added",) in fwd and ("removed",) in back
+    # self-restore is a no-op
+    assert store.restore(store.current_version()) == v3
+    # vacuum reclaims v2's files AND its manifest -> v2 is gone either way
+    # (the "no longer restorable" branch guards the defensive case of a
+    # manifest that outlives its files)
+    store.vacuum(retention=dt.timedelta(0))
+    with pytest.raises(StoreError, match="no manifest|no longer restorable"):
+        store.restore(v2)

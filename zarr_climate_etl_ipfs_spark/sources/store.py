@@ -269,6 +269,33 @@ class GridStore:
         df = self.spark.read.option("basePath", str(self.data_path)).parquet(*paths)
         return df.filter(F.col(td).between(F.lit(start), F.lit(end))).drop(_BUCKET_COL)
 
+    def restore(self, version: int) -> int:
+        """Delta RESTORE analog, completing the versioning triad with
+        time travel (S12) and :meth:`diff`: re-commit an earlier version's
+        exact file list as a NEW version — a forward-history rollback, so
+        the mistake and its correction are both in the log (nothing is
+        rewritten; the old files are immutable and simply referenced
+        again). Restorable only while the target's files survive
+        :meth:`vacuum`; a reclaimed version raises a named error rather
+        than committing a manifest with dangling references."""
+        m = self.manifest(version)
+        cur = self.current_version()
+        if version == cur:
+            return cur
+        missing = [f for f in m["files"] if not (self.data_path / f).exists()]
+        if missing:
+            raise StoreError(
+                f"restore: {len(missing)} file(s) of v{version} were vacuumed "
+                f"(first: {missing[0]}); the version is no longer restorable"
+            )
+        self._flag_update(True, append_only=False)
+        try:
+            return self._commit(
+                "restore", list(m["files"]), self.dataset(version), base_version=cur
+            )
+        finally:
+            self._flag_update(False, append_only=False)
+
     def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Cell-level change feed between two versions (the Delta
         change-data-feed readout on top of S12 time travel): one row per
