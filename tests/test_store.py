@@ -267,11 +267,11 @@ def test_commit_conflict_put_if_absent(store):
     commit-conflict StoreError — POSIX rename would let the second writer
     silently clobber the first (the Delta mutual-exclusion property)."""
     prev = store.manifest()["files"]
-    df = store.dataset()
+    rng = store._rng_of(store.dataset())
     # both writers observed version 1 (the race window)
-    assert store._commit("append", prev, df, base_version=1) == 2
+    assert store._commit("append", prev, rng, base_version=1) == 2
     with pytest.raises(StoreError, match="commit conflict"):
-        store._commit("append", prev, df, base_version=1)
+        store._commit("append", prev, rng, base_version=1)
     # exactly one v2 exists and the loser left no staging debris
     assert sorted(p.name for p in store.manifest_path.iterdir()) == [
         "v1.json",
@@ -352,7 +352,9 @@ def test_vacuum_retention_protects_inflight_writer(store, spark, desc):
     assert removed == 0
     # the "writer" now commits them — the table must read cleanly
     m = store.manifest()
-    store._commit("append", m["files"] + staged, update, base_version=m["version"])
+    store._commit(
+        "append", m["files"] + staged, store._rng_of(update), base_version=m["version"]
+    )
     store.verify_integrity()
     # with retention waived (single-writer), nothing is live-unreferenced
     assert store.vacuum(retention=dt.timedelta(0)) == 0
@@ -501,3 +503,30 @@ def test_restore_rolls_back_as_new_version(store, spark, desc, complex_update_df
     store.vacuum(retention=dt.timedelta(0))
     with pytest.raises(StoreError, match="no manifest|no longer restorable"):
         store.restore(v2)
+
+
+def test_restore_detects_concurrent_vacuum_toctou(store, spark, desc, complex_update_df):
+    """A vacuum(retention=0) racing restore can reclaim the target's files
+    BETWEEN restore's pre-commit existence check and its commit; the
+    post-commit re-verify must fail loudly (naming the dangling version)
+    rather than return a version with dangling references."""
+    from zarr_climate_etl_ipfs_spark.sources.store import GridStore
+
+    v1 = store.current_version()
+    store.update(complex_update_df)
+    v1_files = store.manifest(v1)["files"]
+    orig_commit = GridStore._commit
+
+    def racing_commit(self, *a, **k):
+        v = orig_commit(self, *a, **k)
+        # simulate the concurrent vacuum landing inside the race window
+        for f in v1_files:
+            (self.data_path / f).unlink(missing_ok=True)
+        return v
+
+    GridStore._commit = racing_commit
+    try:
+        with pytest.raises(StoreError, match="concurrent vacuum"):
+            store.restore(v1)
+    finally:
+        GridStore._commit = orig_commit

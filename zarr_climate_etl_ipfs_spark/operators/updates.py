@@ -122,6 +122,11 @@ def check_cadence(
 class UpdateValidation:
     ok: bool
     errors: list[str]
+    # Split sizes, computed in the same single aggregation pass — callers
+    # (store.update) use these instead of re-counting the semi/anti joins,
+    # which would cost two extra Spark actions per update.
+    n_inserts: int = 0
+    n_appends: int = 0
 
 
 def validate_update(
@@ -148,72 +153,78 @@ def validate_update(
          append lands on the cadence grid anchored at the first append and
          that the distinct grid positions cover the span.
 
-    All the scalars come from four tiny aggregations.
+    All the scalars come from ONE Spark action: the update keys are tagged
+    insert/append by a broadcast left join against the existing keys, the
+    grid positions derive from an unpartitioned window-min over that (tiny,
+    distinct-keys-only) frame, and everything aggregates in a single pass —
+    an update batch's distinct time steps are bounded by construction (the
+    reference publishes bounded time windows), so the single-partition
+    window never sees cell data. Driver-action count is the real cost on a
+    busy cluster: the previous four-action version spent ~3 s of pure job
+    overhead per store update.
     """
     errors: list[str] = []
+    delta_s = expected_delta.total_seconds()
     u = update_times.select(time_dim).distinct()
-    stats = u.agg(
-        F.count("*").alias("n"), F.min(time_dim).alias("lo"), F.max(time_dim).alias("hi")
-    ).first()
+    e = existing_times.select(time_dim).distinct()
+    is_app = F.col("_e").isNull()
+    app_epoch = F.when(is_app, _epoch_s(time_dim))
+    s0 = F.min(app_epoch).over(Window.partitionBy())
+    stats_u = (
+        u.join(F.broadcast(e.withColumn("_e", F.lit(1))), time_dim, "left")
+        .withColumn("_k", (app_epoch - s0) / F.lit(delta_s))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(time_dim).alias("lo"),
+            F.sum(is_app.cast("int")).alias("n_app"),
+            F.min(F.when(is_app, F.col(time_dim))).alias("first_append"),
+            F.max(F.when(is_app, F.col(time_dim))).alias("last_append"),
+            # nulls (insert rows) drop out of both grid aggregates
+            F.sum((F.abs(F.col("_k") - F.round("_k")) > 1e-9).cast("int")).alias(
+                "offgrid"
+            ),
+            F.countDistinct(F.round("_k").cast("long")).alias("n_grid"),
+        )
+    )
+    stats = stats_u.crossJoin(e.agg(F.max(time_dim).alias("e_end"))).first()
     if stats["n"] == 0:
         return UpdateValidation(False, ["empty update"])
+    n_app = int(stats["n_app"] or 0)
+    n_ins = int(stats["n"]) - n_app
     if dataset_start is not None and stats["lo"] < dataset_start:
         errors.append(
             f"update contains steps before dataset start {dataset_start}: {stats['lo']}"
         )
-    _, appends = split_update_times(existing_times, u, time_dim)
-    arow = appends.agg(
-        F.count("*").alias("n"),
-        F.min(time_dim).alias("first_append"),
-        F.max(time_dim).alias("last_append"),
-    ).first()
-    if arow["first_append"] is not None and cadence_bounds is None:
-        erow = existing_times.agg(F.max(time_dim).alias("end")).first()
-        if erow["end"] is not None:
-            expected_next = erow["end"] + expected_delta
-            if arow["first_append"] != expected_next:
+    if stats["first_append"] is not None and cadence_bounds is None:
+        if stats["e_end"] is not None:
+            expected_next = stats["e_end"] + expected_delta
+            if stats["first_append"] != expected_next:
                 errors.append(
                     "append bridge broken: existing ends at "
-                    f"{erow['end']}, first append is {arow['first_append']}, "
+                    f"{stats['e_end']}, first append is {stats['first_append']}, "
                     f"expected {expected_next}"
                 )
         span_steps = (
-            round((arow["last_append"] - arow["first_append"]) / expected_delta) + 1
+            round((stats["last_append"] - stats["first_append"]) / expected_delta) + 1
         )
-        if span_steps != arow["n"]:
+        if span_steps != n_app:
             errors.append(
-                f"append set has internal gaps: {arow['n']} steps cover "
-                f"[{arow['first_append']}, {arow['last_append']}] which needs "
+                f"append set has internal gaps: {n_app} steps cover "
+                f"[{stats['first_append']}, {stats['last_append']}] which needs "
                 f"{span_steps} at delta {expected_delta}"
             )
-        else:
-            # Count identity held — now rule out the balancing-hole case:
-            # every append must sit on the grid first_append + k*delta, and
-            # the distinct grid positions must number exactly n (no
-            # two-appends-one-slot collapses hiding a hole elsewhere).
-            delta_s = expected_delta.total_seconds()
-            mins = appends.agg(F.min(_epoch_s(time_dim)).alias("_s0"))
-            grow = (
-                appends.crossJoin(F.broadcast(mins))
-                .select(
-                    ((_epoch_s(time_dim) - F.col("_s0")) / F.lit(delta_s)).alias("_k")
-                )
-                .agg(
-                    F.sum(
-                        (F.abs(F.col("_k") - F.round("_k")) > 1e-9).cast("int")
-                    ).alias("offgrid"),
-                    F.countDistinct(F.round("_k").cast("long")).alias("n_grid"),
-                )
-                .first()
+        elif stats["offgrid"]:
+            # Count identity held — rule out the balancing-hole case: every
+            # append must sit on the grid first_append + k*delta ...
+            errors.append(
+                f"append set has {stats['offgrid']} step(s) off the "
+                f"expected cadence grid (delta {expected_delta})"
             )
-            if grow["offgrid"]:
-                errors.append(
-                    f"append set has {grow['offgrid']} step(s) off the "
-                    f"expected cadence grid (delta {expected_delta})"
-                )
-            elif grow["n_grid"] != arow["n"]:
-                errors.append(
-                    f"append set has internal gaps: {arow['n']} steps but "
-                    f"only {grow['n_grid']} distinct cadence-grid positions"
-                )
-    return UpdateValidation(not errors, errors)
+        elif stats["n_grid"] != n_app:
+            # ... and the distinct grid positions must number exactly n (no
+            # two-appends-one-slot collapses hiding a hole elsewhere).
+            errors.append(
+                f"append set has internal gaps: {n_app} steps but "
+                f"only {stats['n_grid']} distinct cadence-grid positions"
+            )
+    return UpdateValidation(not errors, errors, n_inserts=n_ins, n_appends=n_app)

@@ -50,10 +50,11 @@ import json
 import os
 import shutil
 import uuid
+from collections.abc import Mapping
 from pathlib import Path
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
@@ -134,11 +135,17 @@ class GridStore:
         self,
         action: str,
         files: list[str],
-        df: DataFrame,
+        rng: Mapping[str, Any],
         update_props: bool = True,
         base_version: int | None = None,
     ) -> int:
         """Commit ``files`` as version ``base_version + 1``.
+
+        ``rng`` carries the update's ``lo``/``hi``/``n`` (time range + row
+        count). Writers collect it via :meth:`_observe_rng` piggybacked on
+        the staging write — computing it here with a ``df.agg`` would cost
+        one extra Spark action per commit, re-executing the writer's whole
+        input subtree.
 
         ``base_version`` is the version the WRITER READ when it built the
         file list (optimistic concurrency, the Delta protocol's conflict
@@ -149,10 +156,6 @@ class GridStore:
         version. Callers that read no prior state (initial write) pass
         None and race for whatever slot is next.
         """
-        td = self.desc.time_dim
-        rng = df.agg(
-            F.min(td).alias("lo"), F.max(td).alias("hi"), F.count("*").alias("n")
-        ).first()
         base = self.current_version() if base_version is None else base_version
         v = base + 1
         self.manifest_path.mkdir(parents=True, exist_ok=True)
@@ -290,11 +293,28 @@ class GridStore:
             )
         self._flag_update(True, append_only=False)
         try:
-            return self._commit(
-                "restore", list(m["files"]), self.dataset(version), base_version=cur
+            v = self._commit(
+                "restore",
+                list(m["files"]),
+                self._rng_of(self.dataset(version)),
+                base_version=cur,
             )
         finally:
             self._flag_update(False, append_only=False)
+        # The pre-commit existence check above races a concurrent
+        # vacuum(retention=0) (TOCTOU): a reclaim can land between check and
+        # commit, leaving the just-committed manifest with dangling
+        # references. Windowed vacuums (the 7-day default) can't hit this —
+        # the target's files were live moments ago — so re-verify only after
+        # the commit and fail loudly rather than return a broken version.
+        gone = [f for f in m["files"] if not (self.data_path / f).exists()]
+        if gone:
+            raise StoreError(
+                f"restore: committed v{v} but a concurrent vacuum reclaimed "
+                f"{len(gone)} of its file(s) (first: {gone[0]}); v{v} is "
+                f"dangling — restore a surviving version to recover"
+            )
+        return v
 
     def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Cell-level change feed between two versions (the Delta
@@ -395,6 +415,31 @@ class GridStore:
             _BUCKET_COL, self.desc.time_dim
         )
 
+    def _observe_rng(self, df: DataFrame) -> tuple[DataFrame, Observation]:
+        """Attach a CollectMetrics node recording the frame's time range and
+        row count. The metrics materialize with whatever action executes the
+        returned frame (here: the staging write), so :meth:`_commit` gets its
+        manifest scalars without a second pass over the writer's input."""
+        td = self.desc.time_dim
+        obs = Observation()
+        return (
+            df.observe(
+                obs,
+                F.min(td).alias("lo"),
+                F.max(td).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ),
+            obs,
+        )
+
+    def _rng_of(self, df: DataFrame) -> dict[str, Any]:
+        """One-action fallback for commits with no staging write (restore)."""
+        td = self.desc.time_dim
+        r = df.agg(
+            F.min(td).alias("lo"), F.max(td).alias("hi"), F.count("*").alias("n")
+        ).first()
+        return {"lo": r["lo"], "hi": r["hi"], "n": r["n"]}
+
     def _stage_files(self, df: DataFrame) -> list[str]:
         """Write df into a staging dir, move the part files into the live
         partition dirs (unique job-scoped names — no collisions), return the
@@ -426,8 +471,9 @@ class GridStore:
         self.meta_path.mkdir(parents=True, exist_ok=True)
         self._flag_update(True, append_only=False)
         try:
-            files = self._stage_files(df)
-            self._commit("initial", files, df)
+            obs_df, obs = self._observe_rng(df)
+            files = self._stage_files(obs_df)
+            self._commit("initial", files, obs.get)
         finally:
             # the in-progress flag must clear even on a failed write —
             # a stuck True would wedge every later update's guard
@@ -450,11 +496,13 @@ class GridStore:
         self._flag_update(True, append_only=True)
         try:
             m = self.manifest()
-            files = self._stage_files(df)
+            obs_df, obs = self._observe_rng(df)
+            files = self._stage_files(obs_df)
+            rng = obs.get
             for attempt in range(max_retries + 1):
                 try:
                     self._commit(
-                        "append", m["files"] + files, df, base_version=m["version"]
+                        "append", m["files"] + files, rng, base_version=m["version"]
                     )
                     break
                 except StoreError:
@@ -482,6 +530,11 @@ class GridStore:
         ]
         self._flag_update(True, append_only=False)
         try:
+            # observe only the NEW rows' leg: the manifest's time range / row
+            # count describe the update, not the carried-over bucket rows
+            new_leg, obs = self._observe_rng(
+                df.select(*self.desc.schema().fieldNames())
+            )
             if touched_paths:
                 existing = self.spark.read.option(
                     "basePath", str(self.data_path)
@@ -489,15 +542,17 @@ class GridStore:
                 keep = existing.join(F.broadcast(replaced_times), td, "left_anti").drop(
                     _BUCKET_COL
                 )
-                combined = keep.unionByName(df.select(*self.desc.schema().fieldNames()))
+                combined = keep.unionByName(new_leg)
             else:
-                combined = df.select(*self.desc.schema().fieldNames())
+                combined = new_leg
             files = self._stage_files(combined)
             untouched = [f for f in prev if _bucket_of(f) not in touched]
             # no conflict retry here: the rewritten buckets were computed
             # against the snapshot this insert READ — a racing commit is a
             # true conflict the caller must re-plan against (Delta parity)
-            self._commit("insert", untouched + files, df, base_version=m["version"])
+            self._commit(
+                "insert", untouched + files, obs.get, base_version=m["version"]
+            )
         finally:
             self._flag_update(False, append_only=False)
 
@@ -527,15 +582,74 @@ class GridStore:
         # during the write phase is safe: dataset() pins concrete parquet
         # paths at build time, and committed files are immutable until
         # vacuum, so the pre-write snapshot stays readable throughout.
-        n_ins = inserts.count()
-        n_app = appends.count()
+        # Split sizes come from the validation pass — counting the semi/anti
+        # joins here would cost two more driver actions for numbers the
+        # validator's single aggregation already produced.
+        n_ins = val.n_inserts
+        n_app = val.n_appends
         if n_ins and not desc.allow_overwrite:
             n_ins = 0  # warn-and-skip semantics (publish.py:287-293)
-        if n_ins:
-            self.insert(df.join(F.broadcast(inserts), td, "left_semi"), dry_run)
-        if n_app:
+        if not n_ins and not n_app:
+            return {"inserts": 0, "appends": 0}
+        if not n_ins:
+            # pure append: delegate — keeps the Delta-style conflict retry
             self.append(df.join(F.broadcast(appends), td, "left_semi"), dry_run)
+        elif not n_app:
+            self.insert(df.join(F.broadcast(inserts), td, "left_semi"), dry_run)
+        else:
+            # Mixed update: ONE publish cycle (the reference's update_zarr is
+            # a single write + publish, publish.py:265-397), so both legs
+            # stage in one write job and commit one new version — halving the
+            # write/commit round-trips of the old insert-then-append chain.
+            # Conflict semantics follow insert: the rewritten buckets were
+            # computed against this snapshot, so a racing commit is a true
+            # conflict (no retry).
+            self._update_mixed(df, inserts, dry_run)
         return {"inserts": n_ins, "appends": n_app}
+
+    def _update_mixed(self, df: DataFrame, inserts: DataFrame, dry_run: bool) -> None:
+        """Single staged write + single commit for an insert+append update.
+        Every row of ``df`` is one leg or the other (its distinct times ARE
+        the update key set), so the whole frame is the new-rows leg; only
+        insert-touched buckets need their surviving rows carried over."""
+        if dry_run:
+            return
+        td = self.desc.time_dim
+        fmt = _BUCKET_FMT[self.desc.time_bucket]
+        # touched buckets come straight from the insert KEY frame — joining
+        # back through the data just to read bucket names would re-execute
+        # the caller's input subtree for one tiny distinct
+        touched = {
+            r[0]
+            for r in inserts.select(F.date_format(F.col(td), fmt)).distinct().collect()
+        }
+        m = self.manifest()
+        prev = m["files"]
+        touched_paths = [
+            str(self.data_path / f) for f in prev if _bucket_of(f) in touched
+        ]
+        self._flag_update(True, append_only=False)
+        try:
+            new_leg, obs = self._observe_rng(
+                df.select(*self.desc.schema().fieldNames())
+            )
+            if touched_paths:
+                existing = self.spark.read.option(
+                    "basePath", str(self.data_path)
+                ).parquet(*touched_paths)
+                keep = existing.join(F.broadcast(inserts), td, "left_anti").drop(
+                    _BUCKET_COL
+                )
+                combined = keep.unionByName(new_leg)
+            else:
+                combined = new_leg
+            files = self._stage_files(combined)
+            untouched = [f for f in prev if _bucket_of(f) not in touched]
+            self._commit(
+                "update", untouched + files, obs.get, base_version=m["version"]
+            )
+        finally:
+            self._flag_update(False, append_only=False)
 
     def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
         """Small-file compaction (Delta OPTIMIZE analog). Every append/insert
@@ -562,10 +676,11 @@ class GridStore:
         df = self.spark.read.option("basePath", str(self.data_path)).parquet(*paths)
         self._flag_update(True, append_only=False)
         try:
-            new_files = self._stage_files(df)
+            obs_df, obs = self._observe_rng(df)
+            new_files = self._stage_files(obs_df)
             keep = [f for f in prev if _bucket_of(f) not in crowded]
             self._commit(
-                "compact", keep + new_files, df, update_props=False,
+                "compact", keep + new_files, obs.get, update_props=False,
                 base_version=m["version"],
             )
         finally:
