@@ -444,6 +444,48 @@ def test_template_numbers_follow_wmo_table_5_0():
         parse_grib2(bytes(raw))
 
 
+@pytest.mark.parametrize("template", [41, 42])
+def test_constant_field_bits0_wins_over_template_dispatch(template):
+    """bits_per_value=0 is a legal CONSTANT field for the PNG/CCSDS
+    templates too (every value = reference, empty data payload) — the
+    constant branch must dispatch before the 41/42 decoders or a foreign
+    constant-field message would try to decode its absent payload. Own
+    writer never emits bits=0, so this pins the foreign-reader path by
+    byte surgery: bits octet -> 0, section 7 payload -> empty."""
+    import datetime as dt
+    import struct as _struct
+
+    msg = GRIB2Message(
+        discipline=0, parameter_category=1, parameter_number=8,
+        ref_time=dt.datetime(2024, 3, 1, 6), forecast_seconds=0,
+        level_type=1, level=0, lats=np.array([1.0]), lons=np.array([2.0, 3.0]),
+        values=np.array([[3.0, 4.0]]), ensemble_member=None, attrs={},
+    )
+    raw = bytearray(write_grib2([msg], template=template))
+    # walk sections: zero the bits octet (sec 5, octet 20) and swap the
+    # data section (sec 7) for an empty one, then fix the total length
+    p, sec5_off, sec7_off = 16, None, None
+    while p < len(raw) - 4:
+        sec_len = int.from_bytes(raw[p : p + 4], "big")
+        if raw[p + 4] == 5:
+            sec5_off = p
+        elif raw[p + 4] == 7:
+            sec7_off = p
+            break
+        p += sec_len
+    assert sec5_off is not None and sec7_off is not None
+    raw[sec5_off + 19] = 0
+    sec7_len = int.from_bytes(raw[sec7_off : sec7_off + 4], "big")
+    empty7 = (5).to_bytes(4, "big") + bytes([7])
+    raw = raw[:sec7_off] + empty7 + raw[sec7_off + sec7_len :]
+    raw[8:16] = len(raw).to_bytes(8, "big")
+    ref = _struct.unpack(">f", raw[sec5_off + 11 : sec5_off + 15])[0]
+    dec = _struct.unpack(">h", raw[sec5_off + 17 : sec5_off + 19])[0]
+    out = parse_grib2(bytes(raw))[0]
+    assert np.allclose(out.values, ref / 10.0**dec)
+    assert out.values.shape == (1, 2)
+
+
 def test_gridstore_export_grib2_distributed(spark, tmp_path):
     """GridStore → sharded GRIB2 export (one file per time bucket, one
     message per time step, executor-side writes) → re-ingest through the

@@ -374,6 +374,24 @@ def test_write_tall_empty_input(spark, tmp_path):
     assert z.read_zarr_tall(spark, store, "cents").count() == 0
 
 
+def test_write_tall_routing_loss_raises(spark, tmp_path):
+    """A row whose dim value misses the coordinate-axis pass (here: a NULL
+    y) would be silently dropped by the coord-index inner joins; the
+    observation-backed guard must fail loudly instead — and leave no
+    partial store behind."""
+    sdf, pdf = _tall_df(spark)
+    bad = sdf.unionByName(
+        spark.createDataFrame(
+            [(pd.Timestamp("2024-01-01 00:00").to_pydatetime(), None, 5, 99)],
+            schema=sdf.schema,
+        )
+    )
+    store = str(tmp_path / "w")
+    with pytest.raises(z.ZarrError, match="routing loss"):
+        z.write_zarr_tall(bad, store, "cents", ["t", "y", "x"], (1, 2, 2))
+    assert not os.path.exists(store)
+
+
 def test_write_tall_overwrite_guard(spark, tmp_path):
     sdf, _ = _tall_df(spark)
     store = str(tmp_path / "w")

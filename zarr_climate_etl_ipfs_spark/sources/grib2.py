@@ -284,6 +284,13 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
                     10.0 ** packing["decimal_scale"]
                 )
+            elif packing["bits"] == 0:
+                # bits_per_value=0 is a legal constant field for the simple
+                # AND the PNG/CCSDS templates (every value = reference, the
+                # data payload is empty) — it must win over the 41/42 decode
+                # dispatch or a foreign constant-field message would try to
+                # decode its absent payload (wrong values at worst)
+                present = np.full(n, packing["ref"] / 10.0 ** packing["decimal_scale"])
             elif packing["template"] == 41:
                 x = _unpack_png(bytes(s[5:]), n, packing["bits"])
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
@@ -303,8 +310,6 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
                     10.0 ** packing["decimal_scale"]
                 )
-            elif packing["bits"] == 0:
-                present = np.full(n, packing["ref"] / 10.0 ** packing["decimal_scale"])
             else:
                 x = _unpack_bits(s[5:], n, packing["bits"])
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (

@@ -5,9 +5,18 @@ default engine; the reference's own system fixtures are NetCDF4), and
 this repo already READS the format from the published spec
 (:mod:`.hdf5`, golden-validated against the reference's h5py-written
 fixtures). This module completes the matrix: serialize gridded arrays
-to HDF5 bytes that any HDF5 library — and this repo's own reader —
-can open. Mirrors :func:`zarr_climate_etl_ipfs_spark.sources.netcdf3.
+to HDF5 bytes targeting the same on-disk layout h5py/netCDF4 write.
+Mirrors :func:`zarr_climate_etl_ipfs_spark.sources.netcdf3.
 write_netcdf3`'s shape: ``variables`` maps name → (dims, array, attrs).
+
+Interop grade: TEST-GRADE, self-validated (same framing as
+:mod:`.ccsds_aec`). No h5py/netCDF4 wheel exists in this environment,
+so validation is (a) round-trip through the in-repo reader and (b) that
+reader's independent golden fixtures written BY h5py — which anchors
+the reader, not this writer: a writer bug in a structure the fixtures
+don't exercise could pass self-validation while foreign readers reject
+the file. Before trusting these bytes with a foreign consumer, run an
+h5py/netCDF4 cross-check where those wheels exist.
 
 Layout written (all from the public HDF5 File Format Specification):
 

@@ -1382,7 +1382,18 @@ def write_zarr_tall(
     strides = [int(math.prod(grid[i + 1:])) for i in range(len(grid))]
     offs = [int(math.prod(chunks[i + 1:])) for i in range(len(chunks))]
 
-    cells = df.select(*dims, F.col(var).alias("__val"))
+    # Routing-loss guard: the coord-index INNER joins below can only drop a
+    # row if its dim value missed the collect_set pass — a nondeterministic
+    # input (or NULL dim values, or a source mutated between the two jobs)
+    # would otherwise be silently truncated in the written store. Count the
+    # pre-join rows via an Observation (materializes with the stats job —
+    # no extra action) and fail loudly on any mismatch.
+    from pyspark.sql import Observation as _Observation
+
+    _obs = _Observation()
+    cells = df.select(*dims, F.col(var).alias("__val")).observe(
+        _obs, F.count(F.lit(1)).alias("n_in")
+    )
     ordinal = F.lit(0).cast("long")
     offset = F.lit(0).cast("long")
     for a, d in enumerate(dims):
@@ -1440,6 +1451,22 @@ def write_zarr_tall(
         F.coalesce(F.sum("nbytes"), F.lit(0)).alias("bytes"),
         F.coalesce(F.sum("n_cells"), F.lit(0)).alias("cells"),
     ).collect()[0]
+    try:
+        n_in = int(_obs.get["n_in"])
+    except Exception:
+        # a statically-empty input collapses to an empty LocalRelation and
+        # Catalyst prunes the CollectMetrics node with it — no rows existed,
+        # so there is nothing to lose; any OTHER input always materializes
+        # the metrics with the write job above
+        n_in = int(stats["cells"])
+    if n_in != int(stats["cells"]):
+        shutil.rmtree(store, ignore_errors=True)  # no partial store left live
+        raise ZarrError(
+            f"routing loss: {n_in} input rows but {int(stats['cells'])} cells "
+            "written — dim values missed the coordinate-axis pass (NULL dim "
+            "values, a nondeterministic input DataFrame, or a source mutated "
+            "between the axis job and the write job)"
+        )
 
     # data is on disk — now commit metadata (coords, array docs, group, index)
     for d in dims:
