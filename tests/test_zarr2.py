@@ -731,12 +731,58 @@ def test_kerchunk_local_ranges_and_seams(tmp_path):
     refs["refs"]["v/0"] = ["s3://bucket/blob.bin", 8, 48]
     with pytest.raises(z.ZarrError, match="fsspec"):
         z.materialize_kerchunk_refs(refs, str(tmp_path / "s2"))
-    # templated refs → named seam
-    with pytest.raises(z.ZarrError, match="templated"):
-        z.materialize_kerchunk_refs(
-            {"version": 1, "templates": {"u": "http://x"}, "refs": {}},
-            str(tmp_path / "s3"),
-        )
+    # file:// scheme resolves locally
+    refs["refs"]["v/0"] = [f"file://{data_file}", 8, 48]
+    store = z.materialize_kerchunk_refs(refs, str(tmp_path / "s3"))
+    assert (z.read_zarr_array_local(store, "v") == payload).all()
+
+
+def test_kerchunk_templated_refs_golden(tmp_path):
+    """Kerchunk v1 templates/gen expansion (the fsspec ReferenceFileSystem
+    semantics, from the published spec): template substitution in ref
+    URLs, gen cartesian products with jinja arithmetic in key/url/offset,
+    value-exact against the numpy source. Remote templates still raise
+    the named seam at resolution time."""
+    chunks = [np.arange(4, dtype="<f8") * (i + 1) for i in range(3)]
+    data_file = tmp_path / "shards.bin"
+    data_file.write_bytes(b"HDR!" + b"".join(c.tobytes() for c in chunks))
+    refs = {
+        "version": 1,
+        "templates": {"u": f"file://{data_file}", "base": "4"},
+        "gen": [
+            {
+                "key": "v/{{i}}",
+                "url": "{{u}}",
+                "offset": "{{base}}",  # jinja over a template var...
+                "length": "32",
+                "dimensions": {"i": {"stop": 1}},
+            },
+            {
+                "key": "v/{{i + 1}}",
+                "url": "{{u}}",
+                "offset": "{{4 + (i + 1) * 32}}",  # ...and arithmetic
+                "length": "32",
+                "dimensions": {"i": {"start": 0, "stop": 2, "step": 1}},
+            },
+        ],
+        "refs": {
+            ".zgroup": '{"zarr_format":2}',
+            "v/.zarray": json.dumps({
+                "chunks": [4], "compressor": None, "dtype": "<f8",
+                "fill_value": None, "filters": None, "order": "C",
+                "shape": [12], "zarr_format": 2,
+            }),
+            "v/.zattrs": '{"_ARRAY_DIMENSIONS":["v"]}',
+        },
+    }
+    store = z.materialize_kerchunk_refs(refs, str(tmp_path / "t"))
+    got = z.read_zarr_array_local(store, "v")
+    assert (got == np.concatenate(chunks)).all()
+    # a template pointing at an http remote expands fine but the RESOLVE
+    # step raises the named seam
+    refs["templates"]["u"] = "http://example.org/shards.bin"
+    with pytest.raises(z.ZarrError, match="fsspec"):
+        z.materialize_kerchunk_refs(refs, str(tmp_path / "t2"))
 
 
 def test_write_tall_blosc_distributed_roundtrip(spark, tmp_path):

@@ -79,6 +79,7 @@ import base64
 import bz2
 import gzip
 import hashlib
+import itertools
 import json
 import lzma
 import math
@@ -926,6 +927,59 @@ def write_zarr_array_local(
     return meta
 
 
+def _expand_kerchunk_templates(
+    table: dict[str, Any],
+    templates: dict[str, str],
+    gen: list[dict[str, Any]],
+) -> dict[str, Any]:
+    """Expand a kerchunk version-1 ``templates``/``gen`` section into plain
+    refs (the fsspec ReferenceFileSystem expansion, from the published
+    kerchunk spec): ``{{name}}`` in a ref URL substitutes a template;
+    each ``gen`` entry is a cartesian product over its ``dimensions``
+    (``{"stop"}``/``{"start","stop","step"}`` ranges or explicit lists),
+    rendering jinja expressions like ``{{(i + 1) * 1000}}`` in the key,
+    url, offset and length. The spec's template language IS jinja; render
+    through a SandboxedEnvironment since refs JSON is untrusted input."""
+    try:
+        from jinja2.sandbox import SandboxedEnvironment
+    except ImportError as exc:  # pragma: no cover — jinja2 ships here
+        raise ZarrError("templated kerchunk refs need jinja2") from exc
+    env_cls = SandboxedEnvironment()
+
+    def render(text: str, env: dict[str, Any]) -> str:
+        out = str(text)
+        for _ in range(3):  # a template may reference another template
+            if "{{" not in out:
+                break
+            out = env_cls.from_string(out).render(**env)
+        return out
+
+    out: dict[str, Any] = {}
+    for key, val in table.items():
+        if isinstance(val, list) and val and isinstance(val[0], str) and "{{" in val[0]:
+            val = [render(val[0], templates), *val[1:]]
+        out[key] = val
+    for g in gen:
+        dims: dict[str, Any] = {}
+        for name, spec in (g.get("dimensions") or {}).items():
+            if isinstance(spec, dict):
+                dims[name] = range(
+                    int(spec.get("start", 0)), int(spec["stop"]), int(spec.get("step", 1))
+                )
+            else:
+                dims[name] = list(spec)
+        names = list(dims)
+        for combo in itertools.product(*(dims[n] for n in names)):
+            e = {**templates, **dict(zip(names, combo))}
+            entry: list[Any] = [render(g["url"], e)]
+            off, ln = g.get("offset"), g.get("length")
+            if off is not None and ln is not None:
+                entry.append(off if isinstance(off, int) else int(render(off, e)))
+                entry.append(ln if isinstance(ln, int) else int(render(ln, e)))
+            out[render(g["key"], e)] = entry
+    return out
+
+
 def materialize_kerchunk_refs(
     refs: dict[str, Any] | str,
     dest: str,
@@ -939,17 +993,22 @@ def materialize_kerchunk_refs(
     SURVEY §2 S9/S10; dm.zarr_jsons). This materializes one so the
     distributed reader can open it without the ``reference://`` fsspec
     engine: accepts a path or dict, version-1 ``{"version", "refs"}``
-    wrappers or the bare key→value map; inline values are raw latin-1
-    bytes or ``base64:``-prefixed; ``[path, offset, length]`` triples are
-    resolved against the LOCAL filesystem (relative to ``base_dir``) —
-    remote URLs raise a named seam. Refs metadata is small by design (it
-    is the index, not the data), so this is a driver-side step."""
+    wrappers (including ``templates``/``gen`` sections, expanded per the
+    kerchunk spec) or the bare key→value map; inline values are raw
+    latin-1 bytes or ``base64:``-prefixed; ``[path, offset, length]``
+    triples are resolved against the LOCAL filesystem (``file://`` URLs,
+    or paths relative to ``base_dir``) — http/s3 remotes raise a named
+    seam. Refs metadata is small by design (it is the index, not the
+    data), so this is a driver-side step."""
     if isinstance(refs, str):
         refs = _read_json(refs)
     if "refs" in refs and isinstance(refs["refs"], dict):
-        if refs.get("templates") or refs.get("gen"):
-            raise ZarrError("templated kerchunk refs need fsspec's reference filesystem")
-        refs = refs["refs"]
+        templates = {k: str(v) for k, v in (refs.get("templates") or {}).items()}
+        gen = list(refs.get("gen") or [])
+        table = dict(refs["refs"])
+        if templates or gen:
+            table = _expand_kerchunk_templates(table, templates, gen)
+        refs = table
     os.makedirs(dest, exist_ok=True)
     for key, val in refs.items():
         path = os.path.join(dest, *key.split("/"))
