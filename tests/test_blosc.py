@@ -177,7 +177,7 @@ def test_unknown_cname_raises():
 @given(
     data=st.binary(min_size=0, max_size=20000),
     typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
-    cname=st.sampled_from(["lz4", "lz4hc", "zstd", "zlib", "snappy"]),
+    cname=st.sampled_from(["lz4", "lz4hc", "zstd", "zlib", "snappy", "blosclz"]),
     shuffle=st.sampled_from([0, 1, 2, -1]),
     blocksize=st.sampled_from([0, 256, 999, 4096]),
 )
@@ -187,6 +187,79 @@ def test_blosc_roundtrip_property(data, typesize, cname, shuffle, blocksize):
         data, typesize=typesize, cname=cname, clevel=5, shuffle=shuffle, blocksize=blocksize
     )
     assert B.blosc_decompress(f) == data
+
+
+# ---------------------------------------------------------------------------
+# blosclz streams — hand vectors pinned token-by-token from the published
+# format description (blosc.py's blosclz section); these anchor the decoder
+# so the encoder round-trips below aren't merely self-consistent
+# ---------------------------------------------------------------------------
+
+
+def test_blosclz_hand_vectors_decode():
+    # literal run: ctrl=3 -> 4 literal bytes
+    assert B.blosclz_decompress(bytes([0x03]) + b"abcd", 4) == b"abcd"
+    # near match: "abcd" + copy 4 from distance 4
+    # ctrl = (len 4-2)<<5 | ofs_hi 0 = 0x40; code = dist-1 = 3
+    assert (
+        B.blosclz_decompress(bytes([0x03]) + b"abcd" + bytes([0x40, 0x03]), 8)
+        == b"abcdabcd"
+    )
+    # RLE overlap: 'a' + copy 7 from distance 1 -> 8 a's
+    # ctrl = (7-2)<<5 = 0xA0; code = 0
+    assert B.blosclz_decompress(bytes([0x00, ord("a"), 0xA0, 0x00]), 8) == b"a" * 8
+    # chained length: copy 300 from distance 1 = 'x' * 301
+    # ctrl = 7<<5 = 0xE0; chain 255 then 36 (6+255+36+3 = 300); code 0
+    frame = bytes([0x00, ord("x"), 0xE0, 0xFF, 0x24, 0x00])
+    assert B.blosclz_decompress(frame, 301) == b"x" * 301
+    # chain ending in 0 is legal: 6+255+0+3 = 264
+    frame = bytes([0x00, ord("y"), 0xE0, 0xFF, 0x00, 0x00])
+    assert B.blosclz_decompress(frame, 265) == b"y" * 265
+
+
+def test_blosclz_far_distance_decode():
+    # 8500 literals, then copy 3 from distance 8500: the near space tops
+    # out at 8191, so this must take the far escape
+    # ctrl = (3-2)<<5 | 31 = 0x3F; code = 255; d16 = 8500 - 8192 = 308
+    lits = bytearray()
+    data = bytes(range(256)) * 34  # 8704 bytes, take 8500
+    data = data[:8500]
+    p = 0
+    while p < len(data):
+        run = min(32, len(data) - p)
+        lits.append(run - 1)
+        lits += data[p : p + run]
+        p += run
+    frame = bytes(lits) + bytes([0x3F, 0xFF, 308 >> 8, 308 & 255])
+    out = B.blosclz_decompress(frame, 8503)
+    assert out[:8500] == data and out[8500:] == data[:3]
+    # near/far boundary continuity: distance 8191 near-encodes
+    # (ofs_hi 31, code 254: 7936 + 254 + 1 = 8191)
+    frame = bytes(lits) + bytes([0x3F, 0xFE])
+    out = B.blosclz_decompress(frame, 8503)
+    assert out[8500:] == data[8500 - 8191 : 8500 - 8191 + 3]
+
+
+def test_blosclz_malformed_raises():
+    with pytest.raises(B.BloscError, match="before output start"):
+        B.blosclz_decompress(bytes([0x00, ord("a"), 0x40, 0x09]), 8)
+    with pytest.raises(B.BloscError, match="truncated"):
+        B.blosclz_decompress(bytes([0x05]) + b"ab", 6)
+    with pytest.raises(B.BloscError, match="truncated"):
+        B.blosclz_decompress(bytes([0x00, ord("a"), 0xE0, 0xFF]), 300)
+
+
+@given(st.binary(min_size=0, max_size=30000))
+@settings(max_examples=60, deadline=None)
+def test_blosclz_roundtrip_property(data):
+    assert B.blosclz_decompress(B.blosclz_compress(data), len(data)) == data
+
+
+def test_blosclz_compresses_repetitive_data():
+    data = (b"climatology-" * 4096)[:32768]
+    enc = B.blosclz_compress(data)
+    assert len(enc) < len(data) // 8
+    assert B.blosclz_decompress(enc, len(data)) == data
 
 
 # ---------------------------------------------------------------------------

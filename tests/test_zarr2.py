@@ -124,6 +124,7 @@ def test_fixedscaleoffset_filter_roundtrip(tmp_path):
         {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
         {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 2},
         {"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 0},
+        {"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1},
         {"id": "lz4"},
         {"id": "zstd", "level": 3},
     ],
@@ -138,15 +139,22 @@ def test_blosc_family_compressors_roundtrip(tmp_path, compressor):
     assert (back == arr).all()
 
 
-def test_blosclz_inner_codec_raises_named_seam():
-    """blosclz (format code 0) is the one remaining inner-codec seam."""
+def test_blosclz_container_stream_decodes():
+    """A hand-built blosc container whose inner stream is blosclz (format
+    code 0): 4 output bytes from a 3-byte blosclz stream (literal 'a' +
+    RLE match of 3 at distance 1) — the last inner-codec seam, closed."""
     import struct
 
-    frame = struct.pack("<BBBBIII", 2, 1, 0, 1, 4, 4, 16 + 4 + 4 + 2)
-    frame += struct.pack("<I", 20) + struct.pack("<I", 2) + b"\x00\x00"
-    meta = z.ArrayMeta("v", (1,), (1,), "<f4", compressor={"id": "blosc"})
-    with pytest.raises(z.ZarrError, match="c-blosc"):
-        z.decode_chunk(frame, meta)
+    stream = bytes([0x00, ord("a"), 0x40, 0x00])  # 'a' + copy 4 @ d=1
+    # stream (4 B) < neblock (5 B), so the container must route it through
+    # the blosclz decoder, not the stored-raw path; bstart points at the
+    # stream's size prefix (byte 20: 16-byte header + one bstart)
+    frame = struct.pack(
+        "<BBBBIII", 2, 1, 0x10, 1, 5, 5, 16 + 4 + 4 + len(stream)
+    )  # flags: dont-split, fmt 0 (blosclz)
+    frame += struct.pack("<I", 20) + struct.pack("<I", len(stream)) + stream
+    meta = z.ArrayMeta("v", (5,), (5,), "|u1", compressor={"id": "blosc"})
+    assert bytes(z.decode_chunk(frame, meta)) == b"aaaaa"
 
 
 def test_malformed_blosc_frame_raises():

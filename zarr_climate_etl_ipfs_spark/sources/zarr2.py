@@ -52,9 +52,9 @@ reference's encrypted-chunk filter ``xchacha20poly1305``
 :mod:`.encryption`'s codec-exact parity mode, so a store the reference
 published ENCRYPTED decodes here given the registered key. The v3 codec
 pipeline additionally accepts ``blosc`` and ``zstd`` by their v3 names
-and configs. The one remaining codec seam is blosc's ``blosclz`` inner
-format (no ground truth here to validate a from-scratch decoder) — it
-raises a named error, not a silent wrong answer.
+and configs. Every blosc inner codec decodes, including ``blosclz``
+(test-grade, from the published token layout — see
+:mod:`.blosc`'s framing); the codec matrix has no remaining seam.
 
 Scale notes (100 TB store = ~10⁷-10⁸ chunks of 1-5 MB):
   - the chunk task list is ``spark.range(n_chunks)`` — no driver-side
