@@ -440,6 +440,17 @@ def test_template_numbers_follow_wmo_table_5_0():
     assert tmpl_off is not None
     assert _struct.unpack_from(">H", raw, tmpl_off)[0] == 41
     raw[tmpl_off : tmpl_off + 2] = (40).to_bytes(2, "big")
+    # make the data payload a REAL JPEG2000 codestream head (SOC + SIZ
+    # markers, ISO/IEC 15444-1) so a future half-implementation that peeks
+    # at the payload cannot silently mis-decode this pin as PNG bytes
+    p2 = 16
+    while p2 < len(raw) - 4:
+        sec_len = int.from_bytes(raw[p2 : p2 + 4], "big")
+        if raw[p2 + 4] == 7:
+            jp2 = b"\xff\x4f\xff\x51" + bytes(max(0, sec_len - 5 - 4))
+            raw[p2 + 5 : p2 + sec_len] = jp2[: sec_len - 5]
+            break
+        p2 += sec_len
     with pytest.raises(GRIB2Error, match="JPEG2000"):
         parse_grib2(bytes(raw))
 
