@@ -865,3 +865,117 @@ def search_ivf_index(
         id_col=meta["id_col"], vec_col=meta["vec_col"],
         query_id_col=query_id_col, probed=F.broadcast(probed),
     )
+
+
+def semdedup_census(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.35,
+    assign_method: str = "expr",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    deduplicate ONLY within clusters — the pair space shrinks from n² to
+    Σ n_c², the whole trick that makes semantic dedup tractable at corpus
+    scale. Clustering = one deterministic assignment to the k lowest-id
+    seed vectors (argmax cosine, ties → lowest seed id; swapping in the
+    ivf_index k-means fit changes the clustering, not this shape).
+    Returns the per-cluster census (members, dropped, survivors) — exact
+    integers, hash-stable across engines.
+
+    ``assign_method="expr"`` is the oracle-parity path (crossJoin against
+    the broadcast k-row seed frame + one row_number window): bit-exact
+    with a SQL engine's fold but O(n·k) ROWS through the window — right
+    for the small fixed k the catalog entry pins. ``"pandas"`` is the
+    scale path: one Arrow-batched BLAS matmul per batch computes each
+    row's argmax WITHOUT materializing the n·k cross join (the
+    assign_ivf_cell trade), so k can grow with n (SemDeDup wants
+    n_c ≈ constant, i.e. k ∝ n) while assignment stays one scan.
+    Zero-norm vectors: cosine pinned to -1.0 on both paths (DuckDB's
+    convention) — they cluster to the lowest seed id and always survive.
+    Scale shape: seeds are a bounded driver collect (k rows, the
+    ivf_fit centroid pattern); the within-cluster pair join repartitions
+    both sides on the cluster key; norms are hoisted to one pass per ROW
+    before the pair join so the O(pairs) side folds once."""
+    emb = emb.withColumn("_n", l2_norm(vec_col))
+    out_schema = "cluster bigint, n_vectors bigint, n_dropped bigint, n_survivors bigint"
+    seed_rows = (
+        emb.orderBy(id_col).limit(k).select(id_col, vec_col, "_n").collect()
+    )
+    if not seed_rows:
+        return emb.sparkSession.createDataFrame([], out_schema)
+    if assign_method == "pandas":
+        seed_ids = np.array([int(r[id_col]) for r in seed_rows], dtype=np.int64)
+        smat = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]
+        )
+        snorm = np.linalg.norm(smat, axis=1)
+        sunit = np.divide(smat, snorm[:, None], where=snorm[:, None] > 0)
+        szero = snorm == 0
+
+        @F.pandas_udf("bigint")
+        def _cluster(v: pd.Series) -> pd.Series:
+            mat = np.stack(v.to_numpy()).astype(np.float64)
+            vnorm = np.linalg.norm(mat, axis=1)
+            vunit = np.divide(mat, vnorm[:, None], where=vnorm[:, None] > 0)
+            cos = vunit @ sunit.T
+            cos[:, szero] = -1.0
+            cos[vnorm == 0, :] = -1.0
+            # argmax takes the FIRST max; seeds are ordered by ascending id,
+            # so the tie-break matches the expr path's (cos desc, seed_id)
+            return pd.Series(seed_ids[np.argmax(cos, axis=1)])
+
+        assign = emb.withColumn("cluster", _cluster(F.col(vec_col)))
+    else:
+        seeds = emb.sparkSession.createDataFrame(
+            [
+                (int(r[id_col]), [float(x) for x in r[vec_col]], float(r["_n"]))
+                for r in seed_rows
+            ],
+            "seed_id bigint, sv array<double>, sn double",
+        )
+        cos_seed = F.coalesce(
+            F.try_divide(dot(F.col(vec_col), F.col("sv")), F.col("_n") * F.col("sn")),
+            F.lit(-1.0),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), "seed_id")
+        assign = (
+            emb.crossJoin(F.broadcast(seeds))
+            .withColumn("cos", cos_seed)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, F.col("seed_id").alias("cluster"), vec_col, "_n")
+        )
+    assign = assign.select(id_col, "cluster", vec_col, "_n").repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "cluster"
+    )
+    x = assign.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"), "cluster",
+    )
+    y = assign.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"), "cluster",
+    )
+    pair_cos = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+    dropped = (
+        x.join(y, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assign.join(dropped, id_col, "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.coalesce(F.sum("_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.count("*") - F.coalesce(F.sum("_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+        .orderBy("cluster")
+    )

@@ -6265,56 +6265,10 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors: cosine = -1.0 on both engines (DuckDB's convention; Spark's
     NULL try_divide coalesced to match) — they cluster by seed-id
     tie-break and never exceed the threshold, so they always survive."""
-    from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
+    from zarr_climate_etl_ipfs_spark.operators.similarity import semdedup_census
 
-    emb = t(spark, sf_dir, "embeddings").withColumn("_n", l2_norm("embedding"))
-    k = 8
-    seed_rows = emb.orderBy("vec_id").limit(k).select("vec_id", "embedding", "_n").collect()
-    seeds = spark.createDataFrame(
-        [(int(r["vec_id"]), [float(x) for x in r["embedding"]], float(r["_n"]))
-         for r in seed_rows],
-        "seed_id bigint, sv array<double>, sn double",
-    )
-    cos_seed = F.coalesce(
-        F.try_divide(dot(F.col("embedding"), F.col("sv")), F.col("_n") * F.col("sn")),
-        F.lit(-1.0),
-    )
-    scored = emb.crossJoin(F.broadcast(seeds)).withColumn("cos", cos_seed)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "seed_id")
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cluster"), "embedding", "_n")
-        .repartition(spark.sparkContext.defaultParallelism, "cluster")
-    )
-    x = assign.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        F.col("_n").alias("na"), "cluster",
-    )
-    y = assign.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        F.col("_n").alias("nb"), "cluster",
-    )
-    pair_cos = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
-    dropped = (
-        x.join(y, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(pair_cos >= 0.35)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_dropped", F.lit(1))
-    )
-    return (
-        assign.join(dropped, "vec_id", "left")
-        .groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.coalesce(F.sum("_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
-            (F.count("*") - F.coalesce(F.sum("_dropped"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_survivors"),
-        )
-        .orderBy("cluster")
+    return semdedup_census(
+        t(spark, sf_dir, "embeddings"), k=8, threshold=0.35, assign_method="expr"
     )
 
 
