@@ -7160,3 +7160,411 @@ def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+@q(
+    "rx5day",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), rolled AS (
+      SELECT event_type, day,
+             CAST(SUM(cents) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS r5
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(YEAR(day) * 100 + MONTH(day) AS INT) AS yyyymm,
+           CAST(MAX(r5) AS BIGINT) AS rx5day_cents
+    FROM rolled GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def rx5day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RX5day, the ETCCDI 5-day maximum precipitation index (monthly max
+    of the running 5-day total) — with the heatwave/degree-day/dry-spell
+    family, the settlement arithmetic the reference's ETL output feeds
+    (parametric weather products trigger on multi-day accumulations, not
+    single-day extremes). The window is 5 OBSERVED days (rows-based) on
+    both engines, and the accumulations are exact integer cents, so the
+    month-max is hash-stable. Plan: daily aggregate (map-side partial),
+    one window partitioned by the series key ordered by day — state is
+    5 rows per partition, no shuffle beyond the daily groupBy's — then a
+    month rollup. At 100 TB the window parallelizes across series keys;
+    no global sort anywhere."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        daily.withColumn("r5", F.sum("cents").over(w))
+        .groupBy(
+            "event_type",
+            (F.year("day") * 100 + F.month("day")).cast("int").alias("yyyymm"),
+        )
+        .agg(F.max("r5").cast("bigint").alias("rx5day_cents"))
+        .orderBy("event_type", "yyyymm")
+    )
+
+
+@q(
+    "etccdi_day_counts",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+             COUNT(*) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN cents < 3200 * n THEN 1 ELSE 0 END) AS BIGINT)
+             AS frost_days,
+           CAST(SUM(CASE WHEN cents > 7700 * n THEN 1 ELSE 0 END) AS BIGINT)
+             AS summer_days,
+           CAST(SUM(CASE WHEN cents > 6800 * n THEN 1 ELSE 0 END) AS BIGINT)
+             AS tropical_nights
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+)
+def etccdi_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI absolute-threshold day counts (FD frost days: mean < 32°F,
+    SU summer days: mean > 77°F, TR tropical nights: mean > 68°F) per
+    series — the simplest tier of the climate-index family the settlement
+    examples consume. The threshold test is an INTEGER inequality
+    (sum_cents <?> threshold_cents × n) instead of a float mean compare:
+    a daily mean one ulp either side of the threshold would hash-diverge
+    between engines' summation orders, while the integer form is exact on
+    both. Two aggregates, both map-side partial; no window, no join."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+            F.count("*").alias("n"),
+        )
+    )
+    cents, n = F.col("cents"), F.col("n")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum((cents < 3200 * n).cast("int")).cast("bigint").alias("frost_days"),
+            F.sum((cents > 7700 * n).cast("int")).cast("bigint").alias("summer_days"),
+            F.sum((cents > 6800 * n).cast("int"))
+            .cast("bigint")
+            .alias("tropical_nights"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "zarr_v3_store_roundtrip",
+    """
+    WITH grid AS (
+      SELECT date_trunc('hour', ts) AS t,
+             user_id % 8 AS cell_y,
+             event_id % 16 AS cell_x,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY 1, 2, 3
+    )
+    SELECT t, CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_cells
+    FROM grid GROUP BY t ORDER BY t
+    """,
+)
+def zarr_v3_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zarr_store_roundtrip's ZARR V3 twin: the same exact-integer grid
+    published through the v3 write path (zarr.json array docs, c/-prefixed
+    chunk keys, bytes+zstd codec pipeline, inline consolidated metadata,
+    datetime axis as a v2 sibling — v3 has no datetime dtype) and read
+    back through the merged v2+v3 reader. Same oracle as the v2 twin, so
+    a divergence isolates to the v3 codec/key/metadata layer. Previously
+    the v3 WRITE path was pytest-only; this puts it under the value-hash
+    gate at every SF and adversarial corpus."""
+    import hashlib as _hashlib
+    import tempfile as _tempfile
+
+    from zarr_climate_etl_ipfs_spark.sources.zarr2 import (
+        read_zarr_tall,
+        write_zarr_tall,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    grid = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("t"),
+            (F.col("user_id") % 8).alias("cell_y"),
+            (F.col("event_id") % 16).alias("cell_x"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"))
+    )
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"{_tempfile.gettempdir()}/spark_graft_zarr3_rt_{tag}"
+    fill = -(2**62)
+    write_zarr_tall(
+        grid,
+        store,
+        var="cents",
+        dims=["t", "cell_y", "cell_x"],
+        chunks=(24, 8, 16),
+        fill_value=fill,
+        overwrite=True,
+        zarr_format=3,
+    )
+    back = read_zarr_tall(spark, store, var="cents", skip_fill=True)
+    return (
+        back.groupBy("t")
+        .agg(F.sum("cents").alias("sum_cents"), F.count("*").alias("n_cells"))
+        .orderBy("t")
+    )
+
+
+@q(
+    "kerchunk_refs_roundtrip",
+    """
+    WITH grid AS (
+      SELECT date_trunc('hour', ts) AS t,
+             user_id % 4 AS cell_y,
+             event_id % 4 AS cell_x,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY 1, 2, 3
+    )
+    SELECT t, CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_cells
+    FROM grid GROUP BY t ORDER BY t
+    """,
+)
+def kerchunk_refs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's VIRTUAL-ZARR pipeline stage (S9/S10: kerchunk refs
+    JSON → combined store → lazy open; utils/transform.py
+    create_zarr_json/zarr_json_to_dataset) under the oracle gate: publish
+    an exact-integer grid as a zarr v2 store, express that store as a
+    kerchunk VERSION-1 refs document — metadata keys as whole-file refs,
+    the data chunks through a TEMPLATED ``gen`` section (the spec's
+    cartesian-product generator, jinja-rendered keys/urls over the
+    time-chunk ordinal) — materialize the refs into a second store, read
+    THAT with the distributed reader, and aggregate per hour. The oracle
+    aggregates the raw events, so a wrong byte range, template expansion
+    or key mapping surfaces as a value-hash mismatch. Refs documents are
+    index-sized by design (the reference holds them in dm.zarr_jsons),
+    so the build/materialize steps are driver-side; the read stays
+    spark.range-over-ordinals + mapInPandas."""
+    import hashlib as _hashlib
+    import math as _math
+    import os as _os
+    import tempfile as _tempfile
+
+    from zarr_climate_etl_ipfs_spark.sources.zarr2 import (
+        materialize_kerchunk_refs,
+        read_zarr_tall,
+        write_zarr_tall,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    grid = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("t"),
+            (F.col("user_id") % 4).alias("cell_y"),
+            (F.col("event_id") % 4).alias("cell_x"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"))
+    )
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src_store = f"{_tempfile.gettempdir()}/spark_graft_kc_src_{tag}"
+    dst_store = f"{_tempfile.gettempdir()}/spark_graft_kc_dst_{tag}"
+    fill = -(2**62)
+    summary = write_zarr_tall(
+        grid,
+        src_store,
+        var="cents",
+        dims=["t", "cell_y", "cell_x"],
+        chunks=(24, 4, 4),
+        fill_value=fill,
+        overwrite=True,
+    )
+    n_t_chunks = _math.ceil(summary["shape"][0] / 24) if summary["shape"][0] else 0
+    refs: dict = {}
+    for root, _dirs, files in _os.walk(src_store):
+        for fname in files:
+            path = _os.path.join(root, fname)
+            key = _os.path.relpath(path, src_store).replace(_os.sep, "/")
+            if key.startswith("cents/") and not fname.startswith("."):
+                continue  # data chunks come from the gen section below
+            refs[key] = [f"file://{path}"]
+    doc = {
+        "version": 1,
+        "templates": {"u": f"file://{src_store}"},
+        "gen": [
+            {
+                "key": "cents/{{i}}.0.0",
+                "url": "{{u}}/cents/{{i}}.0.0",
+                "dimensions": {"i": {"stop": n_t_chunks}},
+            }
+        ],
+        "refs": refs,
+    }
+    import shutil as _shutil
+
+    _shutil.rmtree(dst_store, ignore_errors=True)
+    materialize_kerchunk_refs(doc, dst_store)
+    back = read_zarr_tall(spark, dst_store, var="cents", skip_fill=True)
+    return (
+        back.groupBy("t")
+        .agg(F.sum("cents").alias("sum_cents"), F.count("*").alias("n_cells"))
+        .orderBy("t")
+    )
+
+
+@q(
+    "store_compact_effect",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(user_id % 4 AS BIGINT) AS la,
+             CAST(event_id % 4 AS BIGINT) AS lo,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) % 100000
+                  AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY day, la, lo
+    ), rd AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rd
+      FROM (SELECT DISTINCT day FROM cells)
+    )
+    SELECT c.day, CAST(SUM(c.cents) AS BIGINT) AS sum_cents,
+           COUNT(*) AS n_cells
+    FROM cells c JOIN rd ON c.day = rd.day
+    WHERE rd.rd <= 16
+    GROUP BY c.day ORDER BY c.day
+    """,
+)
+def store_compact_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the oracle gate (the Delta OPTIMIZE
+    analog, previously pytest-only): publish 10 days, land three
+    incremental 2-day appends — the long-lived-dataset pattern that
+    accumulates one file per commit per bucket, the #1 read-path tax at
+    scale — then COMPACT to one Z-order-sorted file per bucket and read
+    the store back. The oracle recomputes the same 16 days straight from
+    the events, so any row lost, duplicated or mutated by the rewrite
+    surfaces as a value-hash mismatch (the compaction content-equality
+    guarantee, checked by value rather than by trust). Batch routing is
+    driven by ONE collected scalar (the ranked-day count) off a
+    materialized input — no per-branch head() actions."""
+    import hashlib as _hashlib
+    import tempfile as _tempfile
+
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.sources.store import GridStore
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") % 4).cast("long").alias("la"),
+            (F.col("event_id") % 4).cast("long").alias("lo"),
+        )
+        .agg(
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) % 100000)
+            .alias("cents")
+        )
+    )
+    wd = Window.orderBy("day")
+    rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
+    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    out_schema = "day date, sum_cents bigint, n_cells bigint"
+    n_days = ranked.agg(F.max("rd")).first()[0] or 0
+    if n_days == 0:
+        return spark.createDataFrame([], out_schema)
+
+    def to_store_schema(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("day").cast("timestamp").alias("time"),
+            F.col("la").cast("float").alias("latitude"),
+            F.col("lo").cast("float").alias("longitude"),
+            F.col("cents").cast("float").alias("cents"),
+        )
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"{_tempfile.gettempdir()}/spark_graft_store_compact_{tag}"
+    desc = DatasetDescriptor(
+        dataset_name="compaction", data_var="cents", time_bucket="month"
+    )
+    gs = GridStore(root, desc, spark)
+    gs.destroy()
+    gs.write_initial(to_store_schema(ranked.filter(F.col("rd") <= 10)))
+    for lo_rd, hi_rd in ((11, 12), (13, 14), (15, 16)):
+        if n_days >= lo_rd:  # driver-known: no per-batch head() action
+            gs.append(
+                to_store_schema(ranked.filter(F.col("rd").between(lo_rd, hi_rd)))
+            )
+    gs.compact(max_files_per_bucket=1)
+    return (
+        gs.dataset()
+        .groupBy(F.to_date("time").alias("day"))
+        .agg(
+            F.sum(F.col("cents").cast("long")).cast("bigint").alias("sum_cents"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("day")
+    )
