@@ -7119,9 +7119,12 @@ def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("float").alias("cents"),
         )
 
-    base = ranked.filter(F.col("rd") <= 10).select("day", "la", "lo", "cents")
-    if not base.head(1):  # empty corpus: no store, no diff
+    # ONE collected scalar off the materialized frame routes every branch —
+    # the per-branch head() probes were two more driver actions
+    n_days = ranked.agg(F.max("rd")).first()[0] or 0
+    if n_days == 0:  # empty corpus: no store, no diff
         return spark.createDataFrame([], out_schema)
+    base = ranked.filter(F.col("rd") <= 10).select("day", "la", "lo", "cents")
     ins = ranked.filter(F.col("rd").isin(3, 4)).select(
         "day", "la", "lo", (F.col("cents") + 7).alias("cents")
     )
@@ -7143,7 +7146,7 @@ def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs.destroy()
     gs.write_initial(to_store_schema(base))
     v1 = gs.current_version()
-    if upd.head(1):
+    if n_days >= 3:  # the insert leg (ranks 3-4) exists => upd is non-empty
         gs.update(to_store_schema(upd))
     return (
         gs.diff(v1)
