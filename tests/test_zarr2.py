@@ -743,6 +743,20 @@ def test_kerchunk_local_ranges_and_seams(tmp_path):
     refs["refs"]["v/0"] = [f"file://{data_file}", 8, 48]
     store = z.materialize_kerchunk_refs(refs, str(tmp_path / "s3"))
     assert (z.read_zarr_array_local(store, "v") == payload).all()
+    # remote byte-ranges resolve through an injected opener (the fsspec
+    # seam as dependency injection — the caller brings the network stack)
+    import io
+
+    served: list[str] = []
+
+    def fake_opener(url: str):
+        served.append(url)
+        return io.BytesIO(data_file.read_bytes())
+
+    refs["refs"]["v/0"] = ["s3://bucket/blob.bin", 8, 48]
+    store = z.materialize_kerchunk_refs(refs, str(tmp_path / "s4"), opener=fake_opener)
+    assert (z.read_zarr_array_local(store, "v") == payload).all()
+    assert served == ["s3://bucket/blob.bin"]
 
 
 def test_kerchunk_templated_refs_golden(tmp_path):

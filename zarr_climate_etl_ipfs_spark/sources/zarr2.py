@@ -984,6 +984,7 @@ def materialize_kerchunk_refs(
     refs: dict[str, Any] | str,
     dest: str,
     base_dir: str | None = None,
+    opener: Any = None,
 ) -> str:
     """Write a kerchunk reference set to an on-disk Zarr store.
 
@@ -997,9 +998,18 @@ def materialize_kerchunk_refs(
     kerchunk spec) or the bare key→value map; inline values are raw
     latin-1 bytes or ``base64:``-prefixed; ``[path, offset, length]``
     triples are resolved against the LOCAL filesystem (``file://`` URLs,
-    or paths relative to ``base_dir``) — http/s3 remotes raise a named
-    seam. Refs metadata is small by design (it is the index, not the
-    data), so this is a driver-side step."""
+    or paths relative to ``base_dir``).
+
+    Remote (http/s3/...) byte-ranges: pass ``opener`` — any callable
+    ``url -> binary file-like`` supporting ``seek``/``read`` (e.g.
+    ``fsspec.open(url, "rb").open``, or ``lambda u:
+    s3fs.S3FileSystem().open(u)``). Without one they raise a named
+    error: this environment has no network stack to validate against,
+    so remote IO is the CALLER's dependency, injected rather than
+    half-implemented here (reference parity: S6's S3 extract,
+    utils/extractor.py:312-397, delegates to fsspec the same way).
+    Refs metadata is small by design (it is the index, not the data),
+    so this is a driver-side step."""
     if isinstance(refs, str):
         refs = _read_json(refs)
     if "refs" in refs and isinstance(refs["refs"], dict):
@@ -1021,14 +1031,19 @@ def materialize_kerchunk_refs(
         elif isinstance(val, list) and val and isinstance(val[0], str):
             url = val[0]
             if "://" in url and not url.startswith("file://"):
-                raise ZarrError(
-                    f"ref {key!r} points at {url!r}: remote byte-ranges need "
-                    f"fsspec; fetch the file locally first"
-                )
-            src = url[len("file://"):] if url.startswith("file://") else url
-            if base_dir is not None and not os.path.isabs(src):
-                src = os.path.join(base_dir, src)
-            with open(src, "rb") as f:
+                if opener is None:
+                    raise ZarrError(
+                        f"ref {key!r} points at {url!r}: remote byte-ranges "
+                        f"need an opener= (e.g. fsspec.open(url, 'rb').open) "
+                        f"or fetch the file locally first"
+                    )
+                f = opener(url)
+            else:
+                src = url[len("file://"):] if url.startswith("file://") else url
+                if base_dir is not None and not os.path.isabs(src):
+                    src = os.path.join(base_dir, src)
+                f = open(src, "rb")
+            with f:
                 if len(val) >= 3:
                     f.seek(int(val[1]))
                     data = f.read(int(val[2]))
