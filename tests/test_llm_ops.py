@@ -772,3 +772,55 @@ def test_persisted_ivf_index_roundtrip_and_pruning(spark, embeddings, tmp_path):
     (tmp_path / "half" / "index.json").unlink()
     with pytest.raises(FileNotFoundError, match="index.json"):
         similarity.read_ivf_index(spark, half)
+
+
+def test_append_ivf_index_incremental(spark, embeddings, tmp_path):
+    """Incremental maintenance: appended vectors route to the frozen
+    centroids' cells, the marker's appends generation bumps, a full-probe
+    search over the appended index equals brute force over the FULL
+    corpus, and partition pruning still holds after the append."""
+    base = embeddings.filter(F.col("vec_id") % 2 == 0)
+    late = embeddings.filter(F.col("vec_id") % 2 != 0)
+    assigned, centroids = similarity.ivf_index(
+        base, n_cells=4, max_iter=1, engine="dataframe"
+    )
+    idx = str(tmp_path / "ivf_inc")
+    similarity.write_ivf_index(assigned, centroids, idx)
+    man = similarity.append_ivf_index(spark, idx, late)
+    assert man["appends"] == 1
+
+    stored, cents, meta = similarity.read_ivf_index(spark, idx)
+    assert stored.count() == embeddings.count()  # nothing lost or duplicated
+    assert stored.select("vec_id").distinct().count() == embeddings.count()
+    # every appended row sits in its centroid-argmin cell
+    expect = similarity.assign_ivf_cell(
+        late.select("vec_id", "embedding"), cents, "embedding"
+    ).select("vec_id", F.col("cell").alias("want"))
+    mis = (
+        stored.join(expect, "vec_id")
+        .filter(F.col("cell") != F.col("want"))
+        .count()
+    )
+    assert mis == 0
+
+    query = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.search_ivf_index(spark, idx, query, k=3, n_probe=4)
+    want = similarity.brute_force_topk(embeddings, query, k=3)
+    g = [(r["query_id"], r["vec_id"]) for r in got.orderBy("query_id", "rank").collect()]
+    w = [(r["query_id"], r["vec_id"]) for r in want.orderBy("query_id", "rank").collect()]
+    assert g == w
+    # pruning survives the append
+    pruned = similarity.search_ivf_index(spark, idx, query, k=3, n_probe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters: [cell" in scan.replace("[isnotnull(cell", "[cell")
+    # an empty-centroid index refuses appends with a named error
+    empty_idx = str(tmp_path / "ivf_empty")
+    a0, c0 = similarity.ivf_index(
+        embeddings.filter(F.lit(False)), n_cells=4, max_iter=1, engine="dataframe"
+    )
+    similarity.write_ivf_index(a0, c0, empty_idx)
+    with pytest.raises(ValueError, match="no centroids"):
+        similarity.append_ivf_index(spark, empty_idx, late)

@@ -911,3 +911,24 @@ def test_write_tall_v3_rejects_v2_options(spark, tmp_path):
             sdf, str(tmp_path / "e2"), "cents", ["t", "y", "x"],
             codecs=[{"name": "bytes"}],
         )
+
+
+def test_kerchunk_gen_multi_dimension_product():
+    """gen with two dimensions expands as a cartesian product; offsets and
+    keys render per-combination (spec: dimensions may be ranges or lists)."""
+    out = z._expand_kerchunk_templates(
+        {},
+        {"u": "file:///data/x.bin"},
+        [
+            {
+                "key": "v/{{i}}.{{j}}",
+                "url": "{{u}}",
+                "offset": "{{(i * 2 + j) * 16}}",
+                "length": "16",
+                "dimensions": {"i": {"stop": 3}, "j": [0, 1]},
+            }
+        ],
+    )
+    assert len(out) == 6
+    assert out["v/0.0"] == ["file:///data/x.bin", 0, 16]
+    assert out["v/2.1"] == ["file:///data/x.bin", 80, 16]

@@ -979,3 +979,51 @@ def semdedup_census(
         )
         .orderBy("cluster")
     )
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    df: DataFrame,
+    assign_method: str = "expr",
+) -> dict:
+    """Incremental IVF maintenance: assign NEW vectors to the EXISTING
+    centroids and append their inverted-list rows — the operational form
+    at corpus scale, where a nightly batch must not trigger an index
+    rebuild (FAISS add_with_ids on an already-trained quantizer). The
+    coarse quantizer is intentionally NOT retrained: recall degrades only
+    as the data distribution drifts from the trained centroids, which is
+    a re-train policy decision, not an append mechanic.
+
+    Commit discipline: the appended parquet files land first, the
+    ``index.json`` marker is rewritten LAST with a bumped ``appends``
+    generation. A concurrent reader holding the old marker keeps a valid
+    view of the schema/centroids; note parquet directory listing is per
+    read, so a reader that lists files MID-append can observe a partial
+    batch — callers needing snapshot isolation version the index path
+    (the GridStore manifest pattern); the marker bump is the metadata
+    commit point, not a file-level snapshot."""
+    import json as _json
+    import os as _os
+
+    _assigned0, centroids, meta = read_ivf_index(spark, path)
+    if not centroids:
+        raise ValueError(
+            "append_ivf_index: the index has no centroids (built on an "
+            "empty corpus) — rebuild with write_ivf_index instead"
+        )
+    cells = assign_ivf_cell(
+        df.select(meta["id_col"], meta["vec_col"]),
+        centroids,
+        meta["vec_col"],
+        method=assign_method,
+    ).select(meta["id_col"], meta["vec_col"], "cell")
+    cells.repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    tmp = f"{path}/index.json.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, f"{path}/index.json")
+    return {"n_cells": meta["n_cells"], "appends": meta["appends"]}

@@ -7571,3 +7571,73 @@ def store_compact_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_IVF_INC_DISK: dict[str, str] = {}
+
+
+@q(
+    "ivf_incremental_knn",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT query_id, vec_id,
+             LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+                                    CAST(qvec AS DOUBLE[])) AS c
+      FROM embeddings, q
+    )
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank,
+           ROUND(c, 6) AS cosine
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ivf_incremental_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance under the oracle gate: train the
+    coarse quantizer on HALF the corpus (even vec_ids), persist the index,
+    APPEND the other half against the frozen centroids
+    (operators/similarity.append_ivf_index — FAISS add_with_ids: nightly
+    batches must not rebuild), then search the appended index with
+    n_probe = n_cells so the result equals the brute-force oracle over the
+    FULL corpus exactly — any appended row lost, duplicated or mis-routed
+    to an unreadable cell surfaces as a value-hash mismatch. Build +
+    append is memoized per sf_dir (index-once/search-many, the FAISS
+    shape); the partition-pruned probe path is pinned in
+    tests/test_llm_ops.py for the same on-disk format."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_index,
+        search_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = t_wide(spark, sf_dir, "embeddings")
+    path = _IVF_INC_DISK.get(sf_dir)
+    if path is None:
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        late = emb.filter(F.col("vec_id") % 2 != 0)
+        assigned, centroids = ivf_index(base, n_cells=8, max_iter=1, engine="dataframe")
+        tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        path = f"{_tempfile.gettempdir()}/spark_graft_ivf_inc_{tag}"
+        _shutil.rmtree(path, ignore_errors=True)
+        _os.makedirs(path)
+        write_ivf_index(assigned, centroids, path, mode="overwrite")
+        if centroids and late.head(1):  # empty corpora: nothing to append
+            append_ivf_index(spark, path, late)
+        _IVF_INC_DISK[sf_dir] = path
+    query = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = search_ivf_index(spark, path, query, k=5, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", "rank")
