@@ -824,3 +824,45 @@ def test_append_ivf_index_incremental(spark, embeddings, tmp_path):
     similarity.write_ivf_index(a0, c0, empty_idx)
     with pytest.raises(ValueError, match="no centroids"):
         similarity.append_ivf_index(spark, empty_idx, late)
+
+
+def test_compact_ivf_index_consolidates_without_content_change(spark, embeddings, tmp_path):
+    """Two appends fragment the inverted lists; compact rewrites crowded
+    cells to one file each and the search result is unchanged."""
+    thirds = [embeddings.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    assigned, centroids = similarity.ivf_index(
+        thirds[0], n_cells=3, max_iter=1, engine="dataframe"
+    )
+    idx = str(tmp_path / "ivf_c")
+    similarity.write_ivf_index(assigned, centroids, idx)
+    similarity.append_ivf_index(spark, idx, thirds[1])
+    similarity.append_ivf_index(spark, idx, thirds[2])
+
+    query = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = [
+        (r["query_id"], r["vec_id"])
+        for r in similarity.search_ivf_index(spark, idx, query, k=4, n_probe=3)
+        .orderBy("query_id", "rank").collect()
+    ]
+    from pathlib import Path
+
+    pre = {d.name: sum(1 for _ in d.glob("*.parquet"))
+           for d in (Path(idx) / "cells").glob("cell=*")}
+    assert any(n > 1 for n in pre.values())  # appends really fragmented
+    rewritten = similarity.compact_ivf_index(spark, idx)
+    assert set(rewritten) == {k for k, n in pre.items() if n > 1}
+    post = {d.name: sum(1 for _ in d.glob("*.parquet"))
+            for d in (Path(idx) / "cells").glob("cell=*")}
+    assert all(n == 1 for n in post.values())
+    after = [
+        (r["query_id"], r["vec_id"])
+        for r in similarity.search_ivf_index(spark, idx, query, k=4, n_probe=3)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert after == before
+    _s, _c, meta = similarity.read_ivf_index(spark, idx)
+    assert meta["compactions"] == 1
+    # idempotent: a second compact is a no-op
+    assert similarity.compact_ivf_index(spark, idx) == {}

@@ -1027,3 +1027,70 @@ def append_ivf_index(
         _json.dump(meta, f)
     _os.replace(tmp, f"{path}/index.json")
     return {"n_cells": meta["n_cells"], "appends": meta["appends"]}
+
+
+def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
+    """Rewrite fragmented inverted lists (the GridStore.compact analog for
+    the IVF index): every :func:`append_ivf_index` batch adds at least one
+    parquet file per touched cell, and a long-lived index accumulates the
+    same small-file read tax as any incremental table — per-file open
+    cost, tiny row groups. Cells whose live file count exceeds the target
+    are rewritten into consolidated files; untouched cells keep their
+    files byte-identical.
+
+    The rewrite stages into a sibling directory and commits by directory
+    swap AFTER the marker is rewritten pointing at the new generation —
+    readers that already resolved the old ``cells`` listing keep reading
+    the old files until the swap, and the swap is a rename (atomic per
+    cell-dir on POSIX). Returns {cell: n_files_rewritten}."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    _assigned, _centroids, meta = read_ivf_index(spark, path)
+    cells_root = _Path(path) / "cells"
+    crowded: dict[str, int] = {}
+    for cell_dir in sorted(cells_root.glob("cell=*")):
+        n = sum(1 for p in cell_dir.glob("*.parquet"))
+        if n > max_files_per_cell:
+            crowded[cell_dir.name] = n
+    if not crowded:
+        return {}
+    for name in crowded:
+        old_dir = cells_root / name
+        tmp_dir = cells_root / f"_compact_{name}.{_os.getpid()}"
+        _shutil.rmtree(tmp_dir, ignore_errors=True)
+        (
+            spark.read.schema(
+                # per-cell read: the partition column is in the dir name,
+                # not the files — drop it from the read schema
+                _drop_field(meta["schema"], "cell")
+            )
+            .parquet(str(old_dir))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_dir))
+        )
+        # swap: marker untouched (schema/centroids unchanged); the rename
+        # pair is the per-cell commit point
+        back_dir = cells_root / f"_old_{name}.{_os.getpid()}"
+        _os.rename(old_dir, back_dir)
+        _os.rename(tmp_dir, old_dir)
+        _shutil.rmtree(back_dir)
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    tmp = f"{path}/index.json.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, f"{path}/index.json")
+    return crowded
+
+
+def _drop_field(schema_json: str, name: str):
+    import json as _json
+
+    from pyspark.sql import types as _T
+
+    doc = _json.loads(schema_json)
+    doc["fields"] = [f for f in doc["fields"] if f["name"] != name]
+    return _T.StructType.fromJson(doc)
