@@ -530,3 +530,29 @@ def test_restore_detects_concurrent_vacuum_toctou(store, spark, desc, complex_up
             store.restore(v1)
     finally:
         GridStore._commit = orig_commit
+
+
+def test_timestamp_as_of_time_travel(store, spark, desc):
+    """Delta timestampAsOf twin: a wall-clock instant resolves to the
+    latest version committed at or before it; instants before the first
+    commit raise; version= and as_of= are mutually exclusive."""
+    import time as _time
+
+    v1 = store.current_version()
+    t_v1 = dt.datetime.now(dt.timezone.utc)
+    _time.sleep(0.05)
+    upd = spark.createDataFrame(_tall(daily("2022-02-01", 2), seed=41), schema=desc.schema())
+    store.append(upd)
+    v2 = store.current_version()
+    assert store.version_as_of(t_v1) == v1
+    assert store.version_as_of(dt.datetime.now(dt.timezone.utc)) == v2
+    assert store.dataset(as_of=t_v1).count() == 138 * 16
+    assert store.dataset(as_of=dt.datetime.now(dt.timezone.utc)).count() == 140 * 16
+    # naive datetimes are taken as UTC
+    assert store.version_as_of(t_v1.replace(tzinfo=None)) == v1
+    with pytest.raises(StoreError, match="no version committed"):
+        store.version_as_of(t_v1 - dt.timedelta(days=1))
+    with pytest.raises(StoreError, match="not both"):
+        store.dataset(version=v1, as_of=t_v1)
+    # the log surfaces the commit instants
+    assert all("committed_utc" in e for e in store.versions())

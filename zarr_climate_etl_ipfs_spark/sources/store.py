@@ -162,6 +162,7 @@ class GridStore:
         manifest = {
             "version": v,
             "action": action,
+            "committed_utc": dt.datetime.now(dt.timezone.utc).isoformat(),
             "files": sorted(files),
             # content addressing (the IPFS-CID analog, S23): every live file
             # is pinned by digest, and the manifest digest commits to the
@@ -237,17 +238,50 @@ class GridStore:
         out = []
         for p in sorted(self.manifest_path.glob("v*.json"), key=lambda p: int(p.stem[1:])):
             m = json.loads(p.read_text())
-            out.append({k: m[k] for k in ("version", "action", "time_start", "time_end", "rows")})
+            e = {k: m[k] for k in ("version", "action", "time_start", "time_end", "rows")}
+            if "committed_utc" in m:
+                e["committed_utc"] = m["committed_utc"]
+            out.append(e)
         return out
+
+    def version_as_of(self, when: dt.datetime) -> int:
+        """Delta ``timestampAsOf``: the latest version whose commit landed
+        at or before ``when`` (naive datetimes are taken as UTC). Manifests
+        written before the ``committed_utc`` field existed fall back to
+        their manifest file's mtime — an approximation that survives file
+        copies poorly, so old stores should prefer ``version=``."""
+        if when.tzinfo is None:
+            when = when.replace(tzinfo=dt.timezone.utc)
+        best: int | None = None
+        for e in self.versions():
+            ts = e.get("committed_utc")
+            if ts is not None:
+                t = dt.datetime.fromisoformat(ts)
+            else:
+                p = self.manifest_path / f"v{e['version']}.json"
+                t = dt.datetime.fromtimestamp(p.stat().st_mtime, dt.timezone.utc)
+            if t <= when and (best is None or e["version"] > best):
+                best = e["version"]
+        if best is None:
+            raise StoreError(f"no version committed at or before {when.isoformat()}")
+        return best
 
     # -- open / existence (S11, S12) ----------------------------------------
 
     def has_existing(self) -> bool:
         return self.current_version() > 0
 
-    def dataset(self, version: int | None = None) -> DataFrame:
+    def dataset(
+        self, version: int | None = None, as_of: dt.datetime | None = None
+    ) -> DataFrame:
         """Open the table at a version (default: latest) — S11, and S12's
-        CID time travel when ``version`` is given."""
+        CID time travel when ``version`` is given. ``as_of`` resolves a
+        wall-clock commit time to a version instead (Delta's
+        ``timestampAsOf`` twin; mutually exclusive with ``version``)."""
+        if as_of is not None:
+            if version is not None:
+                raise StoreError("dataset: pass version= or as_of=, not both")
+            version = self.version_as_of(as_of)
         m = self.manifest(version)
         paths = [str(self.data_path / f) for f in m["files"]]
         df = self.spark.read.option("basePath", str(self.data_path)).parquet(*paths)
