@@ -7641,3 +7641,106 @@ def ivf_incremental_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
         F.round("cosine", 6).alias("cosine"),
     ).orderBy("query_id", "rank")
+
+
+#: CONCAVE zones in the same integer cell space as _ZONES. Inside-ness is
+#: the crossing-number (ray-casting) test — the convex all-edges-left trick
+#: cannot express these. Both engines' predicates are generated from THIS
+#: list; the half-open y rule (y1 <= py) != (y2 <= py) plus exact integer
+#: cross-multiplication (no division) keeps every evaluation identical.
+_CONCAVE_ZONES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("l_shape", [(2, 1), (9, 1), (9, 3), (5, 3), (5, 6), (2, 6)]),
+    ("dart", [(10, 0), (15, 2), (10, 4), (12, 2)]),
+]
+
+
+def _crossing_sql(verts: list[tuple[int, int]]) -> str:
+    terms = []
+    for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+        d = y2 - y1
+        if d == 0:
+            continue  # horizontal edges never satisfy the half-open y rule
+        cmp = "<" if d > 0 else ">"
+        terms.append(
+            f"CASE WHEN ({y1} <= py) <> ({y2} <= py) AND "
+            f"(px - {x1}) * {d} {cmp} (py - {y1}) * {x2 - x1} "
+            "THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@q(
+    "polygon_mask_concave",
+    f"""
+    WITH pts AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS px,
+             CAST(user_id % 8 AS BIGINT) AS py,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{name}' AS zone, COUNT(*) AS n_points, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+        "FROM pts WHERE ((" + _crossing_sql(verts) + ") % 2) = 1 GROUP BY 1"
+        for name, verts in _CONCAVE_ZONES
+    )}
+    ORDER BY zone
+    """,
+)
+def polygon_mask_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon for CONCAVE polygons (an L and a dart) — arbitrary
+    GeoJSON rings are the downstream query layer's real input, and the
+    convex half-plane test (zonal_stats) cannot express them. Crossing-
+    number ray cast per point, all in exact integer arithmetic: the
+    x-intersection compare is cross-multiplied (no division), the
+    inequality direction is baked per edge from the literal vertex list,
+    and the half-open y rule de-duplicates vertex hits — identical
+    formulas on both engines, so boundary points cannot hash-diverge.
+    Plan shape: like zonal_stats, NO join — each point evaluates |zones|
+    codegen'd literal predicates in one pass, then a map-side-partial
+    aggregation on the tiny zone key; at 100 TB it is scan + partial agg."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    px = (F.col("event_id") % 16).cast("long")
+    py = (F.col("user_id") % 8).cast("long")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+
+    def inside(verts: list[tuple[int, int]]):
+        crossings = F.lit(0)
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            d = y2 - y1
+            if d == 0:
+                continue
+            counted = (F.lit(y1) <= py) != (F.lit(y2) <= py)
+            lhs = (px - F.lit(x1)) * F.lit(d)
+            rhs = (py - F.lit(y1)) * F.lit(x2 - x1)
+            left = (lhs < rhs) if d > 0 else (lhs > rhs)
+            crossings = crossings + (counted & left).cast("int")
+        return crossings % 2 == 1
+
+    zoned = e.select(
+        cents.alias("cents"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("zone"), inside(verts).alias("ok"))
+                    for name, verts in _CONCAVE_ZONES
+                ]
+            )
+        ).alias("z"),
+    ).filter(F.col("z.ok"))
+    return (
+        zoned.groupBy(F.col("z.zone").alias("zone"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("zone")
+    )
