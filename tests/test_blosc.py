@@ -292,3 +292,36 @@ def test_zstd_nc_frame_and_content_size():
 def test_nc_wrappers_roundtrip(data):
     assert B.lz4_nc_decode(B.lz4_nc_encode(data)) == data
     assert B.zstd_nc_decode(B.zstd_nc_encode(data, 1)) == data
+
+
+# ---------------------------------------------------------------------------
+# fuzz: malformed foreign bytes must raise BloscError, never leak raw
+# struct.error/zlib.error/IndexError or over-allocate on forged headers
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(max_size=256), st.integers(0, 400))
+@settings(max_examples=200, deadline=None)
+def test_blosclz_decode_fuzz_contract(data, nbytes):
+    try:
+        out = B.blosclz_decompress(data, nbytes)
+        assert len(out) == nbytes
+    except B.BloscError:
+        pass
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_blosc_container_fuzz_contract(frame):
+    try:
+        B.blosc_decompress(frame)
+    except B.BloscError:
+        pass
+
+
+def test_forged_header_block_count_raises_not_allocates():
+    # nbytes=4 GiB, blocksize=1 -> 4e9 "blocks"; must raise the contract
+    # type without attempting the 16 GiB bstarts unpack
+    frame = struct.pack("<BBBBIII", 2, 1, 0x20, 1, 2**32 - 1, 1, 64) + b"\0" * 48
+    with pytest.raises(B.BloscError, match="blocks"):
+        B.blosc_decompress(frame)

@@ -193,18 +193,26 @@ def _stream_compress(fmt: int, data: bytes, clevel: int) -> bytes:
 
 
 def _stream_decompress(fmt: int, data: bytes, nbytes: int) -> bytes:
-    if fmt == _FMT_ZLIB:
-        out = zlib.decompress(data)
-    elif fmt == _FMT_LZ4:
-        out = _pa_codec("lz4_raw").decompress(data, nbytes).to_pybytes()
-    elif fmt == _FMT_ZSTD:
-        out = _pa_codec("zstd").decompress(data, nbytes).to_pybytes()
-    elif fmt == _FMT_SNAPPY:
-        out = _pa_codec("snappy").decompress(data, nbytes).to_pybytes()
-    elif fmt == _FMT_BLOSCLZ:
-        out = blosclz_decompress(data, nbytes)
-    else:
-        raise BloscError(f"unknown blosc compressor format code {fmt}")
+    try:
+        if fmt == _FMT_ZLIB:
+            out = zlib.decompress(data)
+        elif fmt == _FMT_LZ4:
+            out = _pa_codec("lz4_raw").decompress(data, nbytes).to_pybytes()
+        elif fmt == _FMT_ZSTD:
+            out = _pa_codec("zstd").decompress(data, nbytes).to_pybytes()
+        elif fmt == _FMT_SNAPPY:
+            out = _pa_codec("snappy").decompress(data, nbytes).to_pybytes()
+        elif fmt == _FMT_BLOSCLZ:
+            out = blosclz_decompress(data, nbytes)
+        else:
+            raise BloscError(f"unknown blosc compressor format code {fmt}")
+    except BloscError:
+        raise
+    except Exception as exc:
+        # inner codecs raise their own types (zlib.error, pyarrow
+        # ArrowInvalid, ...) on corrupt foreign bytes; the module contract
+        # is ONE malformed-data exception type
+        raise BloscError(f"blosc inner stream (fmt {fmt}) corrupt: {exc}") from exc
     if len(out) != nbytes:
         raise BloscError(f"blosc stream decoded to {len(out)} bytes, expected {nbytes}")
     return out
@@ -404,6 +412,13 @@ def blosc_decompress(frame: bytes) -> bytes:
         raise BloscError("blosc frame has zero blocksize")
     fmt = flags >> 5
     nblocks = -(-nbytes // blocksize)
+    if 16 + 4 * nblocks > len(frame):
+        # a forged nbytes/blocksize pair would otherwise turn into a raw
+        # struct.error (or a huge allocation) instead of the contract type
+        raise BloscError(
+            f"blosc header claims {nblocks} blocks but the frame holds "
+            f"{len(frame)} bytes"
+        )
     bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
     out = bytearray()
     for j, start in enumerate(bstarts):
@@ -419,6 +434,8 @@ def blosc_decompress(frame: bytes) -> bytes:
         pos = start
         block = bytearray()
         for _ in range(nsplits):
+            if pos + 4 > len(frame):
+                raise BloscError(f"blosc block {j}: stream size prefix truncated")
             (sc,) = struct.unpack_from("<I", frame, pos)
             pos += 4
             raw = frame[pos : pos + sc]
