@@ -565,3 +565,38 @@ def test_gridstore_export_grib2_distributed(spark, tmp_path):
     gs2.write_initial(spark.createDataFrame(pdf2))
     with pytest.raises(GRIB2Error, match="evenly spaced"):
         gs2.export_grib2(tmp_path / "grib2b")
+
+
+def test_malformed_foreign_bytes_single_exception_contract():
+    """Fuzz regressions: forged section/grid/count fields must raise
+    GRIB2Error — never freeze the section walk (sec_len=0), allocate a
+    forged multi-GiB grid, or leak a raw numpy/struct error."""
+    raw = bytearray(write_grib2([_slab()]))
+    # (a) section length below the 5-octet spec floor froze the walk
+    frozen = bytearray(raw)
+    frozen[16:20] = (0).to_bytes(4, "big")  # section 1's length -> 0
+    with pytest.raises(GRIB2Error, match="5-octet floor"):
+        parse_grib2(bytes(frozen))
+    # (b) forged grid dimensions must raise, not allocate
+    p = 16
+    while p < len(raw) - 4:
+        sec_len = int.from_bytes(raw[p : p + 4], "big")
+        if raw[p + 4] == 3:
+            big = bytearray(raw)
+            big[p + 30 : p + 34] = (2**31).to_bytes(4, "big")  # ni
+            with pytest.raises(GRIB2Error, match="implausible grid"):
+                parse_grib2(bytes(big))
+            break
+        p += sec_len
+    # (c) random single-byte mutations: GRIB2Error or success, nothing else
+    import random as _random
+
+    rng = _random.Random(7)
+    for _ in range(300):
+        mut = bytearray(raw)
+        for _ in range(rng.randint(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            parse_grib2(bytes(mut))
+        except GRIB2Error:
+            pass

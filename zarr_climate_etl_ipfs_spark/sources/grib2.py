@@ -100,6 +100,15 @@ class GRIB2Message:
 _TIME_UNIT_SECONDS = {0: 60, 1: 3600, 2: 86400, 10: 10800, 11: 21600, 12: 43200, 13: 1}
 
 
+#: Decode guard for counts read from FOREIGN bytes (grid ni*nj, n_points,
+#: complex-packing group counts): these size numpy allocations, so a forged
+#: 2^32 count would hang the parser in a multi-GiB alloc before any payload
+#: check could fire. 2^28 points (2 GiB of float64 per message) is beyond
+#: any single deliverable GRIB2 message (ECMWF O1280 ~6.6e6; km-scale
+#: global fields ship sharded); raise the named error, never allocate.
+_MAX_POINTS = 1 << 28
+
+
 def parse_grib2(content: bytes, select=None) -> list[GRIB2Message]:
     """Decode every message, or — with ``select`` — only matching ones.
 
@@ -122,7 +131,16 @@ def parse_grib2(content: bytes, select=None) -> list[GRIB2Message]:
         if edition != 2:
             raise GRIB2Error(f"GRIB edition {edition} (use sources/grib1 for ed.1)")
         total_len = _u(content, pos + 8, 8)
-        msg = _parse_message(content[pos : pos + total_len], select)
+        if total_len < 16:
+            raise GRIB2Error(f"GRIB2 total length {total_len} shorter than header")
+        try:
+            msg = _parse_message(content[pos : pos + total_len], select)
+        except GRIB2Error:
+            raise
+        except (ValueError, IndexError, OverflowError, struct.error) as exc:
+            # foreign/corrupt bytes must surface as the ONE contract
+            # exception, never a raw numpy/struct error (the blosc lesson)
+            raise GRIB2Error(f"malformed GRIB2 message: {exc}") from exc
         if msg is not None:
             msgs.append(msg)
         pos += total_len
@@ -145,6 +163,9 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
 
     while p < len(m) - 4:
         sec_len = _u(m, p, 4)
+        if sec_len < 5:  # 4 length octets + 1 number octet is the spec floor;
+            # a forged 0 would otherwise freeze the section walk in place
+            raise GRIB2Error(f"section length {sec_len} below the 5-octet floor")
         sec_num = m[p + 4]
         s = m[p : p + sec_len]
         if sec_num == 1:
@@ -228,9 +249,12 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 )
             if tmpl not in (0, 2, 3, 41, 42):
                 raise GRIB2Error(f"data representation template 5.{tmpl} not supported")
+            n_claimed = _u(s, 5, 4)
+            if n_claimed > _MAX_POINTS:  # same decode guard as the grid dims
+                raise GRIB2Error(f"implausible n_points {n_claimed}")
             packing = {
                 "template": tmpl,
-                "n_points": _u(s, 5, 4),
+                "n_points": n_claimed,
                 "ref": struct.unpack(">f", s[11:15])[0],
                 "binary_scale": _s16(s, 15),
                 "decimal_scale": _s16(s, 17),
@@ -419,6 +443,10 @@ def _unpack_complex(payload: bytes, packing: dict) -> np.ndarray:
     tmpl = packing["template"]
     n = packing["n_points"]
     ng = packing["n_groups"]
+    if ng > n or ng > _MAX_POINTS:
+        # group counts size the refs/widths/lengths allocations; a group
+        # can never cover less than one point, so ng > n is malformed
+        raise GRIB2Error(f"implausible group count {ng} for {n} points")
     pos_bytes = 0
     if tmpl == 3:
         od = packing["extra_octets"]
@@ -495,6 +523,13 @@ def _parse_grid(s: bytes) -> dict:
     if tmpl != 0:
         raise GRIB2Error(f"grid definition template 3.{tmpl} not supported (lat/lon only)")
     ni, nj = _u(s, 30, 4), _u(s, 34, 4)
+    # decode guard: ni/nj are unvalidated claims from foreign bytes, and
+    # they size the coordinate/value allocations — a forged 2^32 count
+    # would otherwise hang the parser in a multi-GiB numpy alloc. 2^31
+    # grid points (16 GiB of float64) is far beyond any deliverable single
+    # message (a 0.01° global field ships sharded, never as one message).
+    if not (0 < ni <= _MAX_POINTS and 0 < nj <= _MAX_POINTS) or ni * nj > _MAX_POINTS:
+        raise GRIB2Error(f"implausible grid dimensions ni={ni} nj={nj}")
     la1, lo1 = _s32(s, 46), _s32(s, 50)
     la2, lo2 = _s32(s, 55), _s32(s, 59)
     scan = s[71]
