@@ -866,3 +866,53 @@ def test_compact_ivf_index_consolidates_without_content_change(spark, embeddings
     assert meta["compactions"] == 1
     # idempotent: a second compact is a no-op
     assert similarity.compact_ivf_index(spark, idx) == {}
+
+
+def test_compact_ivf_atomic_swap_and_crash_recovery(spark, embeddings, tmp_path):
+    """The compact commit must never leave a cell dir missing: the primary
+    path is a renameat2(RENAME_EXCHANGE) swap, and the fallback's crash
+    window (cell renamed aside, replacement not yet landed) is healed by
+    _recover_cells on the next read."""
+    import os
+    from pathlib import Path
+
+    # the atomic-exchange primitive works on this filesystem
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    (a / "x").write_text("A")
+    (b / "x").write_text("B")
+    similarity._exchange_dirs(a, b)
+    assert (a / "x").read_text() == "B" and (b / "x").read_text() == "A"
+
+    halves = [embeddings.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    assigned, centroids = similarity.ivf_index(
+        halves[0], n_cells=3, max_iter=1, engine="dataframe"
+    )
+    idx = str(tmp_path / "ivf_r")
+    similarity.write_ivf_index(assigned, centroids, idx)
+    similarity.append_ivf_index(spark, idx, halves[1])
+    total = embeddings.count()
+    cells_root = Path(idx) / "cells"
+    victim = sorted(cells_root.glob("cell=*"))[0]
+
+    # simulate a crash inside the fallback window: the live cell dir was
+    # renamed aside and the replacement never landed
+    os.rename(victim, cells_root / f"_old_{victim.name}.{os.getpid()}")
+    assert not victim.exists()
+    stored, _c, _m = similarity.read_ivf_index(spark, idx)  # heals on read
+    assert victim.exists()
+    assert stored.count() == total
+
+    # stale leftovers with a live cell are garbage and get swept
+    junk_old = cells_root / f"_old_{victim.name}.99999"
+    junk_tmp = cells_root / f"_compact_{victim.name}.99999"
+    junk_old.mkdir(), junk_tmp.mkdir()
+    similarity._recover_cells(cells_root)
+    assert not junk_old.exists() and not junk_tmp.exists()
+    assert victim.exists()
+
+    # end-to-end compact after recovery still preserves content
+    similarity.compact_ivf_index(spark, idx)
+    stored2, _c2, _m2 = similarity.read_ivf_index(spark, idx)
+    assert stored2.count() == total
+    assert stored2.select("vec_id").distinct().count() == total

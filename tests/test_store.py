@@ -96,6 +96,36 @@ def test_mixed_update_insert_and_append(store, spark, desc, complex_update_df, c
     assert ds.filter(F.col("time") == dt.datetime(2021, 10, 11)).count() == 16
 
 
+def test_mixed_backfill_anchors_previous_end_on_append_leg(tmp_path, spark, desc):
+    """With cadence_bounds set (irregular feed) a mixed update's append leg
+    can be a backfill ending BELOW an overwritten existing time. The
+    single-commit mixed path must still leave the APPEND leg's max in
+    update_previous_end_date — what the old insert-commit-then-append-commit
+    sequence left behind (its append commit wrote last), and what cadence
+    anchoring reads — not the whole-batch max."""
+    from dataclasses import replace
+
+    irr = replace(
+        desc,
+        dataset_name="fake_obs_irr",
+        update_cadence_bounds=(dt.timedelta(days=1), dt.timedelta(days=60)),
+    )
+    # gappy initial: 2021-09-16..20 and 24..25 (hole at 21-23)
+    times = daily("2021-09-16", 5) + daily("2021-09-24", 2)
+    s = GridStore(tmp_path, irr, spark)
+    s.write_initial(spark.createDataFrame(_tall(times, seed=7), schema=irr.schema()))
+    # mixed update: overwrite existing max (insert) + backfill the hole (appends)
+    upd_times = daily("2021-09-21", 3) + [dt.datetime(2021, 9, 25)]
+    res = s.update(spark.createDataFrame(_tall(upd_times, seed=8), schema=irr.schema()))
+    assert res == {"inserts": 1, "appends": 3}
+    props = s.properties()
+    assert props["update_previous_end_date"] == "2021-09-23 00:00:00"
+    # the whole-batch range still describes the update itself
+    assert props["update_date_range"][1] == "2021-09-25 00:00:00"
+    assert s.dataset().count() == 10 * 16
+    s.destroy()
+
+
 def test_insert_skipped_without_allow_overwrite(tmp_path, spark, initial_df, complex_update_df, desc):
     """Scenario 5: allow_overwrite=False → inserts skipped with a warning,
     appends still applied (publish.py:287-293)."""

@@ -796,11 +796,54 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]], dict
         raise FileNotFoundError(f"{path} has no index.json — not a committed IVF index")
     meta = _json.loads(marker.read_text())
     schema = _T.StructType.fromJson(_json.loads(meta["schema"]))
+    _recover_cells(_Path(path) / "cells")
     return (
         spark.read.schema(schema).parquet(f"{path}/cells"),
         meta["centroids"],
         meta,
     )
+
+
+def _recover_cells(cells_root) -> None:
+    """Finish or discard an interrupted :func:`compact_ivf_index` swap.
+
+    The fallback (non-exchange) swap has a window where ``cell=N`` is
+    renamed to ``_old_cell=N.<pid>`` but the consolidated dir has not yet
+    taken its place; a crash there leaves the inverted list invisible
+    (Spark skips ``_``-prefixed dirs). One glob detects leftovers: an
+    ``_old_`` dir whose live cell is missing is renamed back (the old
+    files ARE the committed data until the swap completes); any other
+    ``_old_``/``_compact_`` dir is garbage from a completed or abandoned
+    swap and is removed."""
+    import shutil as _shutil
+
+    for leftover in cells_root.glob("_old_cell=*"):
+        live = cells_root / leftover.name[len("_old_") :].split(".", 1)[0]
+        if not live.exists():
+            leftover.rename(live)
+        else:
+            _shutil.rmtree(leftover, ignore_errors=True)
+    for leftover in cells_root.glob("_compact_cell=*"):
+        _shutil.rmtree(leftover, ignore_errors=True)
+
+
+def _exchange_dirs(a, b) -> None:
+    """Atomically exchange two directories via Linux ``renameat2`` with
+    ``RENAME_EXCHANGE``; raises OSError where the syscall or filesystem
+    does not support it (caller falls back to a verified two-rename)."""
+    import ctypes
+    import os as _os
+
+    libc = ctypes.CDLL(None, use_errno=True)
+    renameat2 = libc.renameat2  # glibc >= 2.28; AttributeError else
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    rc = renameat2(
+        AT_FDCWD, _os.fsencode(str(a)), AT_FDCWD, _os.fsencode(str(b)), RENAME_EXCHANGE
+    )
+    if rc != 0:
+        err = ctypes.get_errno()
+        raise OSError(err, _os.strerror(err))
 
 
 def search_ivf_index(
@@ -911,14 +954,21 @@ def semdedup_census(
             [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]
         )
         snorm = np.linalg.norm(smat, axis=1)
-        sunit = np.divide(smat, snorm[:, None], where=snorm[:, None] > 0)
+        # out= zeroes the zero-norm rows deterministically; without it the
+        # where= skip leaves uninitialized memory that would flow through
+        # the BLAS matmul before the cos overwrites mask it
+        sunit = np.divide(
+            smat, snorm[:, None], out=np.zeros_like(smat), where=snorm[:, None] > 0
+        )
         szero = snorm == 0
 
         @F.pandas_udf("bigint")
         def _cluster(v: pd.Series) -> pd.Series:
             mat = np.stack(v.to_numpy()).astype(np.float64)
             vnorm = np.linalg.norm(mat, axis=1)
-            vunit = np.divide(mat, vnorm[:, None], where=vnorm[:, None] > 0)
+            vunit = np.divide(
+                mat, vnorm[:, None], out=np.zeros_like(mat), where=vnorm[:, None] > 0
+            )
             cos = vunit @ sunit.T
             cos[:, szero] = -1.0
             cos[vnorm == 0, :] = -1.0
@@ -1038,11 +1088,16 @@ def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
     are rewritten into consolidated files; untouched cells keep their
     files byte-identical.
 
-    The rewrite stages into a sibling directory and commits by directory
-    swap AFTER the marker is rewritten pointing at the new generation —
-    readers that already resolved the old ``cells`` listing keep reading
-    the old files until the swap, and the swap is a rename (atomic per
-    cell-dir on POSIX). Returns {cell: n_files_rewritten}."""
+    The rewrite stages into a ``_``-prefixed sibling directory (invisible
+    to Spark readers) and commits per cell with ``renameat2(RENAME_
+    EXCHANGE)`` — a true atomic swap: at no instant is the cell dir
+    missing or doubled. Where the syscall or filesystem lacks exchange
+    support, the fallback is rename-aside + rename-into-place, and the
+    aside copy is deleted only after verifying the new dir is in place
+    with its data file; a crash inside the fallback window is healed by
+    :func:`_recover_cells`, which every ``read_ivf_index`` runs (an
+    ``_old_`` dir whose live cell is missing is renamed back). Returns
+    {cell: n_files_rewritten}."""
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -1050,6 +1105,7 @@ def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
 
     _assigned, _centroids, meta = read_ivf_index(spark, path)
     cells_root = _Path(path) / "cells"
+    _recover_cells(cells_root)
     crowded: dict[str, int] = {}
     for cell_dir in sorted(cells_root.glob("cell=*")):
         n = sum(1 for p in cell_dir.glob("*.parquet"))
@@ -1072,12 +1128,23 @@ def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
             .write.mode("overwrite")
             .parquet(str(tmp_dir))
         )
-        # swap: marker untouched (schema/centroids unchanged); the rename
-        # pair is the per-cell commit point
-        back_dir = cells_root / f"_old_{name}.{_os.getpid()}"
-        _os.rename(old_dir, back_dir)
-        _os.rename(tmp_dir, old_dir)
-        _shutil.rmtree(back_dir)
+        # per-cell commit point; marker untouched (schema/centroids same)
+        try:
+            _exchange_dirs(old_dir, tmp_dir)
+            _shutil.rmtree(tmp_dir)  # now holds the superseded files
+        except (OSError, AttributeError):
+            # no RENAME_EXCHANGE: rename-aside, rename-into-place, and only
+            # delete the aside copy after verifying the live dir took —
+            # _recover_cells heals the window if we crash between renames
+            back_dir = cells_root / f"_old_{name}.{_os.getpid()}"
+            _os.rename(old_dir, back_dir)
+            _os.rename(tmp_dir, old_dir)
+            if old_dir.is_dir() and any(old_dir.glob("*.parquet")):
+                _shutil.rmtree(back_dir)
+            else:  # pragma: no cover - defensive: restore and abort
+                _shutil.rmtree(old_dir, ignore_errors=True)
+                _os.rename(back_dir, old_dir)
+                raise OSError(f"compact swap failed to land for {name}")
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     tmp = f"{path}/index.json.tmp.{_os.getpid()}"
     with open(tmp, "w") as f:

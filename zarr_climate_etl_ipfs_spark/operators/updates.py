@@ -127,6 +127,11 @@ class UpdateValidation:
     # which would cost two extra Spark actions per update.
     n_inserts: int = 0
     n_appends: int = 0
+    # Max time of the APPEND leg (None when pure-insert) — store.update's
+    # mixed path anchors update_previous_end_date on it so the property
+    # matches what the old insert-commit-then-append-commit sequence left
+    # behind (the append commit wrote last). Same aggregation pass.
+    last_append: dt.datetime | None = None
 
 
 def validate_update(
@@ -227,4 +232,10 @@ def validate_update(
                 f"append set has internal gaps: {n_app} steps but "
                 f"only {stats['n_grid']} distinct cadence-grid positions"
             )
-    return UpdateValidation(not errors, errors, n_inserts=n_ins, n_appends=n_app)
+    return UpdateValidation(
+        not errors,
+        errors,
+        n_inserts=n_ins,
+        n_appends=n_app,
+        last_append=stats["last_append"],
+    )

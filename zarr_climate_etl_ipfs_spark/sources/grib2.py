@@ -525,9 +525,10 @@ def _parse_grid(s: bytes) -> dict:
     ni, nj = _u(s, 30, 4), _u(s, 34, 4)
     # decode guard: ni/nj are unvalidated claims from foreign bytes, and
     # they size the coordinate/value allocations — a forged 2^32 count
-    # would otherwise hang the parser in a multi-GiB numpy alloc. 2^31
-    # grid points (16 GiB of float64) is far beyond any deliverable single
-    # message (a 0.01° global field ships sharded, never as one message).
+    # would otherwise hang the parser in a multi-GiB numpy alloc. 2^28
+    # grid points (2 GiB of float64, per _MAX_POINTS) is far beyond any
+    # deliverable single message (a 0.01° global field ships sharded,
+    # never as one message).
     if not (0 < ni <= _MAX_POINTS and 0 < nj <= _MAX_POINTS) or ni * nj > _MAX_POINTS:
         raise GRIB2Error(f"implausible grid dimensions ni={ni} nj={nj}")
     la1, lo1 = _s32(s, 46), _s32(s, 50)

@@ -638,14 +638,29 @@ class GridStore:
             # Conflict semantics follow insert: the rewritten buckets were
             # computed against this snapshot, so a racing commit is a true
             # conflict (no retry).
-            self._update_mixed(df, inserts, dry_run)
+            self._update_mixed(df, inserts, dry_run, last_append=val.last_append)
         return {"inserts": n_ins, "appends": n_app}
 
-    def _update_mixed(self, df: DataFrame, inserts: DataFrame, dry_run: bool) -> None:
+    def _update_mixed(
+        self,
+        df: DataFrame,
+        inserts: DataFrame,
+        dry_run: bool,
+        last_append: Any = None,
+    ) -> None:
         """Single staged write + single commit for an insert+append update.
         Every row of ``df`` is one leg or the other (its distinct times ARE
         the update key set), so the whole frame is the new-rows leg; only
-        insert-touched buckets need their surviving rows carried over."""
+        insert-touched buckets need their surviving rows carried over.
+
+        ``update_previous_end_date`` is re-anchored on ``last_append`` (the
+        append leg's max, from the validator's aggregation) after the
+        commit: the commit's observed range spans BOTH legs, and with
+        ``cadence_bounds`` set an irregular backfill append can end below
+        an overwritten existing time — the old insert-then-append sequence
+        left the append leg's max in the property (its commit wrote last),
+        and cadence anchoring must keep reading that, not the whole-batch
+        max."""
         if dry_run:
             return
         td = self.desc.time_dim
@@ -682,6 +697,8 @@ class GridStore:
             self._commit(
                 "update", untouched + files, obs.get, base_version=m["version"]
             )
+            if last_append is not None:  # metadata-only patch, no Spark action
+                self.set_properties(update_previous_end_date=str(last_append))
         finally:
             self._flag_update(False, append_only=False)
 
