@@ -186,6 +186,67 @@ def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
 
 
+def _scratch_root(kind: str, sf_dir: str) -> str:
+    """Per-(kind, sf_dir, PROCESS) scratch path for the store-building
+    catalog queries. The pid component makes concurrent harnesses (pytest
+    alongside tools/check.py was the observed collision: one process's
+    destroy() raced the other's read on a shared fixed path) race-free
+    while keeping within-process memoization (index-once/search-many).
+    Stale roots left by DEAD pids under the same (kind, sf_dir) tag are
+    swept here — never live ones, so the sweep cannot reintroduce the
+    race (pid liveness via signal 0)."""
+    import hashlib as _hashlib
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = _tempfile.gettempdir()
+    prefix = f"spark_graft_{kind}_{tag}."
+    try:
+        for name in _os.listdir(base):
+            if not name.startswith(prefix):
+                continue
+            m = _re.fullmatch(_re.escape(prefix) + r"(\d+)", name)
+            if not m or int(m.group(1)) == _os.getpid():
+                continue
+            try:
+                _os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                _shutil.rmtree(f"{base}/{name}", ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid: leave it
+    except OSError:
+        pass
+    return f"{base}/{prefix}{_os.getpid()}"
+
+
+def _corpus_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap identity of an input table for index-memo invalidation: total
+    byte size + newest mtime of the parquet path (file or directory). If
+    the corpus at sf_dir is regenerated within one session, the
+    fingerprint moves and a memoized on-disk index is rebuilt instead of
+    silently serving stale vectors against a fresh oracle."""
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if _os.path.isdir(path):
+            size = mtime = 0
+            for root, _dirs, files in _os.walk(path):
+                for fn in files:
+                    st = _os.stat(f"{root}/{fn}")
+                    size += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns)
+        else:
+            st = _os.stat(path)
+            size, mtime = st.st_size, st.st_mtime_ns
+    except OSError:
+        return "absent"
+    return f"{size}.{mtime}"
+
+
 # Scale note shared by the shingle/hash family below: a deterministic filter
 # on a derived column (e.g. ``size(grams) > 0``) gets pushed through the
 # t_wide repartition with the whole tokenize→shingle subtree INLINED into
@@ -6087,8 +6148,7 @@ def zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # deterministic per-sf_dir scratch store, overwritten per run; the
     # returned frame stays lazy, so the store must outlive this call
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    store = f"{_tempfile.gettempdir()}/spark_graft_zarr_rt_{tag}"
+    store = _scratch_root("zarr_rt", sf_dir)
     fill = -(2**62)  # unreachable by any cents sum at catalog scale
     write_zarr_tall(
         grid,
@@ -6656,8 +6716,7 @@ def grib2_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # deterministic per-sf_dir scratch store, overwritten per run; the
     # returned frame stays lazy, so the store must outlive this call
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    store = f"{_tempfile.gettempdir()}/spark_graft_grib_rt_{tag}"
+    store = _scratch_root("grib_rt", sf_dir)
     if _os.path.exists(store):
         _shutil.rmtree(store)
     _os.makedirs(store)
@@ -6685,7 +6744,9 @@ def grib2_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_DISK: dict[str, str] = {}
+#: memo key is (sf_dir, corpus fingerprint): a regenerated corpus at the
+#: same path invalidates the on-disk index instead of serving stale vectors
+_IVF_DISK: dict[tuple[str, str], str] = {}
 
 
 @q(
@@ -6732,15 +6793,15 @@ def ivf_persisted_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t_wide(spark, sf_dir, "embeddings")
-    path = _IVF_DISK.get(sf_dir)
+    memo_key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"))
+    path = _IVF_DISK.get(memo_key)
     if path is None:
         assigned, centroids = ivf_index(emb, n_cells=8, max_iter=1, engine="dataframe")
-        tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        path = f"{_tempfile.gettempdir()}/spark_graft_ivf_{tag}"
+        path = _scratch_root("ivf", sf_dir)
         _shutil.rmtree(path, ignore_errors=True)
         _os.makedirs(path)
         write_ivf_index(assigned, centroids, path, mode="overwrite")
-        _IVF_DISK[sf_dir] = path
+        _IVF_DISK[memo_key] = path
     query = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -7131,8 +7192,7 @@ def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = ranked.filter(F.col("rd").isin(11, 12)).select("day", "la", "lo", "cents")
     upd = ins.unionByName(app)
 
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"{_tempfile.gettempdir()}/spark_graft_store_diff_{tag}"
+    root = _scratch_root("store_diff", sf_dir)
     desc = DatasetDescriptor(
         dataset_name="lifecycle",
         data_var="cents",
@@ -7163,6 +7223,267 @@ def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+@q(
+    "forecast_store_roundtrip",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST((user_id % 3 + 1) * 3600 AS BIGINT) AS step_s,
+             CAST(event_id % 2 AS BIGINT) AS member,
+             CAST(user_id % 2 AS BIGINT) AS la,
+             CAST(event_id % 4 AS BIGINT) AS lo,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) % 100000
+                  AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY day, step_s, member, la, lo
+    ), rd AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rd
+      FROM (SELECT DISTINCT day FROM cells)
+    ), base AS (
+      SELECT c.* FROM cells c JOIN rd ON c.day = rd.day WHERE rd.rd <= 8
+    ), ins AS (
+      SELECT c.day, c.step_s, c.member, c.la, c.lo, c.cents + 5 AS cents
+      FROM cells c JOIN rd ON c.day = rd.day WHERE rd.rd IN (2, 3)
+    ), app AS (
+      SELECT c.* FROM cells c JOIN rd ON c.day = rd.day WHERE rd.rd IN (9, 10)
+    ), finalv AS (
+      SELECT * FROM base WHERE day NOT IN (SELECT day FROM ins)
+      UNION ALL SELECT * FROM ins
+      UNION ALL SELECT * FROM app
+    )
+    SELECT CAST(day AS TIMESTAMP) AS frt, step_s, member,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_cells
+    FROM finalv GROUP BY frt, step_s, member ORDER BY frt, step_s, member
+    """,
+)
+def forecast_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The category-driven 5-D ENSEMBLE store under the oracle gate
+    (reference utils/transform.py:707-744 ``set_key_dims``: forecast_
+    reference_time x step x ensemble x latitude x longitude — previously
+    pytest-only, no catalog row exercised a step/ensemble column): pivot
+    events into an ensemble-shaped grid of exact integer cents, write the
+    first 8 reference times through GridStore with the ensemble
+    descriptor, run one mixed update (whole-slice inserts on reference
+    times 2-3 with shifted values + bridging appends of 9-10 — the key
+    split runs on the category's time_dim, forecast_reference_time), then
+    read the store back and aggregate per (reference time, step, member).
+    Any appended row mis-bucketed under the 5-D schema, a step/ensemble
+    column lost in the store round-trip, or a slice not replaced whole
+    surfaces as a value-hash mismatch vs the oracle's independent
+    recomputation."""
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.sources.store import GridStore
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            ((F.col("user_id") % 3 + 1) * 3600).cast("long").alias("step_s"),
+            (F.col("event_id") % 2).cast("long").alias("member"),
+            (F.col("user_id") % 2).cast("long").alias("la"),
+            (F.col("event_id") % 4).cast("long").alias("lo"),
+        )
+        .agg(
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) % 100000)
+            .alias("cents")
+        )
+    )
+    wd = Window.orderBy("day")
+    rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
+    # materialized once: four store actions branch off it (store_lifecycle_
+    # diff's localCheckpoint pattern); tiny frame, n_days x <=48 cells
+    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    out_schema = (
+        "frt timestamp, step_s bigint, member bigint, sum_cents bigint, n_cells bigint"
+    )
+    n_days = ranked.agg(F.max("rd")).first()[0] or 0
+    if n_days == 0:
+        return spark.createDataFrame([], out_schema)
+
+    def to_store_schema(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("day").cast("timestamp").alias("forecast_reference_time"),
+            F.col("step_s").cast("long").alias("step"),
+            F.col("member").cast("int").alias("ensemble"),
+            F.col("la").cast("float").alias("latitude"),
+            F.col("lo").cast("float").alias("longitude"),
+            F.col("cents").cast("float").alias("cents"),
+        )
+
+    cols = ["day", "step_s", "member", "la", "lo"]
+    base = ranked.filter(F.col("rd") <= 8).select(*cols, "cents")
+    ins = ranked.filter(F.col("rd").isin(2, 3)).select(
+        *cols, (F.col("cents") + 5).alias("cents")
+    )
+    app = ranked.filter(F.col("rd").isin(9, 10)).select(*cols, "cents")
+
+    desc = DatasetDescriptor(
+        dataset_name="forecast_rt",
+        data_var="cents",
+        dataset_category="ensemble",
+        time_bucket="month",
+        allow_overwrite=True,
+    )
+    root = _scratch_root("forecast_rt", sf_dir)
+    gs = GridStore(root, desc, spark)
+    gs.destroy()
+    gs.write_initial(to_store_schema(base))
+    if n_days >= 2:  # the insert leg (ranks 2-3) exists => update non-empty
+        gs.update(to_store_schema(ins.unionByName(app)))
+    return (
+        gs.dataset()
+        .groupBy(
+            F.col("forecast_reference_time").alias("frt"),
+            F.col("step").cast("long").alias("step_s"),
+            F.col("ensemble").cast("long").alias("member"),
+        )
+        .agg(
+            F.sum(F.col("cents").cast("long")).cast("bigint").alias("sum_cents"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("frt", "step_s", "member")
+    )
+
+
+@q(
+    "catalog_lifecycle",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(user_id % 4 AS DOUBLE) * 10 AS la,
+             CAST(event_id % 4 AS DOUBLE) * 20 AS lo
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ), rd AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rd
+      FROM (SELECT DISTINCT day FROM cells)
+    ), tagged AS (
+      SELECT c.day, c.la, c.lo,
+             CASE WHEN rd.rd <= 4 THEN 1 WHEN rd.rd <= 8 THEN 2
+                  ELSE 3 END AS v
+      FROM cells c JOIN rd ON c.day = rd.day
+      WHERE rd.rd <= 12
+    ), per AS (
+      SELECT v,
+             CAST(MIN(day) AS TIMESTAMP) AS start_ts,
+             CAST(MAX(day) AS TIMESTAMP) AS end_ts,
+             MIN(lo) AS min_lon, MIN(la) AS min_lat,
+             MAX(lo) AS max_lon, MAX(la) AS max_lat
+      FROM tagged GROUP BY v
+    )
+    SELECT CAST(v AS BIGINT) AS version, start_ts, end_ts,
+           min_lon, min_lat, max_lon, max_lat,
+           CAST(CASE WHEN v > 1 THEN v - 1 END AS BIGINT) AS prev_version,
+           CAST(MIN(start_ts) OVER () AS TIMESTAMP) AS coll_start,
+           CAST(MAX(end_ts) OVER () AS TIMESTAMP) AS coll_end,
+           MIN(min_lon) OVER () AS coll_min_lon,
+           MAX(max_lon) OVER () AS coll_max_lon
+    FROM per ORDER BY version
+    """,
+)
+def catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STAC catalog lifecycle (M1-M7, plans/catalog.py — previously
+    pytest-only) under the oracle gate: publish THREE disjoint time slices
+    of an events-derived grid as successive item versions of one
+    collection (create_or_update_collection widens the extent union per
+    publish; register_item chains prev links — the IPNS hash-chain
+    analog, reference metadata.py:342-525), then walk the prev-chain back
+    and read the collection's unioned extent. The readout is one row per
+    published version with its item extent, its prev pointer, and the
+    final collection union; the oracle recomputes all of it from the same
+    slice assignment — a broken prev chain, a version misnumbered, or an
+    extent union that failed to widen all hash-mismatch. Extent inputs
+    are exact integer-valued doubles, so bbox rounding is lossless."""
+    import datetime as _dt
+    import json as _json
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.plans.catalog import StacCatalog
+
+    ev = t(spark, sf_dir, "events")
+    cells = ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        F.to_date("ts").alias("day"),
+        ((F.col("user_id") % 4).cast("double") * 10).alias("la"),
+        ((F.col("event_id") % 4).cast("double") * 20).alias("lo"),
+    )
+    wd = Window.orderBy("day")
+    rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
+    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    out_schema = (
+        "version bigint, start_ts timestamp, end_ts timestamp, "
+        "min_lon double, min_lat double, max_lon double, max_lat double, "
+        "prev_version bigint, coll_start timestamp, coll_end timestamp, "
+        "coll_min_lon double, coll_max_lon double"
+    )
+    n_days = ranked.agg(F.max("rd")).first()[0] or 0
+    if n_days == 0:
+        return spark.createDataFrame([], out_schema)
+
+    root = _scratch_root("stac_lc", sf_dir)
+    _shutil.rmtree(root, ignore_errors=True)  # item versions count from 1
+    desc = DatasetDescriptor(dataset_name="catalog_lc", data_var="v")
+    cat = StacCatalog(root)
+    for k, (lo_rd, hi_rd) in enumerate(((1, 4), (5, 8), (9, 12)), start=1):
+        if n_days < lo_rd:
+            break
+        win = ranked.filter(F.col("rd").between(lo_rd, hi_rd)).select(
+            F.col("day").cast("timestamp").alias("time"),
+            F.col("la").alias("latitude"),
+            F.col("lo").alias("longitude"),
+        )
+        cat.create_or_update_collection(desc, win)
+        cat.register_item(desc, win, data_href=f"store://catalog_lc/v{k}")
+    coll = _json.loads(
+        (_Path(root) / "catalog_lc" / "collection.json").read_text()
+    )
+    cb = coll["extent"]["spatial"]["bbox"][0]
+    ci = coll["extent"]["temporal"]["interval"][0]
+
+    def _ts(s: str) -> _dt.datetime:
+        return _dt.datetime.fromisoformat(s.rstrip("Z"))
+
+    rows = []
+    for item in cat.item_history("catalog_lc"):  # newest -> oldest
+        version = int(item["id"].rsplit("-v", 1)[1])
+        prev = next(
+            (link for link in item["links"] if link["rel"] == "prev"), None
+        )
+        p = item["properties"]
+        rows.append(
+            (
+                version,
+                _ts(p["start_datetime"]),
+                _ts(p["end_datetime"]),
+                float(item["bbox"][0]),
+                float(item["bbox"][1]),
+                float(item["bbox"][2]),
+                float(item["bbox"][3]),
+                version - 1 if prev is not None else None,
+                _ts(ci[0]),
+                _ts(ci[1]),
+                float(cb[0]),
+                float(cb[2]),
+            )
+        )
+    return spark.createDataFrame(rows, out_schema).orderBy("version")
 
 
 @q(
@@ -7343,8 +7664,7 @@ def zarr_v3_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"))
     )
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    store = f"{_tempfile.gettempdir()}/spark_graft_zarr3_rt_{tag}"
+    store = _scratch_root("zarr3_rt", sf_dir)
     fill = -(2**62)
     write_zarr_tall(
         grid,
@@ -7424,9 +7744,8 @@ def kerchunk_refs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"))
     )
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src_store = f"{_tempfile.gettempdir()}/spark_graft_kc_src_{tag}"
-    dst_store = f"{_tempfile.gettempdir()}/spark_graft_kc_dst_{tag}"
+    src_store = _scratch_root("kc_src", sf_dir)
+    dst_store = _scratch_root("kc_dst", sf_dir)
     fill = -(2**62)
     summary = write_zarr_tall(
         grid,
@@ -7548,8 +7867,7 @@ def store_compact_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("float").alias("cents"),
         )
 
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"{_tempfile.gettempdir()}/spark_graft_store_compact_{tag}"
+    root = _scratch_root("store_compact", sf_dir)
     desc = DatasetDescriptor(
         dataset_name="compaction", data_var="cents", time_bucket="month"
     )
@@ -7573,7 +7891,8 @@ def store_compact_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_INC_DISK: dict[str, str] = {}
+#: same (sf_dir, fingerprint) keying as _IVF_DISK
+_IVF_INC_DISK: dict[tuple[str, str], str] = {}
 
 
 @q(
@@ -7620,19 +7939,19 @@ def ivf_incremental_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t_wide(spark, sf_dir, "embeddings")
-    path = _IVF_INC_DISK.get(sf_dir)
+    memo_key = (sf_dir, _corpus_fingerprint(sf_dir, "embeddings"))
+    path = _IVF_INC_DISK.get(memo_key)
     if path is None:
         base = emb.filter(F.col("vec_id") % 2 == 0)
         late = emb.filter(F.col("vec_id") % 2 != 0)
         assigned, centroids = ivf_index(base, n_cells=8, max_iter=1, engine="dataframe")
-        tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        path = f"{_tempfile.gettempdir()}/spark_graft_ivf_inc_{tag}"
+        path = _scratch_root("ivf_inc", sf_dir)
         _shutil.rmtree(path, ignore_errors=True)
         _os.makedirs(path)
         write_ivf_index(assigned, centroids, path, mode="overwrite")
         if centroids and late.head(1):  # empty corpora: nothing to append
             append_ivf_index(spark, path, late)
-        _IVF_INC_DISK[sf_dir] = path
+        _IVF_INC_DISK[memo_key] = path
     query = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
