@@ -278,11 +278,127 @@ def test_tiff_dispatch_and_compressed_raises():
     blob = mc.encode_tiff(img)
     out, meta = mc.decode_image(blob)
     assert np.array_equal(out, img) and meta["format"] == "tiff"
-    # flip the compression tag (259) to LZW (5): must raise naming LZW
+    # flip the compression tag (259) to JPEG (6): must raise naming JPEG
+    # (LZW, the old seam here, is now a supported codec — tests below)
     bo_idx = blob.index(b"\x03\x01")  # tag 259 little-endian in IFD
-    hacked = blob[: bo_idx + 8] + b"\x05\x00\x00\x00" + blob[bo_idx + 12 :]
-    with pytest.raises(NotImplementedError, match="LZW"):
+    hacked = blob[: bo_idx + 8] + b"\x06\x00\x00\x00" + blob[bo_idx + 12 :]
+    with pytest.raises(NotImplementedError, match="JPEG"):
         mc.decode_tiff(hacked)
+
+
+def _pack_msb(codes_widths):
+    """Independent MSB-first bit packer for the hand-pinned LZW vectors."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_hand_vector():
+    """The TIFF6 §13 conventions pinned token-by-token: CLEAR=256, EOI=257,
+    first dynamic code 258, MSB-first packing, all codes 9-bit for this
+    short payload. Code sequence derived by hand from the greedy algorithm
+    on 7 7 7 8 8 7 7 6 6: 256 | 7 | 258(=77) | 8 | 8 | 258 | 6 | 6 | 257."""
+    payload = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    stream = _pack_msb([(c, 9) for c in (256, 7, 258, 8, 8, 258, 6, 6, 257)])
+    assert mc._tiff_lzw_encode(payload) == stream
+    assert mc._tiff_lzw_decode(stream, len(payload)) == payload
+
+
+def test_tiff_lzw_early_change_boundary():
+    """The 9->10 width switch happens ONE CODE EARLIER than GIF (the spec's
+    'early change'): a 256-byte all-distinct ramp emits literals 0..255;
+    the decoder performs its 253rd table add while consuming literal 253,
+    reaching table size 511 = 2^9 - 1, so literal 254 onward reads at 10
+    bits. The stream here is built by the independent packer from that
+    hand-derived schedule — if either side's width rule drifts, this
+    fails."""
+    ramp = bytes(range(256))
+    codes = [(256, 9)] + [(i, 9) for i in range(254)]
+    codes += [(254, 10), (255, 10), (257, 10)]
+    stream = _pack_msb(codes)
+    assert mc._tiff_lzw_decode(stream, len(ramp)) == ramp
+    assert mc._tiff_lzw_encode(ramp) == stream
+
+
+def test_tiff_lzw_roundtrip_shapes():
+    """Round-trips across the structurally distinct regimes: the KwKwK
+    deferred-code case (runs), table growth through every width (large
+    varied data crosses 511/1023/2047 and the 4094 CLEAR restart), empty
+    payload, and incompressible bytes."""
+    rng = np.random.RandomState(7)
+    cases = [
+        b"",
+        b"a" * 1000,  # KwKwK: code == len(table) on the second symbol
+        bytes(range(256)) * 40,
+        rng.randint(0, 256, 200_000, dtype=np.uint8).tobytes(),  # CLEAR restart
+        bytes(rng.randint(0, 4, 50_000, dtype=np.uint8)),  # low-entropy
+    ]
+    for payload in cases:
+        enc = mc._tiff_lzw_encode(payload)
+        assert mc._tiff_lzw_decode(enc, len(payload)) == payload
+    # the random 200k case really exercised a table restart
+    big = rng.randint(0, 256, 200_000, dtype=np.uint8).tobytes()
+    assert len(mc._tiff_lzw_encode(big)) > 4096 * 12 // 8
+
+
+def test_tiff_lzw_bomb_guard():
+    """A stream expanding past the declared strip size must raise, not
+    allocate: compress 1 MiB of zeros, declare 1000 bytes."""
+    enc = mc._tiff_lzw_encode(b"\x00" * (1 << 20))
+    with pytest.raises(mc.MediaDecodeError, match="exceeds declared"):
+        mc._tiff_lzw_decode(enc, 1000)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.sampled_from([1, 2]),
+    st.sampled_from([None, 3]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_lzw_file_roundtrip_property(h, w, c, big_endian, predictor, rps, seed):
+    """Whole-file LZW TIFFs round-trip across byte orders, the horizontal-
+    differencing predictor, and multi-strip layout (each strip is an
+    independent LZW stream)."""
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+    blob = mc.encode_tiff(
+        img, big_endian=big_endian, compression="lzw",
+        predictor=predictor, rows_per_strip=rps,
+    )
+    out, meta = mc.decode_tiff(blob)
+    assert np.array_equal(out, img)
+    assert meta["compression"] == "lzw"
+
+
+def test_tiff_lzw_fuzz_fails_cleanly():
+    """Mutated LZW TIFFs must decode or raise the contract error — never
+    hang, alloc-bomb, or leak a foreign exception (the grib2/blosc
+    hardening bar)."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 13, 3), dtype=np.uint8)
+    base = bytearray(mc.encode_tiff(img, compression="lzw", predictor=2,
+                                    rows_per_strip=5))
+    for trial in range(2000):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if trial % 5 == 0:
+            blob = blob[: rng.randint(8, len(blob))]
+        try:
+            mc.decode_tiff(bytes(blob))
+        except (mc.MediaDecodeError, NotImplementedError):
+            pass
 
 
 def test_tiff_rejects_garbage():

@@ -394,8 +394,121 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar_config",
+    317: "predictor",
 }
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (TIFF6 spec §13) — the same algorithm as
+    ``_gif_lzw_decode`` above with TIFF's three layout differences:
+    MSB-first bit packing (GIF is LSB-first), a fixed 8-bit alphabet
+    (CLEAR=256, EOI=257, first dynamic code 258), and the spec's "early
+    change" — code width grows when the code 2^width - 1 is ADDED to the
+    table, one step before the table strictly requires it (the TIFF6
+    pseudocode's documented off-by-one vs GIF), max width 12.
+
+    ``max_out`` caps the expanded size at the strip's declared byte count
+    — the same decompression-bomb guard as the GIF path: a crafted
+    few-KB stream must not allocate unbounded memory before any size
+    check (table growth is bounded by it too: every table add first
+    appended at least one output byte)."""
+    CLEAR, EOI = 256, 257
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1  # trim consumed high bits (MSB-first
+            # packing never shifts them out, and an untrimmed acc grows
+            # into an O(stream)-bit bignum -> quadratic decode)
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if code < len(table) and code != 256 and code != 257:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK deferred case
+            else:
+                raise MediaDecodeError(f"TIFF LZW: bad code {code}")
+            out += entry
+            if len(out) > max_out:
+                raise MediaDecodeError(
+                    f"TIFF LZW: output exceeds declared strip size "
+                    f"({len(out)} > {max_out})"
+                )
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1  # early change: switch as 511/1023/2047 lands
+            prev = entry
+    raise MediaDecodeError("TIFF LZW: stream ended without EOI")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Greedy TIFF-variant LZW encoder (round-trip counterpart of
+    ``_tiff_lzw_decode``; exists so tests exercise real compressed strips
+    and the catalog's format rotation can emit LZW TIFFs): MSB-first
+    packing, early-change width schedule mirroring the decoder, CLEAR
+    emitted when the 12-bit table is one code from full (4094 — libtiff's
+    restart point, keeping the decoder's deferred-code case reachable)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1  # same bignum trim as the decoder
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for i in range(len(data)):
+        b = data[i : i + 1]
+        k = w + b
+        if k in table:
+            w = k
+            continue
+        emit(table[w])
+        table[k] = next_code
+        next_code += 1
+        # width-sync law (see the GIF pair above): the decoder's add for
+        # OUR add #m happens one code later, so a decoder that bumps at
+        # table size X needs an encoder that bumps at next_code == X + 1.
+        # TIFF early change: X = 2^width - 1, hence bump at 2^width.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:
+            emit(CLEAR)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+        w = b
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 @_clean_errors
@@ -425,6 +538,11 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         else:
             (off,) = struct.unpack(bo + "I", content[e + 8 : e + 12])
             raw = content[off : off + size]
+        if len(raw) < size:
+            # forged count/offset: the data would lie past EOF — raise
+            # BEFORE building the fmt string (fmt * count with a 2^31
+            # count is a multi-GiB allocation, the fuzz-found bomb)
+            raise MediaDecodeError(f"TIFF: tag {tag} data out of bounds")
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         tags[name] = list(struct.unpack(bo + fmt * count, raw))
     try:
@@ -432,8 +550,8 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     except KeyError as e:
         raise MediaDecodeError(f"TIFF: missing required tag {e}") from None
     comp = tags.get("compression", [1])[0]
-    if comp != 1:
-        codec = {5: "LZW", 6: "JPEG", 7: "JPEG", 8: "Deflate", 32773: "PackBits"}.get(
+    if comp not in (1, 5):
+        codec = {6: "JPEG", 7: "JPEG", 8: "Deflate", 32773: "PackBits"}.get(
             comp, f"compression={comp}"
         )
         raise NotImplementedError(f"TIFF {codec} — inject a decoder (libtiff/PIL)")
@@ -443,35 +561,85 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         raise MediaDecodeError(f"TIFF: only 8 bits/sample supported, got {bps}")
     if tags.get("planar_config", [1])[0] != 1:
         raise MediaDecodeError("TIFF: planar (non-chunky) layout unsupported")
+    if not (0 < w * h * spp <= 1 << 28):  # same alloc guard family as GRIB2
+        raise MediaDecodeError(f"TIFF: implausible dimensions {w}x{h}x{spp}")
     offsets = tags["strip_offsets"]
     counts = tags.get("strip_byte_counts", [w * h * spp])
-    data = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
+    if comp == 5:
+        # LZW is compressed PER STRIP: each strip decodes independently
+        # against its own declared row span (rows_per_strip, last strip
+        # truncated) — the per-strip cap is the bomb guard.
+        rps = tags.get("rows_per_strip", [h])[0] or h
+        pieces = []
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - i * rps)
+            if nrows <= 0:
+                break
+            pieces.append(_tiff_lzw_decode(content[o : o + c], nrows * w * spp))
+        data = b"".join(pieces)
+    else:
+        data = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
     if len(data) < w * h * spp:
         raise MediaDecodeError(f"TIFF: short strip data ({len(data)} < {w * h * spp})")
     img = np.frombuffer(data[: w * h * spp], dtype=np.uint8).reshape(h, w, spp)
+    if tags.get("predictor", [1])[0] == 2:
+        # Predictor 2 = horizontal differencing per sample: undo with a
+        # wrapping row cumsum (uint8 accumulator wraps mod 256 natively)
+        img = np.cumsum(img, axis=1, dtype=np.uint8)
     # PhotometricInterpretation 0 = WhiteIsZero (the min-is-white flavor
     # many scanners emit): invert so 0 means black like everywhere else
     if tags.get("photometric", [1])[0] == 0:
         img = 255 - img
     return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
-                 "byte_order": "little" if bo == "<" else "big"}
+                 "byte_order": "little" if bo == "<" else "big",
+                 "compression": "lzw" if comp == 5 else "none"}
 
 
-def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
-    """(H, W) or (H, W, C) uint8 → single-strip uncompressed baseline TIFF.
-    Exists so tests round-trip real bytes in both byte orders."""
+def encode_tiff(
+    img: np.ndarray,
+    big_endian: bool = False,
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(H, W) or (H, W, C) uint8 → baseline TIFF, uncompressed or LZW
+    (``compression="lzw"``), optionally with horizontal-differencing
+    predictor 2 and multi-strip layout. Exists so tests round-trip real
+    bytes in both byte orders and both codecs."""
     if img.dtype != np.uint8:
         raise ValueError("encode_tiff wants uint8")
+    if compression not in ("none", "lzw"):
+        raise ValueError(f"encode_tiff: unsupported compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"encode_tiff: unsupported predictor {predictor}")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     bo = ">" if big_endian else "<"
-    pixels = img.tobytes()
+    if predictor == 2:
+        # forward horizontal differencing (uint8 subtraction wraps mod 256,
+        # the exact inverse of the decoder's wrapping cumsum)
+        img = np.concatenate([img[:, :1], img[:, 1:] - img[:, :-1]], axis=1)
     header = b"MM\x00*" if big_endian else b"II*\x00"
-    # layout: header(8) | pixel data | bits_per_sample array (if c>2) | IFD
-    pix_off = 8
-    bps_off = pix_off + len(pixels)
-    ifd_off = bps_off + (2 * c if c > 2 else 0)
+    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+    strips = [img[i : i + rps].tobytes() for i in range(0, h, rps)] or [b""]
+    if compression == "lzw":
+        strips = [_tiff_lzw_encode(s) for s in strips]
+    n = len(strips)
+    # layout: header(8) | strip blobs | bps array (c>2) | offset/count
+    # arrays (n>1) | IFD
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    bps_off = pos
+    pos += 2 * c if c > 2 else 0
+    offs_arr_off = pos
+    pos += 4 * n if n > 1 else 0
+    cnts_arr_off = pos
+    pos += 4 * n if n > 1 else 0
+    ifd_off = pos
     entries = []
 
     def entry(tag: int, typ: int, count: int, value: int) -> None:
@@ -492,17 +660,27 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
         entry(258, 3, 1, 8)
     entry(256, 4, 1, w)
     entry(257, 4, 1, h)
-    entry(259, 3, 1, 1)  # uncompressed
+    entry(259, 3, 1, 5 if compression == "lzw" else 1)
     entry(262, 3, 1, 2 if c >= 3 else 1)  # photometric: RGB / BlackIsZero
-    entry(273, 4, 1, pix_off)  # strip offset
+    if n == 1:
+        entry(273, 4, 1, strip_offs[0])
+        entry(279, 4, 1, len(strips[0]))
+    else:
+        entries.append(struct.pack(bo + "HHII", 273, 4, n, offs_arr_off))
+        entries.append(struct.pack(bo + "HHII", 279, 4, n, cnts_arr_off))
     entry(277, 3, 1, c)
-    entry(278, 4, 1, h)  # rows per strip: single strip
-    entry(279, 4, 1, len(pixels))
+    entry(278, 4, 1, rps)
+    if predictor == 2:
+        entry(317, 3, 1, 2)
     out = bytearray(header)
     out += struct.pack(bo + "I", ifd_off)
-    out += pixels
+    for s in strips:
+        out += s
     if c > 2:
         out += struct.pack(bo + "H" * c, *([8] * c))
+    if n > 1:
+        out += struct.pack(bo + "I" * n, *strip_offs)
+        out += struct.pack(bo + "I" * n, *[len(s) for s in strips])
     out += struct.pack(bo + "H", len(entries))
     for e in sorted(entries, key=lambda b: struct.unpack(bo + "H", b[:2])[0]):
         out += e
