@@ -357,40 +357,74 @@ def test_tiff_lzw_bomb_guard():
         mc._tiff_lzw_decode(enc, 1000)
 
 
-@settings(max_examples=25, deadline=None)
+def test_packbits_spec_vector():
+    """The TIFF6 §9 worked example, an EXTERNAL golden vector: the spec's
+    packed bytes must decode to the spec's unpacked bytes."""
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10)
+    assert mc._packbits_decode(packed, len(unpacked)) == unpacked
+    # our greedy encoder round-trips the same payload (packing may differ)
+    assert mc._packbits_decode(
+        mc._packbits_encode(unpacked), len(unpacked)
+    ) == unpacked
+
+
+def test_packbits_roundtrip_and_guards():
+    rng = np.random.RandomState(3)
+    for payload in (
+        b"",
+        b"\x00" * 500,  # long runs split at 128
+        bytes(rng.randint(0, 256, 10_000, dtype=np.uint8)),  # literals
+        b"ababab" + b"x" * 129 + b"zz",  # mixed, run straddling token cap
+    ):
+        enc = mc._packbits_encode(payload)
+        assert mc._packbits_decode(enc, len(payload)) == payload
+    with pytest.raises(mc.MediaDecodeError, match="exceeds declared"):
+        mc._packbits_decode(mc._packbits_encode(b"\x00" * 1000), 10)
+    with pytest.raises(mc.MediaDecodeError, match="truncated"):
+        mc._packbits_decode(b"\xfe", 100)  # repeat token without its byte
+
+
+@settings(max_examples=30, deadline=None)
 @given(
     st.integers(min_value=1, max_value=24),
     st.integers(min_value=1, max_value=24),
     st.sampled_from([1, 3]),
     st.booleans(),
+    st.sampled_from(["lzw", "deflate", "packbits"]),
     st.sampled_from([1, 2]),
     st.sampled_from([None, 3]),
     st.integers(min_value=0, max_value=2**31 - 1),
 )
-def test_tiff_lzw_file_roundtrip_property(h, w, c, big_endian, predictor, rps, seed):
-    """Whole-file LZW TIFFs round-trip across byte orders, the horizontal-
-    differencing predictor, and multi-strip layout (each strip is an
-    independent LZW stream)."""
+def test_tiff_compressed_file_roundtrip_property(
+    h, w, c, big_endian, compression, predictor, rps, seed
+):
+    """Whole-file compressed TIFFs round-trip across all three codecs,
+    byte orders, the horizontal-differencing predictor, and multi-strip
+    layout (each strip is an independent compressed stream)."""
     img = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
     blob = mc.encode_tiff(
-        img, big_endian=big_endian, compression="lzw",
+        img, big_endian=big_endian, compression=compression,
         predictor=predictor, rows_per_strip=rps,
     )
     out, meta = mc.decode_tiff(blob)
     assert np.array_equal(out, img)
-    assert meta["compression"] == "lzw"
+    assert meta["compression"] == compression
 
 
 def test_tiff_lzw_fuzz_fails_cleanly():
-    """Mutated LZW TIFFs must decode or raise the contract error — never
-    hang, alloc-bomb, or leak a foreign exception (the grib2/blosc
-    hardening bar)."""
+    """Mutated compressed TIFFs must decode or raise the contract error —
+    never hang, alloc-bomb, or leak a foreign exception (the grib2/blosc
+    hardening bar). Rotates all three codecs."""
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, (16, 13, 3), dtype=np.uint8)
-    base = bytearray(mc.encode_tiff(img, compression="lzw", predictor=2,
-                                    rows_per_strip=5))
-    for trial in range(2000):
-        blob = bytearray(base)
+    bases = [
+        bytearray(mc.encode_tiff(img, compression=comp, predictor=2,
+                                 rows_per_strip=5))
+        for comp in ("lzw", "deflate", "packbits")
+    ]
+    for trial in range(2100):
+        blob = bytearray(bases[trial % 3])
         for _ in range(rng.randint(1, 6)):
             blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
         if trial % 5 == 0:

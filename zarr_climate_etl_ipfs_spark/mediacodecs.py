@@ -456,6 +456,65 @@ def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
     raise MediaDecodeError("TIFF LZW: stream ended without EOI")
 
 
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """PackBits (TIFF6 §9, the Apple RLE): control byte n as signed —
+    0..127 copies n+1 literals, -1..-127 repeats the next byte 1-n
+    times, -128 is a no-op. ``max_out`` caps expansion at the strip's
+    declared byte count (a 2-byte run token expands 128x)."""
+    out = bytearray()
+    i = 0
+    n_data = len(data)
+    while i < n_data:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= n_data:
+                raise MediaDecodeError("TIFF PackBits: truncated repeat run")
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+        if len(out) > max_out:
+            raise MediaDecodeError(
+                f"TIFF PackBits: output exceeds declared strip size ({max_out})"
+            )
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits encoder (round-trip counterpart): repeat runs of
+    >= 3 become repeat tokens; everything between becomes literal runs,
+    both capped at 128 per token."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (i - lit_start) < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        if i - lit_start > 128:
+            i = lit_start + 128
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
 def _tiff_lzw_encode(data: bytes) -> bytes:
     """Greedy TIFF-variant LZW encoder (round-trip counterpart of
     ``_tiff_lzw_decode``; exists so tests exercise real compressed strips
@@ -550,10 +609,8 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     except KeyError as e:
         raise MediaDecodeError(f"TIFF: missing required tag {e}") from None
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 5):
-        codec = {6: "JPEG", 7: "JPEG", 8: "Deflate", 32773: "PackBits"}.get(
-            comp, f"compression={comp}"
-        )
+    if comp not in (1, 5, 8, 32773, 32946):
+        codec = {6: "JPEG", 7: "JPEG"}.get(comp, f"compression={comp}")
         raise NotImplementedError(f"TIFF {codec} — inject a decoder (libtiff/PIL)")
     spp = tags.get("samples_per_pixel", [1])[0]
     bps = tags.get("bits_per_sample", [8])
@@ -565,17 +622,33 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         raise MediaDecodeError(f"TIFF: implausible dimensions {w}x{h}x{spp}")
     offsets = tags["strip_offsets"]
     counts = tags.get("strip_byte_counts", [w * h * spp])
-    if comp == 5:
-        # LZW is compressed PER STRIP: each strip decodes independently
-        # against its own declared row span (rows_per_strip, last strip
-        # truncated) — the per-strip cap is the bomb guard.
+    if comp != 1:
+        # LZW (5), Deflate (8 / legacy 32946) and PackBits (32773) are all
+        # compressed PER STRIP: each strip decodes independently against
+        # its own declared row span (rows_per_strip, last strip truncated)
+        # — the per-strip cap is the bomb guard for every codec.
         rps = tags.get("rows_per_strip", [h])[0] or h
         pieces = []
         for i, (o, c) in enumerate(zip(offsets, counts)):
             nrows = min(rps, h - i * rps)
             if nrows <= 0:
                 break
-            pieces.append(_tiff_lzw_decode(content[o : o + c], nrows * w * spp))
+            cap = nrows * w * spp
+            raw = content[o : o + c]
+            if comp == 5:
+                pieces.append(_tiff_lzw_decode(raw, cap))
+            elif comp == 32773:
+                pieces.append(_packbits_decode(raw, cap))
+            else:  # 8 / 32946: zlib stream
+                try:
+                    piece = zlib.decompressobj().decompress(raw, cap + 1)
+                except zlib.error as exc:
+                    raise MediaDecodeError(f"TIFF Deflate: {exc}") from None
+                if len(piece) > cap:
+                    raise MediaDecodeError(
+                        f"TIFF Deflate: output exceeds declared strip size ({cap})"
+                    )
+                pieces.append(piece)
         data = b"".join(pieces)
     else:
         data = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
@@ -590,9 +663,11 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     # many scanners emit): invert so 0 means black like everywhere else
     if tags.get("photometric", [1])[0] == 0:
         img = 255 - img
+    comp_name = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate",
+                 32773: "packbits"}[comp]
     return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
                  "byte_order": "little" if bo == "<" else "big",
-                 "compression": "lzw" if comp == 5 else "none"}
+                 "compression": comp_name}
 
 
 def encode_tiff(
@@ -602,13 +677,13 @@ def encode_tiff(
     predictor: int = 1,
     rows_per_strip: int | None = None,
 ) -> bytes:
-    """(H, W) or (H, W, C) uint8 → baseline TIFF, uncompressed or LZW
-    (``compression="lzw"``), optionally with horizontal-differencing
-    predictor 2 and multi-strip layout. Exists so tests round-trip real
-    bytes in both byte orders and both codecs."""
+    """(H, W) or (H, W, C) uint8 → baseline TIFF: uncompressed, LZW,
+    Deflate, or PackBits (``compression=``), optionally with horizontal-
+    differencing predictor 2 and multi-strip layout. Exists so tests
+    round-trip real bytes in both byte orders and every codec."""
     if img.dtype != np.uint8:
         raise ValueError("encode_tiff wants uint8")
-    if compression not in ("none", "lzw"):
+    if compression not in ("none", "lzw", "deflate", "packbits"):
         raise ValueError(f"encode_tiff: unsupported compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: unsupported predictor {predictor}")
@@ -625,6 +700,10 @@ def encode_tiff(
     strips = [img[i : i + rps].tobytes() for i in range(0, h, rps)] or [b""]
     if compression == "lzw":
         strips = [_tiff_lzw_encode(s) for s in strips]
+    elif compression == "deflate":
+        strips = [zlib.compress(s) for s in strips]
+    elif compression == "packbits":
+        strips = [_packbits_encode(s) for s in strips]
     n = len(strips)
     # layout: header(8) | strip blobs | bps array (c>2) | offset/count
     # arrays (n>1) | IFD
@@ -660,7 +739,7 @@ def encode_tiff(
         entry(258, 3, 1, 8)
     entry(256, 4, 1, w)
     entry(257, 4, 1, h)
-    entry(259, 3, 1, 5 if compression == "lzw" else 1)
+    entry(259, 3, 1, {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression])
     entry(262, 3, 1, 2 if c >= 3 else 1)  # photometric: RGB / BlackIsZero
     if n == 1:
         entry(273, 4, 1, strip_offs[0])
