@@ -7240,6 +7240,115 @@ def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "hindcast_store_roundtrip",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST((user_id % 2 + 1) * 3600 AS BIGINT) AS step_s,
+             CAST(event_id % 2 AS BIGINT) AS member,
+             CAST((user_id % 3) * 86400 AS BIGINT) AS fro,
+             CAST(event_id % 3 AS BIGINT) AS la,
+             CAST(user_id % 4 AS BIGINT) AS lo,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) % 100000
+                  AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY day, step_s, member, fro, la, lo
+    ), rd AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rd
+      FROM (SELECT DISTINCT day FROM cells)
+    ), finalv AS (
+      SELECT c.* FROM cells c JOIN rd ON c.day = rd.day WHERE rd.rd <= 8
+    )
+    SELECT CAST(day AS TIMESTAMP) AS hrt, fro, member,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_cells
+    FROM finalv GROUP BY hrt, fro, member ORDER BY hrt, fro, member
+    """,
+)
+def hindcast_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 6-D HINDCAST category (reference transform.py:707-744:
+    hindcast_reference_time x step x ensemble x forecast_reference_offset
+    x lat x lon) under the oracle gate — the forecast_reference_offset
+    dimension's first catalog row. Initial write of the first 6 reference
+    times, then a PURE bridging append of 7-8 (S14's conflict-retry path
+    under the widest schema; the ensemble twin covers the mixed-update
+    path), read back per (reference time, offset, member)."""
+    from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
+    from zarr_climate_etl_ipfs_spark.sources.store import GridStore
+
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            ((F.col("user_id") % 2 + 1) * 3600).cast("long").alias("step_s"),
+            (F.col("event_id") % 2).cast("long").alias("member"),
+            ((F.col("user_id") % 3) * 86400).cast("long").alias("fro"),
+            (F.col("event_id") % 3).cast("long").alias("la"),
+            (F.col("user_id") % 4).cast("long").alias("lo"),
+        )
+        .agg(
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) % 100000)
+            .alias("cents")
+        )
+    )
+    wd = Window.orderBy("day")
+    rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
+    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    out_schema = (
+        "hrt timestamp, fro bigint, member bigint, sum_cents bigint, n_cells bigint"
+    )
+    n_days = ranked.agg(F.max("rd")).first()[0] or 0
+    if n_days == 0:
+        return spark.createDataFrame([], out_schema)
+
+    def to_store_schema(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("day").cast("timestamp").alias("hindcast_reference_time"),
+            F.col("step_s").cast("long").alias("step"),
+            F.col("member").cast("int").alias("ensemble"),
+            F.col("fro").cast("long").alias("forecast_reference_offset"),
+            F.col("la").cast("float").alias("latitude"),
+            F.col("lo").cast("float").alias("longitude"),
+            F.col("cents").cast("float").alias("cents"),
+        )
+
+    desc = DatasetDescriptor(
+        dataset_name="hindcast_rt",
+        data_var="cents",
+        dataset_category="hindcast",
+        time_bucket="month",
+    )
+    root = _scratch_root("hindcast_rt", sf_dir)
+    gs = GridStore(root, desc, spark)
+    gs.destroy()
+    gs.write_initial(to_store_schema(ranked.filter(F.col("rd") <= 6)))
+    if n_days >= 7:
+        gs.append(to_store_schema(ranked.filter(F.col("rd").isin(7, 8))))
+    return (
+        gs.dataset()
+        .groupBy(
+            F.col("hindcast_reference_time").alias("hrt"),
+            F.col("forecast_reference_offset").cast("long").alias("fro"),
+            F.col("ensemble").cast("long").alias("member"),
+        )
+        .agg(
+            F.sum(F.col("cents").cast("long")).cast("bigint").alias("sum_cents"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("hrt", "fro", "member")
+    )
+
+
+@q(
     "forecast_store_roundtrip",
     """
     WITH cells AS (
