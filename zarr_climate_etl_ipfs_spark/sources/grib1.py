@@ -144,10 +144,20 @@ def parse_grib1(content: bytes) -> list[GRIB1Message]:
         if pos < 0:
             break
         total_len = _u(content, pos + 4, 3)
+        if pos + 8 > len(content):
+            raise GRIB1Error("truncated GRIB1 indicator section")
         edition = content[pos + 7]
         if edition != 1:
             raise GRIB1Error(f"GRIB edition {edition} not supported (GRIB1 only)")
-        msgs.append(_parse_message(content[pos : pos + total_len]))
+        # foreign-bytes contract (the grib2/blosc hardening bar): forged
+        # octets must surface as GRIB1Error, never a raw struct/numpy/
+        # datetime error — mutation-fuzzed in tests/test_grib1.py
+        try:
+            msgs.append(_parse_message(content[pos : pos + total_len]))
+        except GRIB1Error:
+            raise
+        except (ValueError, IndexError, KeyError, OverflowError, struct.error) as exc:
+            raise GRIB1Error(f"malformed GRIB1 message: {exc}") from exc
         pos += total_len
     if not msgs:
         raise GRIB1Error("not a GRIB1 file (no GRIB indicator found)")
@@ -184,6 +194,11 @@ def _parse_message(m: bytes) -> GRIB1Message:
     if rep_type != 0:
         raise GRIB1Error(f"grid representation {rep_type} not supported (lat/lon only)")
     ni, nj = _u(gds, 6, 2), _u(gds, 8, 2)
+    # decode guard: two forged 16-bit counts can size a 4.3e9-point
+    # (34 GiB float64) allocation in np.full below — same 2^28 bound as
+    # grib2's _MAX_POINTS
+    if not (0 < ni and 0 < nj and ni * nj <= 1 << 28):
+        raise GRIB1Error(f"implausible grid dimensions ni={ni} nj={nj}")
     la1, lo1 = _sm(gds, 10, 3), _sm(gds, 13, 3)
     la2, lo2 = _sm(gds, 17, 3), _sm(gds, 20, 3)
     scan = gds[27]

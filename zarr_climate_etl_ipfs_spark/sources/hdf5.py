@@ -123,7 +123,28 @@ class HDF5File:
     _content: bytes = field(repr=False, default=b"")
 
     def read(self, name: str) -> np.ndarray:
+        """Materialize a variable.
+
+        Foreign-bytes contract (the grib2/blosc hardening bar): forged
+        header fields raise :class:`HDF5Error` — never a raw numpy/
+        struct/zlib error, and never an implausible allocation (element
+        count capped before any buffer or decompress work; chunked +
+        deflate data can legally exceed the file size, so the cap is the
+        grib2-style fixed 2^28-element bound, not the file length)."""
+        try:
+            return self._read(name)
+        except HDF5Error:
+            raise
+        except (ValueError, IndexError, KeyError, OverflowError, TypeError,
+                struct.error, zlib.error) as exc:
+            raise HDF5Error(f"{name}: malformed variable data: {exc}") from exc
+
+    def _read(self, name: str) -> np.ndarray:
+        import math as _math
+
         v = self.variables[name]
+        if not (0 <= _math.prod(v.shape) <= 1 << 28):
+            raise HDF5Error(f"{name}: implausible dataspace {v.shape}")
         if v.dtype.is_vlen_string:
             if v.layout_class == 0:
                 raw = v.compact
@@ -683,6 +704,30 @@ def _symbol_table_links(content: bytes, d: bytes) -> dict[str, int]:
 
 
 def parse_hdf5(content: bytes) -> HDF5File:
+    """Parse an HDF5 superblock + root group (arrays read lazily).
+
+    Foreign-bytes contract: malformed input raises :class:`HDF5Error` —
+    forged addresses/sizes/counts must never leak a raw struct/numpy/
+    zlib/unicode error (mutation-fuzzed in tests/test_hdf5_synthetic.py,
+    the grib2/blosc hardening bar)."""
+    try:
+        return _parse_hdf5(content)
+    except HDF5Error:
+        raise
+    except (
+        ValueError,
+        IndexError,
+        KeyError,
+        OverflowError,
+        TypeError,
+        UnicodeDecodeError,
+        struct.error,
+        zlib.error,
+    ) as exc:
+        raise HDF5Error(f"malformed HDF5 bytes: {exc}") from exc
+
+
+def _parse_hdf5(content: bytes) -> HDF5File:
     if content[:8] != MAGIC:
         raise HDF5Error("not an HDF5 file")
     sb_ver = content[8]

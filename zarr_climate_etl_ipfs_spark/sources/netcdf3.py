@@ -79,7 +79,10 @@ class NCVar:
 
     @property
     def dtype(self) -> np.dtype:
-        return _DTYPES[self.nc_type]
+        try:
+            return _DTYPES[self.nc_type]
+        except KeyError:
+            raise NetCDF3Error(f"unsupported nc_type {self.nc_type}") from None
 
 
 @dataclass
@@ -101,25 +104,42 @@ class NetCDF3File:
         )
 
     def read(self, name: str) -> np.ndarray:
-        """Materialize a variable as a native-endian numpy array."""
+        """Materialize a variable as a native-endian numpy array.
+
+        Foreign-bytes contract (the grib2/blosc hardening bar): forged
+        header fields must raise :class:`NetCDF3Error`, never leak a raw
+        numpy/struct error or size an implausible allocation — ``n`` is
+        computed in exact Python ints (``np.prod`` would wrap int64 on a
+        forged 2^31 x 2^31 shape) and capped before any buffer math."""
+        import math as _math
+
         v = self.variables[name]
         shape = self.shape(name)
-        n = int(np.prod(shape)) if shape else 1
-        if self.record_dim is not None and v.dims and v.dims[0] == self.record_dim:
-            per_rec = n // max(self.numrecs, 1)
-            slabs = [
-                np.frombuffer(
-                    self._content,
-                    dtype=v.dtype,
-                    count=per_rec,
-                    offset=v.begin + r * self._recsize,
-                )
-                for r in range(self.numrecs)
-            ]
-            arr = np.concatenate(slabs) if slabs else np.empty(0, v.dtype)
-        else:
-            arr = np.frombuffer(self._content, dtype=v.dtype, count=n, offset=v.begin)
-        out = arr.reshape(shape)
+        n = _math.prod(shape) if shape else 1
+        if not (0 <= n * v.dtype.itemsize <= max(len(self._content) * 2, 1 << 20)):
+            raise NetCDF3Error(f"{name}: implausible variable size {shape}")
+        try:
+            if self.record_dim is not None and v.dims and v.dims[0] == self.record_dim:
+                per_rec = n // max(self.numrecs, 1)
+                if per_rec <= 0:  # forged 0-size dims: don't spin numrecs times
+                    return np.empty(shape, v.dtype)
+                slabs = [
+                    np.frombuffer(
+                        self._content,
+                        dtype=v.dtype,
+                        count=per_rec,
+                        offset=v.begin + r * self._recsize,
+                    )
+                    for r in range(self.numrecs)
+                ]
+                arr = np.concatenate(slabs) if slabs else np.empty(0, v.dtype)
+            else:
+                arr = np.frombuffer(self._content, dtype=v.dtype, count=n, offset=v.begin)
+            out = arr.reshape(shape)
+        except NetCDF3Error:
+            raise
+        except (ValueError, IndexError, OverflowError, TypeError) as exc:
+            raise NetCDF3Error(f"{name}: malformed variable data: {exc}") from exc
         return out.astype(out.dtype.newbyteorder("=")) if out.dtype.byteorder == ">" else out
 
 
@@ -176,7 +196,30 @@ class _Reader:
 
 
 def parse_netcdf3(content: bytes) -> NetCDF3File:
-    if content[:3] != b"CDF" or content[3] not in (1, 2):
+    """Parse a classic/64-bit-offset NetCDF3 header (arrays read lazily).
+
+    Foreign-bytes contract: any malformed input raises
+    :class:`NetCDF3Error` — forged tags/counts/offsets must never leak a
+    raw struct/numpy/unicode error (mutation-fuzzed in
+    tests/test_netcdf3.py, the grib2/blosc hardening bar)."""
+    try:
+        return _parse_netcdf3(content)
+    except NetCDF3Error:
+        raise
+    except (
+        ValueError,
+        IndexError,
+        KeyError,
+        OverflowError,
+        TypeError,
+        UnicodeDecodeError,
+        struct.error,
+    ) as exc:
+        raise NetCDF3Error(f"malformed NetCDF3 bytes: {exc}") from exc
+
+
+def _parse_netcdf3(content: bytes) -> NetCDF3File:
+    if len(content) < 4 or content[:3] != b"CDF" or content[3] not in (1, 2):
         raise NetCDF3Error("not a NetCDF3 classic/64-bit-offset file")
     version = content[3]
     r = _Reader(content)
