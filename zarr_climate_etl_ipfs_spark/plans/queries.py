@@ -4029,6 +4029,106 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "document_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), d AS (
+      SELECT doc_id, w, LEN(w) AS n,
+             MD5(ARRAY_TO_STRING(list_slice(w, 1, LEAST(32, LEN(w))), ' '))
+               AS first_fp
+      FROM toks WHERE LEN(w) > 0
+    ), ch AS (
+      SELECT doc_id, first_fp, n, UNNEST(RANGE(0, n, 24)) AS start FROM d
+    )
+    SELECT doc_id, first_fp, COUNT(*) AS n_chunks,
+           CAST(SUM(LEAST(32, n - start)) AS BIGINT) AS sum_chunk_tokens
+    FROM ch GROUP BY doc_id, first_fp ORDER BY doc_id
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding prep step
+    (window 32 tokens, stride 24, i.e. 8-token overlap): every doc
+    explodes into its chunk starts (``sequence(0, n-1, 24)``), each chunk
+    carries its token count, and chunk 0's content is pinned by an md5
+    fingerprint over the exact joined tokens — so tokenization, window
+    arithmetic, boundary truncation (the last short chunk) and content
+    slicing are all value-hash-checked against DuckDB's independent
+    RANGE/list_slice derivation. Empty docs produce zero chunks on both
+    engines (the r8 phantom-token lesson, via the shared words()/_WORDS_SQL
+    twins). Scale shape: generate-then-aggregate per doc — one narrow
+    explode (no shuffle) into one groupBy on the already-distributed
+    doc_id; chunk fingerprints are computed pre-explode, once per doc."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = (
+        t_wide(spark, sf_dir, "documents")
+        .select("doc_id", words("text").alias("w"))
+        .withColumn("n", F.size("w"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "first_fp", F.md5(F.expr("concat_ws(' ', slice(w, 1, least(32, n)))"))
+        )
+    )
+    per = d.select(
+        "doc_id",
+        "first_fp",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(24))).alias("start"),
+    ).withColumn("ctok", F.least(F.lit(32), F.col("n") - F.col("start")))
+    return (
+        per.groupBy("doc_id", "first_fp")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("ctok").cast("bigint").alias("sum_chunk_tokens"),
+        )
+        .select("doc_id", "first_fp", "n_chunks", "sum_chunk_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "quota_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+    FROM ranked WHERE rk <= 50 ORDER BY lang, rk
+    """,
+)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — exact per-stratum quotas (50
+    docs per language) drawn by ranking on a keyed hash, the
+    domain-mixture companion: mixture WEIGHTS say how much of each
+    stratum to take, this is the operator that takes it reproducibly
+    (same corpus -> same sample, no RNG state). The md5-of-key order is
+    engine-portable, so the oracle reproduces the exact row set, not
+    just counts. Scale shape: the window partitions BY STRATUM —
+    partition-parallel, no global sort; each stratum sorts only its own
+    rows. When quota << stratum size at 100 TB, the constant-memory
+    variant is the hash-threshold filter (hash_sample's shape) with a
+    two-pass quantile estimate of the cutoff; this entry pins the exact
+    top-k-per-stratum semantics that variant must converge to."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("lang", F.col("rk").cast("long").alias("rk"), "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+@q(
     "streaming_backfill_dedup",
     """
     -- the oracle implements the SAME re-delivery contract as the stream:
