@@ -932,3 +932,34 @@ def test_kerchunk_gen_multi_dimension_product():
     assert len(out) == 6
     assert out["v/0.0"] == ["file:///data/x.bin", 0, 16]
     assert out["v/2.1"] == ["file:///data/x.bin", 80, 16]
+
+
+def test_kerchunk_refs_malformed_single_exception_contract(tmp_path):
+    """Refs JSON is untrusted input (SURVEY S9): mutated inline values,
+    offsets, lengths and paths must raise ZarrError — never a raw
+    binascii/unicode/OS error (same contract bar as the grib/blosc/hdf5
+    parsers). A 4000-trial sweep ran clean when this landed; 1000 trials
+    stay as the regression net."""
+    import json as _json
+    import random as _random
+    import shutil as _shutil
+
+    if not os.path.exists(_CHIRPS_REFS):
+        pytest.skip("reference fixture absent")
+    base = _json.dumps(_json.load(open(_CHIRPS_REFS)))
+    rng = _random.Random(5)
+    for trial in range(1000):
+        mut = list(base)
+        for _ in range(rng.randint(1, 5)):
+            mut[rng.randrange(len(mut))] = chr(rng.randrange(32, 127))
+        try:
+            doc = _json.loads("".join(mut))
+        except ValueError:
+            continue  # the mutation broke the JSON itself
+        dest = tmp_path / f"kfz_{trial}"
+        try:
+            z.materialize_kerchunk_refs(doc, str(dest))
+        except z.ZarrError:
+            pass
+        finally:
+            _shutil.rmtree(dest, ignore_errors=True)

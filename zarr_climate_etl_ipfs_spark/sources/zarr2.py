@@ -1024,10 +1024,15 @@ def materialize_kerchunk_refs(
         path = os.path.join(dest, *key.split("/"))
         os.makedirs(os.path.dirname(path), exist_ok=True)
         if isinstance(val, str):
-            if val.startswith("base64:"):
-                data = base64.b64decode(val[len("base64:"):])
-            else:
-                data = val.encode("latin-1")
+            # refs JSON is untrusted input: a corrupt inline value must
+            # raise the contract error, not leak binascii/codec errors
+            try:
+                if val.startswith("base64:"):
+                    data = base64.b64decode(val[len("base64:"):], validate=False)
+                else:
+                    data = val.encode("latin-1")
+            except (ValueError, UnicodeEncodeError) as exc:
+                raise ZarrError(f"ref {key!r}: undecodable inline value: {exc}") from exc
         elif isinstance(val, list) and val and isinstance(val[0], str):
             url = val[0]
             if "://" in url and not url.startswith("file://"):
@@ -1042,13 +1047,20 @@ def materialize_kerchunk_refs(
                 src = url[len("file://"):] if url.startswith("file://") else url
                 if base_dir is not None and not os.path.isabs(src):
                     src = os.path.join(base_dir, src)
-                f = open(src, "rb")
+                try:
+                    f = open(src, "rb")
+                except OSError as exc:
+                    raise ZarrError(f"ref {key!r}: cannot open {src!r}: {exc}") from exc
             with f:
-                if len(val) >= 3:
-                    f.seek(int(val[1]))
-                    data = f.read(int(val[2]))
-                else:
-                    data = f.read()
+                try:
+                    if len(val) >= 3:
+                        f.seek(int(val[1]))
+                        data = f.read(int(val[2]))
+                    else:
+                        data = f.read()
+                except (ValueError, TypeError, OSError) as exc:
+                    # corrupt offset/length in an untrusted refs doc
+                    raise ZarrError(f"ref {key!r}: bad byte range: {exc}") from exc
         else:
             raise ZarrError(f"unsupported ref value for {key!r}: {type(val).__name__}")
         _atomic_write(path, data)
