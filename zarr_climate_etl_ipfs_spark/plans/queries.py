@@ -4029,6 +4029,88 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "repetition_stats",
+    f"""
+    WITH l AS (
+      SELECT doc_id, {_WORDS_SQL} AS lst FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(LEN(lst) AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(lst)) AS BIGINT) AS n_distinct
+      FROM l
+    ), big AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(lst)),
+                    i -> ARRAY_TO_STRING(lst[i:i+1], ' '))) AS bg
+      FROM l WHERE LEN(lst) >= 2
+    ), cb AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg
+    ), agg AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM cb GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_distinct,
+           COALESCE(a.top_bigram_n, 0) AS top_bigram_n,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams
+    FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher-style repetition
+    filters (Rae et al. 2021 §A1.1: duplicated-token fraction and the
+    most-frequent-n-gram fraction) a curation pipeline applies before any
+    cross-doc dedup: machine-generated and boilerplate text shows up as a
+    high top-bigram share or a collapsed distinct-token ratio long before
+    it collides with another document. Outputs are EXACT INTEGER counts
+    (n_tokens, n_distinct, top_bigram_n, n_bigrams) so the oracle compare
+    is bit-safe; consumers derive the paper's fractions. Ties on the top
+    bigram are value-neutral (max of counts). Plan shape: bigram
+    extraction is a JVM zip_with over the token array (no UDF); both
+    aggregations group by doc_id, so partials combine map-side and the
+    final left join is co-partitioned on the same key — one scan, no
+    corpus-wide state."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+    )
+    bg = d.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    agg = (
+        bg.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("long").alias("top_bigram_n"),
+            F.sum("count").cast("long").alias("n_bigrams"),
+        )
+    )
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "document_chunking",
     f"""
     WITH toks AS (
