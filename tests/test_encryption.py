@@ -160,3 +160,36 @@ def test_column_roundtrip_xchacha_codec(spark):
     pt = enc.decrypt_column(ct, "blob", kh, out_col="txt2", as_string=True, codec="xchacha20")
     got = {r["id"]: r["txt2"] for r in pt.collect()}
     assert got == {1: "alpha", 2: None, 3: "gamma"}
+
+
+def test_malformed_ciphertext_single_exception_contract():
+    """Mutation fuzz (the parser hardening bar): corrupted or truncated
+    ciphertext must raise EncryptionError on both codec layouts — never
+    the AEAD library's raw 'Nonce must be 12 bytes' ValueError (truncation
+    below the nonce/tag floor previously leaked it). 4000-trial sweeps per
+    codec ran clean when this landed; 800 stay as the regression net."""
+    import random as _random
+
+    from zarr_climate_etl_ipfs_spark.sources.encryption import (
+        EncryptionError,
+        decrypt_bytes,
+        encrypt_bytes,
+        generate_key,
+        xdecrypt_bytes,
+        xencrypt_bytes,
+    )
+
+    key = generate_key()
+    rng = _random.Random(5)
+    for maker, taker in ((encrypt_bytes, decrypt_bytes), (xencrypt_bytes, xdecrypt_bytes)):
+        blob = maker(b"hello climate grid" * 20, key)
+        for trial in range(800):
+            mut = bytearray(blob)
+            for _ in range(rng.randint(1, 5)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            if trial % 5 == 0:
+                mut = mut[: rng.randrange(0, len(mut))]
+            try:
+                taker(bytes(mut), key)
+            except EncryptionError:
+                pass

@@ -88,6 +88,9 @@ def decrypt_bytes(blob: bytes, key: bytes) -> bytes:
         raise NotImplementedError("column encryption requires the 'cryptography' package")
     from cryptography.exceptions import InvalidTag
 
+    if len(blob) < NONCE_BYTES:  # truncated foreign bytes: contract error,
+        # not the AEAD library's raw "Nonce must be 12 bytes" ValueError
+        raise EncryptionError(f"ciphertext shorter than the {NONCE_BYTES}-byte nonce")
     nonce, ct = blob[:NONCE_BYTES], blob[NONCE_BYTES:]
     try:
         return ChaCha20Poly1305(key).decrypt(nonce, ct, None)
@@ -171,6 +174,8 @@ def xdecrypt_bytes(blob: bytes, key: bytes, aad: bytes = REFERENCE_AAD) -> bytes
         raise NotImplementedError("column encryption requires the 'cryptography' package")
     from cryptography.exceptions import InvalidTag
 
+    if len(blob) < 40:  # nonce+tag floor: contract error on truncation
+        raise EncryptionError("ciphertext shorter than the 24+16-byte header")
     nonce, tag, ct = blob[:24], blob[24:40], blob[40:]
     subkey, ietf_nonce = _xchacha_parts(key, nonce)
     try:
