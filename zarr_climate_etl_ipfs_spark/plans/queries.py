@@ -4079,12 +4079,18 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
     )
-    bg = d.filter(F.size("w") >= 2).select(
+    # short docs ride through as an empty bigram array that explode()
+    # drops — a filter on size(w) would inline the whole tokenize subtree
+    # into the scan stage as a DataFilter (the module-note anti-pattern;
+    # the catalog-wide plan gate caught exactly that here)
+    bg = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),"
+                "CASE WHEN size(w) >= 2 THEN"
+                " zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),"
                 " (a, b) -> concat(a, ' ', b))"
+                " ELSE array() END"
             )
         ).alias("bg"),
     )
@@ -4147,16 +4153,20 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_wide(spark, sf_dir, "documents")
         .select("doc_id", words("text").alias("w"))
         .withColumn("n", F.size("w"))
-        .filter(F.col("n") > 0)
         .withColumn(
             "first_fp", F.md5(F.expr("concat_ws(' ', slice(w, 1, least(32, n)))"))
         )
     )
+    # empty docs carry an empty start array that explode() drops — see
+    # repetition_stats: a filter on the derived n would become an
+    # expensive scan-stage DataFilter
     per = d.select(
         "doc_id",
         "first_fp",
         "n",
-        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(24))).alias("start"),
+        F.explode(
+            F.expr("CASE WHEN n > 0 THEN sequence(0, n - 1, 24) ELSE array() END")
+        ).alias("start"),
     ).withColumn("ctok", F.least(F.lit(32), F.col("n") - F.col("start")))
     return (
         per.groupBy("doc_id", "first_fp")
