@@ -74,3 +74,44 @@ def test_query_runs_and_matches_oracle_shape(spark, oracle_con, name):
     orows = res.fetchall()
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows)
+
+
+def test_scratch_root_pid_isolation_and_dead_pid_sweep(tmp_path, monkeypatch):
+    """The de-race contract for store-building queries: scratch roots are
+    per-(kind, sf_dir, PID); a stale root left by a DEAD pid under the
+    same tag is swept, a LIVE process's root is never touched, and
+    non-numeric suffixes are ignored (never deleted)."""
+    import os
+    import subprocess
+
+    from zarr_climate_etl_ipfs_spark.plans.queries import _scratch_root
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    sf_dir = "/fake/sf"
+    root = _scratch_root("t", sf_dir)
+    assert root.endswith(f".{os.getpid()}")
+    prefix = os.path.basename(root).rsplit(".", 1)[0]
+
+    # a dead pid's stale root: spawn-and-reap a child so the pid is free
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead = tmp_path / f"{prefix}.{child.pid}"
+    dead.mkdir()
+    (dead / "junk").write_text("x")
+    # a live pid's root (our own parent shell is alive for the test's life)
+    live = tmp_path / f"{prefix}.{os.getppid()}"
+    live.mkdir()
+    # a non-numeric suffix must never be swept
+    other = tmp_path / f"{prefix}.not_a_pid"
+    other.mkdir()
+
+    _scratch_root("t", sf_dir)  # triggers the sweep
+    assert not dead.exists(), "dead-pid root must be swept"
+    assert live.exists(), "live-pid root must never be touched"
+    assert other.exists(), "non-numeric suffixes are ignored"
+    # different sf_dir tag: different namespace entirely
+    assert os.path.basename(_scratch_root("t", "/other/sf")).rsplit(".", 1)[0] != prefix
