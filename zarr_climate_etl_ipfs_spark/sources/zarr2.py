@@ -980,6 +980,35 @@ def _expand_kerchunk_templates(
     return out
 
 
+def _http_range_fetch(url: str, offset: int | None, length: int | None, key: str) -> bytes:
+    """Fetch one kerchunk byte-range over HTTP with the stdlib only (no
+    fsspec): a ranged GET when (offset, length) are given, falling back to
+    slicing a 200 full-body response when the server ignores Range.
+    Scheme is validated http/https by the caller (S310: no file:// or
+    data:// smuggling through a refs doc). Errors rewrap as ZarrError —
+    refs JSON is untrusted input."""
+    import urllib.request as _rq
+
+    req = _rq.Request(url)
+    if offset is not None and length is not None and length > 0:
+        req.add_header("Range", f"bytes={offset}-{offset + length - 1}")
+    try:
+        with _rq.urlopen(req, timeout=30) as resp:  # noqa: S310 — scheme checked
+            status = getattr(resp, "status", 200)
+            body = resp.read()
+    except (OSError, ValueError) as exc:  # URLError is an OSError
+        raise ZarrError(f"ref {key!r}: HTTP fetch of {url!r} failed: {exc}") from exc
+    if offset is not None and length is not None:
+        if status != 206:  # server ignored Range: slice the full body
+            body = body[offset : offset + length]
+        if len(body) != length:
+            raise ZarrError(
+                f"ref {key!r}: short range read from {url!r} "
+                f"({len(body)} != {length})"
+            )
+    return body
+
+
 def materialize_kerchunk_refs(
     refs: dict[str, Any] | str,
     dest: str,
@@ -1036,11 +1065,23 @@ def materialize_kerchunk_refs(
         elif isinstance(val, list) and val and isinstance(val[0], str):
             url = val[0]
             if "://" in url and not url.startswith("file://"):
+                if opener is None and url.split("://", 1)[0] in ("http", "https"):
+                    # stdlib default path: ranged GET per ref (S6 parity —
+                    # the reference fetches remote refs transparently);
+                    # non-HTTP schemes still need an injected opener
+                    try:
+                        off = int(val[1]) if len(val) >= 3 else None
+                        ln = int(val[2]) if len(val) >= 3 else None
+                    except (ValueError, TypeError) as exc:
+                        raise ZarrError(f"ref {key!r}: bad byte range: {exc}") from exc
+                    data = _http_range_fetch(url, off, ln, key)
+                    _atomic_write(path, data)
+                    continue
                 if opener is None:
                     raise ZarrError(
-                        f"ref {key!r} points at {url!r}: remote byte-ranges "
-                        f"need an opener= (e.g. fsspec.open(url, 'rb').open) "
-                        f"or fetch the file locally first"
+                        f"ref {key!r} points at {url!r}: non-HTTP remote "
+                        f"byte-ranges need an opener= (e.g. "
+                        f"fsspec.open(url, 'rb').open)"
                     )
                 f = opener(url)
             else:
