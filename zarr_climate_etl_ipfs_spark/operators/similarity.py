@@ -820,7 +820,13 @@ def _recover_cells(cells_root) -> None:
     for leftover in cells_root.glob("_old_cell=*"):
         live = cells_root / leftover.name[len("_old_") :].split(".", 1)[0]
         if not live.exists():
-            leftover.rename(live)
+            try:
+                leftover.rename(live)
+            except OSError:
+                # a concurrent reader recovered the same leftover first —
+                # either it renamed it away (ours is gone) or the live dir
+                # just appeared; both mean the cell is healthy now
+                pass
         else:
             _shutil.rmtree(leftover, ignore_errors=True)
     for leftover in cells_root.glob("_compact_cell=*"):
