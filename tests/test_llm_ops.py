@@ -903,9 +903,10 @@ def test_compact_ivf_atomic_swap_and_crash_recovery(spark, embeddings, tmp_path)
     assert victim.exists()
     assert stored.count() == total
 
-    # stale leftovers with a live cell are garbage and get swept
-    junk_old = cells_root / f"_old_{victim.name}.99999"
-    junk_tmp = cells_root / f"_compact_{victim.name}.99999"
+    # stale leftovers with a live cell are garbage and get swept (owner
+    # pid chosen beyond pid_max so it is dead on any host)
+    junk_old = cells_root / f"_old_{victim.name}.999999999"
+    junk_tmp = cells_root / f"_compact_{victim.name}.999999999"
     junk_old.mkdir(), junk_tmp.mkdir()
     similarity._recover_cells(cells_root)
     assert not junk_old.exists() and not junk_tmp.exists()
@@ -916,3 +917,46 @@ def test_compact_ivf_atomic_swap_and_crash_recovery(spark, embeddings, tmp_path)
     stored2, _c2, _m2 = similarity.read_ivf_index(spark, idx)
     assert stored2.count() == total
     assert stored2.select("vec_id").distinct().count() == total
+
+
+def test_recover_cells_skips_live_foreign_compactor(tmp_path):
+    """A reader's recovery pass must not touch staging/aside dirs owned by
+    a LIVE compactor in another process — deleting a live _compact_ dir
+    mid-write (or resurrecting a live _old_ dir mid-swap) loses committed
+    cell data. pid 1 stands in for a live foreign process; a dead pid and
+    our own pid stay collectable."""
+    import os
+
+    from zarr_climate_etl_ipfs_spark.operators import similarity
+
+    cells_root = tmp_path / "cells"
+    cells_root.mkdir()
+    live = cells_root / "cell=0"
+    live.mkdir()
+
+    # live foreign owner (pid 1 = init, always running): leave alone
+    busy_old = cells_root / "_old_cell=0.1"
+    busy_tmp = cells_root / "_compact_cell=0.1"
+    busy_old.mkdir(), busy_tmp.mkdir()
+    similarity._recover_cells(cells_root)
+    assert busy_old.exists() and busy_tmp.exists()
+
+    # even when the live cell is missing, a live owner's _old_ dir must
+    # not be resurrected out from under its in-flight second rename
+    live.rmdir()
+    similarity._recover_cells(cells_root)
+    assert busy_old.exists() and not live.exists()
+    busy_old.rmdir(), busy_tmp.rmdir()
+
+    # our own pid = crashed predecessor call in this process: resurrect
+    mine = cells_root / f"_old_cell=0.{os.getpid()}"
+    mine.mkdir()
+    similarity._recover_cells(cells_root)
+    assert live.exists() and not mine.exists()
+
+    # dead owner (pid far past any live range on this host) with a live
+    # cell: plain garbage, swept
+    dead_tmp = cells_root / "_compact_cell=0.999999999"
+    dead_tmp.mkdir()
+    similarity._recover_cells(cells_root)
+    assert not dead_tmp.exists() and live.exists()

@@ -971,6 +971,24 @@ def test_kerchunk_refs_malformed_single_exception_contract(tmp_path):
             _shutil.rmtree(dest, ignore_errors=True)
 
 
+def test_kerchunk_inline_base64_corruption_raises(tmp_path):
+    """A corrupt inline value must RAISE, not decode to wrong bytes:
+    b64decode without validate=True silently discards non-alphabet
+    characters (only bad padding raises), so 'base64:AAA!A' would
+    round-trip to the wrong chunk content. Pinned: the '!' corruption
+    below decodes 'cleanly' under validate=False."""
+    import base64 as _b64
+
+    good = "base64:" + _b64.b64encode(b"\x01\x02\x03\x04").decode()
+    z.materialize_kerchunk_refs({"v/0": good}, str(tmp_path / "ok"))
+    assert (tmp_path / "ok" / "v" / "0").read_bytes() == b"\x01\x02\x03\x04"
+
+    corrupt = good[:9] + "!" + good[9:]  # injected non-alphabet char
+    assert _b64.b64decode(corrupt[len("base64:"):], validate=False)  # silent under False
+    with pytest.raises(z.ZarrError, match="undecodable inline"):
+        z.materialize_kerchunk_refs({"v/0": corrupt}, str(tmp_path / "bad"))
+
+
 def test_kerchunk_http_refs_resolve_with_stdlib(tmp_path):
     """S6 remote byte-ranges WITHOUT an injected opener: http/https refs
     resolve through a stdlib ranged GET, proven against a real HTTP

@@ -804,6 +804,34 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]], dict
     )
 
 
+def _leftover_owner_alive(name: str) -> bool:
+    """True when a ``_old_``/``_compact_`` leftover dir name carries a
+    ``.<pid>`` suffix whose owner process is still running (signal-0
+    liveness, the same probe ``plans.queries._scratch_root`` uses). A
+    live owner means an in-flight :func:`compact_ivf_index` in another
+    process — its staging/aside dirs are NOT garbage and recovery must
+    leave them alone, or a reader racing a live compactor can delete the
+    staging dir mid-write (or resurrect the aside dir mid-swap, making
+    the compactor's second rename fail ENOTEMPTY). An unparseable suffix
+    is treated as dead (collectable): every writer since the format
+    landed stamps its pid."""
+    import os as _os
+
+    tail = name.rsplit(".", 1)
+    if len(tail) != 2 or not tail[1].isdigit():
+        return False
+    pid = int(tail[1])
+    if pid == _os.getpid():
+        return False  # our own crashed predecessor call; safe to collect
+    try:
+        _os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive under another uid
+    return True
+
+
 def _recover_cells(cells_root) -> None:
     """Finish or discard an interrupted :func:`compact_ivf_index` swap.
 
@@ -814,10 +842,14 @@ def _recover_cells(cells_root) -> None:
     ``_old_`` dir whose live cell is missing is renamed back (the old
     files ARE the committed data until the swap completes); any other
     ``_old_``/``_compact_`` dir is garbage from a completed or abandoned
-    swap and is removed."""
+    swap and is removed. Leftovers whose owner pid is still alive are
+    skipped entirely — they belong to an in-flight compactor in another
+    process, not to a crash."""
     import shutil as _shutil
 
     for leftover in cells_root.glob("_old_cell=*"):
+        if _leftover_owner_alive(leftover.name):
+            continue
         live = cells_root / leftover.name[len("_old_") :].split(".", 1)[0]
         if not live.exists():
             try:
@@ -830,6 +862,8 @@ def _recover_cells(cells_root) -> None:
         else:
             _shutil.rmtree(leftover, ignore_errors=True)
     for leftover in cells_root.glob("_compact_cell=*"):
+        if _leftover_owner_alive(leftover.name):
+            continue
         _shutil.rmtree(leftover, ignore_errors=True)
 
 
@@ -1137,8 +1171,20 @@ def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
         # per-cell commit point; marker untouched (schema/centroids same)
         try:
             _exchange_dirs(old_dir, tmp_dir)
-            _shutil.rmtree(tmp_dir)  # now holds the superseded files
+            exchanged = True
         except (OSError, AttributeError):
+            exchanged = False
+        if exchanged:
+            # verify the exchanged-in dir actually carries the
+            # consolidated file before discarding the superseded copy —
+            # if anything tampered with the staging dir between write and
+            # swap (e.g. an external cleaner), swap back and abort rather
+            # than delete the only committed copy
+            if not any(old_dir.glob("*.parquet")):  # pragma: no cover
+                _exchange_dirs(old_dir, tmp_dir)
+                raise OSError(f"compact staging dir for {name} was empty at swap")
+            _shutil.rmtree(tmp_dir)  # now holds the superseded files
+        else:
             # no RENAME_EXCHANGE: rename-aside, rename-into-place, and only
             # delete the aside copy after verifying the live dir took —
             # _recover_cells heals the window if we crash between renames

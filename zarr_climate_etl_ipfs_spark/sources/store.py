@@ -138,8 +138,18 @@ class GridStore:
         rng: Mapping[str, Any],
         update_props: bool = True,
         base_version: int | None = None,
+        prev_end: Any = None,
     ) -> int:
         """Commit ``files`` as version ``base_version + 1``.
+
+        ``prev_end`` overrides the ``update_previous_end_date`` property
+        (default: the observed range's ``hi``). Mixed insert+append
+        updates pass the APPEND leg's max here so the property lands in
+        the same ``set_properties`` write as the rest of the commit
+        metadata — patching it afterwards left a crash window where the
+        whole-batch max (which can exceed the append leg's max when a
+        backfill append sits below an overwritten time) survived as
+        exactly the stale anchor the override exists to prevent.
 
         ``rng`` carries the update's ``lo``/``hi``/``n`` (time range + row
         count). Writers collect it via :meth:`_observe_rng` piggybacked on
@@ -197,7 +207,9 @@ class GridStore:
         if update_props:  # maintenance actions (compact) aren't data updates
             self.set_properties(
                 update_date_range=[str(rng["lo"]), str(rng["hi"])],
-                update_previous_end_date=str(rng["hi"]),
+                update_previous_end_date=str(
+                    rng["hi"] if prev_end is None else prev_end
+                ),
             )
         return v
 
@@ -653,14 +665,16 @@ class GridStore:
         the update key set), so the whole frame is the new-rows leg; only
         insert-touched buckets need their surviving rows carried over.
 
-        ``update_previous_end_date`` is re-anchored on ``last_append`` (the
-        append leg's max, from the validator's aggregation) after the
-        commit: the commit's observed range spans BOTH legs, and with
-        ``cadence_bounds`` set an irregular backfill append can end below
-        an overwritten existing time — the old insert-then-append sequence
-        left the append leg's max in the property (its commit wrote last),
-        and cadence anchoring must keep reading that, not the whole-batch
-        max."""
+        ``update_previous_end_date`` is anchored on ``last_append`` (the
+        append leg's max, from the validator's aggregation) inside the
+        commit's own property write: the commit's observed range spans
+        BOTH legs, and with ``cadence_bounds`` set an irregular backfill
+        append can end below an overwritten existing time — the old
+        insert-then-append sequence left the append leg's max in the
+        property (its commit wrote last), and cadence anchoring must keep
+        reading that, not the whole-batch max. Threading it through
+        ``_commit`` (instead of a second ``set_properties`` after it)
+        removes the crash window where the whole-batch max persisted."""
         if dry_run:
             return
         td = self.desc.time_dim
@@ -695,10 +709,12 @@ class GridStore:
             files = self._stage_files(combined)
             untouched = [f for f in prev if _bucket_of(f) not in touched]
             self._commit(
-                "update", untouched + files, obs.get, base_version=m["version"]
+                "update",
+                untouched + files,
+                obs.get,
+                base_version=m["version"],
+                prev_end=last_append,
             )
-            if last_append is not None:  # metadata-only patch, no Spark action
-                self.set_properties(update_previous_end_date=str(last_append))
         finally:
             self._flag_update(False, append_only=False)
 

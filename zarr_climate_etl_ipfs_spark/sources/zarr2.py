@@ -1057,7 +1057,11 @@ def materialize_kerchunk_refs(
             # raise the contract error, not leak binascii/codec errors
             try:
                 if val.startswith("base64:"):
-                    data = base64.b64decode(val[len("base64:"):], validate=False)
+                    # validate=True: without it, non-alphabet characters
+                    # are silently DISCARDED (only bad padding raises), so
+                    # a corrupt inline ref would decode to wrong bytes
+                    # instead of raising the contract error
+                    data = base64.b64decode(val[len("base64:"):], validate=True)
                 else:
                     data = val.encode("latin-1")
             except (ValueError, UnicodeEncodeError) as exc:
