@@ -383,6 +383,54 @@ def test_packbits_roundtrip_and_guards():
         mc._packbits_decode(mc._packbits_encode(b"\x00" * 1000), 10)
     with pytest.raises(mc.MediaDecodeError, match="truncated"):
         mc._packbits_decode(b"\xfe", 100)  # repeat token without its byte
+    with pytest.raises(mc.MediaDecodeError, match="truncated literal"):
+        mc._packbits_decode(b"\x04ab", 100)  # literal run of 5, 2 bytes left
+
+
+def test_tiff_strip_byte_counts_required_when_not_derivable():
+    """A missing StripByteCounts is only recoverable for ONE uncompressed
+    strip; with multiple offsets (or any compression) zip() would silently
+    drop every strip after the first. Both forged flavors must raise the
+    contract error, and a count/offset arity mismatch must too."""
+    img = np.arange(96, dtype=np.uint8).reshape(8, 4, 3)
+    blob = bytearray(mc.encode_tiff(img, compression="packbits", rows_per_strip=3))
+    # find and excise the StripByteCounts (tag 279) IFD entry
+    (ifd_off,) = __import__("struct").unpack("<I", bytes(blob[4:8]))
+    (n,) = __import__("struct").unpack("<H", bytes(blob[ifd_off : ifd_off + 2]))
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        (tag,) = __import__("struct").unpack("<H", bytes(blob[e : e + 2]))
+        if tag == 279:
+            blob[e : e + 2] = (0).to_bytes(2, "little")  # unknown tag: skipped
+            break
+    else:  # pragma: no cover
+        raise AssertionError("encoder wrote no StripByteCounts")
+    with pytest.raises(mc.MediaDecodeError, match="StripByteCounts required"):
+        mc.decode_tiff(bytes(blob))
+    # arity mismatch: forge the tag's count down to 1 (3 offsets remain)
+    blob2 = bytearray(mc.encode_tiff(img, compression="packbits", rows_per_strip=3))
+    (ifd_off,) = __import__("struct").unpack("<I", bytes(blob2[4:8]))
+    (n,) = __import__("struct").unpack("<H", bytes(blob2[ifd_off : ifd_off + 2]))
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        (tag,) = __import__("struct").unpack("<H", bytes(blob2[e : e + 2]))
+        if tag == 279:
+            blob2[e + 4 : e + 8] = (1).to_bytes(4, "little")
+            break
+    with pytest.raises(mc.MediaDecodeError, match="strip offsets but"):
+        mc.decode_tiff(bytes(blob2))
+    # single uncompressed strip stays recoverable without the tag
+    blob1 = bytearray(mc.encode_tiff(img))
+    (ifd_off,) = __import__("struct").unpack("<I", bytes(blob1[4:8]))
+    (n,) = __import__("struct").unpack("<H", bytes(blob1[ifd_off : ifd_off + 2]))
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        (tag,) = __import__("struct").unpack("<H", bytes(blob1[e : e + 2]))
+        if tag == 279:
+            blob1[e : e + 2] = (0).to_bytes(2, "little")
+            break
+    out, _ = mc.decode_tiff(bytes(blob1))
+    assert np.array_equal(out, img)
 
 
 @settings(max_examples=30, deadline=None)
@@ -438,6 +486,160 @@ def test_tiff_lzw_fuzz_fails_cleanly():
 def test_tiff_rejects_garbage():
     with pytest.raises(mc.MediaDecodeError):
         mc.decode_tiff(b"XX\x00\x00" + b"\x00" * 16)
+
+
+def test_tiff_jpeg_constant_blocks_bit_exact():
+    """TIFF compression 7 (TechNote 2 new-style JPEG): per-strip JPEG
+    streams decode through the in-repo SOF0 machinery; at quality=100 a
+    constant raster is DC-only and round-trips bit-exactly — the property
+    the multimodal catalog oracle relies on. Covers single-strip,
+    multi-strip, shared JPEGTables, grayscale, and both byte orders."""
+    img = np.full((11, 7, 3), 163, dtype=np.uint8)
+    for shared in (False, True):
+        for rps in (None, 4):
+            for be in (False, True):
+                blob = mc.encode_tiff(
+                    img, compression="jpeg", quality=100, big_endian=be,
+                    rows_per_strip=rps, shared_jpeg_tables=shared,
+                )
+                out, meta = mc.decode_tiff(blob)
+                assert np.array_equal(out, img), (shared, rps, be)
+                assert meta["compression"] == "jpeg"
+    gray = np.full((9, 6), 42, dtype=np.uint8)
+    out, meta = mc.decode_tiff(
+        mc.encode_tiff(gray, compression="jpeg", quality=100,
+                       rows_per_strip=4, shared_jpeg_tables=True)
+    )
+    assert np.array_equal(out[:, :, 0], gray) and meta["channels"] == 1
+    # shared tables actually shrink multi-strip files (the tag is real)
+    full = mc.encode_tiff(img, compression="jpeg", quality=100, rows_per_strip=2)
+    shared = mc.encode_tiff(img, compression="jpeg", quality=100,
+                            rows_per_strip=2, shared_jpeg_tables=True)
+    assert len(shared) < len(full)
+
+
+def test_tiff_jpeg_lossy_roundtrip_fidelity():
+    """Non-constant content through JPEG strips is lossy: gate on PSNR
+    like the standalone JPEG tests, across a strip boundary."""
+    h, w = 24, 31
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [yy * 255 / h, xx * 255 / w, (yy + xx) * 255 / (h + w)], axis=-1
+    ).astype(np.uint8)
+    for shared in (False, True):
+        blob = mc.encode_tiff(img, compression="jpeg", quality=92,
+                              rows_per_strip=10, shared_jpeg_tables=shared)
+        out, _ = mc.decode_tiff(blob)
+        assert out.shape == (h, w, 3)
+        assert _psnr(img, out) > 38.0
+
+
+def test_tiff_jpeg_photometric_drives_color_space():
+    """TechNote 2: PhotometricInterpretation, not the JPEG stream, declares
+    the component space. Patching the tag 6→2 on a color JPEG-TIFF must
+    yield the UNtransformed component planes (identical to decode_jpeg with
+    rgb_transform=False on the strip stream)."""
+    import struct as _s
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 12, 3), dtype=np.uint8)
+    blob = bytearray(mc.encode_tiff(img, compression="jpeg", quality=95))
+    (ifd_off,) = _s.unpack("<I", bytes(blob[4:8]))
+    (n,) = _s.unpack("<H", bytes(blob[ifd_off : ifd_off + 2]))
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ = _s.unpack("<HH", bytes(blob[e : e + 4]))
+        if tag == 262:
+            assert _s.unpack("<H", bytes(blob[e + 8 : e + 10]))[0] == 6
+            blob[e + 8 : e + 10] = _s.pack("<H", 2)
+        if tag == 273:
+            (strip_off,) = _s.unpack("<I", bytes(blob[e + 8 : e + 12]))
+        if tag == 279:
+            (strip_cnt,) = _s.unpack("<I", bytes(blob[e + 8 : e + 12]))
+    out2, _ = mc.decode_tiff(bytes(blob))
+    raw_planes, _ = mc.decode_jpeg(
+        bytes(blob[strip_off : strip_off + strip_cnt]), rgb_transform=False
+    )
+    assert np.array_equal(out2, raw_planes)
+    assert not np.array_equal(out2, mc.decode_tiff(
+        mc.encode_tiff(img, compression="jpeg", quality=95))[0])
+
+
+def test_tiff_jpeg_malformed_tables_and_strips_raise():
+    """Contract errors for the comp-7 entry points: a JPEGTables payload
+    that is not an SOI…EOI stream, a strip without SOI, and a strip whose
+    decoded dimensions contradict the IFD all raise MediaDecodeError."""
+    import struct as _s
+
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    blob = bytearray(mc.encode_tiff(img, compression="jpeg", quality=100,
+                                    rows_per_strip=4, shared_jpeg_tables=True))
+    (ifd_off,) = _s.unpack("<I", bytes(blob[4:8]))
+    (n,) = _s.unpack("<H", bytes(blob[ifd_off : ifd_off + 2]))
+    locs = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        (tag,) = _s.unpack("<H", bytes(blob[e : e + 2]))
+        locs[tag] = e
+    # corrupt the JPEGTables SOI
+    (jt_off,) = _s.unpack("<I", bytes(blob[locs[347] + 8 : locs[347] + 12]))
+    bad = bytearray(blob)
+    bad[jt_off : jt_off + 2] = b"\x00\x00"
+    with pytest.raises(mc.MediaDecodeError, match="JPEGTables"):
+        mc.decode_tiff(bytes(bad))
+    # corrupt a strip's SOI
+    (offs_ptr,) = _s.unpack("<I", bytes(blob[locs[273] + 8 : locs[273] + 12]))
+    (s0,) = _s.unpack("<I", bytes(blob[offs_ptr : offs_ptr + 4]))
+    bad = bytearray(blob)
+    bad[s0 : s0 + 2] = b"\x00\x00"
+    with pytest.raises(mc.MediaDecodeError, match="missing SOI"):
+        mc.decode_tiff(bytes(bad))
+    # declared width contradicts the strip JPEG's SOF width
+    bad = bytearray(blob)
+    bad[locs[256] + 8 : locs[256] + 12] = _s.pack("<I", 6)
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_tiff(bytes(bad))
+
+
+def test_jpeg_zero_sampling_factor_rejected():
+    """Fuzz-found while landing comp-7: a forged SOF component with h or v
+    sampling factor 0 reached max()/divmod as a ZeroDivisionError — a
+    foreign exception leaking through the contract. T.81 B.2.2 bounds the
+    factors to 1..4; out-of-range now raises the contract error (and
+    _clean_errors wraps ZeroDivisionError as defense in depth)."""
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    blob = bytearray(mc.encode_jpeg(img, quality=90))
+    sof = blob.find(b"\xFF\xC0")
+    assert sof > 0
+    # component 0's h/v byte sits at SOF body offset 6+1 (after marker+len)
+    blob[sof + 4 + 6 + 1] = 0x00
+    with pytest.raises(mc.MediaDecodeError, match="sampling factors"):
+        mc.decode_jpeg(bytes(blob))
+
+
+def test_tiff_jpeg_fuzz_fails_cleanly():
+    """The repo-wide parser-hardening bar for the comp-7 paths: mutated
+    JPEG-TIFFs (both plain and shared-JPEGTables flavors) must decode or
+    raise MediaDecodeError/NotImplementedError — never hang, alloc-bomb,
+    or leak a foreign exception. 800-trial regression net (a 4000-trial
+    sweep ran clean when this landed)."""
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (14, 11, 3), dtype=np.uint8)
+    bases = [
+        bytearray(mc.encode_tiff(img, compression="jpeg", quality=90,
+                                 rows_per_strip=6, shared_jpeg_tables=sh))
+        for sh in (False, True)
+    ]
+    for trial in range(800):
+        blob = bytearray(bases[trial % 2])
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if trial % 5 == 0:
+            blob = blob[: rng.randint(8, len(blob))]
+        try:
+            mc.decode_tiff(bytes(blob))
+        except (mc.MediaDecodeError, NotImplementedError):
+            pass
 
 
 def _psnr(a, b):

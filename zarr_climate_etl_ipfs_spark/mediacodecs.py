@@ -48,7 +48,7 @@ def _clean_errors(fn):
             return fn(content, *a, **kw)
         except (MediaDecodeError, NotImplementedError):
             raise
-        except (struct.error, zlib.error, ValueError, IndexError, KeyError, OverflowError, MemoryError) as e:
+        except (struct.error, zlib.error, ValueError, IndexError, KeyError, OverflowError, MemoryError, ZeroDivisionError) as e:
             raise MediaDecodeError(f"{fn.__name__}: malformed input ({type(e).__name__}: {e})") from e
 
     return wrapped
@@ -394,9 +394,9 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar_config",
-    317: "predictor",
+    317: "predictor", 347: "jpeg_tables",
 }
-_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
 
 def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
@@ -468,6 +468,10 @@ def _packbits_decode(data: bytes, max_out: int) -> bytes:
         n = data[i]
         i += 1
         if n < 128:  # literal run of n+1
+            if i + n + 1 > n_data:
+                # same strictness as the repeat branch: a literal run
+                # extending past the input is truncation, not padding
+                raise MediaDecodeError("TIFF PackBits: truncated literal run")
             out += data[i : i + n + 1]
             i += n + 1
         elif n > 128:  # repeat next byte 257-n times
@@ -602,15 +606,17 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             # BEFORE building the fmt string (fmt * count with a 2^31
             # count is a multi-GiB allocation, the fuzz-found bomb)
             raise MediaDecodeError(f"TIFF: tag {tag} data out of bounds")
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[name] = list(struct.unpack(bo + fmt * count, raw))
     try:
         w, h = tags["width"][0], tags["height"][0]
     except KeyError as e:
         raise MediaDecodeError(f"TIFF: missing required tag {e}") from None
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 5, 8, 32773, 32946):
-        codec = {6: "JPEG", 7: "JPEG"}.get(comp, f"compression={comp}")
+    if comp not in (1, 5, 7, 8, 32773, 32946):
+        codec = {6: "old-style JPEG (deprecated by TIFF6 TechNote 2)"}.get(
+            comp, f"compression={comp}"
+        )
         raise NotImplementedError(f"TIFF {codec} — inject a decoder (libtiff/PIL)")
     spp = tags.get("samples_per_pixel", [1])[0]
     bps = tags.get("bits_per_sample", [8])
@@ -621,7 +627,64 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     if not (0 < w * h * spp <= 1 << 28):  # same alloc guard family as GRIB2
         raise MediaDecodeError(f"TIFF: implausible dimensions {w}x{h}x{spp}")
     offsets = tags["strip_offsets"]
-    counts = tags.get("strip_byte_counts", [w * h * spp])
+    counts = tags.get("strip_byte_counts")
+    if counts is None:
+        # the single-uncompressed-strip default is the only case where a
+        # missing StripByteCounts is recoverable — for compressed data the
+        # byte count is not derivable, and for multiple strips a default
+        # would make zip() silently drop every strip after the first
+        if comp != 1 or len(offsets) != 1:
+            raise MediaDecodeError(
+                "TIFF: StripByteCounts required for compressed or multi-strip data"
+            )
+        counts = [w * h * spp]
+    elif len(counts) != len(offsets):
+        raise MediaDecodeError(
+            f"TIFF: {len(offsets)} strip offsets but {len(counts)} byte counts"
+        )
+    if comp == 7:
+        # New-style JPEG (TIFF6 TechNote 2): each strip is an independent
+        # JPEG stream; shared DQT/DHT/DRI may live in the JPEGTables tag as
+        # an abbreviated table stream (SOI·tables·EOI) that prefixes every
+        # strip. PhotometricInterpretation declares the component color
+        # space — 6 = YCbCr (decode_jpeg's RGB transform applies), 1/2 =
+        # components already gray/RGB (no transform). decode_jpeg carries
+        # its own MCU/entropy bomb guards per strip.
+        photo = tags.get("photometric", [6])[0]
+        jt = bytes(tags.get("jpeg_tables", []))
+        if jt:
+            if len(jt) < 4 or jt[:2] != b"\xFF\xD8" or jt[-2:] != b"\xFF\xD9":
+                raise MediaDecodeError("TIFF JPEGTables: not an SOI…EOI table stream")
+            jt = jt[:-2]  # keep SOI + tables; strip EOI for splicing
+        rps = tags.get("rows_per_strip", [h])[0] or h
+        strips = []
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - i * rps)
+            if nrows <= 0:
+                break
+            raw = content[o : o + c]
+            if raw[:2] != b"\xFF\xD8":
+                raise MediaDecodeError(f"TIFF JPEG strip {i}: missing SOI")
+            stream = jt + raw[2:] if jt else raw
+            piece, _ = decode_jpeg(stream, rgb_transform=None if photo == 6 else False)
+            if piece.shape[1] != w or piece.shape[2] != spp:
+                raise MediaDecodeError(
+                    f"TIFF JPEG strip {i}: decoded {piece.shape[1]}x{piece.shape[2]} "
+                    f"≠ declared {w}x{spp}"
+                )
+            if piece.shape[0] < nrows:
+                raise MediaDecodeError(
+                    f"TIFF JPEG strip {i}: {piece.shape[0]} rows < declared {nrows}"
+                )
+            strips.append(piece[:nrows])
+        img = np.vstack(strips) if strips else np.zeros((0, w, spp), np.uint8)
+        if img.shape[0] < h:
+            raise MediaDecodeError(f"TIFF JPEG: strips cover {img.shape[0]} of {h} rows")
+        if photo == 0:
+            img = 255 - img
+        return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
+                     "byte_order": "little" if bo == "<" else "big",
+                     "compression": "jpeg"}
     if comp != 1:
         # LZW (5), Deflate (8 / legacy 32946) and PackBits (32773) are all
         # compressed PER STRIP: each strip decodes independently against
@@ -670,26 +733,70 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                  "compression": comp_name}
 
 
+def _split_jpeg_tables(blob: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG interchange stream into (tables, abbreviated):
+    ``tables`` = SOI + every DQT/DHT/DRI segment + EOI (the JPEGTables tag
+    payload per TIFF6 TechNote 2), ``abbreviated`` = the stream with those
+    segments removed (still SOI-prefixed). Splicing tables[:-2] + abbrev[2:]
+    reconstructs an equivalent decodable stream."""
+    if blob[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xFF\xD8")
+    abbrev = bytearray(b"\xFF\xD8")
+    pos = 2
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            abbrev += blob[pos:]
+            break
+        (seg_len,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        segment = blob[pos : pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4, 0xDD):  # DQT / DHT / DRI
+            tables += segment
+        else:
+            abbrev += segment
+        pos += 2 + seg_len
+        if marker == 0xDA:  # SOS: entropy data runs to EOI
+            abbrev += blob[pos:]
+            break
+    tables += b"\xFF\xD9"
+    return bytes(tables), bytes(abbrev)
+
+
 def encode_tiff(
     img: np.ndarray,
     big_endian: bool = False,
     compression: str = "none",
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    quality: int = 90,
+    shared_jpeg_tables: bool = False,
 ) -> bytes:
     """(H, W) or (H, W, C) uint8 → baseline TIFF: uncompressed, LZW,
-    Deflate, or PackBits (``compression=``), optionally with horizontal-
-    differencing predictor 2 and multi-strip layout. Exists so tests
-    round-trip real bytes in both byte orders and every codec."""
+    Deflate, PackBits, or new-style JPEG (``compression=``), optionally
+    with horizontal-differencing predictor 2 and multi-strip layout.
+    Exists so tests round-trip real bytes in both byte orders and every
+    codec. ``compression="jpeg"`` writes TechNote-2 per-strip JPEG streams
+    (``quality`` feeds encode_jpeg; photometric 6 for color, 1 for gray);
+    ``shared_jpeg_tables`` factors the common DQT/DHT into a JPEGTables
+    (347) tag with abbreviated per-strip streams, the layout most
+    scanner/provider writers emit."""
     if img.dtype != np.uint8:
         raise ValueError("encode_tiff wants uint8")
-    if compression not in ("none", "lzw", "deflate", "packbits"):
+    if compression not in ("none", "lzw", "deflate", "packbits", "jpeg"):
         raise ValueError(f"encode_tiff: unsupported compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: unsupported predictor {predictor}")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
+    if compression == "jpeg":
+        if c not in (1, 3):
+            raise ValueError("encode_tiff: JPEG strips need 1 or 3 channels")
+        if predictor != 1:
+            raise ValueError("encode_tiff: predictor does not apply to JPEG strips")
     bo = ">" if big_endian else "<"
     if predictor == 2:
         # forward horizontal differencing (uint8 subtraction wraps mod 256,
@@ -697,16 +804,28 @@ def encode_tiff(
         img = np.concatenate([img[:, :1], img[:, 1:] - img[:, :-1]], axis=1)
     header = b"MM\x00*" if big_endian else b"II*\x00"
     rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
-    strips = [img[i : i + rps].tobytes() for i in range(0, h, rps)] or [b""]
-    if compression == "lzw":
-        strips = [_tiff_lzw_encode(s) for s in strips]
-    elif compression == "deflate":
-        strips = [zlib.compress(s) for s in strips]
-    elif compression == "packbits":
-        strips = [_packbits_encode(s) for s in strips]
+    jpeg_tables = b""
+    if compression == "jpeg":
+        strip_imgs = [img[i : i + rps] for i in range(0, h, rps)] or [
+            np.zeros((0, w, c), np.uint8)
+        ]
+        strips = [encode_jpeg(s, quality=quality) for s in strip_imgs]
+        if shared_jpeg_tables:
+            # identical quality + standard Huffman tables per strip, so the
+            # first strip's tables stand for all of them
+            jpeg_tables, _ = _split_jpeg_tables(strips[0])
+            strips = [_split_jpeg_tables(s)[1] for s in strips]
+    else:
+        strips = [img[i : i + rps].tobytes() for i in range(0, h, rps)] or [b""]
+        if compression == "lzw":
+            strips = [_tiff_lzw_encode(s) for s in strips]
+        elif compression == "deflate":
+            strips = [zlib.compress(s) for s in strips]
+        elif compression == "packbits":
+            strips = [_packbits_encode(s) for s in strips]
     n = len(strips)
-    # layout: header(8) | strip blobs | bps array (c>2) | offset/count
-    # arrays (n>1) | IFD
+    # layout: header(8) | strip blobs | bps array (c>2) | jpeg tables |
+    # offset/count arrays (n>1) | IFD
     pos = 8
     strip_offs = []
     for s in strips:
@@ -714,6 +833,8 @@ def encode_tiff(
         pos += len(s)
     bps_off = pos
     pos += 2 * c if c > 2 else 0
+    jt_off = pos
+    pos += len(jpeg_tables)
     offs_arr_off = pos
     pos += 4 * n if n > 1 else 0
     cnts_arr_off = pos
@@ -739,8 +860,18 @@ def encode_tiff(
         entry(258, 3, 1, 8)
     entry(256, 4, 1, w)
     entry(257, 4, 1, h)
-    entry(259, 3, 1, {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression])
-    entry(262, 3, 1, 2 if c >= 3 else 1)  # photometric: RGB / BlackIsZero
+    entry(259, 3, 1, {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+                      "jpeg": 7}[compression])
+    if compression == "jpeg":
+        # TechNote 2: photometric declares the JPEG component space —
+        # encode_jpeg writes YCbCr for color, so 6; grayscale stays 1
+        entry(262, 3, 1, 6 if c == 3 else 1)
+        if jpeg_tables:
+            entries.append(
+                struct.pack(bo + "HHII", 347, 7, len(jpeg_tables), jt_off)
+            )
+    else:
+        entry(262, 3, 1, 2 if c >= 3 else 1)  # photometric: RGB / BlackIsZero
     if n == 1:
         entry(273, 4, 1, strip_offs[0])
         entry(279, 4, 1, len(strips[0]))
@@ -757,6 +888,7 @@ def encode_tiff(
         out += s
     if c > 2:
         out += struct.pack(bo + "H" * c, *([8] * c))
+    out += jpeg_tables
     if n > 1:
         out += struct.pack(bo + "I" * n, *strip_offs)
         out += struct.pack(bo + "I" * n, *[len(s) for s in strips])
@@ -1213,9 +1345,18 @@ def _decode_block(
 
 
 @_clean_errors
-def decode_jpeg(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+def decode_jpeg(
+    content: bytes, rgb_transform: bool | None = None
+) -> tuple[np.ndarray, dict[str, Any]]:
     """Baseline JPEG → (H, W, C) uint8 + meta.  C is 1 (grayscale) or 3 (RGB
     after YCbCr conversion).  Chroma is upsampled by sample replication.
+
+    ``rgb_transform`` overrides the 3-component color convention: None
+    (default) applies the YCbCr→RGB transform as every standalone JPEG
+    expects; False returns the decoded component planes untransformed —
+    the TIFF compression-7 path needs this when PhotometricInterpretation
+    says the strip's JPEG components are already RGB (TIFF6 TechNote 2:
+    the photometric tag, not the JPEG stream, declares the color space).
 
     Reference parity note: the reference ETL has no media path at all (it
     delegates raster decode to xarray/rasterio); this decoder exists so the
@@ -1273,7 +1414,12 @@ def decode_jpeg(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):  # T.81 B.2.2 bounds
+                    raise MediaDecodeError(
+                        f"JPEG: component {cid} sampling factors {ch}x{cv} out of range"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = (precision, h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
@@ -1400,6 +1546,9 @@ def decode_jpeg(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     }
     if len(comps) == 1:
         img = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return img, meta
+    if rgb_transform is False:
+        img = np.clip(np.round(np.stack(out_planes, axis=-1)), 0, 255).astype(np.uint8)
         return img, meta
     y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
     r = y + 1.402 * cr

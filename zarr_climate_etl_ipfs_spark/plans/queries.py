@@ -76,16 +76,21 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
     if fmt == 2:
         # codec rotation: LZW on d%8==2, LZW + horizontal-differencing
         # predictor + multi-strip on d%8==5, Deflate on d%8==4, PackBits
-        # on d%8==7 — the compressed flavors real scanner TIFFs ship
-        comp = {2: "lzw", 5: "lzw", 4: "deflate", 7: "packbits"}.get(
-            d % 8 if rotate_variants else -1, "none"
-        )
+        # on d%8==7, new-style JPEG strips (TechNote 2) on d%8==0 and
+        # JPEG + shared JPEGTables tag + multi-strip on d%8==1 — the
+        # compressed flavors real scanner/provider TIFFs ship. JPEG stays
+        # bit-exact here for the same reason fmt==3 does: quality=100
+        # scales the Annex-K tables to all-ones and the raster is constant.
+        comp = {2: "lzw", 5: "lzw", 4: "deflate", 7: "packbits",
+                0: "jpeg", 1: "jpeg"}.get(d % 8 if rotate_variants else -1, "none")
         return encode_tiff(
             img,
             big_endian=rotate_variants and d % 8 == 6,
             compression=comp,
             predictor=2 if rotate_variants and d % 8 == 5 else 1,
-            rows_per_strip=3 if rotate_variants and d % 8 == 5 else None,
+            rows_per_strip=3 if rotate_variants and d % 8 in (1, 5) else None,
+            quality=100,
+            shared_jpeg_tables=rotate_variants and d % 8 == 1,
         )
     if fmt == 3:
         sub = "4:2:0" if rotate_variants and d % 8 == 7 else "4:4:4"
@@ -4312,7 +4317,8 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded executor-side — PNG (doc_id%5==0), GIF89a (%5==1, interlaced on
     %8==1), TIFF (%5==2: big-endian on %8==6, LZW on %8==2, LZW +
     predictor-2 multi-strip on %8==5, Deflate on %8==4, PackBits on
-    %8==7), baseline JPEG
+    %8==7, new-style JPEG strips on %8==0, JPEG + shared JPEGTables tag +
+    multi-strip on %8==1), baseline JPEG
     (%5==3, quality=100 where the Annex-K tables scale to all-ones so
     DC-only constant blocks are bit-exact; 4:2:0 on %8==7 else 4:4:4),
     lossless WebP VP8L (%5==4; palette on %10==4, subtract-green on
