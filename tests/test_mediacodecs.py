@@ -704,16 +704,81 @@ def test_jpeg_restart_markers():
         assert np.array_equal(seg, base)
 
 
-def test_jpeg_dispatch_and_progressive_raises():
+def test_jpeg_dispatch_and_unsupported_sof_raises():
     img = RNG.randint(0, 256, (9, 11, 3), dtype=np.uint8)
     blob = mc.encode_jpeg(img, quality=90)
     dec, meta = mc.decode_image(blob)
     assert meta["format"] == "jpeg" and dec.shape == (9, 11, 3)
-    # flip SOF0 (FFC0) to SOF2 (FFC2): must raise naming progressive
+    # flip SOF0 (FFC0) to SOF3 (lossless sequential): must raise named
     idx = blob.index(b"\xFF\xC0")
-    hacked = blob[:idx] + b"\xFF\xC2" + blob[idx + 2 :]
-    with pytest.raises(NotImplementedError, match="progressive"):
+    hacked = blob[:idx] + b"\xFF\xC3" + blob[idx + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF3"):
         mc.decode_jpeg(hacked)
+    # SOF2 alone (baseline scan layout under a progressive frame header)
+    # is no longer a named seam — it decodes or raises the contract error
+    hacked2 = blob[:idx] + b"\xFF\xC2" + blob[idx + 2 :]
+    try:
+        mc.decode_jpeg(hacked2)
+    except mc.MediaDecodeError:
+        pass
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """The progressive scan script (DC first Al=1 → AC first Al=1 → DC
+    refine → AC refine) delivers every coefficient bit, so decode must be
+    BIT-IDENTICAL to decoding the baseline encoding of the same input —
+    the entropy layer is the only difference. This pins encoder and
+    decoder against each other through an independently-validated path
+    (the baseline decoder has its own external vectors)."""
+    rng = np.random.RandomState(5)
+    cases = [
+        ((np.mgrid[0:17, 0:23][0] * 11 % 256).astype(np.uint8), {}),
+        (rng.randint(0, 256, (24, 31, 3), np.uint8), {}),
+        (rng.randint(0, 256, (21, 19, 3), np.uint8), {"subsample": "4:2:0"}),
+        (rng.randint(0, 256, (16, 24, 3), np.uint8), {"subsample": "4:2:2"}),
+        (np.full((9, 7, 3), 163, np.uint8), {"quality": 100}),
+    ]
+    for img, kw in cases:
+        d_base, _ = mc.decode_jpeg(mc.encode_jpeg(img, **kw))
+        d_prog, meta = mc.decode_jpeg(mc.encode_jpeg(img, progressive=True, **kw))
+        assert np.array_equal(d_base, d_prog), kw
+        assert meta["height"] == img.shape[0]
+
+
+def test_jpeg_progressive_quality100_constant_bit_exact():
+    """quality=100 constant rasters stay bit-exact through the progressive
+    path — the analytic-oracle property the multimodal catalog rotation
+    relies on (same argument as the baseline q100 test)."""
+    for shade in (0, 97, 255):
+        img = np.full((6, 10, 3), shade, dtype=np.uint8)
+        dec, _ = mc.decode_jpeg(mc.encode_jpeg(img, quality=100, progressive=True))
+        assert np.array_equal(dec, img), shade
+    g = np.full((7, 5), 42, dtype=np.uint8)
+    dec, meta = mc.decode_jpeg(mc.encode_jpeg(g, quality=100, progressive=True))
+    assert np.array_equal(dec[:, :, 0], g) and meta["n_channels"] == 1
+
+
+def test_jpeg_progressive_fuzz_fails_cleanly():
+    """Parser-hardening bar for the SOF2 paths: mutated progressive
+    streams decode or raise the contract error — never hang, alloc-bomb,
+    or leak a foreign exception. 800-trial regression net (an 8000-trial
+    sweep ran clean when this landed)."""
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (18, 15, 3), dtype=np.uint8)
+    bases = [
+        bytearray(mc.encode_jpeg(img, quality=85, progressive=True)),
+        bytearray(mc.encode_jpeg(img, quality=85, subsample="4:2:0", progressive=True)),
+    ]
+    for trial in range(800):
+        blob = bytearray(bases[trial % 2])
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if trial % 5 == 0:
+            blob = blob[: rng.randint(4, len(blob))]
+        try:
+            mc.decode_jpeg(bytes(blob))
+        except (mc.MediaDecodeError, NotImplementedError):
+            pass
 
 
 def test_jpeg_rejects_garbage():

@@ -1317,6 +1317,94 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _split_entropy_segments(content: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``start``: de-stuff 0xFF00, split on RSTn
+    markers, stop at the first real marker. Returns (segments, position of
+    the stopping marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    end = len(content)
+    while p < end:
+        byte = content[p]
+        if byte == 0xFF and p + 1 < end:
+            nxt = content[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(byte)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+def _refine_ac(
+    br: _JpegBitReader,
+    zz: np.ndarray,
+    ac_tab: dict[tuple[int, int], int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """AC successive-approximation refinement for one block (T.81 G.2,
+    the libjpeg decode_mcu_AC_refine control flow): already-nonzero
+    coefficients receive correction bits, newly significant ones arrive
+    as run+sign codes, and EOB runs cover whole blocks (whose nonzero
+    coefficients still consume correction bits). Returns the EOB run
+    remaining after this block."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise MediaDecodeError("JPEG AC refinement size != 1")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if br.read_bit() and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s != 0:
+                if k > se:
+                    raise MediaDecodeError("JPEG refinement run overflows band")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(zz[k])
+            if v != 0 and br.read_bit() and (v & p1) == 0:
+                zz[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_block(
     br: _JpegBitReader,
     dc_tab: dict[tuple[int, int], int],
@@ -1342,6 +1430,163 @@ def _decode_block(
         zz[k] = _extend(br.read_bits(s), s)
         k += 1
     return zz, pred
+
+
+def _init_prog_store(frame) -> tuple[dict[int, np.ndarray], dict]:
+    """Allocate the per-component coefficient store a progressive frame
+    accumulates across scans: (block_rows, block_cols, 64) int32 in ZIGZAG
+    order, sized to the full interleaved MCU grid. Geometry rides along so
+    every scan shares one computation. The store is THE alloc surface for
+    a forged SOF (scans only index into it), so the block-count cap lives
+    here — 1M blocks ≈ 256 MB of coefficients, comfortably above any real
+    photograph (a 24 MP 4:2:0 image is ~560k blocks) and far below the
+    multi-GiB forged-dimension bombs the fuzz nets throw."""
+    _precision, H, W, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    total_blocks = sum(mcus_x * c["h"] * mcus_y * c["v"] for c in comps)
+    if not (0 < total_blocks <= 1 << 20):
+        raise MediaDecodeError(
+            f"JPEG progressive: implausible frame geometry ({total_blocks} blocks)"
+        )
+    store = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+    geom = {
+        "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+        "by_id": {c["id"]: c for c in comps},
+        # non-interleaved scans iterate the component's OWN block grid
+        # (T.81 A.2.2: ceil(comp samples / 8)), not the padded MCU grid
+        "ni": {
+            c["id"]: (
+                -(-(-(-H * c["v"] // vmax)) // 8),
+                -(-(-(-W * c["h"] // hmax)) // 8),
+            )
+            for c in comps
+        },
+    }
+    return store, geom
+
+
+def _progressive_scan(
+    segments: list[bytes],
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    frame,
+    geom,
+    coef_store: dict[int, np.ndarray],
+    huff_dc: dict[int, dict],
+    huff_ac: dict[int, dict],
+    restart_interval: int,
+) -> None:
+    """Apply one progressive scan (T.81 G.2) to the coefficient store.
+    DC scans (Ss=Se=0) may interleave components; AC scans (Ss>0) are
+    single-component over that component's own block grid. Ah=0 scans
+    deliver first approximations shifted by Al; Ah>0 scans refine one bit.
+    DC predictors and EOB runs reset per scan and at every restart."""
+    by_id = geom["by_id"]
+    for sc in scan_comps:
+        if sc["id"] not in by_id:
+            raise MediaDecodeError(f"JPEG scan names unknown component {sc['id']}")
+    if ss == 0:
+        if se != 0:
+            raise MediaDecodeError("JPEG progressive: DC scan with Se != 0")
+    else:
+        if len(scan_comps) != 1:
+            raise MediaDecodeError("JPEG progressive: interleaved AC scan")
+        if not (ss <= se <= 63):
+            raise MediaDecodeError(f"JPEG progressive: bad band {ss}..{se}")
+    if ah not in range(14) or al not in range(14):
+        raise MediaDecodeError(f"JPEG progressive: bad approximation {ah}/{al}")
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = geom["mcus_x"] * geom["mcus_y"]
+        blocks_per_unit = sum(
+            by_id[sc["id"]]["h"] * by_id[sc["id"]]["v"] for sc in scan_comps
+        )
+    else:
+        c0 = by_id[scan_comps[0]["id"]]
+        ni_bh, ni_bw = geom["ni"][c0["id"]]
+        units = ni_bh * ni_bw
+        blocks_per_unit = 1
+    # work/payload bound (the baseline guard's progressive analog): EOB
+    # runs legitimately cover ≤16384 blocks per ~15-bit code (~1100
+    # blocks/bit), so demand 1 bit per 4096 blocks — forged frames
+    # declaring millions of blocks against a near-empty scan die here
+    entropy_bits = 8 * sum(len(s) for s in segments)
+    if units * blocks_per_unit > entropy_bits * 4096:
+        raise MediaDecodeError(
+            f"JPEG progressive: {units * blocks_per_unit} blocks exceeds "
+            f"entropy data ({entropy_bits} bits) — truncated or adversarial"
+        )
+    seg_idx = 0
+    br = _JpegBitReader(segments[0])
+    preds = {sc["id"]: 0 for sc in scan_comps}
+    eobrun = 0
+    mcus_x = geom["mcus_x"]
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise MediaDecodeError("JPEG truncated at restart boundary")
+            br = _JpegBitReader(segments[seg_idx])
+            preds = {sc["id"]: 0 for sc in scan_comps}
+            eobrun = 0
+        if interleaved:  # DC scan over MCUs
+            my, mx = divmod(u, mcus_x)
+            for sc in scan_comps:
+                c = by_id[sc["id"]]
+                plane = coef_store[sc["id"]]
+                for by_ in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = plane[my * c["v"] + by_, mx * c["h"] + bx]
+                        if ah == 0:
+                            t = br.read_huff(huff_dc[sc["td"]])
+                            preds[sc["id"]] += _extend(br.read_bits(t), t)
+                            zz[0] = preds[sc["id"]] << al
+                        elif br.read_bit():
+                            zz[0] = int(zz[0]) | (1 << al)
+        else:
+            sc = scan_comps[0]
+            by_, bx = divmod(u, ni_bw)
+            zz = coef_store[sc["id"]][by_, bx]
+            if ss == 0:  # single-component DC scan
+                if ah == 0:
+                    t = br.read_huff(huff_dc[sc["td"]])
+                    preds[sc["id"]] += _extend(br.read_bits(t), t)
+                    zz[0] = preds[sc["id"]] << al
+                elif br.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+            elif ah == 0:  # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                ac_tab = huff_ac[sc["ta"]]
+                k = ss
+                while k <= se:
+                    rs = br.read_huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16
+                    else:
+                        k += r
+                        if k > se:
+                            raise MediaDecodeError("JPEG AC run overflows band")
+                        zz[k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+            else:  # AC refinement scan
+                eobrun = _refine_ac(br, zz, huff_ac[sc["ta"]], ss, se, al, eobrun)
 
 
 @_clean_errors
@@ -1371,6 +1616,9 @@ def decode_jpeg(
     frame = None  # (precision, H, W, components)
     restart_interval = 0
     scan = None
+    progressive = False
+    coef_store: dict[int, np.ndarray] | None = None  # cid → (bh, bw, 64) zigzag
+    prog_geom = None
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise MediaDecodeError(f"JPEG marker sync lost at {pos}")
@@ -1409,7 +1657,7 @@ def decode_jpeg(
                 q = np.zeros(64, dtype=np.int64)
                 q[_ZIGZAG] = vals
                 qt[pq_tq & 0x0F] = q.reshape(8, 8)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 (baseline/ext sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) / SOF2 (progressive)
             precision, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             comps = []
             for i in range(nc):
@@ -1421,10 +1669,11 @@ def decode_jpeg(
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = (precision, h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG {kind} coding — only baseline sequential (SOF0/SOF1) is implemented"
+                f"JPEG SOF{marker - 0xC0} coding — only baseline sequential "
+                "(SOF0/SOF1) and progressive (SOF2) are implemented"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -1434,42 +1683,31 @@ def decode_jpeg(
             for i in range(ns):
                 cs, td_ta = body[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append({"id": cs, "td": td_ta >> 4, "ta": td_ta & 0x0F})
-            scan = (scan_comps, pos + seg_len)
-            break
+            if not progressive:
+                scan = (scan_comps, pos + seg_len)
+                break
+            # progressive: this scan carries a spectral band / bit layer
+            # (T.81 G.1): Ss..Se select coefficients, Ah/Al the precision
+            if frame is None:
+                raise MediaDecodeError("JPEG SOS before SOF")
+            ss, se, ah_al = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if coef_store is None:
+                coef_store, prog_geom = _init_prog_store(frame)
+            segments, pos = _split_entropy_segments(content, pos + seg_len)
+            _progressive_scan(
+                segments, scan_comps, ss, se, ah, al, frame, prog_geom,
+                coef_store, huff_dc, huff_ac, restart_interval,
+            )
+            continue
         elif marker == 0xD9:  # EOI before scan
             break
         pos += seg_len
-    if frame is None or scan is None:
+    if frame is None or (scan is None and coef_store is None):
         raise MediaDecodeError("JPEG missing SOF/SOS")
     precision, H, W, comps = frame
     if precision != 8:
         raise MediaDecodeError(f"only 8-bit JPEG (precision={precision})")
-    scan_comps, data_start = scan
-    if len(scan_comps) != len(comps):
-        raise MediaDecodeError("non-interleaved multi-scan JPEG not supported (baseline interleaved only)")
-
-    # Entropy-coded data: split on RST markers, de-stuff 0xFF00.
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = data_start
-    end = len(content)
-    while p < end:
-        byte = content[p]
-        if byte == 0xFF and p + 1 < end:
-            nxt = content[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or next real marker
-        cur.append(byte)
-        p += 1
-    segments.append(bytes(cur))
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1480,55 +1718,76 @@ def decode_jpeg(
         c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
         for c in comps
     }
-    # Decode every block's zigzag coefficients, then batch dequant+IDCT in numpy.
-    blocks: dict[int, list[tuple[int, int, np.ndarray]]] = {c["id"]: [] for c in comps}
-    preds = {c["id"]: 0 for c in comps}
-    seg_idx = 0
-    br = _JpegBitReader(segments[0])
-    n_mcus = mcus_x * mcus_y
-    # CPU/memory-bomb bound: n_mcus derives solely from declared SOF
-    # dimensions, and the bit reader zero-pads past the end of truncated
-    # entropy data — a tiny file declaring 65535×65535 would otherwise burn
-    # ~67M block decodes. Every block costs ≥2 bits (a ≥1-bit DC Huffman
-    # code + a ≥1-bit EOB); require at least 1 bit per block of actual
-    # entropy-coded data before entering the loop.
-    blocks_per_mcu = sum(by_id[sc["id"]]["h"] * by_id[sc["id"]]["v"] for sc in scan_comps)
-    entropy_bits = 8 * sum(len(s) for s in segments)
-    if n_mcus * blocks_per_mcu > entropy_bits:
-        raise MediaDecodeError(
-            f"JPEG: declared {n_mcus} MCUs × {blocks_per_mcu} blocks exceeds "
-            f"entropy data ({entropy_bits} bits) — truncated or adversarial"
-        )
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise MediaDecodeError("JPEG truncated at restart boundary")
-            br = _JpegBitReader(segments[seg_idx])
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(m, mcus_x)
-        for sc in scan_comps:
-            c = by_id[sc["id"]]
-            for by_ in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz, preds[c["id"]] = _decode_block(
-                        br, huff_dc[sc["td"]], huff_ac[sc["ta"]], preds[c["id"]]
-                    )
-                    y0 = (my * c["v"] + by_) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    blocks[c["id"]].append((y0, x0, zz))
-    for c in comps:
-        blist = blocks[c["id"]]
-        if not blist:
-            continue
-        zzs = np.stack([b[2] for b in blist])  # (n, 64)
-        coef = np.zeros((len(blist), 64), dtype=np.float64)
-        coef[:, _ZIGZAG] = zzs
-        coef = coef.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
-        pix = np.einsum("ur,nrs,sv->nuv", _DCT_T.T, coef, _DCT_T) + 128.0
-        plane = planes[c["id"]]
-        for (y0, x0, _), blk in zip(blist, pix):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+    if progressive:
+        # every scan already accumulated into coef_store (zigzag order):
+        # one batched dequant + IDCT per component, same math as baseline
+        for c in comps:
+            arr = coef_store[c["id"]]  # (bh, bw, 64)
+            bh, bw_, _ = arr.shape
+            coef = np.zeros((bh * bw_, 64), dtype=np.float64)
+            coef[:, _ZIGZAG] = arr.reshape(-1, 64)
+            coef = coef.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+            pix = np.einsum("ur,nrs,sv->nuv", _DCT_T.T, coef, _DCT_T) + 128.0
+            planes[c["id"]] = (
+                pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+            )
+    else:
+        scan_comps, data_start = scan
+        if len(scan_comps) != len(comps):
+            raise MediaDecodeError("non-interleaved multi-scan JPEG not supported (baseline interleaved only)")
+
+        # Entropy-coded data: split on RST markers, de-stuff 0xFF00.
+        segments, _ = _split_entropy_segments(content, data_start)
+
+        # Decode every block's zigzag coefficients, then batch dequant+IDCT in numpy.
+        blocks: dict[int, list[tuple[int, int, np.ndarray]]] = {c["id"]: [] for c in comps}
+        preds = {c["id"]: 0 for c in comps}
+        seg_idx = 0
+        br = _JpegBitReader(segments[0])
+        n_mcus = mcus_x * mcus_y
+        # CPU/memory-bomb bound: n_mcus derives solely from declared SOF
+        # dimensions, and the bit reader zero-pads past the end of truncated
+        # entropy data — a tiny file declaring 65535×65535 would otherwise burn
+        # ~67M block decodes. Every block costs ≥2 bits (a ≥1-bit DC Huffman
+        # code + a ≥1-bit EOB); require at least 1 bit per block of actual
+        # entropy-coded data before entering the loop.
+        blocks_per_mcu = sum(by_id[sc["id"]]["h"] * by_id[sc["id"]]["v"] for sc in scan_comps)
+        entropy_bits = 8 * sum(len(s) for s in segments)
+        if n_mcus * blocks_per_mcu > entropy_bits:
+            raise MediaDecodeError(
+                f"JPEG: declared {n_mcus} MCUs × {blocks_per_mcu} blocks exceeds "
+                f"entropy data ({entropy_bits} bits) — truncated or adversarial"
+            )
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise MediaDecodeError("JPEG truncated at restart boundary")
+                br = _JpegBitReader(segments[seg_idx])
+                preds = {c["id"]: 0 for c in comps}
+            my, mx = divmod(m, mcus_x)
+            for sc in scan_comps:
+                c = by_id[sc["id"]]
+                for by_ in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz, preds[c["id"]] = _decode_block(
+                            br, huff_dc[sc["td"]], huff_ac[sc["ta"]], preds[c["id"]]
+                        )
+                        y0 = (my * c["v"] + by_) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        blocks[c["id"]].append((y0, x0, zz))
+        for c in comps:
+            blist = blocks[c["id"]]
+            if not blist:
+                continue
+            zzs = np.stack([b[2] for b in blist])  # (n, 64)
+            coef = np.zeros((len(blist), 64), dtype=np.float64)
+            coef[:, _ZIGZAG] = zzs
+            coef = coef.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+            pix = np.einsum("ur,nrs,sv->nuv", _DCT_T.T, coef, _DCT_T) + 128.0
+            plane = planes[c["id"]]
+            for (y0, x0, _), blk in zip(blist, pix):
+                plane[y0 : y0 + 8, x0 : x0 + 8] = blk
     # Upsample to full resolution, crop, stack.
     out_planes = []
     for c in comps:
@@ -1633,6 +1892,193 @@ def _encode_block(
     return dc
 
 
+def _gen_huff_spec(freq_in: dict[int, int]) -> tuple[list[int], list[int]]:
+    """JPEG-legal Huffman table from symbol frequencies — the published
+    T.81 Annex K.2 procedure (Figures K.1-K.3): pair-merge code sizes,
+    limit lengths to 16 bits, and reserve the all-ones code via the dummy
+    symbol 256. Returns (bits[16], vals) for DHT emission. Progressive AC
+    scans need this because the Annex K typical tables carry no EOBn
+    (n>=1) symbols."""
+    freq = [0] * 257
+    for s, f in freq_in.items():
+        freq[s] = f
+    freq[256] = 1  # dummy: guarantees the all-1s code stays unassigned
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        present = [(f, i) for i, f in enumerate(freq) if f > 0]
+        if len(present) < 2:
+            break
+        present.sort(key=lambda t: (t[0], -t[1]))  # least freq, highest index
+        v1, v2 = present[0][1], present[1][1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # Figure K.3: fold code lengths > 16 back into the tree
+    for i in range(32, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the dummy symbol's code slot
+    vals = sorted(
+        (s for s in range(256) if codesize[s]),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], vals
+
+
+class _SymCounter:
+    """Frequency-gathering sink for the two-pass progressive encoder."""
+
+    __slots__ = ("freq",)
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymWriter:
+    """Huffman-emitting sink sharing the emitter code with _SymCounter."""
+
+    __slots__ = ("bw", "table")
+
+    def __init__(self, bw: _JpegBitWriter, table: dict[int, tuple[int, int]]):
+        self.bw = bw
+        self.table = table
+
+    def sym(self, s: int) -> None:
+        code, ln = self.table[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _scan_ac_first(sink, blocks: list[np.ndarray], ss: int, se: int, al: int) -> None:
+    """Progressive AC first-approximation scan body (T.81 G.1.2.2 /
+    jcphuff encode_mcu_AC_first): zero runs, ZRL, point-transformed
+    coefficients, and EOB runs accumulated across all-zero band blocks."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(nb << 4)
+            sink.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            v = (v >> al) if v >= 0 else -((-v) >> al)  # point transform → 0
+            if v == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                sink.sym(0xF0)  # ZRL
+                r -= 16
+            s, bits = _magnitude(v)
+            sink.sym((r << 4) | s)
+            sink.bits(bits, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _scan_ac_refine(sink, blocks: list[np.ndarray], ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement scan body (T.81 G.1.2.3 / jcphuff
+    encode_mcu_AC_refine): newly significant coefficients as run+sign
+    codes, correction bits for already-nonzero ones buffered and emitted
+    after the covering symbol, EOB runs carrying their buffered bits."""
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits owed after the next EOBRUN symbol
+
+    def flush_eob():
+        nonlocal eobrun, be_bits
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(nb << 4)
+            sink.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+        for b in be_bits:
+            sink.bits(b, 1)
+        be_bits = []
+
+    for zz in blocks:
+        absv = []
+        eob_k = ss - 1  # index of the last NEWLY significant coefficient
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            if t < 0:
+                t = -t
+            t >>= al
+            absv.append(t)
+            if t == 1:
+                eob_k = k
+        r = 0
+        br_bits: list[int] = []  # correction bits inside the current run
+        for k in range(ss, se + 1):
+            temp = absv[k - ss]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_k:
+                flush_eob()
+                sink.sym(0xF0)
+                r -= 16
+                for b in br_bits:
+                    sink.bits(b, 1)
+                br_bits = []
+            if temp > 1:
+                br_bits.append(temp & 1)
+                continue
+            flush_eob()
+            sink.sym((r << 4) | 1)
+            sink.bits(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br_bits:
+                sink.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF or len(be_bits) > 900:
+                flush_eob()
+    flush_eob()
+
+
 def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     # libjpeg-compatible linear quality scaling (public jcparam.c formula).
     quality = min(100, max(1, quality))
@@ -1645,6 +2091,7 @@ def encode_jpeg(
     quality: int = 90,
     subsample: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """(H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 → baseline JPEG.
 
@@ -1652,8 +2099,19 @@ def encode_jpeg(
     `restart_interval` > 0 emits DRI + RSTn markers every N MCUs (the
     resync structure real camera JPEGs carry).  Uses the T.81 Annex K
     quantization (quality-scaled) and Huffman tables.
+
+    ``progressive`` emits SOF2 with a successive-approximation scan
+    script (DC first Al=1 → AC first Al=1 per component → DC refine →
+    AC refine per component): every coefficient bit is delivered across
+    the scans, so the decoded image is BIT-IDENTICAL to the baseline
+    encoding of the same input — only the entropy layer differs. AC
+    scans carry per-scan optimal Huffman tables (T.81 K.2) because the
+    Annex K typical tables define no EOBn symbols. Restart markers are
+    not combined with progressive here.
     """
     arr = np.asarray(img)
+    if progressive and restart_interval:
+        raise ValueError("encode_jpeg: restart_interval unsupported with progressive")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     H, W, C = arr.shape
@@ -1704,8 +2162,36 @@ def encode_jpeg(
         zzflat = flat[:, :, _ZIGZAG]  # natural order → zigzag sequence
         coded.append(zzflat)
     dc_y = _huff_encode_table(*_HUFF_DC_LUMA)
-    ac_y = _huff_encode_table(*_HUFF_AC_LUMA)
     dc_c = _huff_encode_table(*_HUFF_DC_CHROMA)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th] + list(bits) + list(vals)))
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_qy = bytes(int(qy.reshape(64)[i]) for i in _ZIGZAG)
+    out += seg(0xDB, b"\x00" + zz_qy)
+    if not gray:
+        zz_qc = bytes(int(qc.reshape(64)[i]) for i in _ZIGZAG)
+        out += seg(0xDB, b"\x01" + zz_qc)
+    sof = bytearray(struct.pack(">BHHB", 8, H, W, len(planes)))
+    for i, (h, v) in enumerate(samp):
+        sof += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
+    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
+
+    if progressive:
+        out += _encode_progressive_scans(
+            coded, samp, gray, H, W, hmax, vmax, mcus_x, mcus_y,
+            dc_y, dc_c, seg, dht,
+        )
+        out += b"\xFF\xD9"
+        return bytes(out)
+
+    ac_y = _huff_encode_table(*_HUFF_AC_LUMA)
     ac_c = _huff_encode_table(*_HUFF_AC_CHROMA)
     bw = _JpegBitWriter()
     preds = [0] * len(planes)
@@ -1725,25 +2211,6 @@ def encode_jpeg(
                     )
     bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xFF\xD8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    zz_qy = bytes(int(qy.reshape(64)[i]) for i in _ZIGZAG)
-    out += seg(0xDB, b"\x00" + zz_qy)
-    if not gray:
-        zz_qc = bytes(int(qc.reshape(64)[i]) for i in _ZIGZAG)
-        out += seg(0xDB, b"\x01" + zz_qc)
-    sof = bytearray(struct.pack(">BHHB", 8, H, W, len(planes)))
-    for i, (h, v) in enumerate(samp):
-        sof += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
-    out += seg(0xC0, bytes(sof))
-
-    def dht(tc: int, th: int, spec: tuple) -> bytes:
-        bits, vals = spec
-        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
-
     out += dht(0, 0, _HUFF_DC_LUMA) + dht(1, 0, _HUFF_AC_LUMA)
     if not gray:
         out += dht(0, 1, _HUFF_DC_CHROMA) + dht(1, 1, _HUFF_AC_CHROMA)
@@ -1756,6 +2223,94 @@ def encode_jpeg(
     out += seg(0xDA, bytes(sos))
     out += bw.out
     out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _encode_progressive_scans(
+    coded, samp, gray, H, W, hmax, vmax, mcus_x, mcus_y, dc_y, dc_c, seg, dht
+) -> bytes:
+    """Emit the progressive scan script: DC first (Al=1, interleaved) →
+    AC first per component (band 1..63, Al=1, per-scan optimal Huffman
+    table in slot 0) → DC refine (raw bits) → AC refine per component.
+    Together the scans deliver every coefficient bit, so decode is
+    bit-identical to the baseline encoding of the same coefficients."""
+    out = bytearray()
+    ncomp = len(samp)
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(body))
+
+    # per-component block lists over the component's OWN grid (T.81
+    # A.2.2) — for subsampled frames this is smaller than the padded MCU
+    # grid, and the decoder's non-interleaved scans walk exactly it
+    ni_blocks = []
+    for ci, (h, v) in enumerate(samp):
+        nbh = -(-(-(-H * v // vmax)) // 8)
+        nbw = -(-(-(-W * h // hmax)) // 8)
+        ni_blocks.append(
+            [coded[ci][by_, bx] for by_ in range(nbh) for bx in range(nbw)]
+        )
+
+    # scan 1: DC first, all components interleaved, Al=1
+    out += dht(0, 0, _HUFF_DC_LUMA)
+    if not gray:
+        out += dht(0, 1, _HUFF_DC_CHROMA)
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci, (h, v) in enumerate(samp):
+            tab = dc_y if ci == 0 else dc_c
+            for by_ in range(v):
+                for bx in range(h):
+                    dc = int(coded[ci][my * v + by_, mx * h + bx][0]) >> 1
+                    t, bits = _magnitude(dc - preds[ci])
+                    preds[ci] = dc
+                    code, ln = tab[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(bits, t)
+    bw.flush()
+    out += sos([(i + 1, 0 if i == 0 else 1, 0) for i in range(ncomp)], 0, 0, 0, 1)
+    out += bw.out
+
+    # AC first per component: two-pass (count → optimal table → emit)
+    for ci in range(ncomp):
+        cnt = _SymCounter()
+        _scan_ac_first(cnt, ni_blocks[ci], 1, 63, 1)
+        spec = _gen_huff_spec(cnt.freq)
+        out += dht(1, 0, spec)
+        bw = _JpegBitWriter()
+        _scan_ac_first(_SymWriter(bw, _huff_encode_table(*spec)), ni_blocks[ci], 1, 63, 1)
+        bw.flush()
+        out += sos([(ci + 1, 0, 0)], 1, 63, 0, 1) + bw.out
+
+    # DC refine: one raw bit per block, interleaved MCU order
+    bw = _JpegBitWriter()
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci, (h, v) in enumerate(samp):
+            for by_ in range(v):
+                for bx in range(h):
+                    bw.write(int(coded[ci][my * v + by_, mx * h + bx][0]) & 1, 1)
+    bw.flush()
+    out += sos([(i + 1, 0 if i == 0 else 1, 0) for i in range(ncomp)], 0, 0, 1, 0)
+    out += bw.out
+
+    # AC refine per component
+    for ci in range(ncomp):
+        cnt = _SymCounter()
+        _scan_ac_refine(cnt, ni_blocks[ci], 1, 63, 0)
+        spec = _gen_huff_spec(cnt.freq)
+        out += dht(1, 0, spec)
+        bw = _JpegBitWriter()
+        _scan_ac_refine(_SymWriter(bw, _huff_encode_table(*spec)), ni_blocks[ci], 1, 63, 0)
+        bw.flush()
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0) + bw.out
     return bytes(out)
 
 

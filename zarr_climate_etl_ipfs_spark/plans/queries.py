@@ -94,7 +94,12 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
         )
     if fmt == 3:
         sub = "4:2:0" if rotate_variants and d % 8 == 7 else "4:4:4"
-        return encode_jpeg(img, quality=100, subsample=sub)
+        # SOF2 progressive on d%8==3 — quality=100 keeps the successive-
+        # approximation scans bit-exact on constant rasters too
+        return encode_jpeg(
+            img, quality=100, subsample=sub,
+            progressive=rotate_variants and d % 8 == 3,
+        )
     if rotate_variants and d % 10 == 4:
         return encode_webp(img, palette=True)
     return encode_webp(img, use_subtract_green=rotate_variants and d % 10 == 9)
@@ -4318,9 +4323,10 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     %8==1), TIFF (%5==2: big-endian on %8==6, LZW on %8==2, LZW +
     predictor-2 multi-strip on %8==5, Deflate on %8==4, PackBits on
     %8==7, new-style JPEG strips on %8==0, JPEG + shared JPEGTables tag +
-    multi-strip on %8==1), baseline JPEG
+    multi-strip on %8==1), JPEG
     (%5==3, quality=100 where the Annex-K tables scale to all-ones so
-    DC-only constant blocks are bit-exact; 4:2:0 on %8==7 else 4:4:4),
+    DC-only constant blocks are bit-exact; 4:2:0 on %8==7, SOF2
+    progressive on %8==3, else baseline 4:4:4),
     lossless WebP VP8L (%5==4; palette on %10==4, subtract-green on
     %10==9) — then the production decode path
     (multimodal.extract_features -> mediacodecs.decode_png / decode_gif /
