@@ -107,6 +107,29 @@ def test_multimodal_corrupt_payload_isolated(spark):
     assert not out[2]["decode_ok"] and "corrupt" in out[2]["error"]
 
 
+def test_frame_deltas_exact_and_isolated(spark):
+    """frame_deltas: exact mean-abs deltas between constant frames (the
+    shot_boundaries catalog oracle's foundation), one row per consecutive
+    pair, and per-row failure isolation on undecodable payloads."""
+    from zarr_climate_etl_ipfs_spark.mediacodecs import encode_gif_animation
+
+    frames = np.stack([
+        np.full((4, 3, 3), 10, dtype=np.uint8),
+        np.full((4, 3, 3), 50, dtype=np.uint8),
+        np.full((4, 3, 3), 45, dtype=np.uint8),
+    ])
+    good = encode_gif_animation(frames, delay_cs=5)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a gif"))],
+        "doc_id long, content binary",
+    )
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in multimodal.frame_deltas(df).collect()}
+    assert rows[(1, 0)]["mean_abs_delta"] == 40.0
+    assert rows[(1, 1)]["mean_abs_delta"] == 5.0
+    assert rows[(2, None)]["decode_ok"] is False
+    assert len([k for k in rows if k[0] == 1]) == 2  # n_frames - 1 pairs
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"v")], "doc_id long, content binary")
     df = multimodal.attach_media_meta(df, "video", "mp4").withColumn(

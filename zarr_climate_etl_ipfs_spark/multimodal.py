@@ -219,6 +219,61 @@ def sample_frames(
     )
 
 
+DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("mean_abs_delta", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def frame_deltas(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Consecutive-frame difference signal — the primitive behind shot-
+    boundary detection in video curation pipelines: decode an animation
+    (animated GIF via the stdlib LZW path), emit one row per consecutive
+    frame PAIR with the mean absolute pixel delta. Thresholding the delta
+    downstream (a plain column predicate) marks cut points; keeping the
+    threshold out of the kernel leaves it a Catalyst-visible filter.
+
+    Same Arrow mapInPandas flat-map shape as :func:`sample_frames`
+    (payload bytes never leave the executor; per-row failures degrade to
+    decode_ok=false rows). For MP4/WebM the kernel takes an injected
+    ffmpeg decoder; the plumbing is what this pins down."""
+    from zarr_climate_etl_ipfs_spark.mediacodecs import decode_gif_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames, _meta = decode_gif_frames(content)
+                    for f in range(frames.shape[0] - 1):
+                        delta = float(
+                            np.abs(
+                                frames[f + 1].astype(np.int16)
+                                - frames[f].astype(np.int16)
+                            ).mean()
+                        )
+                        out.append((rid, f, delta, True, None))
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    out.append((rid, None, None, False, str(e)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "mean_abs_delta", "decode_ok", "error"],
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        kernel, schema=DELTA_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

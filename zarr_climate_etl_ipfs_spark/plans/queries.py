@@ -8390,3 +8390,228 @@ def polygon_mask_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-12 additions: split leakage, shot boundaries, and two SURVEY §2
+# function rows (F5 bucket paths, F6 sentinel masking) promoted from
+# pytest-only to oracle-gated
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "split_leakage",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, {_FP_SQL} AS fp,
+             CASE WHEN {_H56.format(x="CONCAT('split:', CAST(doc_id AS VARCHAR))")} % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ), fp_splits AS (
+      SELECT lang, fp,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT split) AS n_splits
+      FROM assigned GROUP BY lang, fp
+    )
+    SELECT lang,
+           CAST(COUNT(*) FILTER (WHERE n_splits = 2) AS BIGINT) AS leaking_fps,
+           CAST(COALESCE(SUM(n_docs) FILTER (WHERE n_splits = 2), 0) AS BIGINT)
+             AS leaking_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_fps
+    FROM fp_splits GROUP BY lang ORDER BY lang
+    """,
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage audit — the eval-contamination check every
+    training pipeline runs after splitting: assign each document to
+    train (80%) or test by a keyed hash of its id, fingerprint the
+    normalized text (the dedup_exact fingerprint), and count fingerprint
+    groups with members on BOTH sides. A duplicated document that lands
+    in both splits silently leaks test answers into training; the fix is
+    splitting on the FINGERPRINT, and this query measures how much a
+    naive id-split leaks. Exact integer outputs per language keep the
+    oracle hash-strict.
+
+    Plan: one hash-keyed aggregate over (lang, fingerprint) with a
+    distinct-count of splits — map-side combinable, no joins, no pair
+    space; at 100 TB this is a single shuffle on a uniform md5 key."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import fingerprint
+
+    d = t_wide(spark, sf_dir, "documents").select(
+        "lang",
+        fingerprint("text").alias("fp"),
+        F.when(
+            md5int(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10 < 8,
+            F.lit("train"),
+        ).otherwise(F.lit("test")).alias("split"),
+    )
+    fp_splits = d.groupBy("lang", "fp").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    leak2 = F.col("n_splits") == 2
+    return (
+        fp_splits.groupBy("lang")
+        .agg(
+            F.sum(leak2.cast("int")).alias("leaking_fps"),
+            F.coalesce(
+                F.sum(F.when(leak2, F.col("n_docs"))), F.lit(0)
+            ).cast("bigint").alias("leaking_docs"),
+            F.count("*").alias("total_fps"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "shot_boundaries",
+    """
+    WITH params AS (
+      SELECT doc_id, doc_id % 5 + 2 AS nf FROM documents
+    ), pairs AS (
+      SELECT doc_id, UNNEST(RANGE(0, nf - 1)) AS frame_idx, nf FROM params
+    ), deltas AS (
+      SELECT doc_id, frame_idx, nf,
+             ABS(CAST((doc_id + 40 * (frame_idx + 1)) % 251 AS BIGINT)
+                 - CAST((doc_id + 40 * frame_idx) % 251 AS BIGINT)) AS d
+      FROM pairs
+    )
+    SELECT doc_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+           CAST(MAX(d) AS BIGINT) AS max_delta
+    FROM deltas GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection as a driver-checkable entry: every doc gets
+    an animated GIF (nf = doc_id%5+2 constant-color frames, frame f shade
+    = (doc_id + 40f) % 251), `multimodal.frame_deltas` decodes ALL frames
+    through the stdlib LZW path and emits the mean absolute pixel delta
+    per consecutive pair, and a boundary is a delta above 100 — with a
+    +40 shade walk the delta is exactly 40 within a shot and 211 at the
+    mod-251 wrap, so the cut points are closed-form: the DuckDB oracle
+    reproduces every delta arithmetically and verifies the
+    encode→decode→diff→threshold chain without either codec. Constant
+    frames make mean_abs_delta an exact integer (cast below keeps the
+    hash strict).
+
+    Plan: generate + diff are two Arrow python stages over the scan (the
+    threshold is a plain Catalyst filter applied after the kernel); one
+    aggregate keyed on doc_id; sort only for driver output."""
+    from zarr_climate_etl_ipfs_spark import multimodal as mm
+
+    @F.pandas_udf("binary")
+    def gen_vid(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_gif_animation
+
+        out = []
+        for d in doc_id:
+            side = int(d) % 6 + 2
+            nf = int(d) % 5 + 2
+            frames = np.stack(
+                [
+                    np.full((side, side, 3), (int(d) + 40 * f) % 251, dtype=np.uint8)
+                    for f in range(nf)
+                ]
+            )
+            out.append(encode_gif_animation(frames, delay_cs=10))
+        return pd.Series(out)
+
+    d = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", gen_vid("doc_id").alias("content")
+    )
+    deltas = mm.frame_deltas(d).filter(F.col("decode_ok"))
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            (F.max("frame_idx") + 2).cast("bigint").alias("n_frames"),
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("mean_abs_delta") > 100).cast("int")).alias("n_boundaries"),
+            F.max("mean_abs_delta").cast("bigint").alias("max_delta"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "sentinel_null_mask",
+    """
+    WITH masked AS (
+      SELECT l_returnflag,
+             CASE WHEN l_quantity = 50.0 THEN NULL ELSE l_quantity END AS qty
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(qty) AS BIGINT) AS n_masked,
+           ROUND(AVG(qty), 4) AS avg_unmasked,
+           ROUND(SUM(qty), 2) AS sum_unmasked
+    FROM masked GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sentinel_null_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel→NULL masking (SURVEY F6, the -9999-style missing-value
+    convention every climate/instrument feed ships) promoted to an
+    oracle-gated row: `functions.scalars.mask_sentinel` nulls the
+    sentinel (here the l_quantity ceiling stands in for it) and the
+    aggregate shows NULL semantics flowing through count/avg/sum exactly
+    like the reference's NaN handling. The masking expression is a single
+    CASE — pure codegen in the scan's project, no UDF."""
+    from zarr_climate_etl_ipfs_spark.functions.scalars import mask_sentinel
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", mask_sentinel("l_quantity", 50.0).alias("qty")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("qty")).alias("n_masked"),
+            F.round(F.avg("qty"), 4).alias("avg_unmasked"),
+            F.round(F.sum("qty"), 2).alias("sum_unmasked"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "date_bucket_path",
+    """
+    SELECT STRFTIME(o_orderdate, '%Y-%m') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def date_bucket_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folder-path-from-date derivation (SURVEY F5: the store's
+    time_bucket partition key, `sources/store._BUCKET_FMT['month']`)
+    promoted to an oracle-gated row: derive each order's month bucket
+    with the SAME format constant the GridStore writer partitions by, and
+    aggregate per bucket — exactly the accounting a store operator runs
+    to size partitions before a write. The year filter exercises bucket
+    pruning: Catalyst pushes it to the scan, so at 100 TB only the
+    selected year's row groups are read (min/max stats), mirroring the
+    store's manifest bucket pruning."""
+    from zarr_climate_etl_ipfs_spark.sources.store import _BUCKET_FMT
+
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    return (
+        o.groupBy(
+            F.date_format("o_orderdate", _BUCKET_FMT["month"]).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
