@@ -960,3 +960,31 @@ def test_recover_cells_skips_live_foreign_compactor(tmp_path):
     dead_tmp.mkdir()
     similarity._recover_cells(cells_root)
     assert not dead_tmp.exists() and live.exists()
+
+    # same pid but WITH a registered in-flight compaction on this root:
+    # a sibling thread's staging dirs are live, not a crashed predecessor
+    busy_mine = cells_root / f"_compact_cell=0.{similarity._owner_token()}"
+    busy_mine.mkdir()
+    key = str(cells_root.resolve())
+    similarity._ACTIVE_COMPACTIONS.add(key)
+    try:
+        similarity._recover_cells(cells_root)
+        assert busy_mine.exists()
+    finally:
+        similarity._ACTIVE_COMPACTIONS.discard(key)
+    similarity._recover_cells(cells_root)  # registry cleared: collectable
+    assert not busy_mine.exists()
+
+    # pid-recycling guard: pid 1 is alive, but a stamp whose start time
+    # contradicts /proc/1's start time names a DEAD process that happened
+    # to share the pid — collectable, not skipped forever
+    real_start = similarity._proc_start_ticks(1)
+    if real_start is not None:
+        recycled = cells_root / f"_compact_cell=0.1.{real_start + 12345}"
+        recycled.mkdir()
+        same = cells_root / f"_compact_cell=1.1.{real_start}"
+        same.mkdir()
+        similarity._recover_cells(cells_root)
+        assert not recycled.exists()  # wrong start time: owner is gone
+        assert same.exists()  # right start time: live foreign owner
+        same.rmdir()

@@ -758,6 +758,26 @@ def test_jpeg_progressive_quality100_constant_bit_exact():
     assert np.array_equal(dec[:, :, 0], g) and meta["n_channels"] == 1
 
 
+def test_jpeg_duplicate_sof_rejected():
+    """T.81 B.2.1: one frame header per stream. A forged SECOND SOF after
+    the first would re-declare dimensions after the progressive
+    coefficient store was sized (array shape contradicting meta, or a
+    multi-GiB plane allocation from forged dims) — round-12 code-review
+    catch, reproduced before the fix."""
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    for progressive in (False, True):
+        blob = bytearray(mc.encode_jpeg(img, quality=90, progressive=progressive))
+        sof_marker = b"\xFF\xC2" if progressive else b"\xFF\xC0"
+        idx = blob.find(sof_marker)
+        (ln,) = __import__("struct").unpack(">H", bytes(blob[idx + 2 : idx + 4]))
+        seg = bytes(blob[idx : idx + 2 + ln])
+        forged = bytearray(seg)
+        forged[5:9] = (333).to_bytes(2, "big") + (444).to_bytes(2, "big")
+        hacked = bytes(blob[: idx + 2 + ln]) + bytes(forged) + bytes(blob[idx + 2 + ln :])
+        with pytest.raises(mc.MediaDecodeError, match="duplicate SOF"):
+            mc.decode_jpeg(hacked)
+
+
 def test_jpeg_progressive_fuzz_fails_cleanly():
     """Parser-hardening bar for the SOF2 paths: mutated progressive
     streams decode or raise the contract error — never hang, alloc-bomb,

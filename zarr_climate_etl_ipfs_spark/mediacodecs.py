@@ -1658,6 +1658,13 @@ def decode_jpeg(
                 q[_ZIGZAG] = vals
                 qt[pq_tq & 0x0F] = q.reshape(8, 8)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) / SOF2 (progressive)
+            if frame is not None:
+                # T.81 B.2.1: exactly one frame header per stream. A forged
+                # second SOF would re-declare dimensions AFTER coef_store
+                # was sized (progressive) or redefine geometry mid-stream —
+                # decode would return an array whose shape contradicts its
+                # meta instead of failing (code-review catch, round 12)
+                raise MediaDecodeError("JPEG: duplicate SOF marker")
             precision, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             comps = []
             for i in range(nc):
@@ -1714,13 +1721,11 @@ def decode_jpeg(
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
     by_id = {c["id"]: c for c in comps}
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    }
+    planes: dict[int, np.ndarray] = {}
     if progressive:
-        # every scan already accumulated into coef_store (zigzag order):
-        # one batched dequant + IDCT per component, same math as baseline
+        # every scan already accumulated into coef_store (zigzag order,
+        # allocation bounded by _init_prog_store's block cap): one batched
+        # dequant + IDCT per component, same math as baseline
         for c in comps:
             arr = coef_store[c["id"]]  # (bh, bw, 64)
             bh, bw_, _ = arr.shape
@@ -1758,6 +1763,14 @@ def decode_jpeg(
                 f"JPEG: declared {n_mcus} MCUs × {blocks_per_mcu} blocks exceeds "
                 f"entropy data ({entropy_bits} bits) — truncated or adversarial"
             )
+        # plane allocation sits BEHIND the bomb guard: forged 65535×65535
+        # dims must die above before any np.zeros is sized from them
+        planes = {
+            c["id"]: np.zeros(
+                (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+            )
+            for c in comps
+        }
         for m in range(n_mcus):
             if restart_interval and m and m % restart_interval == 0:
                 seg_idx += 1

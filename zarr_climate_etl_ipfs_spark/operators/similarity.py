@@ -804,31 +804,76 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]], dict
     )
 
 
-def _leftover_owner_alive(name: str) -> bool:
-    """True when a ``_old_``/``_compact_`` leftover dir name carries a
-    ``.<pid>`` suffix whose owner process is still running (signal-0
-    liveness, the same probe ``plans.queries._scratch_root`` uses). A
-    live owner means an in-flight :func:`compact_ivf_index` in another
-    process — its staging/aside dirs are NOT garbage and recovery must
-    leave them alone, or a reader racing a live compactor can delete the
-    staging dir mid-write (or resurrect the aside dir mid-swap, making
-    the compactor's second rename fail ENOTEMPTY). An unparseable suffix
-    is treated as dead (collectable): every writer since the format
-    landed stamps its pid."""
+#: cells-roots with an in-flight compact_ivf_index in THIS process — a
+#: concurrent reader thread's _recover_cells must not collect the live
+#: compactor's same-pid staging dirs (the pid alone can't distinguish a
+#: live sibling thread from a crashed predecessor call; round-12
+#: code-review catch). Guarded by the GIL-atomic set ops.
+_ACTIVE_COMPACTIONS: set[str] = set()
+
+
+def _proc_start_ticks(pid: int) -> int | None:
+    """Process start time in clock ticks since boot (/proc/<pid>/stat
+    field 22) — the token that makes 'pid is alive' mean 'the SAME
+    process is alive': a recycled pid gets a different start time, so a
+    crashed compactor's leftovers stay collectable even after its pid is
+    reused by an unrelated long-lived process. None where /proc is
+    unavailable (caller falls back to signal-0 liveness alone)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        # comm (field 2) may contain spaces/parens; count from the last ')'
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _owner_token() -> str:
+    """``<pid>.<starttime>`` suffix stamped on compaction scratch dirs."""
     import os as _os
 
-    tail = name.rsplit(".", 1)
-    if len(tail) != 2 or not tail[1].isdigit():
+    pid = _os.getpid()
+    start = _proc_start_ticks(pid)
+    return f"{pid}.{start}" if start is not None else str(pid)
+
+
+def _leftover_owner_alive(name: str, cells_root_key: str) -> bool:
+    """True when a ``_old_``/``_compact_`` leftover dir is owned by a
+    compactor that is STILL RUNNING — such dirs are not garbage and
+    recovery must leave them alone, or a reader racing a live compactor
+    can delete the staging dir mid-write (or resurrect the aside dir
+    mid-swap, making the compactor's second rename fail ENOTEMPTY).
+
+    Ownership = ``.<pid>.<starttime>`` suffix: alive means the pid
+    responds to signal 0 AND its /proc start time matches the stamp (a
+    recycled pid is a different process — its presence must not block
+    recovery forever). Same-process ownership is decided by the
+    _ACTIVE_COMPACTIONS registry, not the pid: our own pid with no
+    registered compaction on this root is a crashed predecessor call and
+    collectable. Unparseable/legacy suffixes are treated as dead."""
+    import os as _os
+
+    parts = name.rsplit(".", 2)
+    if len(parts) == 3 and parts[1].isdigit() and parts[2].isdigit():
+        pid, start = int(parts[1]), int(parts[2])
+    elif len(parts) >= 2 and parts[-1].isdigit():
+        pid, start = int(parts[-1]), None  # legacy pid-only stamp
+    else:
         return False
-    pid = int(tail[1])
     if pid == _os.getpid():
-        return False  # our own crashed predecessor call; safe to collect
+        # live only while THIS process has a compaction in flight on this
+        # root (a sibling thread); otherwise a crashed predecessor call
+        return cells_root_key in _ACTIVE_COMPACTIONS
     try:
         _os.kill(pid, 0)
     except ProcessLookupError:
         return False
     except PermissionError:
-        return True  # alive under another uid
+        return True  # alive under another uid; /proc may be unreadable too
+    if start is not None:
+        actual = _proc_start_ticks(pid)
+        if actual is not None and actual != start:
+            return False  # pid recycled: the stamping process is gone
     return True
 
 
@@ -842,13 +887,15 @@ def _recover_cells(cells_root) -> None:
     ``_old_`` dir whose live cell is missing is renamed back (the old
     files ARE the committed data until the swap completes); any other
     ``_old_``/``_compact_`` dir is garbage from a completed or abandoned
-    swap and is removed. Leftovers whose owner pid is still alive are
-    skipped entirely — they belong to an in-flight compactor in another
-    process, not to a crash."""
+    swap and is removed. Leftovers whose owner process is still alive
+    (pid+starttime stamp, or a registered same-process compaction) are
+    skipped entirely — they belong to an in-flight compactor, not to a
+    crash."""
     import shutil as _shutil
 
+    root_key = str(cells_root.resolve())
     for leftover in cells_root.glob("_old_cell=*"):
-        if _leftover_owner_alive(leftover.name):
+        if _leftover_owner_alive(leftover.name, root_key):
             continue
         live = cells_root / leftover.name[len("_old_") :].split(".", 1)[0]
         if not live.exists():
@@ -862,7 +909,7 @@ def _recover_cells(cells_root) -> None:
         else:
             _shutil.rmtree(leftover, ignore_errors=True)
     for leftover in cells_root.glob("_compact_cell=*"):
-        if _leftover_owner_alive(leftover.name):
+        if _leftover_owner_alive(leftover.name, root_key):
             continue
         _shutil.rmtree(leftover, ignore_errors=True)
 
@@ -1153,50 +1200,60 @@ def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
             crowded[cell_dir.name] = n
     if not crowded:
         return {}
-    for name in crowded:
-        old_dir = cells_root / name
-        tmp_dir = cells_root / f"_compact_{name}.{_os.getpid()}"
-        _shutil.rmtree(tmp_dir, ignore_errors=True)
-        (
-            spark.read.schema(
-                # per-cell read: the partition column is in the dir name,
-                # not the files — drop it from the read schema
-                _drop_field(meta["schema"], "cell")
+    token = _owner_token()
+    root_key = str(cells_root.resolve())
+    # register this root so a concurrent reader THREAD's _recover_cells
+    # (same pid — the stamp can't tell threads apart) leaves our live
+    # staging/aside dirs alone; the finally makes a predecessor that
+    # raised collectable again
+    _ACTIVE_COMPACTIONS.add(root_key)
+    try:
+        for name in crowded:
+            old_dir = cells_root / name
+            tmp_dir = cells_root / f"_compact_{name}.{token}"
+            _shutil.rmtree(tmp_dir, ignore_errors=True)
+            (
+                spark.read.schema(
+                    # per-cell read: the partition column is in the dir name,
+                    # not the files — drop it from the read schema
+                    _drop_field(meta["schema"], "cell")
+                )
+                .parquet(str(old_dir))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(tmp_dir))
             )
-            .parquet(str(old_dir))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(str(tmp_dir))
-        )
-        # per-cell commit point; marker untouched (schema/centroids same)
-        try:
-            _exchange_dirs(old_dir, tmp_dir)
-            exchanged = True
-        except (OSError, AttributeError):
-            exchanged = False
-        if exchanged:
-            # verify the exchanged-in dir actually carries the
-            # consolidated file before discarding the superseded copy —
-            # if anything tampered with the staging dir between write and
-            # swap (e.g. an external cleaner), swap back and abort rather
-            # than delete the only committed copy
-            if not any(old_dir.glob("*.parquet")):  # pragma: no cover
+            # per-cell commit point; marker untouched (schema/centroids same)
+            try:
                 _exchange_dirs(old_dir, tmp_dir)
-                raise OSError(f"compact staging dir for {name} was empty at swap")
-            _shutil.rmtree(tmp_dir)  # now holds the superseded files
-        else:
-            # no RENAME_EXCHANGE: rename-aside, rename-into-place, and only
-            # delete the aside copy after verifying the live dir took —
-            # _recover_cells heals the window if we crash between renames
-            back_dir = cells_root / f"_old_{name}.{_os.getpid()}"
-            _os.rename(old_dir, back_dir)
-            _os.rename(tmp_dir, old_dir)
-            if old_dir.is_dir() and any(old_dir.glob("*.parquet")):
-                _shutil.rmtree(back_dir)
-            else:  # pragma: no cover - defensive: restore and abort
-                _shutil.rmtree(old_dir, ignore_errors=True)
-                _os.rename(back_dir, old_dir)
-                raise OSError(f"compact swap failed to land for {name}")
+                exchanged = True
+            except (OSError, AttributeError):
+                exchanged = False
+            if exchanged:
+                # verify the exchanged-in dir actually carries the
+                # consolidated file before discarding the superseded copy —
+                # if anything tampered with the staging dir between write and
+                # swap (e.g. an external cleaner), swap back and abort rather
+                # than delete the only committed copy
+                if not any(old_dir.glob("*.parquet")):  # pragma: no cover
+                    _exchange_dirs(old_dir, tmp_dir)
+                    raise OSError(f"compact staging dir for {name} was empty at swap")
+                _shutil.rmtree(tmp_dir)  # now holds the superseded files
+            else:
+                # no RENAME_EXCHANGE: rename-aside, rename-into-place, and only
+                # delete the aside copy after verifying the live dir took —
+                # _recover_cells heals the window if we crash between renames
+                back_dir = cells_root / f"_old_{name}.{token}"
+                _os.rename(old_dir, back_dir)
+                _os.rename(tmp_dir, old_dir)
+                if old_dir.is_dir() and any(old_dir.glob("*.parquet")):
+                    _shutil.rmtree(back_dir)
+                else:  # pragma: no cover - defensive: restore and abort
+                    _shutil.rmtree(old_dir, ignore_errors=True)
+                    _os.rename(back_dir, old_dir)
+                    raise OSError(f"compact swap failed to land for {name}")
+    finally:
+        _ACTIVE_COMPACTIONS.discard(root_key)
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     tmp = f"{path}/index.json.tmp.{_os.getpid()}"
     with open(tmp, "w") as f:
