@@ -130,6 +130,36 @@ def test_frame_deltas_exact_and_isolated(spark):
     assert len([k for k in rows if k[0] == 1]) == 2  # n_frames - 1 pairs
 
 
+def test_phash_invariance_and_isolation(spark):
+    """phash_images: the 64-bit perceptual hash is invariant to positive
+    scaling and constant offset (the property the image_phash_dedup
+    oracle pins), distinct across rotations of a textured pattern, and
+    per-row failure-isolated."""
+    from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
+    from zarr_climate_etl_ipfs_spark.multimodal import _phash_bits, phash_images
+
+    y, x = np.mgrid[0:16, 0:16]
+    pat = ((3 * y + 5 * x + (y * x) % 7) % 11).astype(np.int64)
+
+    def png(o, a, off):
+        img = (off + a * np.rot90(pat, o)).astype(np.uint8)
+        return encode_png(np.dstack([img, img, img]))
+
+    rows = [
+        (0, bytearray(png(0, 1, 0))),
+        (1, bytearray(png(0, 5, 90))),   # same orientation, scaled+shifted
+        (2, bytearray(png(1, 2, 10))),
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in phash_images(df).collect()}
+    assert got[0]["phash"] == got[1]["phash"]          # invariance
+    assert got[0]["phash"] != got[2]["phash"]          # orientation splits
+    assert got[3]["decode_ok"] is False                # isolation
+    # all four rotations are distinct (the oracle's 4-class assumption)
+    assert len({_phash_bits(np.rot90(pat, o).astype(np.uint8)) for o in range(4)}) == 4
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"v")], "doc_id long, content binary")
     df = multimodal.attach_media_meta(df, "video", "mp4").withColumn(

@@ -274,6 +274,88 @@ def frame_deltas(
     )
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _phash_bits(img: np.ndarray) -> str:
+    """64-bit perceptual hash of a decoded raster: grayscale → 32×32 box
+    resize → 32×32 orthonormal DCT-II → top-left 8×8 low-frequency block
+    minus DC → median threshold → 16-hex-digit string. Positive scaling
+    and constant offsets of the pixel values leave the hash unchanged
+    (signs of AC coefficients are scale-invariant; DC is dropped), which
+    is the property the catalog oracle pins analytically. Coefficients
+    are rounded to 1e-6 so exact structural zeros don't flip on float
+    noise."""
+    gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    if gray.shape[0] < 32 or gray.shape[1] < 32:
+        # sample-replicate up first so every 32-grid bin below is non-empty
+        gray = np.repeat(
+            np.repeat(gray, -(-32 // gray.shape[0]), axis=0),
+            -(-32 // gray.shape[1]),
+            axis=1,
+        )
+    h, w = gray.shape
+    # box resize to 32x32: average over a 32-bin grid of the source
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    small = np.empty((32, 32), dtype=np.float64)
+    for i in range(32):
+        rows = gray[ys[i] : ys[i + 1]]
+        for j in range(32):
+            small[i, j] = rows[:, xs[j] : xs[j + 1]].mean()
+    n = 32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    dct[0] = np.sqrt(1.0 / n)
+    coef = dct @ small @ dct.T
+    block = np.round(coef[:8, :8].reshape(64)[1:], 6)  # drop DC; kill fp noise
+    med = np.median(block)
+    bits = block > med
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return f"{val:016x}"
+
+
+def phash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """Perceptual-hash image fingerprinting — the image-content analog of
+    text MinHash for multimodal training-data dedup: near-identical
+    images (rescaled, brightness-shifted, re-encoded) map to the same or
+    Hamming-close 64-bit hash, so grouping by hash (or banded hash
+    pieces) finds duplicates with NO pairwise comparison. Arrow-batched
+    mapInPandas; per-row failures degrade to decode_ok=false rows."""
+    from zarr_climate_etl_ipfs_spark.mediacodecs import decode_image
+
+    dec = decoder or (lambda content, meta: decode_image(content)[0])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    out.append((rid, _phash_bits(dec(content, {})), True, None))
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    out.append((rid, None, False, str(e)[:200]))
+            yield pd.DataFrame(out, columns=["doc_id", "phash", "decode_ok", "error"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        kernel, schema=PHASH_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

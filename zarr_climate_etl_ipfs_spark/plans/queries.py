@@ -8615,3 +8615,78 @@ def date_bucket_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@q(
+    "image_phash_dedup",
+    """
+    WITH groups AS (
+      SELECT doc_id % 4 AS orient,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             MIN(doc_id) AS canonical
+      FROM documents GROUP BY doc_id % 4
+    )
+    SELECT d.doc_id,
+           g.group_size,
+           CAST(d.doc_id = g.canonical AS BOOLEAN) AS keep
+    FROM documents d JOIN groups g ON d.doc_id % 4 = g.orient
+    ORDER BY d.doc_id
+    """,
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (the image-content analog of MinHash,
+    the multimodal dedup family's missing member): every doc gets a REAL
+    16×16 PNG whose texture is a fixed pattern rotated by doc_id%4 and
+    scaled/offset per doc (amplitude doc_id%5+1, offset doc_id%97).
+    `multimodal.phash_images` decodes and hashes executor-side —
+    grayscale → 32×32 box resize → orthonormal DCT → low-frequency sign
+    pattern — and grouping by the 64-bit hash yields keep-first dedup
+    decisions with NO pair space. pHash is invariant to positive scaling
+    and constant offsets (AC signs are scale-invariant, DC is dropped),
+    so the hash groups are EXACTLY the four rotation classes and the
+    DuckDB oracle verifies the whole decode→hash→group→keep chain from
+    doc_id arithmetic alone, without either codec. (The pattern is
+    textured, not a pure ramp: a linear ramp's low-frequency block is
+    4 nonzero coefficients among 59 zeros, collapsing every orientation
+    to the all-zeros hash — caught while building the oracle.)
+
+    Plan: generate + hash are two Arrow python stages over the scan;
+    group sizes come from ONE aggregate on the 64-bit hash (4 groups)
+    broadcast-joined back — at 100 TB the hash aggregate is map-side
+    combinable and the join side is k rows, never a window over the
+    corpus."""
+    from zarr_climate_etl_ipfs_spark import multimodal as mm
+
+    @F.pandas_udf("binary")
+    def gen_img(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png
+
+        y, x = np.mgrid[0:16, 0:16]
+        pattern = ((3 * y + 5 * x + (y * x) % 7) % 11).astype(np.int64)
+        out = []
+        for d in doc_id:
+            amp = int(d) % 5 + 1
+            off = int(d) % 97
+            img = (off + amp * np.rot90(pattern, int(d) % 4)).astype(np.uint8)
+            out.append(encode_png(np.dstack([img, img, img])))
+        return pd.Series(out)
+
+    d = t_wide(spark, sf_dir, "documents").select(
+        "doc_id", gen_img("doc_id").alias("content")
+    )
+    hashed = mm.phash_images(d).filter(F.col("decode_ok")).select("doc_id", "phash")
+    groups = hashed.groupBy("phash").agg(
+        F.count("*").alias("group_size"),
+        F.min("doc_id").alias("canonical"),
+    )
+    return (
+        hashed.join(F.broadcast(groups), "phash")
+        .select(
+            "doc_id",
+            "group_size",
+            (F.col("doc_id") == F.col("canonical")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
