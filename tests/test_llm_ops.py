@@ -966,12 +966,18 @@ def test_recover_cells_skips_live_foreign_compactor(tmp_path):
     busy_mine = cells_root / f"_compact_cell=0.{similarity._owner_token()}"
     busy_mine.mkdir()
     key = str(cells_root.resolve())
-    similarity._ACTIVE_COMPACTIONS.add(key)
+    similarity._compaction_register(key)
     try:
         similarity._recover_cells(cells_root)
         assert busy_mine.exists()
+        # registry is a counter: a nested register/unregister pair must
+        # not deregister the outer compaction
+        similarity._compaction_register(key)
+        similarity._compaction_unregister(key)
+        similarity._recover_cells(cells_root)
+        assert busy_mine.exists()
     finally:
-        similarity._ACTIVE_COMPACTIONS.discard(key)
+        similarity._compaction_unregister(key)
     similarity._recover_cells(cells_root)  # registry cleared: collectable
     assert not busy_mine.exists()
 

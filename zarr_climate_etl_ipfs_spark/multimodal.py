@@ -254,6 +254,12 @@ def frame_deltas(
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
                     frames, _meta = decode_gif_frames(content)
+                    if frames.shape[0] < 2:
+                        # a decodable single-frame animation has no pairs
+                        # but must stay VISIBLE: zero rows would be
+                        # indistinguishable from a lost doc downstream
+                        out.append((rid, None, None, True, None))
+                        continue
                     for f in range(frames.shape[0] - 1):
                         delta = float(
                             np.abs(
@@ -284,15 +290,34 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
+def _dct32() -> np.ndarray:
+    n = 32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    dct[0] = np.sqrt(1.0 / n)
+    return dct
+
+
+_DCT32 = _dct32()  # module-level: the basis is rebuilt for no image
+
+
 def _phash_bits(img: np.ndarray) -> str:
     """64-bit perceptual hash of a decoded raster: grayscale → 32×32 box
     resize → 32×32 orthonormal DCT-II → top-left 8×8 low-frequency block
     minus DC → median threshold → 16-hex-digit string. Positive scaling
     and constant offsets of the pixel values leave the hash unchanged
-    (signs of AC coefficients are scale-invariant; DC is dropped), which
-    is the property the catalog oracle pins analytically. Coefficients
-    are rounded to 1e-6 so exact structural zeros don't flip on float
-    noise."""
+    (signs of AC coefficients are scale-invariant; DC is dropped) — up
+    to float ties: coefficients are normalized by the block's max
+    magnitude before the 1e-6 noise rounding, so the tie threshold is
+    scale-RELATIVE (an absolute epsilon would round differently at
+    different gains). The catalog oracle's generated patterns sit far
+    from ties; near-degenerate blocks (all AC within noise of zero) can
+    still split across gains — inherent to any float threshold.
+
+    Hot path: the resize is two np.add.reduceat passes over the 32-bin
+    grid (no Python-loop slice means) and the DCT basis is a module
+    constant — this runs once per image per executor batch."""
     gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
     if gray.shape[0] < 32 or gray.shape[1] < 32:
         # sample-replicate up first so every 32-grid bin below is non-empty
@@ -302,21 +327,20 @@ def _phash_bits(img: np.ndarray) -> str:
             axis=1,
         )
     h, w = gray.shape
-    # box resize to 32x32: average over a 32-bin grid of the source
-    ys = (np.arange(33) * h) // 32
-    xs = (np.arange(33) * w) // 32
-    small = np.empty((32, 32), dtype=np.float64)
-    for i in range(32):
-        rows = gray[ys[i] : ys[i + 1]]
-        for j in range(32):
-            small[i, j] = rows[:, xs[j] : xs[j + 1]].mean()
-    n = 32
-    k = np.arange(n)[:, None]
-    m = np.arange(n)[None, :]
-    dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
-    dct[0] = np.sqrt(1.0 / n)
-    coef = dct @ small @ dct.T
-    block = np.round(coef[:8, :8].reshape(64)[1:], 6)  # drop DC; kill fp noise
+    # box resize to 32x32: bin-sum via reduceat on each axis, then divide
+    # by the bin areas (bins are contiguous, boundaries from the 32-grid)
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    sums = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+    ylen = np.diff(np.append(ys, h))[:, None].astype(np.float64)
+    xlen = np.diff(np.append(xs, w))[None, :].astype(np.float64)
+    small = sums / (ylen * xlen)
+    coef = _DCT32 @ small @ _DCT32.T
+    block = coef[:8, :8].reshape(64)[1:]  # drop DC
+    peak = np.abs(block).max()
+    if peak > 0:
+        block = block / peak  # scale-relative tie threshold
+    block = np.round(block, 6)  # kill fp noise on structural zeros
     med = np.median(block)
     bits = block > med
     val = 0

@@ -808,8 +808,26 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]], dict
 #: concurrent reader thread's _recover_cells must not collect the live
 #: compactor's same-pid staging dirs (the pid alone can't distinguish a
 #: live sibling thread from a crashed predecessor call; round-12
-#: code-review catch). Guarded by the GIL-atomic set ops.
-_ACTIVE_COMPACTIONS: set[str] = set()
+#: code-review catch). A COUNTER, not a set: two compactions on one root
+#: (itself outside the one-compactor-per-index contract, but registry
+#: integrity must not depend on callers honoring it) would otherwise
+#: deregister each other when the first finishes.
+_ACTIVE_COMPACTIONS: dict[str, int] = {}
+_ACTIVE_LOCK = __import__("threading").Lock()
+
+
+def _compaction_register(root_key: str) -> None:
+    with _ACTIVE_LOCK:
+        _ACTIVE_COMPACTIONS[root_key] = _ACTIVE_COMPACTIONS.get(root_key, 0) + 1
+
+
+def _compaction_unregister(root_key: str) -> None:
+    with _ACTIVE_LOCK:
+        n = _ACTIVE_COMPACTIONS.get(root_key, 0) - 1
+        if n > 0:
+            _ACTIVE_COMPACTIONS[root_key] = n
+        else:
+            _ACTIVE_COMPACTIONS.pop(root_key, None)
 
 
 def _proc_start_ticks(pid: int) -> int | None:
@@ -835,6 +853,26 @@ def _owner_token() -> str:
     pid = _os.getpid()
     start = _proc_start_ticks(pid)
     return f"{pid}.{start}" if start is not None else str(pid)
+
+
+def _stamp_alive(pid: int, start: int | None) -> bool:
+    """Is the process that stamped ``<pid>[.<starttime>]`` still running?
+    With a starttime the /proc comparison alone decides (world-readable
+    regardless of uid; a missing entry or different start time means the
+    stamping process is gone — pid recycling cannot read as alive).
+    Legacy pid-only stamps fall back to signal-0 liveness."""
+    import os as _os
+
+    if start is not None:
+        actual = _proc_start_ticks(pid)
+        return actual is not None and actual == start
+    try:
+        _os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive under another uid
+    return True
 
 
 def _leftover_owner_alive(name: str, cells_root_key: str) -> bool:
@@ -864,17 +902,7 @@ def _leftover_owner_alive(name: str, cells_root_key: str) -> bool:
         # live only while THIS process has a compaction in flight on this
         # root (a sibling thread); otherwise a crashed predecessor call
         return cells_root_key in _ACTIVE_COMPACTIONS
-    try:
-        _os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # alive under another uid; /proc may be unreadable too
-    if start is not None:
-        actual = _proc_start_ticks(pid)
-        if actual is not None and actual != start:
-            return False  # pid recycled: the stamping process is gone
-    return True
+    return _stamp_alive(pid, start)
 
 
 def _recover_cells(cells_root) -> None:
@@ -1205,8 +1233,11 @@ def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
     # register this root so a concurrent reader THREAD's _recover_cells
     # (same pid — the stamp can't tell threads apart) leaves our live
     # staging/aside dirs alone; the finally makes a predecessor that
-    # raised collectable again
-    _ACTIVE_COMPACTIONS.add(root_key)
+    # raised collectable again. Contract: ONE compactor per index at a
+    # time (concurrent compactors would race each other's per-cell
+    # swaps whatever the registry says); the counter only keeps registry
+    # integrity independent of callers honoring that.
+    _compaction_register(root_key)
     try:
         for name in crowded:
             old_dir = cells_root / name
@@ -1253,7 +1284,7 @@ def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
                     _os.rename(back_dir, old_dir)
                     raise OSError(f"compact swap failed to land for {name}")
     finally:
-        _ACTIVE_COMPACTIONS.discard(root_key)
+        _compaction_unregister(root_key)
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     tmp = f"{path}/index.json.tmp.{_os.getpid()}"
     with open(tmp, "w") as f:

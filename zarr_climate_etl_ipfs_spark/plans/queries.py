@@ -210,18 +210,27 @@ def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _scratch_root(kind: str, sf_dir: str) -> str:
     """Per-(kind, sf_dir, PROCESS) scratch path for the store-building
-    catalog queries. The pid component makes concurrent harnesses (pytest
+    catalog queries. The owner stamp makes concurrent harnesses (pytest
     alongside tools/check.py was the observed collision: one process's
     destroy() raced the other's read on a shared fixed path) race-free
     while keeping within-process memoization (index-once/search-many).
-    Stale roots left by DEAD pids under the same (kind, sf_dir) tag are
+    Stale roots left by DEAD owners under the same (kind, sf_dir) tag are
     swept here — never live ones, so the sweep cannot reintroduce the
-    race (pid liveness via signal 0)."""
+    race. The stamp is ``<pid>.<starttime>`` (same scheme as the IVF
+    compaction scratch dirs, shared helpers): the /proc start time keeps
+    a recycled pid — especially one held by another uid, where a signal-0
+    probe reads EPERM — from pinning a dead harness's multi-GB scratch
+    store under /tmp forever."""
     import hashlib as _hashlib
     import os as _os
     import re as _re
     import shutil as _shutil
     import tempfile as _tempfile
+
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        _owner_token,
+        _stamp_alive,
+    )
 
     tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = _tempfile.gettempdir()
@@ -230,18 +239,15 @@ def _scratch_root(kind: str, sf_dir: str) -> str:
         for name in _os.listdir(base):
             if not name.startswith(prefix):
                 continue
-            m = _re.fullmatch(_re.escape(prefix) + r"(\d+)", name)
+            m = _re.fullmatch(_re.escape(prefix) + r"(\d+)(?:\.(\d+))?", name)
             if not m or int(m.group(1)) == _os.getpid():
                 continue
-            try:
-                _os.kill(int(m.group(1)), 0)
-            except ProcessLookupError:
+            start = int(m.group(2)) if m.group(2) else None
+            if not _stamp_alive(int(m.group(1)), start):
                 _shutil.rmtree(f"{base}/{name}", ignore_errors=True)
-            except PermissionError:
-                pass  # pid alive under another uid: leave it
     except OSError:
         pass
-    return f"{base}/{prefix}{_os.getpid()}"
+    return f"{base}/{prefix}{_owner_token()}"
 
 
 def _corpus_fingerprint(sf_dir: str, name: str) -> str:
@@ -8525,7 +8531,9 @@ def shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t_wide(spark, sf_dir, "documents").select(
         "doc_id", gen_vid("doc_id").alias("content")
     )
-    deltas = mm.frame_deltas(d).filter(F.col("decode_ok"))
+    deltas = mm.frame_deltas(d).filter(
+        F.col("decode_ok") & F.col("mean_abs_delta").isNotNull()
+    )
     return (
         deltas.groupBy("doc_id")
         .agg(
@@ -8650,11 +8658,12 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 nonzero coefficients among 59 zeros, collapsing every orientation
     to the all-zeros hash — caught while building the oracle.)
 
-    Plan: generate + hash are two Arrow python stages over the scan;
-    group sizes come from ONE aggregate on the 64-bit hash (4 groups)
-    broadcast-joined back — at 100 TB the hash aggregate is map-side
-    combinable and the join side is k rows, never a window over the
-    corpus."""
+    Plan: generate + hash are two Arrow python stages over the scan,
+    materialized ONCE (localCheckpoint) because the relation feeds both
+    the group aggregate and the join probe side; group sizes come from
+    ONE aggregate on the 64-bit hash (4 groups) broadcast-joined back —
+    at 100 TB the hash aggregate is map-side combinable and the join
+    side is k rows, never a window over the corpus."""
     from zarr_climate_etl_ipfs_spark import multimodal as mm
 
     @F.pandas_udf("binary")
@@ -8676,7 +8685,16 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t_wide(spark, sf_dir, "documents").select(
         "doc_id", gen_img("doc_id").alias("content")
     )
-    hashed = mm.phash_images(d).filter(F.col("decode_ok")).select("doc_id", "phash")
+    # localCheckpoint: the hashed relation feeds BOTH the group aggregate
+    # and the join probe side — without materialization Spark computes the
+    # generate+hash python stages twice (the _drain_memory_sink pattern;
+    # ContextCleaner reaps the blocks when the frame is collected)
+    hashed = (
+        mm.phash_images(d)
+        .filter(F.col("decode_ok"))
+        .select("doc_id", "phash")
+        .localCheckpoint(eager=True)
+    )
     groups = hashed.groupBy("phash").agg(
         F.count("*").alias("group_size"),
         F.min("doc_id").alias("canonical"),
