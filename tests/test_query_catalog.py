@@ -91,27 +91,44 @@ def test_scratch_root_pid_isolation_and_dead_pid_sweep(tmp_path, monkeypatch):
 
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
 
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        _owner_token,
+        _proc_start_ticks,
+    )
+
     sf_dir = "/fake/sf"
     root = _scratch_root("t", sf_dir)
-    assert root.endswith(f".{os.getpid()}")
-    prefix = os.path.basename(root).rsplit(".", 1)[0]
+    token = _owner_token()  # <pid>.<starttime> (pid-only off-Linux)
+    assert token.startswith(f"{os.getpid()}")
+    assert root.endswith(f".{token}")
+    prefix = os.path.basename(root)[: -(len(token) + 1)]
 
-    # a dead pid's stale root: spawn-and-reap a child so the pid is free
+    # a dead pid's stale LEGACY root: spawn-and-reap a child so the pid is free
     child = subprocess.Popen(["true"])
     child.wait()
     dead = tmp_path / f"{prefix}.{child.pid}"
     dead.mkdir()
     (dead / "junk").write_text("x")
-    # a live pid's root (our own parent shell is alive for the test's life)
+    # a live pid's legacy root (our parent shell is alive for the test's life)
     live = tmp_path / f"{prefix}.{os.getppid()}"
     live.mkdir()
     # a non-numeric suffix must never be swept
     other = tmp_path / f"{prefix}.not_a_pid"
     other.mkdir()
+    # stamped roots: wrong starttime = recycled pid = dead; right one = live
+    pstart = _proc_start_ticks(os.getppid())
+    if pstart is not None:
+        recycled = tmp_path / f"{prefix}.{os.getppid()}.{pstart + 999}"
+        recycled.mkdir()
+        stamped_live = tmp_path / f"{prefix}.{os.getppid()}.{pstart}"
+        stamped_live.mkdir()
 
     _scratch_root("t", sf_dir)  # triggers the sweep
     assert not dead.exists(), "dead-pid root must be swept"
     assert live.exists(), "live-pid root must never be touched"
     assert other.exists(), "non-numeric suffixes are ignored"
+    if pstart is not None:
+        assert not recycled.exists(), "recycled-pid stamp must be swept"
+        assert stamped_live.exists(), "matching pid+starttime is alive"
     # different sf_dir tag: different namespace entirely
-    assert os.path.basename(_scratch_root("t", "/other/sf")).rsplit(".", 1)[0] != prefix
+    assert not os.path.basename(_scratch_root("t", "/other/sf")).startswith(prefix)
