@@ -131,11 +131,18 @@ def test_insert_skipped_without_allow_overwrite(tmp_path, spark, initial_df, com
     appends still applied (publish.py:287-293)."""
     from dataclasses import replace
 
+    import warnings as _warnings
+
     ro = replace(desc, dataset_name="fake_obs_ro", allow_overwrite=False)
     s = GridStore(tmp_path, ro, spark)
     s.write_initial(initial_df)
-    res = s.update(complex_update_df)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        res = s.update(complex_update_df)
     assert res == {"inserts": 0, "appends": 36}
+    # the skip must be LOUD (reference parity: publish.py self.warn) — a
+    # silent skip is a data-loss footgun (round-12 user-drive catch)
+    assert any("allow_overwrite" in str(w.message) for w in caught)
     s.destroy()
 
 

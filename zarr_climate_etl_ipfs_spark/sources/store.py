@@ -634,7 +634,20 @@ class GridStore:
         n_ins = val.n_inserts
         n_app = val.n_appends
         if n_ins and not desc.allow_overwrite:
-            n_ins = 0  # warn-and-skip semantics (publish.py:287-293)
+            # warn-and-skip semantics (publish.py:287-293) — the reference
+            # WARNS here (self.warn), and a silent skip is a data-loss
+            # footgun for callers who forgot the flag (found driving the
+            # library user-style in round 12: an overwrite leg vanished
+            # with no signal while the append leg landed)
+            import warnings
+
+            warnings.warn(
+                f"update: skipping {n_ins} overwrite key(s) that already exist — "
+                "allow_overwrite is not set on the descriptor; only the append "
+                "leg (if any) will be written",
+                stacklevel=2,
+            )
+            n_ins = 0
         if not n_ins and not n_app:
             return {"inserts": 0, "appends": 0}
         if not n_ins:
