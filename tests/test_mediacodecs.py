@@ -488,6 +488,125 @@ def test_tiff_rejects_garbage():
         mc.decode_tiff(b"XX\x00\x00" + b"\x00" * 16)
 
 
+def test_tiff_lzw_final_code_width_threshold():
+    """Round-12 tiled-TIFF catch, pinned: the decoder performs one more
+    table add after the LAST data code; when that add lands exactly on
+    the early-change threshold (decoder size == 2^width - 1) it reads EOI
+    one bit wider than the encoder wrote it — MSB-first packing turns
+    that into a desync ('stream ended without EOI'). ~1/2^width of
+    streams end in this zone, which is why thousands of prior round-trips
+    missed it. The exact 768-byte payload that caught it, plus a sweep of
+    lengths crossing the 9→10 threshold with fresh-entry-per-byte data."""
+    rng = np.random.RandomState(44)
+    img = rng.randint(0, 256, (20, 25, 3), np.uint8)
+    pad = np.pad(img, ((0, 12), (0, 7), (0, 0)), mode="edge")
+    payload = pad[:16, :16].tobytes()
+    assert mc._tiff_lzw_decode(mc._tiff_lzw_encode(payload), len(payload)) == payload
+    rng2 = np.random.RandomState(7)
+    for n in range(240, 270):  # random bytes ≈ one table add each: spans 511
+        p = bytes(rng2.randint(0, 256, n, dtype=np.uint8))
+        assert mc._tiff_lzw_decode(mc._tiff_lzw_encode(p), n) == p, n
+
+
+def test_tiff_tiled_roundtrip_matrix():
+    """TIFF6 §15 tiled layout (the GeoTIFF convention): every codec,
+    predictor 2 (differencing restarts per tile edge), both byte orders,
+    multiple tile shapes, edge tiles padded and cropped; JPEG tiles exact
+    at quality 100 on constant content, with and without shared
+    JPEGTables."""
+    rng = np.random.RandomState(21)
+    for (h, w, c) in [(20, 25, 3), (16, 16, 1), (5, 7, 3), (33, 50, 3)]:
+        img = rng.randint(0, 256, (h, w, c), np.uint8)
+        if c == 1:
+            img = img[:, :, 0]
+        ref = img if img.ndim == 3 else img[:, :, None]
+        for comp in ("none", "lzw", "deflate", "packbits"):
+            for pred in (1, 2):
+                blob = mc.encode_tiff(img, compression=comp, predictor=pred,
+                                      big_endian=(h + w) % 2 == 0,
+                                      tile_size=(16, 16))
+                out, meta = mc.decode_tiff(blob)
+                assert np.array_equal(out, ref), (h, w, c, comp, pred)
+                assert meta["compression"] == comp
+        const = np.full((h, w, 3), 173, np.uint8)
+        for sh in (False, True):
+            out, _ = mc.decode_tiff(mc.encode_tiff(
+                const, compression="jpeg", quality=100,
+                tile_size=(16, 16), shared_jpeg_tables=sh))
+            assert np.array_equal(out, const), (h, w, sh)
+    # non-square tiles + lossy jpeg fidelity across tile seams
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack([yy * 255 // 40, xx * 255 // 56, (yy + xx) * 255 // 96],
+                    -1).astype(np.uint8)
+    out, _ = mc.decode_tiff(mc.encode_tiff(grad, compression="lzw",
+                                           predictor=2, tile_size=(32, 16)))
+    assert np.array_equal(out, grad)
+    out, _ = mc.decode_tiff(mc.encode_tiff(grad, compression="jpeg", quality=92,
+                                           tile_size=(16, 16),
+                                           shared_jpeg_tables=True))
+    assert _psnr(grad, out) > 40.0
+
+
+def test_tiff_tiled_guards():
+    """Tile-layout contract errors: non-multiple-of-16 tile size at encode,
+    missing tile tags, tile-count arity mismatch, and a forged huge tile
+    canvas all raise before any oversized allocation."""
+    import struct as _s
+
+    img = np.full((20, 20, 3), 9, np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        mc.encode_tiff(img, tile_size=(15, 16))
+    blob = bytearray(mc.encode_tiff(img, compression="lzw", tile_size=(16, 16)))
+    (ifd_off,) = _s.unpack("<I", bytes(blob[4:8]))
+    (n,) = _s.unpack("<H", bytes(blob[ifd_off : ifd_off + 2]))
+    locs = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        (tag,) = _s.unpack("<H", bytes(blob[e : e + 2]))
+        locs[tag] = e
+    # drop TileByteCounts (325): incomplete tile tag set must raise
+    bad = bytearray(blob)
+    bad[locs[325] : locs[325] + 2] = (0).to_bytes(2, "little")
+    with pytest.raises(mc.MediaDecodeError, match="missing tile_byte_counts"):
+        mc.decode_tiff(bytes(bad))
+    # forge tile count arity: claim 1 offset for a 2x2 tile grid
+    bad = bytearray(blob)
+    bad[locs[324] + 4 : locs[324] + 8] = (1).to_bytes(4, "little")
+    with pytest.raises(mc.MediaDecodeError, match="offsets"):
+        mc.decode_tiff(bytes(bad))
+    # forged giant tile size dies on the canvas guard, not an allocation
+    bad = bytearray(blob)
+    bad[locs[322] + 8 : locs[322] + 12] = _s.pack("<HH", 32768, 0)
+    bad[locs[323] + 8 : locs[323] + 12] = _s.pack("<HH", 32768, 0)
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_tiff(bytes(bad))
+
+
+def test_tiff_tiled_fuzz_fails_cleanly():
+    """Hardening net for the tiled entry points (lzw+predictor and
+    jpeg+tables flavors): mutated tiled TIFFs decode or raise the
+    contract error. 800-trial regression net (a 4000-trial sweep ran
+    clean when this landed)."""
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (20, 18, 3), dtype=np.uint8)
+    bases = [
+        bytearray(mc.encode_tiff(img, compression="lzw", predictor=2,
+                                 tile_size=(16, 16))),
+        bytearray(mc.encode_tiff(img, compression="jpeg", quality=90,
+                                 tile_size=(16, 16), shared_jpeg_tables=True)),
+    ]
+    for trial in range(800):
+        blob = bytearray(bases[trial % 2])
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if trial % 5 == 0:
+            blob = blob[: rng.randint(8, len(blob))]
+        try:
+            mc.decode_tiff(bytes(blob))
+        except (mc.MediaDecodeError, NotImplementedError):
+            pass
+
+
 def test_tiff_jpeg_constant_blocks_bit_exact():
     """TIFF compression 7 (TechNote 2 new-style JPEG): per-strip JPEG
     streams decode through the in-repo SOF0 machinery; at quality=100 a
@@ -756,6 +875,29 @@ def test_jpeg_progressive_quality100_constant_bit_exact():
     g = np.full((7, 5), 42, dtype=np.uint8)
     dec, meta = mc.decode_jpeg(mc.encode_jpeg(g, quality=100, progressive=True))
     assert np.array_equal(dec[:, :, 0], g) and meta["n_channels"] == 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 3]),
+    st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    st.integers(min_value=70, max_value=100),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_progressive_bit_identity_property(h, w, c, sub, quality, seed):
+    """Property form of the bit-identity anchor: for ANY image, dims,
+    subsampling, and quality, decoding the progressive encoding equals
+    decoding the baseline encoding bit-for-bit (the scan script delivers
+    every coefficient bit; only the entropy layer differs)."""
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+    if c == 1:
+        img = img[:, :, 0]
+    kw = {"quality": quality, "subsample": sub} if c == 3 else {"quality": quality}
+    a, _ = mc.decode_jpeg(mc.encode_jpeg(img, **kw))
+    b, _ = mc.decode_jpeg(mc.encode_jpeg(img, progressive=True, **kw))
+    assert np.array_equal(a, b)
 
 
 def test_jpeg_duplicate_sof_rejected():

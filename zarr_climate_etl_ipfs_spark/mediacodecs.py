@@ -306,6 +306,12 @@ def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
         prev = bytes([v])
     if prev:
         emit(table[prev])
+    # NOTE the final-code width subtlety the TIFF pair needed a fix for
+    # (decoder performs one more table add after the last data code; if it
+    # lands on the width threshold the decoder reads END one bit wider):
+    # harmless HERE because GIF packs little-endian and the last byte pads
+    # with zeros, so the decoder's extra high bit reads 0 and the code
+    # still equals END — verified by a 30k-trial random round-trip sweep.
     emit(end)
     if nbits:
         out.append(acc & 0xFF)
@@ -394,7 +400,8 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar_config",
-    317: "predictor", 347: "jpeg_tables",
+    317: "predictor", 322: "tile_width", 323: "tile_length",
+    324: "tile_offsets", 325: "tile_byte_counts", 347: "jpeg_tables",
 }
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
@@ -568,10 +575,103 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         w = b
     if w:
         emit(table[w])
+        # the decoder performs ONE MORE table add after this final data
+        # code (prev + entry[0]) that no encoder add mirrors; when that
+        # add lands exactly on the early-change threshold (decoder size
+        # next_code == 2^width - 1) the decoder reads EOI at width+1 —
+        # emit it there or the stream desyncs and EOI is never seen.
+        # ~1/2^width of streams end in this zone (round-12 tiled-TIFF
+        # round-trip caught it; thousands of prior round-trips missed it).
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(EOI)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+def _decode_tiff_tiles(
+    content: bytes, tags: dict, bo: str, w: int, h: int, spp: int, comp: int
+) -> tuple[np.ndarray, dict[str, Any]]:
+    """Tiled TIFF body (TIFF6 §15): decode every tile through the same
+    per-chunk codec matrix as strips (raw/LZW/Deflate/PackBits/JPEG),
+    assemble onto the padded tile canvas, crop to the declared image.
+    Predictor 2 differencing restarts per tile row; JPEG tiles carry the
+    photometric/JPEGTables rules from the strip path."""
+    for t_ in ("tile_width", "tile_length", "tile_offsets", "tile_byte_counts"):
+        if t_ not in tags:
+            raise MediaDecodeError(f"TIFF tiled: missing {t_}")
+    tw, th = tags["tile_width"][0], tags["tile_length"][0]
+    if tw <= 0 or th <= 0 or tw % 16 or th % 16:  # §15: multiples of 16
+        raise MediaDecodeError(f"TIFF tiled: bad tile size {tw}x{th}")
+    ta = -(-w // tw)
+    td = -(-h // th)
+    n_tiles = ta * td
+    offsets = tags["tile_offsets"]
+    counts = tags["tile_byte_counts"]
+    if len(offsets) != n_tiles or len(counts) != n_tiles:
+        raise MediaDecodeError(
+            f"TIFF tiled: {n_tiles} tiles declared but "
+            f"{len(offsets)} offsets / {len(counts)} counts"
+        )
+    if td * th * ta * tw * spp > 1 << 28:  # padded-canvas alloc guard
+        raise MediaDecodeError(
+            f"TIFF tiled: implausible canvas {td * th}x{ta * tw}x{spp}"
+        )
+    photo = tags.get("photometric", [6 if comp == 7 else 1])[0]
+    jt = bytes(tags.get("jpeg_tables", []))
+    if jt:
+        if len(jt) < 4 or jt[:2] != b"\xFF\xD8" or jt[-2:] != b"\xFF\xD9":
+            raise MediaDecodeError("TIFF JPEGTables: not an SOI…EOI table stream")
+        jt = jt[:-2]
+    cap = tw * th * spp
+    canvas = np.zeros((td * th, ta * tw, spp), dtype=np.uint8)
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        raw = content[o : o + c]
+        if comp == 7:
+            if raw[:2] != b"\xFF\xD8":
+                raise MediaDecodeError(f"TIFF JPEG tile {i}: missing SOI")
+            stream = jt + raw[2:] if jt else raw
+            arr, _ = decode_jpeg(stream, rgb_transform=None if photo == 6 else False)
+            if arr.shape[0] < th or arr.shape[1] < tw or arr.shape[2] != spp:
+                raise MediaDecodeError(
+                    f"TIFF JPEG tile {i}: decoded {arr.shape} < tile {th}x{tw}x{spp}"
+                )
+            arr = arr[:th, :tw]
+        else:
+            if comp == 5:
+                data = _tiff_lzw_decode(raw, cap)
+            elif comp == 32773:
+                data = _packbits_decode(raw, cap)
+            elif comp in (8, 32946):
+                try:
+                    data = zlib.decompressobj().decompress(raw, cap + 1)
+                except zlib.error as exc:
+                    raise MediaDecodeError(f"TIFF Deflate: {exc}") from None
+                if len(data) > cap:
+                    raise MediaDecodeError(
+                        f"TIFF Deflate: tile output exceeds declared size ({cap})"
+                    )
+            else:  # comp == 1
+                data = raw
+            if len(data) < cap:
+                raise MediaDecodeError(
+                    f"TIFF tiled: short tile data ({len(data)} < {cap})"
+                )
+            arr = np.frombuffer(data[:cap], dtype=np.uint8).reshape(th, tw, spp)
+            if tags.get("predictor", [1])[0] == 2:
+                # horizontal differencing restarts at each tile's left edge
+                arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+        r, col = divmod(i, ta)
+        canvas[r * th : (r + 1) * th, col * tw : (col + 1) * tw] = arr
+    img = canvas[:h, :w]
+    if photo == 0:
+        img = 255 - img
+    comp_name = {1: "none", 5: "lzw", 7: "jpeg", 8: "deflate",
+                 32946: "deflate", 32773: "packbits"}[comp]
+    return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
+                 "byte_order": "little" if bo == "<" else "big",
+                 "compression": comp_name}
 
 
 @_clean_errors
@@ -626,6 +726,11 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         raise MediaDecodeError("TIFF: planar (non-chunky) layout unsupported")
     if not (0 < w * h * spp <= 1 << 28):  # same alloc guard family as GRIB2
         raise MediaDecodeError(f"TIFF: implausible dimensions {w}x{h}x{spp}")
+    if "tile_width" in tags or "tile_offsets" in tags:
+        # Tiled layout (TIFF6 §15, the GeoTIFF/raster-pyramid convention):
+        # fixed-size tiles in row-major order, right/bottom tiles padded to
+        # full tile size. Same codec matrix as strips, per-tile streams.
+        return _decode_tiff_tiles(content, tags, bo, w, h, spp, comp)
     offsets = tags["strip_offsets"]
     counts = tags.get("strip_byte_counts")
     if counts is None:
@@ -773,6 +878,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     quality: int = 90,
     shared_jpeg_tables: bool = False,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
     """(H, W) or (H, W, C) uint8 → baseline TIFF: uncompressed, LZW,
     Deflate, PackBits, or new-style JPEG (``compression=``), optionally
@@ -782,7 +888,9 @@ def encode_tiff(
     (``quality`` feeds encode_jpeg; photometric 6 for color, 1 for gray);
     ``shared_jpeg_tables`` factors the common DQT/DHT into a JPEGTables
     (347) tag with abbreviated per-strip streams, the layout most
-    scanner/provider writers emit."""
+    scanner/provider writers emit. ``tile_size=(th, tw)`` switches to the
+    TIFF6 §15 tiled layout (the GeoTIFF convention; multiples of 16, edge
+    tiles padded by replication) with the same codec matrix per tile."""
     if img.dtype != np.uint8:
         raise ValueError("encode_tiff wants uint8")
     if compression not in ("none", "lzw", "deflate", "packbits", "jpeg"):
@@ -798,14 +906,46 @@ def encode_tiff(
         if predictor != 1:
             raise ValueError("encode_tiff: predictor does not apply to JPEG strips")
     bo = ">" if big_endian else "<"
-    if predictor == 2:
+    if predictor == 2 and tile_size is None:
         # forward horizontal differencing (uint8 subtraction wraps mod 256,
-        # the exact inverse of the decoder's wrapping cumsum)
+        # the exact inverse of the decoder's wrapping cumsum); the tiled
+        # path differences per tile below — each tile's left edge restarts
         img = np.concatenate([img[:, :1], img[:, 1:] - img[:, :-1]], axis=1)
     header = b"MM\x00*" if big_endian else b"II*\x00"
     rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
     jpeg_tables = b""
-    if compression == "jpeg":
+    if tile_size is not None:
+        th_, tw_ = tile_size
+        if th_ <= 0 or tw_ <= 0 or th_ % 16 or tw_ % 16:
+            raise ValueError(f"encode_tiff: tile size must be multiples of 16, got {tile_size}")
+        ta = -(-w // tw_)
+        td = -(-h // th_)
+        padded = np.pad(img, ((0, td * th_ - h), (0, ta * tw_ - w), (0, 0)), mode="edge")
+        tile_imgs = [
+            padded[r * th_ : (r + 1) * th_, col * tw_ : (col + 1) * tw_]
+            for r in range(td)
+            for col in range(ta)
+        ]
+        if compression == "jpeg":
+            strips = [encode_jpeg(t_, quality=quality) for t_ in tile_imgs]
+            if shared_jpeg_tables:
+                jpeg_tables, _ = _split_jpeg_tables(strips[0])
+                strips = [_split_jpeg_tables(s)[1] for s in strips]
+        else:
+            chunks = []
+            for t_ in tile_imgs:
+                if predictor == 2:
+                    t_ = np.concatenate([t_[:, :1], t_[:, 1:] - t_[:, :-1]], axis=1)
+                chunks.append(t_.tobytes())
+            if compression == "lzw":
+                strips = [_tiff_lzw_encode(s) for s in chunks]
+            elif compression == "deflate":
+                strips = [zlib.compress(s) for s in chunks]
+            elif compression == "packbits":
+                strips = [_packbits_encode(s) for s in chunks]
+            else:
+                strips = chunks
+    elif compression == "jpeg":
         strip_imgs = [img[i : i + rps] for i in range(0, h, rps)] or [
             np.zeros((0, w, c), np.uint8)
         ]
@@ -872,14 +1012,24 @@ def encode_tiff(
             )
     else:
         entry(262, 3, 1, 2 if c >= 3 else 1)  # photometric: RGB / BlackIsZero
-    if n == 1:
+    if tile_size is not None:
+        entry(322, 3, 1, tw_)
+        entry(323, 3, 1, th_)
+        if n == 1:
+            entry(324, 4, 1, strip_offs[0])
+            entry(325, 4, 1, len(strips[0]))
+        else:
+            entries.append(struct.pack(bo + "HHII", 324, 4, n, offs_arr_off))
+            entries.append(struct.pack(bo + "HHII", 325, 4, n, cnts_arr_off))
+    elif n == 1:
         entry(273, 4, 1, strip_offs[0])
         entry(279, 4, 1, len(strips[0]))
     else:
         entries.append(struct.pack(bo + "HHII", 273, 4, n, offs_arr_off))
         entries.append(struct.pack(bo + "HHII", 279, 4, n, cnts_arr_off))
     entry(277, 3, 1, c)
-    entry(278, 4, 1, rps)
+    if tile_size is None:
+        entry(278, 4, 1, rps)
     if predictor == 2:
         entry(317, 3, 1, 2)
     out = bytearray(header)

@@ -76,21 +76,24 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
     if fmt == 2:
         # codec rotation: LZW on d%8==2, LZW + horizontal-differencing
         # predictor + multi-strip on d%8==5, Deflate on d%8==4, PackBits
-        # on d%8==7, new-style JPEG strips (TechNote 2) on d%8==0 and
-        # JPEG + shared JPEGTables tag + multi-strip on d%8==1 — the
-        # compressed flavors real scanner/provider TIFFs ship. JPEG stays
-        # bit-exact here for the same reason fmt==3 does: quality=100
-        # scales the Annex-K tables to all-ones and the raster is constant.
-        comp = {2: "lzw", 5: "lzw", 4: "deflate", 7: "packbits",
+        # on d%8==7, new-style JPEG strips (TechNote 2) on d%8==0, JPEG +
+        # shared JPEGTables tag + multi-strip on d%8==1, and the TIFF6 §15
+        # TILED layout (GeoTIFF convention; LZW + predictor 2, 16×16 tiles
+        # with edge padding) on d%8==3 — the compressed flavors real
+        # scanner/provider/geo TIFFs ship. JPEG stays bit-exact here for
+        # the same reason fmt==3 does: quality=100 scales the Annex-K
+        # tables to all-ones and the raster is constant.
+        comp = {2: "lzw", 5: "lzw", 3: "lzw", 4: "deflate", 7: "packbits",
                 0: "jpeg", 1: "jpeg"}.get(d % 8 if rotate_variants else -1, "none")
         return encode_tiff(
             img,
             big_endian=rotate_variants and d % 8 == 6,
             compression=comp,
-            predictor=2 if rotate_variants and d % 8 == 5 else 1,
+            predictor=2 if rotate_variants and d % 8 in (3, 5) else 1,
             rows_per_strip=3 if rotate_variants and d % 8 in (1, 5) else None,
             quality=100,
             shared_jpeg_tables=rotate_variants and d % 8 == 1,
+            tile_size=(16, 16) if rotate_variants and d % 8 == 3 else None,
         )
     if fmt == 3:
         sub = "4:2:0" if rotate_variants and d % 8 == 7 else "4:4:4"
@@ -4329,7 +4332,8 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     %8==1), TIFF (%5==2: big-endian on %8==6, LZW on %8==2, LZW +
     predictor-2 multi-strip on %8==5, Deflate on %8==4, PackBits on
     %8==7, new-style JPEG strips on %8==0, JPEG + shared JPEGTables tag +
-    multi-strip on %8==1), JPEG
+    multi-strip on %8==1, TILED §15 layout with LZW+predictor-2 on
+    %8==3), JPEG
     (%5==3, quality=100 where the Annex-K tables scale to all-ones so
     DC-only constant blocks are bit-exact; 4:2:0 on %8==7, SOF2
     progressive on %8==3, else baseline 4:4:4),
