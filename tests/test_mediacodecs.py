@@ -574,11 +574,16 @@ def test_tiff_tiled_guards():
     bad[locs[324] + 4 : locs[324] + 8] = (1).to_bytes(4, "little")
     with pytest.raises(mc.MediaDecodeError, match="offsets"):
         mc.decode_tiff(bytes(bad))
-    # forged giant tile size dies on the canvas guard, not an allocation
+    # forged giant tile size dies on the PADDED-CANVAS guard before any
+    # allocation: also forge the offset/count tags down to the single tile
+    # the giant geometry implies, so the arity check passes and the canvas
+    # guard is the one that fires
     bad = bytearray(blob)
     bad[locs[322] + 8 : locs[322] + 12] = _s.pack("<HH", 32768, 0)
     bad[locs[323] + 8 : locs[323] + 12] = _s.pack("<HH", 32768, 0)
-    with pytest.raises(mc.MediaDecodeError):
+    bad[locs[324] + 4 : locs[324] + 8] = (1).to_bytes(4, "little")
+    bad[locs[325] + 4 : locs[325] + 8] = (1).to_bytes(4, "little")
+    with pytest.raises(mc.MediaDecodeError, match="implausible canvas"):
         mc.decode_tiff(bytes(bad))
 
 
@@ -713,11 +718,17 @@ def test_tiff_jpeg_malformed_tables_and_strips_raise():
     bad[s0 : s0 + 2] = b"\x00\x00"
     with pytest.raises(mc.MediaDecodeError, match="missing SOI"):
         mc.decode_tiff(bytes(bad))
-    # declared width contradicts the strip JPEG's SOF width
+    # declared width EXCEEDS the strip JPEG's SOF width: underfull strip
+    # data must raise (a narrower declaration merely crops — the padding
+    # tolerance tiles need)
     bad = bytearray(blob)
-    bad[locs[256] + 8 : locs[256] + 12] = _s.pack("<I", 6)
+    bad[locs[256] + 8 : locs[256] + 12] = _s.pack("<I", 100)
     with pytest.raises(mc.MediaDecodeError):
         mc.decode_tiff(bytes(bad))
+    narrower = bytearray(blob)
+    narrower[locs[256] + 8 : locs[256] + 12] = _s.pack("<I", 6)
+    out, _ = mc.decode_tiff(bytes(narrower))
+    assert out.shape[1] == 6  # cropped, not rejected
 
 
 def test_jpeg_zero_sampling_factor_rejected():

@@ -590,6 +590,63 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_TIFF_COMP_NAMES = {1: "none", 5: "lzw", 7: "jpeg", 8: "deflate",
+                    32946: "deflate", 32773: "packbits"}
+
+
+def _tiff_jpeg_tables(tags: dict) -> bytes:
+    """Validated JPEGTables payload with the trailing EOI stripped for
+    splicing ahead of per-chunk streams; b'' when the tag is absent."""
+    jt = bytes(tags.get("jpeg_tables", []))
+    if not jt:
+        return b""
+    if len(jt) < 4 or jt[:2] != b"\xFF\xD8" or jt[-2:] != b"\xFF\xD9":
+        raise MediaDecodeError("TIFF JPEGTables: not an SOI…EOI table stream")
+    return jt[:-2]
+
+
+def _tiff_decompress_chunk(raw: bytes, cap: int, comp: int) -> bytes:
+    """One strip/tile through the non-JPEG codec matrix, expansion capped
+    at the chunk's declared decoded size (the shared bomb guard)."""
+    if comp == 5:
+        return _tiff_lzw_decode(raw, cap)
+    if comp == 32773:
+        return _packbits_decode(raw, cap)
+    if comp in (8, 32946):
+        try:
+            data = zlib.decompressobj().decompress(raw, cap + 1)
+        except zlib.error as exc:
+            raise MediaDecodeError(f"TIFF Deflate: {exc}") from None
+        if len(data) > cap:
+            raise MediaDecodeError(
+                f"TIFF Deflate: output exceeds declared chunk size ({cap})"
+            )
+        return data
+    return raw  # comp == 1
+
+
+def _tiff_decode_jpeg_chunk(
+    raw: bytes, jt: bytes, photo: int, idx: int, min_rows: int, width: int, spp: int
+) -> np.ndarray:
+    """One JPEG strip/tile: splice the shared tables, decode through the
+    in-repo machinery (photometric drives the color transform), and
+    validate the decoded geometry against the layout's expectations."""
+    if raw[:2] != b"\xFF\xD8":
+        raise MediaDecodeError(f"TIFF JPEG chunk {idx}: missing SOI")
+    stream = jt + raw[2:] if jt else raw
+    arr, _ = decode_jpeg(stream, rgb_transform=None if photo == 6 else False)
+    if arr.shape[1] < width or arr.shape[2] != spp:
+        raise MediaDecodeError(
+            f"TIFF JPEG chunk {idx}: decoded {arr.shape} ≠ declared "
+            f"width {width} × {spp} channels"
+        )
+    if arr.shape[0] < min_rows:
+        raise MediaDecodeError(
+            f"TIFF JPEG chunk {idx}: {arr.shape[0]} rows < declared {min_rows}"
+        )
+    return arr
+
+
 def _decode_tiff_tiles(
     content: bytes, tags: dict, bo: str, w: int, h: int, spp: int, comp: int
 ) -> tuple[np.ndarray, dict[str, Any]]:
@@ -619,41 +676,15 @@ def _decode_tiff_tiles(
             f"TIFF tiled: implausible canvas {td * th}x{ta * tw}x{spp}"
         )
     photo = tags.get("photometric", [6 if comp == 7 else 1])[0]
-    jt = bytes(tags.get("jpeg_tables", []))
-    if jt:
-        if len(jt) < 4 or jt[:2] != b"\xFF\xD8" or jt[-2:] != b"\xFF\xD9":
-            raise MediaDecodeError("TIFF JPEGTables: not an SOI…EOI table stream")
-        jt = jt[:-2]
+    jt = _tiff_jpeg_tables(tags)
     cap = tw * th * spp
     canvas = np.zeros((td * th, ta * tw, spp), dtype=np.uint8)
     for i, (o, c) in enumerate(zip(offsets, counts)):
         raw = content[o : o + c]
         if comp == 7:
-            if raw[:2] != b"\xFF\xD8":
-                raise MediaDecodeError(f"TIFF JPEG tile {i}: missing SOI")
-            stream = jt + raw[2:] if jt else raw
-            arr, _ = decode_jpeg(stream, rgb_transform=None if photo == 6 else False)
-            if arr.shape[0] < th or arr.shape[1] < tw or arr.shape[2] != spp:
-                raise MediaDecodeError(
-                    f"TIFF JPEG tile {i}: decoded {arr.shape} < tile {th}x{tw}x{spp}"
-                )
-            arr = arr[:th, :tw]
+            arr = _tiff_decode_jpeg_chunk(raw, jt, photo, i, th, tw, spp)[:th, :tw]
         else:
-            if comp == 5:
-                data = _tiff_lzw_decode(raw, cap)
-            elif comp == 32773:
-                data = _packbits_decode(raw, cap)
-            elif comp in (8, 32946):
-                try:
-                    data = zlib.decompressobj().decompress(raw, cap + 1)
-                except zlib.error as exc:
-                    raise MediaDecodeError(f"TIFF Deflate: {exc}") from None
-                if len(data) > cap:
-                    raise MediaDecodeError(
-                        f"TIFF Deflate: tile output exceeds declared size ({cap})"
-                    )
-            else:  # comp == 1
-                data = raw
+            data = _tiff_decompress_chunk(raw, cap, comp)
             if len(data) < cap:
                 raise MediaDecodeError(
                     f"TIFF tiled: short tile data ({len(data)} < {cap})"
@@ -667,11 +698,9 @@ def _decode_tiff_tiles(
     img = canvas[:h, :w]
     if photo == 0:
         img = 255 - img
-    comp_name = {1: "none", 5: "lzw", 7: "jpeg", 8: "deflate",
-                 32946: "deflate", 32773: "packbits"}[comp]
     return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
                  "byte_order": "little" if bo == "<" else "big",
-                 "compression": comp_name}
+                 "compression": _TIFF_COMP_NAMES[comp]}
 
 
 @_clean_errors
@@ -726,10 +755,13 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         raise MediaDecodeError("TIFF: planar (non-chunky) layout unsupported")
     if not (0 < w * h * spp <= 1 << 28):  # same alloc guard family as GRIB2
         raise MediaDecodeError(f"TIFF: implausible dimensions {w}x{h}x{spp}")
-    if "tile_width" in tags or "tile_offsets" in tags:
+    if "tile_offsets" in tags:
         # Tiled layout (TIFF6 §15, the GeoTIFF/raster-pyramid convention):
         # fixed-size tiles in row-major order, right/bottom tiles padded to
         # full tile size. Same codec matrix as strips, per-tile streams.
+        # Dispatch keys on TileOffsets (the data pointer), not TileWidth:
+        # a striped file carrying a stray geometry tag but no tile data
+        # stays decodable via its strips (crawl-corpus tolerance).
         return _decode_tiff_tiles(content, tags, bo, w, h, spp, comp)
     offsets = tags["strip_offsets"]
     counts = tags.get("strip_byte_counts")
@@ -756,32 +788,17 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         # components already gray/RGB (no transform). decode_jpeg carries
         # its own MCU/entropy bomb guards per strip.
         photo = tags.get("photometric", [6])[0]
-        jt = bytes(tags.get("jpeg_tables", []))
-        if jt:
-            if len(jt) < 4 or jt[:2] != b"\xFF\xD8" or jt[-2:] != b"\xFF\xD9":
-                raise MediaDecodeError("TIFF JPEGTables: not an SOI…EOI table stream")
-            jt = jt[:-2]  # keep SOI + tables; strip EOI for splicing
+        jt = _tiff_jpeg_tables(tags)
         rps = tags.get("rows_per_strip", [h])[0] or h
         strips = []
         for i, (o, c) in enumerate(zip(offsets, counts)):
             nrows = min(rps, h - i * rps)
             if nrows <= 0:
                 break
-            raw = content[o : o + c]
-            if raw[:2] != b"\xFF\xD8":
-                raise MediaDecodeError(f"TIFF JPEG strip {i}: missing SOI")
-            stream = jt + raw[2:] if jt else raw
-            piece, _ = decode_jpeg(stream, rgb_transform=None if photo == 6 else False)
-            if piece.shape[1] != w or piece.shape[2] != spp:
-                raise MediaDecodeError(
-                    f"TIFF JPEG strip {i}: decoded {piece.shape[1]}x{piece.shape[2]} "
-                    f"≠ declared {w}x{spp}"
-                )
-            if piece.shape[0] < nrows:
-                raise MediaDecodeError(
-                    f"TIFF JPEG strip {i}: {piece.shape[0]} rows < declared {nrows}"
-                )
-            strips.append(piece[:nrows])
+            piece = _tiff_decode_jpeg_chunk(
+                content[o : o + c], jt, photo, i, nrows, w, spp
+            )
+            strips.append(piece[:nrows, :w])
         img = np.vstack(strips) if strips else np.zeros((0, w, spp), np.uint8)
         if img.shape[0] < h:
             raise MediaDecodeError(f"TIFF JPEG: strips cover {img.shape[0]} of {h} rows")
@@ -801,22 +818,9 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             nrows = min(rps, h - i * rps)
             if nrows <= 0:
                 break
-            cap = nrows * w * spp
-            raw = content[o : o + c]
-            if comp == 5:
-                pieces.append(_tiff_lzw_decode(raw, cap))
-            elif comp == 32773:
-                pieces.append(_packbits_decode(raw, cap))
-            else:  # 8 / 32946: zlib stream
-                try:
-                    piece = zlib.decompressobj().decompress(raw, cap + 1)
-                except zlib.error as exc:
-                    raise MediaDecodeError(f"TIFF Deflate: {exc}") from None
-                if len(piece) > cap:
-                    raise MediaDecodeError(
-                        f"TIFF Deflate: output exceeds declared strip size ({cap})"
-                    )
-                pieces.append(piece)
+            pieces.append(
+                _tiff_decompress_chunk(content[o : o + c], nrows * w * spp, comp)
+            )
         data = b"".join(pieces)
     else:
         data = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
@@ -831,11 +835,9 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     # many scanners emit): invert so 0 means black like everywhere else
     if tags.get("photometric", [1])[0] == 0:
         img = 255 - img
-    comp_name = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate",
-                 32773: "packbits"}[comp]
     return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
                  "byte_order": "little" if bo == "<" else "big",
-                 "compression": comp_name}
+                 "compression": _TIFF_COMP_NAMES[comp]}
 
 
 def _split_jpeg_tables(blob: bytes) -> tuple[bytes, bytes]:
@@ -870,6 +872,32 @@ def _split_jpeg_tables(blob: bytes) -> tuple[bytes, bytes]:
     return bytes(tables), bytes(abbrev)
 
 
+def _tiff_compress_chunks(chunks: list[bytes], compression: str) -> list[bytes]:
+    """One codec mapping for strips AND tiles — keeping it single-sited so
+    a codec addition cannot update one layout and miss the other."""
+    if compression == "lzw":
+        return [_tiff_lzw_encode(s) for s in chunks]
+    if compression == "deflate":
+        return [zlib.compress(s) for s in chunks]
+    if compression == "packbits":
+        return [_packbits_encode(s) for s in chunks]
+    return chunks  # "none"
+
+
+def _tiff_encode_jpeg_chunks(
+    imgs: list[np.ndarray], quality: int, shared_tables: bool
+) -> tuple[list[bytes], bytes]:
+    """Per-chunk JPEG streams for strips AND tiles; with ``shared_tables``
+    the common DQT/DHT (identical quality + standard Huffman per chunk, so
+    the first chunk's tables stand for all) factor into a JPEGTables
+    payload and the chunks become abbreviated streams."""
+    streams = [encode_jpeg(s, quality=quality) for s in imgs]
+    if not shared_tables:
+        return streams, b""
+    tables, _ = _split_jpeg_tables(streams[0])
+    return [_split_jpeg_tables(s)[1] for s in streams], tables
+
+
 def encode_tiff(
     img: np.ndarray,
     big_endian: bool = False,
@@ -897,6 +925,8 @@ def encode_tiff(
         raise ValueError(f"encode_tiff: unsupported compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: unsupported predictor {predictor}")
+    if tile_size is not None and rows_per_strip is not None:
+        raise ValueError("encode_tiff: rows_per_strip does not apply to tiled layout")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -927,42 +957,26 @@ def encode_tiff(
             for col in range(ta)
         ]
         if compression == "jpeg":
-            strips = [encode_jpeg(t_, quality=quality) for t_ in tile_imgs]
-            if shared_jpeg_tables:
-                jpeg_tables, _ = _split_jpeg_tables(strips[0])
-                strips = [_split_jpeg_tables(s)[1] for s in strips]
+            strips, jpeg_tables = _tiff_encode_jpeg_chunks(
+                tile_imgs, quality, shared_jpeg_tables
+            )
         else:
             chunks = []
             for t_ in tile_imgs:
                 if predictor == 2:
                     t_ = np.concatenate([t_[:, :1], t_[:, 1:] - t_[:, :-1]], axis=1)
                 chunks.append(t_.tobytes())
-            if compression == "lzw":
-                strips = [_tiff_lzw_encode(s) for s in chunks]
-            elif compression == "deflate":
-                strips = [zlib.compress(s) for s in chunks]
-            elif compression == "packbits":
-                strips = [_packbits_encode(s) for s in chunks]
-            else:
-                strips = chunks
+            strips = _tiff_compress_chunks(chunks, compression)
     elif compression == "jpeg":
         strip_imgs = [img[i : i + rps] for i in range(0, h, rps)] or [
             np.zeros((0, w, c), np.uint8)
         ]
-        strips = [encode_jpeg(s, quality=quality) for s in strip_imgs]
-        if shared_jpeg_tables:
-            # identical quality + standard Huffman tables per strip, so the
-            # first strip's tables stand for all of them
-            jpeg_tables, _ = _split_jpeg_tables(strips[0])
-            strips = [_split_jpeg_tables(s)[1] for s in strips]
+        strips, jpeg_tables = _tiff_encode_jpeg_chunks(
+            strip_imgs, quality, shared_jpeg_tables
+        )
     else:
-        strips = [img[i : i + rps].tobytes() for i in range(0, h, rps)] or [b""]
-        if compression == "lzw":
-            strips = [_tiff_lzw_encode(s) for s in strips]
-        elif compression == "deflate":
-            strips = [zlib.compress(s) for s in strips]
-        elif compression == "packbits":
-            strips = [_packbits_encode(s) for s in strips]
+        chunks = [img[i : i + rps].tobytes() for i in range(0, h, rps)] or [b""]
+        strips = _tiff_compress_chunks(chunks, compression)
     n = len(strips)
     # layout: header(8) | strip blobs | bps array (c>2) | jpeg tables |
     # offset/count arrays (n>1) | IFD
