@@ -181,3 +181,68 @@ def test_bilinear_regrid_custom_target_columns(spark):
     assert got[(0.25, 0.25)] == pytest.approx(2.0 * 0.25 + 0.25)
     assert got[(0.5, 0.75)] == pytest.approx(2.0 * 0.5 + 0.75)
     assert sorted(out.columns) == ["plat", "plon", "v_interp"]
+
+
+def _write_events(td, rows):
+    import os
+
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(os.path.join(td, "events.parquet"))
+
+
+def test_ols_trend_detrend_exact_line(spark):
+    """A series that IS a line fits exactly: slope/intercept recover the
+    generating coefficients and the residuals vanish — the external anchor
+    engine-vs-engine agreement can't provide. A one-day series must be
+    excluded (no slope from a single x)."""
+    import tempfile
+
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+    rows = []
+    for day in range(5):
+        ts = dt.datetime(2024, 1, 1 + day, 12, 0, 0)
+        rows.append((day, ts, 1, "a", 10.0 + 3.0 * day, "{}"))
+    rows.append((99, dt.datetime(2024, 1, 1), 1, "b", 42.0, "{}"))  # 1 day only
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(td, rows)
+        out = {r["event_type"]: r for r in REGISTRY["ols_trend_detrend"].fn(spark, td).collect()}
+    assert list(out) == ["a"]
+    a = out["a"]
+    assert a["n_days"] == 5
+    assert a["slope_per_day"] == 3.0
+    assert a["intercept"] == 10.0
+    assert a["rss"] == 0.0
+    assert a["max_abs_resid"] == 0.0
+
+
+def test_idw_regrid_two_point_weights(spark):
+    """Hand-checked Shepard weights: two points one cell apart. The shared
+    node mixes them 1 : 1/2; each point's own node mixes 1 : 1/2 the other
+    way; nodes two cells out see only one contributor."""
+    import tempfile
+
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (5, t0, 3, "a", 0.0, "{}"),   # px=5, py=3, value 0
+        (6, t0, 3, "a", 12.0, "{}"),  # px=6, py=3, value 12
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(td, rows)
+        out = {(r["gx"], r["gy"]): r for r in REGISTRY["idw_regrid"].fn(spark, td).collect()}
+    # node under point A: A at d²=0 (w=1), B at d²=1 (w=1/2) → 12·0.5/1.5
+    assert out[(5, 3)]["n_contrib"] == 2
+    assert out[(5, 3)]["idw_value"] == 4.0
+    # node under point B: the mirror mix → 12·1/1.5
+    assert out[(6, 3)]["idw_value"] == 8.0
+    # diagonal node sees both: A at d²=1 (w=.5), B at d²=2 (w=1/3)
+    assert out[(5, 4)]["n_contrib"] == 2
+    assert out[(5, 4)]["idw_value"] == round(12.0 * (1 / 3) / (0.5 + 1 / 3), 4)
+    # two cells from B, one from A: only A contributes
+    assert out[(4, 3)]["n_contrib"] == 1
+    assert out[(4, 3)]["idw_value"] == 0.0
+    # kernel support is the 3×3 neighbourhood: nothing lands 2 cells out
+    assert (3, 3) not in out and (8, 3) not in out

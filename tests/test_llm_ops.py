@@ -994,3 +994,66 @@ def test_recover_cells_skips_live_foreign_compactor(tmp_path):
         assert not recycled.exists()  # wrong start time: owner is gone
         assert same.exists()  # right start time: live foreign owner
         same.rmdir()
+
+
+def test_ngram_decontamination_hand_case(spark):
+    """External anchor for the exact-overlap report: a corpus doc that IS a
+    benchmark doc verbatim hits on every one of its windows; an unrelated
+    doc and a too-short doc produce no row."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+    ten = "a b c d e f g h i j"          # 10 words → 3 distinct 8-gram windows
+    rows = [
+        (0, ten, "en", len(ten), "s"),    # benchmark (0 % 31 == 0)
+        (1, ten, "en", len(ten), "s"),    # contaminated verbatim copy
+        (2, "k l m n o p q r s t", "en", 19, "s"),  # disjoint vocabulary
+        (3, "x y z", "en", 5, "s"),       # < 8 words → no grams at all
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "n_chars", "source"]).to_parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r["doc_id"]: r for r in REGISTRY["ngram_decontamination"].fn(spark, td).collect()}
+    assert list(out) == [1]
+    hit = out[1]
+    assert hit["n_grams"] == 3
+    assert hit["n_hit_grams"] == 3
+    assert hit["n_bench_docs"] == 1
+
+
+def test_encoding_quality_flags(spark):
+    """Hand-built mojibake corpus: each pathology trips exactly its own
+    counter, the empty doc stays out of the ratio average, and only the
+    clean ASCII doc passes the gate."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+    rows = [
+        (0, "plain ascii text", "en", 16, "s"),     # clean
+        (1, "ab�", "en", 3, "s"),              # replacement char (ratio 1/3)
+        (2, "bad\x01ctl", "en", 7, "s"),            # C0 control char
+        (3, "中文文本", "zh", 4, "s"),  # 100% non-ASCII
+        (4, "", "en", 0, "s"),                      # empty: excluded from ratio
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "n_chars", "source"]).to_parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = REGISTRY["encoding_quality"].fn(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 5
+    assert r["n_replacement_docs"] == 1
+    assert r["n_control_docs"] == 1
+    # mean over the four non-empty docs: (0 + 1/3 + 0 + 1) / 4
+    assert r["avg_nonascii_ratio"] == round((1 / 3 + 1.0) / 4, 4)
+    assert r["n_clean"] == 1

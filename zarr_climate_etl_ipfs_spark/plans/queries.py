@@ -8712,3 +8712,352 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12b additions: OLS trend/detrend, exact n-gram decontamination,
+# encoding-quality audit, IDW scatter-to-grid interpolation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ols_trend_detrend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS tmean
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), dx AS (
+      SELECT event_type, tmean,
+             DATE_DIFF('day', MIN(day) OVER (PARTITION BY event_type), day) AS x
+      FROM daily
+    ), fit AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             REGR_SLOPE(tmean, x) AS slope, REGR_INTERCEPT(tmean, x) AS icept
+      FROM dx GROUP BY event_type HAVING COUNT(*) >= 2
+    )
+    SELECT d.event_type,
+           CAST(MAX(f.n_days) AS BIGINT) AS n_days,
+           ROUND(MAX(f.slope), 6) + 0.0 AS slope_per_day,
+           ROUND(MAX(f.icept), 4) + 0.0 AS intercept,
+           ROUND(SUM(POWER(d.tmean - (f.icept + f.slope * d.x), 2)), 2) AS rss,
+           ROUND(MAX(ABS(d.tmean - (f.icept + f.slope * d.x))), 4) AS max_abs_resid
+    FROM dx d JOIN fit f USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def ols_trend_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend fit + detrended residual audit — the linear
+    detrending pass climate consumers run before anomaly statistics (the
+    reference's catalog serves exactly these series to the dClimate query
+    layer, which detrends downstream; `polyfit` over `ds` in xarray
+    terms). Daily means per series, day index x anchored at each series'
+    OWN first day (small, well-conditioned regressor — an epoch anchor
+    would put x ~ 2e4 and shred the intercept's conditioning), slope and
+    intercept via the built-in `regr_slope`/`regr_intercept` JVM
+    aggregates, then one pass of residuals against the fitted line for
+    RSS and the worst outlier. Rounding absorbs the engines' summation-
+    order jitter; `+ 0.0` normalizes IEEE negative zero on the slope of a
+    perfectly flat series.
+
+    Plan: daily rollup is one map-side-combinable aggregate; the per-
+    series min-day is a window over the TINY daily relation; the fit is a
+    second aggregate on the same key; residuals re-join fit (k rows,
+    broadcast) back onto daily. At 100 TB the events scan dominates and
+    happens once — everything after the first rollup is dimension-sized.
+    No UDF anywhere: regr_* are Catalyst aggregates inside codegen."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("tmean")
+    )
+    w = Window.partitionBy("event_type")
+    dx = daily.select(
+        "event_type",
+        "tmean",
+        F.datediff("day", F.min("day").over(w)).alias("x"),
+    )
+    fit = (
+        dx.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.regr_slope("tmean", "x").alias("slope"),
+            F.regr_intercept("tmean", "x").alias("icept"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    resid = F.col("tmean") - (F.col("icept") + F.col("slope") * F.col("x"))
+    return (
+        dx.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            (F.round(F.max("slope"), 6) + F.lit(0.0)).alias("slope_per_day"),
+            (F.round(F.max("icept"), 4) + F.lit(0.0)).alias("intercept"),
+            F.round(F.sum(F.pow(resid, F.lit(2))), 2).alias("rss"),
+            F.round(F.max(F.abs(resid)), 4).alias("max_abs_resid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "ngram_decontamination",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN LEN(ws) >= 8 THEN
+               LIST_DISTINCT([{_MD5INT_SQL.format(
+                   x="ARRAY_TO_STRING(LIST_SLICE(ws, i + 1, i + 8), ' ')")}
+                FOR i IN RANGE(0, LEN(ws) - 7)])
+             ELSE [] END AS gs
+      FROM w
+    ), bench AS (
+      SELECT DISTINCT doc_id AS bench_doc, UNNEST(gs) AS h
+      FROM g WHERE doc_id % 31 = 0
+    ), corpus AS (
+      SELECT doc_id, LEN(gs) AS n_grams, UNNEST(gs) AS h
+      FROM g WHERE doc_id % 31 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(MAX(c.n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_hit_grams,
+           CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram eval-set decontamination — the other half of the
+    contamination family: `bloom_decontamination` answers "is this doc
+    PROBABLY clean" with a broadcast sketch; training-data releases
+    (GPT-3 App. C, PaLM, Llama) additionally publish the EXACT overlap
+    report this query computes — for every training doc sharing at least
+    one 8-word n-gram with the held-out benchmark (here: the doc_id%31
+    slice), how many distinct grams leak and how many benchmark docs are
+    implicated. Window hashes reuse the duplicate_spans 56-bit md5 family
+    so both engines derive identical keys from identical tokenization.
+
+    Plan: gram arrays are one transform/slice/md5 array expression per
+    row (pure codegen); the benchmark side is 1/97 of the corpus —
+    filtered AT THE SCAN by a cheap doc_id predicate, then exploded and
+    BROADCAST, so the corpus side joins without any shuffle of the big
+    relation; the per-doc rollup keys on doc_id (uniform). At 100 TB:
+    benchmark gram sets are eval suites (MMLU et al. — megabytes), so
+    the broadcast holds at any corpus scale; cost is one corpus scan."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents")
+    # ws materialized in its own Project (duplicate_spans' CollapseProject
+    # barrier note): the tokenizer runs once per row, not once per use
+    dws = d.select("doc_id", words(F.col("text")).alias("ws"))
+    g = dws.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= 8,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 8),
+                    lambda i: md5int(
+                        F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 8))
+                    ),
+                )
+            ),
+        ).alias("gs"),
+    )
+    bench = (
+        g.filter(F.col("doc_id") % 31 == 0)
+        .select(F.col("doc_id").alias("bench_doc"), F.explode("gs").alias("h"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") % 31 != 0).select(
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("h")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.countDistinct("h").alias("n_hit_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: one control-char class shared by both engines (RE2 and java.util.regex
+#: both read \\xNN escapes; \\t \\n \\r excluded — they are formatting, not
+#: mojibake) and the replacement character U+FFFD embedded as a literal
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_REPL_CHAR = "�"
+
+
+@q(
+    "encoding_quality",
+    f"""
+    WITH m AS (
+      SELECT source,
+             LENGTH(text) AS n_chars,
+             CASE WHEN CONTAINS(text, '{_REPL_CHAR}') THEN 1 ELSE 0 END AS has_repl,
+             CASE WHEN REGEXP_MATCHES(text, '{_CTRL_RE}') THEN 1 ELSE 0 END AS has_ctrl,
+             LENGTH(REGEXP_REPLACE(text, '[\\x00-\\x7F]', '', 'g'))
+               AS n_nonascii
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_repl) AS BIGINT) AS n_replacement_docs,
+           CAST(SUM(has_ctrl) AS BIGINT) AS n_control_docs,
+           ROUND(AVG(CASE WHEN n_chars > 0
+                          THEN CAST(n_nonascii AS DOUBLE) / n_chars END), 4)
+             AS avg_nonascii_ratio,
+           CAST(SUM(CASE WHEN has_repl = 0 AND has_ctrl = 0 AND n_chars > 0
+                          AND CAST(n_nonascii AS DOUBLE) / n_chars <= 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-sanity audit — the mojibake gate a crawl-scale text
+    pipeline runs before any model-facing filter (CCNet/RefinedWeb drop
+    documents whose decode left U+FFFD replacement characters or raw
+    control bytes; both are fossils of a wrong charset guess upstream).
+    Per source: docs carrying U+FFFD, docs carrying C0 control characters
+    (tab/newline/CR excluded — formatting, not corruption), the mean
+    non-ASCII codepoint ratio (legitimate for non-Latin corpora, which is
+    why it is REPORTED per source rather than thresholded globally), and
+    the count passing the standard gate (no replacement char, no control
+    chars, ≤30% non-ASCII). Both engines' regex dialects (RE2, java.util
+    .regex) are codepoint-aware over these byte-range classes, and the
+    class constants are generated from ONE Python literal.
+
+    Plan: three regex/contains column expressions in the scan's project
+    — no UDF, no join, one map-side-combinable aggregate on the low-
+    cardinality source key. At 100 TB this is scan-bound, exactly as a
+    quality gate should be."""
+    txt = F.col("text")
+    n_chars = F.length(txt)
+    n_nonascii = F.length(F.regexp_replace(txt, r"[\x00-\x7F]", ""))
+    has_repl = txt.contains(_REPL_CHAR).cast("int")
+    has_ctrl = txt.rlike(_CTRL_RE).cast("int")
+    m = (
+        t(spark, sf_dir, "documents")
+        .filter(txt.isNotNull())
+        .select(
+            "source",
+            n_chars.alias("n_chars"),
+            has_repl.alias("has_repl"),
+            has_ctrl.alias("has_ctrl"),
+            n_nonascii.alias("n_nonascii"),
+        )
+    )
+    ratio = F.col("n_nonascii").cast("double") / F.col("n_chars")
+    clean = (
+        (F.col("has_repl") == 0)
+        & (F.col("has_ctrl") == 0)
+        & (F.col("n_chars") > 0)
+        & (ratio <= 0.3)
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("has_repl").alias("n_replacement_docs"),
+            F.sum("has_ctrl").alias("n_control_docs"),
+            F.round(
+                F.avg(F.when(F.col("n_chars") > 0, ratio)), 4
+            ).alias("avg_nonascii_ratio"),
+            F.sum(clean.cast("int")).alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "idw_regrid",
+    """
+    WITH pts AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS px,
+             CAST(user_id % 8 AS BIGINT) AS py, value
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+    ), contrib AS (
+      SELECT px + dxs.dx AS gx, py + dys.dy AS gy,
+             1.0 / (1 + dxs.dx * dxs.dx + dys.dy * dys.dy) AS w, value
+      FROM pts
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dx) dxs
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) dys
+      WHERE px + dxs.dx BETWEEN 0 AND 15 AND py + dys.dy BETWEEN 0 AND 7
+    )
+    SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_contrib,
+           ROUND(SUM(w * value) / SUM(w), 4) AS idw_value
+    FROM contrib GROUP BY gx, gy ORDER BY gx, gy
+    """,
+)
+def idw_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted scatter-to-grid interpolation — the
+    station-observations-onto-a-grid operator (Shepard's method, the
+    standard first regrid for in-situ feeds; the reference's gridded
+    stores are DOWNSTREAM of exactly this step in provider pipelines,
+    and `bilinear_regrid` covers the already-gridded case). Every point
+    contributes to its own and the 8 surrounding grid nodes with weight
+    1/(1+d²) in cell units; each node reports its contributor count and
+    the weighted mean.
+
+    Plan: the kernel-neighborhood trick — instead of a grid×points
+    distance join (cartesian, the naive formulation), each point EXPLODES
+    into its ≤9 bounded (node, weight) contributions, turning IDW into
+    scan → 9× flatMap → ONE map-side-combinable aggregate on the node
+    key. No join exists at all; at 100 TB cost is linear in points with
+    uniform node keys, and a wider kernel radius only changes the
+    constant. The same shape holds for any finite-support kernel
+    (Cressman, Barnes): weights become literals in the offset array."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    px = (F.col("event_id") % 16).cast("long")
+    py = (F.col("user_id") % 8).cast("long")
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(1.0 / (1 + dx * dx + dy * dy)).alias("w"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    contrib = (
+        e.select(px.alias("px"), py.alias("py"), "value", F.explode(offsets).alias("o"))
+        .select(
+            (F.col("px") + F.col("o.dx")).alias("gx"),
+            (F.col("py") + F.col("o.dy")).alias("gy"),
+            F.col("o.w").alias("w"),
+            "value",
+        )
+        .filter(F.col("gx").between(0, 15) & F.col("gy").between(0, 7))
+    )
+    return (
+        contrib.groupBy("gx", "gy")
+        .agg(
+            F.count("*").alias("n_contrib"),
+            F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 4).alias(
+                "idw_value"
+            ),
+        )
+        .orderBy("gx", "gy")
+    )
