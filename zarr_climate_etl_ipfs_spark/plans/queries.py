@@ -8856,29 +8856,46 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
     d = t_wide(spark, sf_dir, "documents")
-    # ws materialized in its own Project (duplicate_spans' CollapseProject
-    # barrier note): the tokenizer runs once per row, not once per use
-    dws = d.select("doc_id", words(F.col("text")).alias("ws"))
-    g = dws.select(
-        "doc_id",
-        F.when(
-            F.size("ws") >= 8,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 8),
-                    lambda i: md5int(
-                        F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 8))
-                    ),
-                )
-            ),
-        ).alias("gs"),
-    )
+
+    def grams(split_pred):
+        # the cheap doc_id split predicate goes BELOW the barrier (it
+        # prunes at the scan), while ws is materialized in its own
+        # Project behind the nondeterministic _mid barrier
+        # (duplicate_spans' CollapseProject note): without the barrier
+        # Catalyst collapses this Project into the window transform and
+        # inlines the TOKENIZER into every per-window slice — measured
+        # 2.1× the whole query's cost at sf0.1 (3.9 s → 1.8 s)
+        dws = (
+            d.filter(split_pred)
+            .select(
+                "doc_id",
+                words(F.col("text")).alias("ws"),
+                F.monotonically_increasing_id().alias("_mid"),
+            )
+            .filter(F.col("_mid") >= 0)
+            .drop("_mid")
+        )
+        return dws.select(
+            "doc_id",
+            F.when(
+                F.size("ws") >= 8,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 8),
+                        lambda i: md5int(
+                            F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 8))
+                        ),
+                    )
+                ),
+            ).alias("gs"),
+        )
+
     bench = (
-        g.filter(F.col("doc_id") % 31 == 0)
+        grams(F.col("doc_id") % 31 == 0)
         .select(F.col("doc_id").alias("bench_doc"), F.explode("gs").alias("h"))
         .distinct()
     )
-    corpus = g.filter(F.col("doc_id") % 31 != 0).select(
+    corpus = grams(F.col("doc_id") % 31 != 0).select(
         "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("h")
     )
     return (
