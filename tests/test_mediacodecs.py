@@ -1532,20 +1532,193 @@ def test_png_16bit_roundtrip_and_filters():
     assert (got[0, :, 0] == raw_px[0]).all()
 
 
-def test_png_unsupported_depth_still_raises():
+def _png_chunk_t(t, d):
     import struct
     import zlib
 
-    def chunk(t, d):
-        return struct.pack(">I", len(d)) + t + d + struct.pack(
-            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
-        )
-
-    bad = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00\x11\x00\x22"))
-        + chunk(b"IEND", b"")
+    return struct.pack(">I", len(d)) + t + d + struct.pack(
+        ">I", zlib.crc32(t + d) & 0xFFFFFFFF
     )
-    with pytest.raises(mc.MediaDecodeError, match="8/16-bit"):
+
+
+def _png_raw(w, h, depth, color, scan, extra=b"", interlace=0):
+    import struct
+    import zlib
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk_t(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+        + extra
+        + _png_chunk_t(b"IDAT", zlib.compress(scan))
+        + _png_chunk_t(b"IEND", b"")
+    )
+
+
+def test_png_lowdepth_gray_decodes_scaled():
+    """Depth-4 gray (formerly a named error): samples scale by the spec's
+    exact 255/(2^d−1) = 17 factor. The 2×2 payload is the one the old
+    negative test pinned — now a positive anchor."""
+    png = _png_raw(2, 2, 4, 0, b"\x00\x11\x00\x22")
+    out, meta = mc.decode_png(png)
+    assert meta["bit_depth"] == 4 and meta["n_channels"] == 1
+    assert out[..., 0].tolist() == [[17, 17], [34, 34]]
+    # depth 1: bits MSB-first, scale 255; 10 wide forces padding bits
+    row = b"\x00" + bytes([0b10110001, 0b01000000])
+    png1 = _png_raw(10, 1, 1, 0, row)
+    o1, m1 = mc.decode_png(png1)
+    assert o1[0, :, 0].tolist() == [255, 0, 255, 255, 0, 0, 0, 255, 0, 255]
+    # depth 2: scale 85
+    png2 = _png_raw(3, 1, 2, 0, b"\x00" + bytes([0b11_01_10_00]))
+    o2, _ = mc.decode_png(png2)
+    assert o2[0, :, 0].tolist() == [255, 85, 170]
+
+
+def test_png_illegal_depth_color_combo_raises():
+    """Depth 4 is legal for gray/palette but NOT for RGB (spec Table 11.1)."""
+    with pytest.raises(mc.MediaDecodeError, match="illegal"):
+        mc.decode_png(_png_raw(2, 1, 4, 2, b"\x00\x11\x22"))
+
+
+def test_adam7_grid_partitions_exactly():
+    """Structural pin on the §8.2 constants: the 7 passes must tile the
+    8×8 base grid with every cell covered exactly once — a typo in any
+    origin/stride double-covers or misses a cell."""
+    cover = np.zeros((8, 8), dtype=int)
+    for x0, y0, dx, dy in mc._ADAM7:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all()
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (5, 7), (8, 8), (9, 10), (16, 13)])
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_adam7_roundtrip_equals_sequential(h, w, c):
+    """Interlaced encode → decode is identity AND byte-identical to the
+    already-validated sequential decode of the same pixels — the same
+    anchoring trick the progressive-JPEG work used. Sizes below the pass
+    origins exercise empty passes."""
+    img = np.random.RandomState(h * 100 + w * 10 + c).randint(
+        0, 256, (h, w, c), dtype=np.uint8
+    )
+    via_i, meta_i = mc.decode_png(mc.encode_png(img, interlace=True))
+    via_s, meta_s = mc.decode_png(mc.encode_png(img))
+    assert np.array_equal(via_i, img.reshape(h, w, c))
+    assert np.array_equal(via_i, via_s)
+    assert meta_i == meta_s
+
+
+def test_png_adam7_16bit_roundtrip():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 65536, (11, 6, 3), dtype=np.uint16)
+    out, meta = mc.decode_png(mc.encode_png(img, interlace=True))
+    assert out.dtype == np.uint16 and np.array_equal(out, img)
+    assert meta["bit_depth"] == 16
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_palette_roundtrip(depth, interlace):
+    """Color-type-3: indices at every legal depth, with and without Adam7,
+    decode to exactly palette[idx]."""
+    rng = np.random.RandomState(depth * 7 + interlace)
+    n = 1 << depth
+    pal = rng.randint(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.randint(0, n, (9, 11), dtype=np.uint8)
+    png = mc.encode_png_indexed(idx, pal, bit_depth=depth, interlace=interlace)
+    out, meta = mc.decode_png(png)
+    assert meta["n_channels"] == 3 and meta["bit_depth"] == depth
+    assert np.array_equal(out, pal[idx])
+
+
+def test_png_palette_trns_alpha_table():
+    """tRNS on type 3 is a per-index alpha table, 255 beyond its length."""
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    png = mc.encode_png_indexed(idx, pal, bit_depth=2, trns=bytes([10, 200]))
+    out, meta = mc.decode_png(png)
+    assert meta["n_channels"] == 4
+    assert np.array_equal(out[..., :3], pal[idx])
+    assert out[..., 3].tolist() == [[10, 200, 255], [255, 200, 10]]
+
+
+def test_png_colorkey_trns():
+    """tRNS on types 0/2 is a single color key (16-bit fields in depth
+    units): matching pixels get alpha 0, everything else full."""
+    import struct
+
+    # RGB 8-bit: key (7, 8, 9)
+    img = np.array([[[7, 8, 9], [7, 8, 10]]], dtype=np.uint8)
+    scan = b"\x00" + img.tobytes()
+    png = _png_raw(2, 1, 8, 2, scan, extra=_png_chunk_t(b"tRNS", struct.pack(">3H", 7, 8, 9)))
+    out, meta = mc.decode_png(png)
+    assert meta["n_channels"] == 4
+    assert out[0, 0].tolist() == [7, 8, 9, 0] and out[0, 1].tolist() == [7, 8, 10, 255]
+    # gray 16-bit: key 0x0102
+    g = np.array([[0x0102, 0x0103]], dtype=">u2")
+    png16 = _png_raw(
+        2, 1, 16, 0, b"\x00" + g.tobytes(), extra=_png_chunk_t(b"tRNS", struct.pack(">H", 0x0102))
+    )
+    o16, m16 = mc.decode_png(png16)
+    assert o16.dtype == np.uint16 and m16["n_channels"] == 2
+    assert o16[0, 0].tolist() == [0x0102, 0] and o16[0, 1].tolist() == [0x0103, 65535]
+    # gray depth-1 color key compares in DEPTH units (before scaling)
+    png1 = _png_raw(
+        2, 1, 1, 0, b"\x00" + bytes([0b10000000]), extra=_png_chunk_t(b"tRNS", struct.pack(">H", 1))
+    )
+    o1, _ = mc.decode_png(png1)
+    assert o1[0, 0].tolist() == [255, 0] and o1[0, 1].tolist() == [0, 255]
+
+
+def test_png_bomb_and_dimension_guards():
+    """Forged-dimension and inflation bombs die at the guard, not at a
+    multi-GiB allocation: (a) implausible declared dims; (b) an IDAT that
+    inflates past the geometry-derived cap."""
+    import zlib
+
+    with pytest.raises(mc.MediaDecodeError, match="implausible"):
+        mc.decode_png(_png_raw(1 << 15, 1 << 15, 8, 2, b"\x00"))
+    # 3×1 RGB expects 10 raw bytes; hand the inflater 64 MiB of zeros
+    bomb = zlib.compress(b"\x00" * (64 << 20))
+    with pytest.raises(mc.MediaDecodeError, match="length mismatch"):
+        mc.decode_png(_png_raw(3, 1, 8, 2, b"")[: -len(_png_chunk_t(b"IDAT", zlib.compress(b"")) + _png_chunk_t(b"IEND", b""))] + _png_chunk_t(b"IDAT", bomb) + _png_chunk_t(b"IEND", b""))
+
+
+def test_png_palette_index_out_of_range_raises():
+    """A 2-entry PLTE with a depth-8 index of 5 must be the contract
+    error, not an IndexError leak."""
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    png = mc.encode_png_indexed(np.zeros((2, 2), np.uint8), pal, bit_depth=8)
+    # bump one decoded index beyond the palette by rebuilding the IDAT
+    import zlib
+
+    scan = b"\x00\x00\x05" + b"\x00\x00\x00"
+    bad = _png_raw(2, 2, 8, 3, scan, extra=_png_chunk_t(b"PLTE", pal.tobytes()))
+    with pytest.raises(mc.MediaDecodeError, match="palette index"):
         mc.decode_png(bad)
+    # well-formed original still decodes
+    out, _ = mc.decode_png(png)
+    assert np.array_equal(out, pal[np.zeros((2, 2), int)])
+
+
+def test_png_new_paths_fuzz_fails_cleanly():
+    """The repo-wide parser-hardening bar for the new PNG paths: mutated
+    interlaced/palette/tRNS streams decode or raise the contract error —
+    never hang, alloc-bomb, or leak a foreign exception."""
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (13, 9), dtype=np.uint8)
+    bases = [
+        bytearray(mc.encode_png(img, interlace=True)),
+        bytearray(mc.encode_png_indexed(idx, pal, bit_depth=4, interlace=True)),
+        bytearray(mc.encode_png_indexed(idx, pal, bit_depth=8, trns=bytes(range(16)))),
+    ]
+    for trial in range(1800):
+        blob = bytearray(bases[trial % 3])
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if trial % 5 == 0:
+            blob = blob[: rng.randint(8, len(blob))]
+        try:
+            mc.decode_png(bytes(blob))
+        except mc.MediaDecodeError:
+            pass

@@ -1068,56 +1068,47 @@ def encode_tiff(
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+#: channels per color type: gray, rgb, palette-index, gray+alpha, rgba
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: legal bit depths per color type (PNG spec Table 11.1)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+#: Adam7 pass grid (x0, y0, dx, dy), spec §8.2: each pass is an independent
+#: reduced image with its own scanline filtering; empty passes carry no bytes
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
-@_clean_errors
-def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
-    """PNG → (H, W, C) uint8 array (or uint16 for 16-bit images). Supports
-    bit depths 8 and 16, color types 0/2/4/6, no interlace; undoes all five
-    scanline filters (which operate on BYTES with a lane distance of bytes-
-    per-pixel, per the PNG spec — the 16-bit case GRIB2 PNG packing uses)."""
-    if content[:8] != _PNG_SIG:
-        raise MediaDecodeError("not a PNG (bad signature)")
-    pos, idat, ihdr = 8, [], None
-    while pos + 8 <= len(content):
-        (clen,) = struct.unpack(">I", content[pos : pos + 4])
-        ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + clen]
-        pos += 12 + clen  # len + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise MediaDecodeError("PNG missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
-        raise MediaDecodeError(
-            f"unsupported PNG (depth={depth}, interlace={interlace}); "
-            "only 8/16-bit non-interlaced is implemented"
-        )
-    if color not in _PNG_CHANNELS:
-        raise MediaDecodeError(f"unsupported PNG color type {color} (palette needs PLTE)")
-    c = _PNG_CHANNELS[color]
-    bpp = c * (depth // 8)  # filter lane distance: bytes per pixel
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
+def _png_stride(w: int, c: int, depth: int) -> int:
+    """Scanline width in bytes: sub-byte samples pack MSB-first."""
+    return (w * c * depth + 7) // 8
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, offset: int) -> np.ndarray:
+    """Undo the five scanline filters over ``h`` rows of ``stride`` bytes
+    starting at ``raw[offset]`` (each row led by its filter-type byte).
+    Filters operate on BYTES with a lane distance of bytes-per-pixel —
+    and bpp is defined as 1 when the depth is sub-byte, per the spec."""
+    if offset + h * (stride + 1) > len(raw):
         raise MediaDecodeError("PNG data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).astype(
+            np.int32
+        )
         if ftype == 0:  # None
             rec = line
         elif ftype == 1:  # Sub: prefix sum per byte lane
-            rec = line.reshape(w, bpp).cumsum(axis=0).reshape(stride)
+            rec = line.reshape(-1, bpp).cumsum(axis=0).reshape(stride)
         elif ftype == 2:  # Up
             rec = line + prev
         elif ftype == 3:  # Average — sequential in x
@@ -1142,17 +1133,163 @@ def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         rec = rec & 0xFF
         out[y] = rec.astype(np.uint8)
         prev = rec
-    meta = {"format": "png", "width": w, "height": h, "n_channels": c, "bit_depth": depth}
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, c: int, depth: int) -> np.ndarray:
+    """(h, stride) filtered-out bytes → (h, w, c) samples (uint8, or uint16
+    for 16-bit). Sub-byte depths (always c == 1) unpack MSB-first."""
+    h = rows.shape[0]
     if depth == 16:  # network byte order per spec
-        return out.reshape(h, w, c, 2).astype(np.uint16)[..., 0] * 256 + out.reshape(
-            h, w, c, 2
-        )[..., 1], meta
-    return out.reshape(h, w, c), meta
+        u = rows.reshape(h, w, c, 2).astype(np.uint16)
+        return u[..., 0] * 256 + u[..., 1]
+    if depth == 8:
+        return rows.reshape(h, w, c)
+    bits = np.unpackbits(rows, axis=1)
+    g = bits[:, : (bits.shape[1] // depth) * depth].reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (g * weights).sum(axis=2, dtype=np.int32)[:, :w].astype(np.uint8).reshape(
+        h, w, 1
+    )
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def _png_pass_geometry(w: int, h: int, c: int, depth: int):
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, wp, hp, stride)."""
+    passes = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+        hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if wp and hp:
+            passes.append((x0, y0, dx, dy, wp, hp, _png_stride(wp, c, depth)))
+    return passes
+
+
+@_clean_errors
+def decode_png(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """PNG → (H, W, C) uint8 array (or uint16 for 16-bit images). Full
+    static-image coverage: bit depths 1/2/4/8/16 per the spec's color-type
+    matrix, color types 0/2/3/4/6 (3 via PLTE, low-depth gray scaled by the
+    spec's 255/(2^d−1) factor), tRNS transparency on all three forms
+    (palette alpha table, gray/RGB color key → alpha channel), and Adam7
+    interlace (each pass unfiltered independently, scattered by the §8.2
+    grid). Undoes all five scanline filters (which operate on BYTES with a
+    lane distance of bytes-per-pixel — 1 for sub-byte depths — the 16-bit
+    case GRIB2 PNG packing uses). Inflation is capped at the geometry-
+    derived byte count (decompression-bomb guard)."""
+    if content[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG (bad signature)")
+    pos, idat, ihdr, plte, trns = 8, [], None, None, None
+    while pos + 8 <= len(content):
+        (clen,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise MediaDecodeError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise MediaDecodeError(
+            f"unsupported PNG (compression={comp}, filter={filt}, interlace={interlace})"
+        )
+    if color not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[color]:
+        raise MediaDecodeError(f"illegal PNG depth/color combination {depth}/{color}")
+    c = _PNG_CHANNELS[color]
+    if not (0 < w * h * max(c, 3) <= 1 << 28):  # alloc guard, TIFF/GRIB2 family
+        raise MediaDecodeError(f"implausible PNG dimensions {w}x{h}")
+    if color == 3:
+        if plte is None or len(plte) < 3 or len(plte) % 3:
+            raise MediaDecodeError("palette PNG without a well-formed PLTE")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if len(palette) > 1 << depth:
+            raise MediaDecodeError(f"PLTE has {len(palette)} entries at depth {depth}")
+    bpp = max(1, (c * depth) // 8)  # filter lane distance
+    if interlace:
+        passes = _png_pass_geometry(w, h, c, depth)
+        expected = sum(hp * (sp + 1) for *_, hp, sp in passes)
+    else:
+        stride = _png_stride(w, c, depth)
+        expected = h * (stride + 1)
+    # inflate with a hard cap at the geometry-derived size — a 10 kB stream
+    # must not be allowed to balloon past what the declared dims can hold
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
+        raise MediaDecodeError("PNG data length mismatch")
+    if interlace:
+        img = np.zeros((h, w, c), dtype=np.uint16 if depth == 16 else np.uint8)
+        offset = 0
+        for x0, y0, dx, dy, wp, hp, sp in passes:
+            rows = _png_unfilter(raw, hp, sp, bpp, offset)
+            img[y0::dy, x0::dx] = _png_samples(rows, wp, c, depth)
+            offset += hp * (sp + 1)
+    else:
+        rows = _png_unfilter(raw, h, stride, bpp, 0)
+        img = _png_samples(rows, w, c, depth)
+    meta = {"format": "png", "width": w, "height": h, "n_channels": c, "bit_depth": depth}
+    if color == 3:
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise MediaDecodeError("PNG palette index out of range")
+        rgb = palette[idx]
+        if trns is not None:
+            alpha_tab = np.full(len(palette), 255, dtype=np.uint8)
+            alpha_tab[: min(len(trns), len(palette))] = np.frombuffer(
+                trns[: len(palette)], dtype=np.uint8
+            )
+            img = np.dstack([rgb, alpha_tab[idx]])
+        else:
+            img = rgb
+        meta["n_channels"] = img.shape[2]
+        return img, meta
+    if color == 0 and depth < 8:
+        # spec sample scaling: 255/(2^d − 1) is exact for d ∈ {1, 2, 4}
+        scaled = img * np.uint8(255 // ((1 << depth) - 1))
+        if trns is not None and len(trns) >= 2:
+            key = struct.unpack(">H", trns[:2])[0]  # in DEPTH units
+            alpha = np.where(img[..., 0] == key, 0, 255).astype(np.uint8)
+            meta["n_channels"] = 2
+            return np.dstack([scaled[..., 0], alpha]), meta
+        return scaled, meta
+    if trns is not None and color in (0, 2):
+        # color-key transparency: tRNS holds one 16-bit value per channel,
+        # in depth units; matching pixels get alpha 0
+        n = c
+        if len(trns) < 2 * n:
+            raise MediaDecodeError("PNG tRNS too short for color type")
+        key = np.array(struct.unpack(f">{n}H", trns[: 2 * n]))
+        if depth == 8:
+            key = key.astype(np.uint8)
+        match = (img == key.reshape(1, 1, n)).all(axis=2)
+        full = 65535 if depth == 16 else 255
+        alpha = np.where(match, 0, full).astype(img.dtype)
+        meta["n_channels"] = c + 1
+        return np.dstack([img, alpha]), meta
+    return img, meta
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """(H, W) or (H, W, C) uint8/uint16 → PNG bytes (filter 0, one IDAT);
-    uint16 input produces a 16-bit image with network-byte-order samples."""
+    uint16 input produces a 16-bit image with network-byte-order samples.
+    ``interlace=True`` writes Adam7 passes (each pass's rows filtered
+    independently — here all filter 0), the §8.2 grid in encode direction."""
     img = np.asarray(img)
     if img.dtype == np.uint16:
         depth = 16
@@ -1164,23 +1301,76 @@ def encode_png(img: np.ndarray) -> bytes:
         img = img[:, :, None]
     h, w, c = img.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
-    scan = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+        scan = b"".join(parts)
+    else:
+        scan = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scan))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def _png_pack_row(samples: np.ndarray, depth: int) -> bytes:
+    """One scanline of sub-byte or byte samples → packed bytes, MSB-first
+    with zero padding in the final byte (spec §7.2)."""
+    if depth == 8:
+        return samples.astype(np.uint8).tobytes()
+    bits = (
+        (samples.astype(np.uint8)[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+def encode_png_indexed(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    trns: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W) palette indices + (N, 3) uint8 palette → color-type-3 PNG at
+    bit depth 1/2/4/8, optional tRNS alpha table, optional Adam7. The
+    indexed form is what crawl-scale icon/diagram PNGs actually ship."""
+    indices = np.asarray(indices)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"illegal palette bit depth {bit_depth}")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
+        raise ValueError("palette must be (N, 3) uint8")
+    if len(palette) > 1 << bit_depth:
+        raise ValueError(f"{len(palette)} palette entries exceed depth {bit_depth}")
+    if indices.ndim != 2:
+        raise ValueError("indices must be (H, W)")
+    if int(indices.max(initial=0)) >= len(palette) or int(indices.min(initial=0)) < 0:
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+
+    def rows(sub: np.ndarray):
+        return (b"\x00" + _png_pack_row(sub[y], bit_depth) for y in range(sub.shape[0]))
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = indices[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.extend(rows(sub))
+        scan = b"".join(parts)
+    else:
+        scan = b"".join(rows(indices))
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    return out + _png_chunk(b"IDAT", zlib.compress(scan)) + _png_chunk(b"IEND", b"")
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,20 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
     img = np.full((side, side, 3), shade, dtype=np.uint8)
     fmt = d % 5
     if fmt == 0:
+        # r12b rotation: Adam7 interlace on d%8==1, color-type-3 palette
+        # (1-bit, single-entry PLTE) on d%8==2, 4-bit palette + Adam7 on
+        # d%8==6 — constant rasters keep every variant bit-exact, so the
+        # closed-form oracles hold unchanged
+        if rotate_variants and d % 8 == 1:
+            return encode_png(img, interlace=True)
+        if rotate_variants and d % 8 in (2, 6):
+            from zarr_climate_etl_ipfs_spark.mediacodecs import encode_png_indexed
+
+            pal = np.full((1, 3), shade, dtype=np.uint8)
+            idx = np.zeros((side, side), dtype=np.uint8)
+            return encode_png_indexed(
+                idx, pal, bit_depth=1 if d % 8 == 2 else 4, interlace=d % 8 == 6
+            )
         return encode_png(img)
     if fmt == 1:
         return encode_gif(img, interlace=rotate_variants and d % 8 == 1)
