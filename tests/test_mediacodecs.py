@@ -1722,3 +1722,130 @@ def test_png_new_paths_fuzz_fails_cleanly():
             mc.decode_png(bytes(blob))
         except mc.MediaDecodeError:
             pass
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "deflate", "packbits"])
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("be", [False, True])
+def test_tiff_uint16_roundtrip(comp, pred, be):
+    """16-bit unsigned samples (the GeoTIFF DEM/radiance flavor) across
+    the full codec × predictor × byte-order matrix, strips and tiles."""
+    img = np.random.RandomState(1).randint(0, 65536, (13, 9, 3), dtype=np.uint16)
+    out, _ = mc.decode_tiff(
+        mc.encode_tiff(img, compression=comp, predictor=pred, big_endian=be,
+                       rows_per_strip=5)
+    )
+    assert out.dtype == np.uint16 and np.array_equal(out, img)
+    out_t, _ = mc.decode_tiff(
+        mc.encode_tiff(img, compression=comp, predictor=pred, big_endian=be,
+                       tile_size=(16, 16))
+    )
+    assert np.array_equal(out_t, img)
+
+
+def test_tiff_int16_signed_roundtrip():
+    """int16 (SampleFormat 2) with negatives: predictor 2's wrap-diff in
+    the unsigned lane is exact on two's-complement values."""
+    img = np.random.RandomState(2).randint(-30000, 30000, (7, 11, 1), dtype=np.int16)
+    for pred in (1, 2):
+        out, _ = mc.decode_tiff(mc.encode_tiff(img, compression="lzw", predictor=pred))
+        assert out.dtype == np.int16 and np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "deflate"])
+@pytest.mark.parametrize("pred", [1, 3])
+@pytest.mark.parametrize("be", [False, True])
+def test_tiff_float32_roundtrip(comp, pred, be):
+    """float32 (SampleFormat 3) bit-exact round-trip incl. NaN/Inf and the
+    TechNote-3 byte-split predictor 3, both byte orders and tiled."""
+    rng = np.random.RandomState(3)
+    img = rng.uniform(-1e6, 1e6, (9, 17, 2)).astype(np.float32)
+    img[0, 0, 0] = np.nan
+    img[1, 1, 1] = np.inf
+    out, _ = mc.decode_tiff(
+        mc.encode_tiff(img, compression=comp, predictor=pred, big_endian=be)
+    )
+    assert out.dtype == np.float32 and np.array_equal(out, img, equal_nan=True)
+
+
+def test_tiff_float32_tiled_predictor3():
+    img = np.random.RandomState(4).uniform(-10, 10, (9, 16, 2)).astype(np.float32)
+    out, _ = mc.decode_tiff(mc.encode_tiff(img, predictor=3, tile_size=(16, 16)))
+    assert np.array_equal(out, img)
+
+
+def test_tiff_wide_predictor_pinned_bytes():
+    """External anchors for the two predictor schemes, not just encoder/
+    decoder self-consistency: (a) predictor 2 at 16-bit stores per-sample
+    wrap-diffs in file order — [1000, 1003, 1001] LE ⇒ E8 03 | 03 00 |
+    FE FF; (b) predictor 3 splits each row's BIG-ENDIAN float bytes by
+    significance then byte-diffs — [1.0, 2.0] = 3F800000/40000000 ⇒
+    interleave 3F 40 80 00 00 00 00 00 ⇒ diff 3F 01 40 80 00 00 00 00."""
+    blob = mc.encode_tiff(np.array([[1000, 1003, 1001]], np.uint16), predictor=2)
+    assert blob[8:14] == bytes([0xE8, 0x03, 0x03, 0x00, 0xFE, 0xFF])
+    o, _ = mc.decode_tiff(blob)
+    assert o[0, :, 0].tolist() == [1000, 1003, 1001]
+    blobf = mc.encode_tiff(np.array([[1.0, 2.0]], np.float32), predictor=3)
+    assert blobf[8:16] == bytes([0x3F, 0x01, 0x40, 0x80, 0, 0, 0, 0])
+    of, _ = mc.decode_tiff(blobf)
+    assert of[0, :, 0].tolist() == [1.0, 2.0]
+
+
+def test_tiff_wide_sample_guards():
+    """JPEG strips stay 8-bit-only; predictor 2 is integer-only and 3 is
+    float-only, enforced on BOTH sides of the codec."""
+    img16 = np.zeros((4, 4), np.uint16)
+    f32 = np.zeros((4, 4), np.float32)
+    with pytest.raises(ValueError, match="8-bit"):
+        mc.encode_tiff(img16, compression="jpeg")
+    with pytest.raises(ValueError, match="predictor"):
+        mc.encode_tiff(f32, predictor=2)
+    with pytest.raises(ValueError, match="predictor"):
+        mc.encode_tiff(img16, predictor=3)
+    # decoder: flip a well-formed uint16 predictor tag to 3
+    import struct
+
+    b = bytearray(mc.encode_tiff(img16, predictor=2))
+    ent = struct.pack("<HHI", 317, 3, 1) + struct.pack("<H", 2) + b"\x00\x00"
+    pos = bytes(b).find(ent)
+    assert pos >= 0
+    b[pos : pos + 12] = struct.pack("<HHI", 317, 3, 1) + struct.pack("<H", 3) + b"\x00\x00"
+    with pytest.raises(mc.MediaDecodeError, match="float samples only"):
+        mc.decode_tiff(bytes(b))
+
+
+def test_tiff_white_is_zero_16bit():
+    """PhotometricInterpretation 0 inverts at the sample's full scale."""
+    import struct
+
+    b = bytearray(mc.encode_tiff(np.array([[1, 65535]], np.uint16)))
+    ent = struct.pack("<HHI", 262, 3, 1) + struct.pack("<H", 1) + b"\x00\x00"
+    pos = bytes(b).find(ent)
+    assert pos >= 0
+    b[pos : pos + 12] = struct.pack("<HHI", 262, 3, 1) + struct.pack("<H", 0) + b"\x00\x00"
+    out, _ = mc.decode_tiff(bytes(b))
+    assert out[0, :, 0].tolist() == [65534, 0]
+
+
+def test_tiff_wide_sample_fuzz_fails_cleanly():
+    """Parser-hardening bar for the wide-sample paths: mutated 16-bit and
+    float TIFFs decode or raise the contract error."""
+    rng = np.random.RandomState(29)
+    img16 = rng.randint(0, 65536, (13, 9, 3), dtype=np.uint16)
+    i16 = rng.randint(-30000, 30000, (7, 11, 1), dtype=np.int16)
+    f32 = rng.uniform(-1e6, 1e6, (9, 17, 2)).astype(np.float32)
+    bases = [
+        bytearray(mc.encode_tiff(img16, compression="lzw", predictor=2)),
+        bytearray(mc.encode_tiff(f32, compression="deflate", predictor=3)),
+        bytearray(mc.encode_tiff(i16, compression="packbits")),
+    ]
+    for trial in range(1500):
+        blob = bytearray(bases[trial % 3])
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if trial % 5 == 0:
+            blob = blob[: rng.randint(8, len(blob))]
+        try:
+            mc.decode_tiff(bytes(blob))
+        except (mc.MediaDecodeError, NotImplementedError):
+            pass

@@ -401,9 +401,69 @@ _TIFF_TAGS = {
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar_config",
     317: "predictor", 322: "tile_width", 323: "tile_length",
+    339: "sample_format",
     324: "tile_offsets", 325: "tile_byte_counts", 347: "jpeg_tables",
 }
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
+
+
+def _tiff_sample_dtype(tags: dict, bo: str) -> np.dtype:
+    """BitsPerSample (258) + SampleFormat (339) → the file-order numpy
+    dtype: (8,u)/(16,u)/(16,s)/(32,f) — the flavors GeoTIFF rasters (DEMs,
+    temperature/reflectance grids) actually ship. Mixed per-channel depths
+    or formats, and anything else, raise the contract error."""
+    bps = tags.get("bits_per_sample", [8])
+    fmt = tags.get("sample_format", [1])
+    b0, f0 = bps[0], fmt[0]
+    if any(b != b0 for b in bps) or any(f != f0 for f in fmt):
+        raise MediaDecodeError(f"TIFF: mixed per-channel sample types {bps}/{fmt}")
+    kind = {(8, 1): "u1", (16, 1): "u2", (16, 2): "i2", (32, 3): "f4"}.get((b0, f0))
+    if kind is None:
+        raise MediaDecodeError(f"TIFF: unsupported {b0}-bit sample format {f0}")
+    return np.dtype(bo + kind) if b0 > 8 else np.dtype(np.uint8)
+
+
+def _tiff_bytes_to_samples(
+    data: bytes, nrows: int, w: int, spp: int, sdt: np.dtype, pred: int, what: str
+) -> np.ndarray:
+    """Raw chunk bytes → (nrows, w, spp) NATIVE-order array with the
+    predictor undone. Integer predictor 2 is a wrapping per-row cumsum in
+    the sample's unsigned lane (any depth, per TIFF6 §14); float predictor
+    3 (TechNote 3) un-differences the row's BYTES, then reassembles the
+    big-endian-significance-split floats."""
+    need = nrows * w * spp * sdt.itemsize
+    if len(data) < need:
+        raise MediaDecodeError(f"TIFF: short {what} data ({len(data)} < {need})")
+    buf = data[:need]
+    if sdt.kind == "f":
+        if pred == 2:
+            raise MediaDecodeError("TIFF: predictor 2 undefined for float samples")
+        if pred == 3:
+            rows = np.frombuffer(buf, np.uint8).reshape(nrows, w * spp * 4)
+            rows = np.cumsum(rows, axis=1, dtype=np.uint8)
+            split = np.ascontiguousarray(
+                rows.reshape(nrows, 4, w * spp).transpose(0, 2, 1)
+            )
+            return split.view(">f4").astype(np.float32).reshape(nrows, w, spp)
+        return np.frombuffer(buf, sdt).astype(np.float32).reshape(nrows, w, spp)
+    if pred == 3:
+        raise MediaDecodeError("TIFF: predictor 3 applies to float samples only")
+    arr = np.frombuffer(buf, sdt).reshape(nrows, w, spp).astype(sdt.newbyteorder("="))
+    if pred == 2:
+        lane = np.dtype(f"u{sdt.itemsize}")
+        arr = np.cumsum(arr.view(lane), axis=1, dtype=lane).view(arr.dtype)
+    return arr
+
+
+def _tiff_invert_if_white_is_zero(img: np.ndarray, tags: dict) -> np.ndarray:
+    """PhotometricInterpretation 0 (WhiteIsZero, the min-is-white flavor
+    many scanners emit): invert UNSIGNED samples so 0 means black like
+    everywhere else; signed/float rasters pass through untouched (the tag
+    is not meaningful for measurement data)."""
+    if tags.get("photometric", [1])[0] == 0 and img.dtype.kind == "u":
+        return np.array((1 << (8 * img.dtype.itemsize)) - 1, img.dtype) - img
+    return img
+
 
 
 def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
@@ -671,33 +731,29 @@ def _decode_tiff_tiles(
             f"TIFF tiled: {n_tiles} tiles declared but "
             f"{len(offsets)} offsets / {len(counts)} counts"
         )
-    if td * th * ta * tw * spp > 1 << 28:  # padded-canvas alloc guard
+    if td * th * ta * tw * spp * _tiff_sample_dtype(tags, bo).itemsize > 1 << 28:
+        # padded-canvas alloc guard, in bytes
         raise MediaDecodeError(
             f"TIFF tiled: implausible canvas {td * th}x{ta * tw}x{spp}"
         )
     photo = tags.get("photometric", [6 if comp == 7 else 1])[0]
     jt = _tiff_jpeg_tables(tags)
-    cap = tw * th * spp
-    canvas = np.zeros((td * th, ta * tw, spp), dtype=np.uint8)
+    sdt = _tiff_sample_dtype(tags, bo)
+    cap = tw * th * spp * sdt.itemsize
+    canvas = np.zeros((td * th, ta * tw, spp), dtype=sdt.newbyteorder("="))
     for i, (o, c) in enumerate(zip(offsets, counts)):
         raw = content[o : o + c]
         if comp == 7:
             arr = _tiff_decode_jpeg_chunk(raw, jt, photo, i, th, tw, spp)[:th, :tw]
         else:
-            data = _tiff_decompress_chunk(raw, cap, comp)
-            if len(data) < cap:
-                raise MediaDecodeError(
-                    f"TIFF tiled: short tile data ({len(data)} < {cap})"
-                )
-            arr = np.frombuffer(data[:cap], dtype=np.uint8).reshape(th, tw, spp)
-            if tags.get("predictor", [1])[0] == 2:
-                # horizontal differencing restarts at each tile's left edge
-                arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+            # predictor differencing restarts at each tile's left edge
+            arr = _tiff_bytes_to_samples(
+                _tiff_decompress_chunk(raw, cap, comp), th, tw, spp, sdt,
+                tags.get("predictor", [1])[0], "tile",
+            )
         r, col = divmod(i, ta)
         canvas[r * th : (r + 1) * th, col * tw : (col + 1) * tw] = arr
-    img = canvas[:h, :w]
-    if photo == 0:
-        img = 255 - img
+    img = _tiff_invert_if_white_is_zero(canvas[:h, :w], tags)
     return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
                  "byte_order": "little" if bo == "<" else "big",
                  "compression": _TIFF_COMP_NAMES[comp]}
@@ -705,10 +761,12 @@ def _decode_tiff_tiles(
 
 @_clean_errors
 def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
-    """Baseline TIFF → (H, W, C) uint8: uncompressed (compression=1),
-    8 bits/sample, chunky planar config, strip-based, II or MM byte order —
-    the uncompressed-scan flavor scientific instruments and scanners emit.
-    LZW/JPEG-compressed TIFFs raise NotImplementedError naming the codec."""
+    """TIFF → (H, W, C) array: uint8, uint16, int16 or float32 samples
+    (BitsPerSample × SampleFormat — the GeoTIFF raster flavors), chunky
+    planar config, strips or §15 tiles, II or MM byte order, codecs
+    none/LZW/Deflate/PackBits/JPEG (JPEG 8-bit only), integer predictor 2
+    at any depth and the TechNote-3 float predictor 3. Unsupported codecs
+    raise NotImplementedError naming the codec."""
     if content[:4] == b"II*\x00":
         bo = "<"
     elif content[:4] == b"MM\x00*":
@@ -748,12 +806,13 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         )
         raise NotImplementedError(f"TIFF {codec} — inject a decoder (libtiff/PIL)")
     spp = tags.get("samples_per_pixel", [1])[0]
-    bps = tags.get("bits_per_sample", [8])
-    if any(b != 8 for b in bps):
-        raise MediaDecodeError(f"TIFF: only 8 bits/sample supported, got {bps}")
+    sdt = _tiff_sample_dtype(tags, bo)
+    if comp == 7 and sdt.itemsize != 1:
+        raise MediaDecodeError("TIFF: JPEG strips/tiles are 8-bit only")
     if tags.get("planar_config", [1])[0] != 1:
         raise MediaDecodeError("TIFF: planar (non-chunky) layout unsupported")
-    if not (0 < w * h * spp <= 1 << 28):  # same alloc guard family as GRIB2
+    # same alloc guard family as GRIB2, in BYTES now that samples widen
+    if not (0 < w * h * spp * sdt.itemsize <= 1 << 28):
         raise MediaDecodeError(f"TIFF: implausible dimensions {w}x{h}x{spp}")
     if "tile_offsets" in tags:
         # Tiled layout (TIFF6 §15, the GeoTIFF/raster-pyramid convention):
@@ -819,22 +878,17 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             if nrows <= 0:
                 break
             pieces.append(
-                _tiff_decompress_chunk(content[o : o + c], nrows * w * spp, comp)
+                _tiff_decompress_chunk(
+                    content[o : o + c], nrows * w * spp * sdt.itemsize, comp
+                )
             )
         data = b"".join(pieces)
     else:
         data = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
-    if len(data) < w * h * spp:
-        raise MediaDecodeError(f"TIFF: short strip data ({len(data)} < {w * h * spp})")
-    img = np.frombuffer(data[: w * h * spp], dtype=np.uint8).reshape(h, w, spp)
-    if tags.get("predictor", [1])[0] == 2:
-        # Predictor 2 = horizontal differencing per sample: undo with a
-        # wrapping row cumsum (uint8 accumulator wraps mod 256 natively)
-        img = np.cumsum(img, axis=1, dtype=np.uint8)
-    # PhotometricInterpretation 0 = WhiteIsZero (the min-is-white flavor
-    # many scanners emit): invert so 0 means black like everywhere else
-    if tags.get("photometric", [1])[0] == 0:
-        img = 255 - img
+    img = _tiff_bytes_to_samples(
+        data, h, w, spp, sdt, tags.get("predictor", [1])[0], "strip"
+    )
+    img = _tiff_invert_if_white_is_zero(img, tags)
     return img, {"format": "tiff", "height": h, "width": w, "channels": spp,
                  "byte_order": "little" if bo == "<" else "big",
                  "compression": _TIFF_COMP_NAMES[comp]}
@@ -870,6 +924,30 @@ def _split_jpeg_tables(blob: bytes) -> tuple[bytes, bytes]:
             break
     tables += b"\xFF\xD9"
     return bytes(tables), bytes(abbrev)
+
+
+def _tiff_chunk_bytes(arr: np.ndarray, predictor: int, bo: str) -> bytes:
+    """One strip/tile of NATIVE-order samples → file bytes with the
+    predictor applied: integer predictor 2 wrap-diffs per row in the
+    sample's unsigned lane (exact inverse of the decoder's wrapping
+    cumsum); float predictor 3 (TechNote 3) splits each row's big-endian
+    bytes by significance, then byte-diffs. Multi-byte samples land in
+    the FILE's byte order."""
+    arr = np.ascontiguousarray(arr)
+    if predictor == 2:
+        lane = np.dtype(f"u{arr.dtype.itemsize}")
+        u = arr.view(lane)
+        u = np.concatenate([u[:, :1], u[:, 1:] - u[:, :-1]], axis=1)
+        return u.view(arr.dtype).astype(arr.dtype.newbyteorder(bo)).tobytes()
+    if predictor == 3:
+        nrows, w, c = arr.shape
+        be = np.ascontiguousarray(arr.astype(">f4")).view(np.uint8).reshape(
+            nrows, w * c, 4
+        )
+        inter = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(nrows, 4 * w * c)
+        d = np.concatenate([inter[:, :1], inter[:, 1:] - inter[:, :-1]], axis=1)
+        return d.tobytes()
+    return arr.astype(arr.dtype.newbyteorder(bo)).tobytes()
 
 
 def _tiff_compress_chunks(chunks: list[bytes], compression: str) -> list[bytes]:
@@ -908,9 +986,13 @@ def encode_tiff(
     shared_jpeg_tables: bool = False,
     tile_size: tuple[int, int] | None = None,
 ) -> bytes:
-    """(H, W) or (H, W, C) uint8 → baseline TIFF: uncompressed, LZW,
-    Deflate, PackBits, or new-style JPEG (``compression=``), optionally
-    with horizontal-differencing predictor 2 and multi-strip layout.
+    """(H, W) or (H, W, C) uint8/uint16/int16/float32 → TIFF: uncompressed,
+    LZW, Deflate, PackBits, or new-style JPEG (``compression=``, 8-bit
+    only), optionally with horizontal-differencing predictor 2 (integer
+    samples, any depth) or the TechNote-3 floating-point predictor 3, and
+    multi-strip layout. Wide samples write BitsPerSample/SampleFormat and
+    honor the file byte order — the GeoTIFF raster flavors (DEM int16,
+    temperature float32).
     Exists so tests round-trip real bytes in both byte orders and every
     codec. ``compression="jpeg"`` writes TechNote-2 per-strip JPEG streams
     (``quality`` feeds encode_jpeg; photometric 6 for color, 1 for gray);
@@ -919,28 +1001,33 @@ def encode_tiff(
     scanner/provider writers emit. ``tile_size=(th, tw)`` switches to the
     TIFF6 §15 tiled layout (the GeoTIFF convention; multiples of 16, edge
     tiles padded by replication) with the same codec matrix per tile."""
-    if img.dtype != np.uint8:
-        raise ValueError("encode_tiff wants uint8")
+    img = np.asarray(img)
+    enc_types = {
+        np.dtype(np.uint8): (8, 1), np.dtype(np.uint16): (16, 1),
+        np.dtype(np.int16): (16, 2), np.dtype(np.float32): (32, 3),
+    }
+    if img.dtype not in enc_types:
+        raise ValueError("encode_tiff wants uint8/uint16/int16/float32")
+    bps_v, sf_v = enc_types[img.dtype]
     if compression not in ("none", "lzw", "deflate", "packbits", "jpeg"):
         raise ValueError(f"encode_tiff: unsupported compression {compression!r}")
-    if predictor not in (1, 2):
-        raise ValueError(f"encode_tiff: unsupported predictor {predictor}")
+    if predictor not in ((1, 3) if sf_v == 3 else (1, 2)):
+        raise ValueError(
+            f"encode_tiff: predictor {predictor} illegal for this sample type"
+        )
     if tile_size is not None and rows_per_strip is not None:
         raise ValueError("encode_tiff: rows_per_strip does not apply to tiled layout")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     if compression == "jpeg":
+        if bps_v != 8:
+            raise ValueError("encode_tiff: JPEG strips/tiles are 8-bit only")
         if c not in (1, 3):
             raise ValueError("encode_tiff: JPEG strips need 1 or 3 channels")
         if predictor != 1:
             raise ValueError("encode_tiff: predictor does not apply to JPEG strips")
     bo = ">" if big_endian else "<"
-    if predictor == 2 and tile_size is None:
-        # forward horizontal differencing (uint8 subtraction wraps mod 256,
-        # the exact inverse of the decoder's wrapping cumsum); the tiled
-        # path differences per tile below — each tile's left edge restarts
-        img = np.concatenate([img[:, :1], img[:, 1:] - img[:, :-1]], axis=1)
     header = b"MM\x00*" if big_endian else b"II*\x00"
     rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
     jpeg_tables = b""
@@ -961,11 +1048,7 @@ def encode_tiff(
                 tile_imgs, quality, shared_jpeg_tables
             )
         else:
-            chunks = []
-            for t_ in tile_imgs:
-                if predictor == 2:
-                    t_ = np.concatenate([t_[:, :1], t_[:, 1:] - t_[:, :-1]], axis=1)
-                chunks.append(t_.tobytes())
+            chunks = [_tiff_chunk_bytes(t_, predictor, bo) for t_ in tile_imgs]
             strips = _tiff_compress_chunks(chunks, compression)
     elif compression == "jpeg":
         strip_imgs = [img[i : i + rps] for i in range(0, h, rps)] or [
@@ -975,7 +1058,10 @@ def encode_tiff(
             strip_imgs, quality, shared_jpeg_tables
         )
     else:
-        chunks = [img[i : i + rps].tobytes() for i in range(0, h, rps)] or [b""]
+        chunks = [
+            _tiff_chunk_bytes(img[i : i + rps], predictor, bo)
+            for i in range(0, h, rps)
+        ] or [b""]
         strips = _tiff_compress_chunks(chunks, compression)
     n = len(strips)
     # layout: header(8) | strip blobs | bps array (c>2) | jpeg tables |
@@ -987,6 +1073,8 @@ def encode_tiff(
         pos += len(s)
     bps_off = pos
     pos += 2 * c if c > 2 else 0
+    sf_off = pos
+    pos += 2 * c if (c > 2 and sf_v != 1) else 0
     jt_off = pos
     pos += len(jpeg_tables)
     offs_arr_off = pos
@@ -1006,12 +1094,21 @@ def encode_tiff(
     # two SHORTs (c=2) go in the value field, three or more via offset
     if c == 2:
         entries.append(
-            struct.pack(bo + "HHI", 258, 3, 2) + struct.pack(bo + "HH", 8, 8)
+            struct.pack(bo + "HHI", 258, 3, 2) + struct.pack(bo + "HH", bps_v, bps_v)
         )
     elif c > 2:
         entries.append(struct.pack(bo + "HHII", 258, 3, c, bps_off))
     else:
-        entry(258, 3, 1, 8)
+        entry(258, 3, 1, bps_v)
+    if sf_v != 1:  # SampleFormat (339): 2 = signed int, 3 = IEEE float
+        if c == 2:
+            entries.append(
+                struct.pack(bo + "HHI", 339, 3, 2) + struct.pack(bo + "HH", sf_v, sf_v)
+            )
+        elif c > 2:
+            entries.append(struct.pack(bo + "HHII", 339, 3, c, sf_off))
+        else:
+            entry(339, 3, 1, sf_v)
     entry(256, 4, 1, w)
     entry(257, 4, 1, h)
     entry(259, 3, 1, {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
@@ -1044,14 +1141,16 @@ def encode_tiff(
     entry(277, 3, 1, c)
     if tile_size is None:
         entry(278, 4, 1, rps)
-    if predictor == 2:
-        entry(317, 3, 1, 2)
+    if predictor != 1:
+        entry(317, 3, 1, predictor)
     out = bytearray(header)
     out += struct.pack(bo + "I", ifd_off)
     for s in strips:
         out += s
     if c > 2:
-        out += struct.pack(bo + "H" * c, *([8] * c))
+        out += struct.pack(bo + "H" * c, *([bps_v] * c))
+    if c > 2 and sf_v != 1:
+        out += struct.pack(bo + "H" * c, *([sf_v] * c))
     out += jpeg_tables
     if n > 1:
         out += struct.pack(bo + "I" * n, *strip_offs)

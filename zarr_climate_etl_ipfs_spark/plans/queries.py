@@ -98,12 +98,17 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
         # the same reason fmt==3 does: quality=100 scales the Annex-K
         # tables to all-ones and the raster is constant.
         comp = {2: "lzw", 5: "lzw", 3: "lzw", 4: "deflate", 7: "packbits",
-                0: "jpeg", 1: "jpeg"}.get(d % 8 if rotate_variants else -1, "none")
+                0: "jpeg", 1: "jpeg", 6: "deflate"}.get(
+                    d % 8 if rotate_variants else -1, "none")
+        # d%8==6: 16-bit big-endian + Deflate + predictor 2 — the GeoTIFF
+        # DEM/radiance flavor (r12b wide-sample path). The constant raster
+        # keeps features identical: image_features works in value space,
+        # and shade ≤ 250 reads the same at either depth.
         return encode_tiff(
-            img,
+            img.astype(np.uint16) if rotate_variants and d % 8 == 6 else img,
             big_endian=rotate_variants and d % 8 == 6,
             compression=comp,
-            predictor=2 if rotate_variants and d % 8 in (3, 5) else 1,
+            predictor=2 if rotate_variants and d % 8 in (3, 5, 6) else 1,
             rows_per_strip=3 if rotate_variants and d % 8 in (1, 5) else None,
             quality=100,
             shared_jpeg_tables=rotate_variants and d % 8 == 1,
