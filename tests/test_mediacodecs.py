@@ -1849,3 +1849,129 @@ def test_tiff_wide_sample_fuzz_fails_cleanly():
             mc.decode_tiff(bytes(blob))
         except (mc.MediaDecodeError, NotImplementedError):
             pass
+
+
+def test_bmp_24bit_roundtrip_via_encoder():
+    img = np.random.RandomState(31).randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    out, meta = mc.decode_bmp(mc.encode_bmp(img))
+    assert np.array_equal(out, img) and meta["n_channels"] == 3
+
+
+@pytest.mark.parametrize("rle", [False, True])
+def test_bmp_8bit_palette_roundtrip(rle):
+    rng = np.random.RandomState(33)
+    pal = rng.randint(0, 256, (17, 3), dtype=np.uint8)
+    # runs + noise: exercises both the run and literal shapes of RLE8
+    idx = np.repeat(rng.randint(0, 17, (9, 4), dtype=np.uint8), 3, axis=1)[:, :11]
+    out, _ = mc.decode_bmp(mc.encode_bmp_indexed(idx, pal, rle=rle))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_bmp_rle8_escapes_hand_pinned():
+    """Hand-built RLE8 stream: encoded run, absolute run with word pad,
+    delta skip (skipped pixels stay index 0), EOL, EOS — the full escape
+    set on one 4×3 canvas, values asserted cell by cell."""
+    pal = np.array([[0, 0, 0], [10, 0, 0], [20, 0, 0], [30, 0, 0]], np.uint8)
+    data = bytes(
+        [
+            2, 1,          # run: 2× index 1      -> row0: 1 1 . .
+            0, 3, 2, 3, 2, 0,  # absolute: 3 literals (2,3,2) + 1 pad byte
+                           #                      -> row0: 1 1 2 3 (2 clips)
+            0, 0,          # EOL                  -> row 1
+            0, 2, 1, 1,    # delta dx=1 dy=1      -> skips to row 2, x=1
+            3, 3,          # run: 3× index 3      -> row2: . 3 3 3
+            0, 1,          # end of bitmap
+        ]
+    )
+    hdr = mc._bmp_headers(4, 3, 8, 1, 4, len(data))
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal.tolist())
+    out, _ = mc.decode_bmp(hdr + pal_bytes + data)
+    idx_expect_file_order = [
+        [1, 1, 2, 3],  # file row 0 (bottom of image)
+        [0, 0, 0, 0],  # file row 1 (delta skipped it)
+        [0, 3, 3, 3],  # file row 2
+    ]
+    assert np.array_equal(out, pal[np.array(idx_expect_file_order)[::-1]])
+
+
+def test_bmp_rle4_hand_pinned():
+    """RLE4: encoded runs alternate the byte's nibbles high-first;
+    absolute runs pack nibbles and pad to a word boundary."""
+    pal = np.array([[i * 10, 0, 0] for i in range(6)], np.uint8)
+    data = bytes(
+        [
+            5, 0x12,        # run of 5 alternating 1,2 -> 1 2 1 2 1
+            0, 3, 0x34, 0x50, 0, 0,  # absolute 3 nibbles (3,4,5) + pad
+            0, 0,           # EOL
+            0, 1,           # EOS
+        ]
+    )
+    hdr = mc._bmp_headers(8, 1, 4, 2, 6, len(data))
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal.tolist())
+    out, _ = mc.decode_bmp(hdr + pal_bytes + data)
+    assert np.array_equal(out[0], pal[np.array([1, 2, 1, 2, 1, 3, 4, 5])])
+
+
+def test_bmp_lowbpp_uncompressed():
+    """4-bit and 1-bit BI_RGB: MSB-first packing, 4-byte row alignment,
+    hand-built rows."""
+    pal = np.array([[0, 0, 9], [1, 1, 1], [2, 2, 2], [3, 3, 3]], np.uint8)
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal.tolist())
+    # 3 px @ 4bpp: nibbles 1,2,3 -> bytes 0x12 0x30 + 2 pad = stride 4
+    hdr = mc._bmp_headers(3, 1, 4, 0, 4, 4)
+    out, _ = mc.decode_bmp(hdr + pal_bytes + bytes([0x12, 0x30, 0, 0]))
+    assert np.array_equal(out[0], pal[np.array([1, 2, 3])])
+    # 10 px @ 1bpp: bits 1011000101 -> 0xB1 0x40 + 2 pad
+    pal2 = np.array([[5, 5, 5], [200, 100, 50]], np.uint8)
+    pal2_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal2.tolist())
+    hdr2 = mc._bmp_headers(10, 1, 1, 0, 2, 4)
+    out2, _ = mc.decode_bmp(hdr2 + pal2_bytes + bytes([0b10110001, 0b01000000, 0, 0]))
+    assert np.array_equal(out2[0], pal2[np.array([1, 0, 1, 1, 0, 0, 0, 1, 0, 1])])
+
+
+def test_bmp_32bit_and_bitfields():
+    import struct
+
+    # 32-bit BI_RGB: BGRX quads, 2×1
+    quads = bytes([30, 20, 10, 0, 60, 50, 40, 0])
+    hdr = mc._bmp_headers(2, 1, 32, 0, 0, len(quads))
+    out, meta = mc.decode_bmp(hdr + quads)
+    assert out[0].tolist() == [[10, 20, 30], [40, 50, 60]] and meta["n_channels"] == 3
+    # BI_BITFIELDS with canonical BGRA masks -> alpha carried
+    hdr3 = bytearray(mc._bmp_headers(2, 1, 32, 3, 0, len(quads)))
+    masks = struct.pack("<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+    # data offset moves past the masks; header size moves to V4-ish 56
+    hdr3[14:18] = struct.pack("<I", 56)
+    hdr3[10:14] = struct.pack("<I", 14 + 56)
+    quads_a = bytes([30, 20, 10, 128, 60, 50, 40, 255])
+    out3, meta3 = mc.decode_bmp(bytes(hdr3[:54]) + masks + quads_a)
+    assert meta3["n_channels"] == 4
+    assert out3[0].tolist() == [[10, 20, 30, 128], [40, 50, 60, 255]]
+    # non-canonical masks refuse
+    bad = struct.pack("<IIII", 0x000000FF, 0x0000FF00, 0x00FF0000, 0)
+    with pytest.raises(mc.MediaDecodeError, match="bitfields"):
+        mc.decode_bmp(bytes(hdr3[:54]) + bad + quads_a)
+
+
+def test_bmp_rle_malformed_fuzz():
+    """RLE streams are cursor machines — the classic CVE shape is an
+    out-of-bounds write via delta/run past the canvas. Mutations must
+    decode (clipped) or raise the contract error; nothing else."""
+    rng = np.random.RandomState(37)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (11, 13), dtype=np.uint8)
+    bases = [
+        bytearray(mc.encode_bmp_indexed(idx, pal, rle=True)),
+        bytearray(mc.encode_bmp_indexed(idx, pal)),
+        bytearray(mc.encode_bmp(rng.randint(0, 256, (9, 7, 3), dtype=np.uint8))),
+    ]
+    for trial in range(1500):
+        blob = bytearray(bases[trial % 3])
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if trial % 5 == 0:
+            blob = blob[: rng.randint(2, len(blob))]
+        try:
+            mc.decode_bmp(bytes(blob))
+        except mc.MediaDecodeError:
+            pass

@@ -1524,25 +1524,204 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 @_clean_errors
 def decode_bmp(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """BMP → (H, W, C) uint8. Covers what legacy crawls actually ship:
+    24-bit and 32-bit BI_RGB (BGRX), 32-bit BI_BITFIELDS with the
+    canonical BGRA/BGRX masks, palettized 1/4/8-bit BI_RGB (MSB-first
+    packing, 4-byte row alignment), and the RLE8/RLE4 run encodings
+    (encoded runs, absolute mode with word padding, EOL/EOS/delta
+    escapes; unwritten pixels = palette index 0 per the format's
+    convention). Top-down (negative height) handled throughout."""
     if content[:2] != b"BM":
         raise MediaDecodeError("not a BMP")
     (data_off,) = struct.unpack("<I", content[10:14])
     (hdr_size, w, h) = struct.unpack("<Iii", content[14:26])
+    if hdr_size < 40:
+        raise MediaDecodeError(f"BMP: unsupported header size {hdr_size}")
     planes, bpp = struct.unpack("<HH", content[26:30])
     (compression,) = struct.unpack("<I", content[30:34])
-    if bpp != 24 or compression != 0:
-        raise MediaDecodeError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    (clr_used,) = struct.unpack("<I", content[46:50])
     flip = h > 0
     h = abs(h)
-    row_bytes = (w * 3 + 3) & ~3
-    rows = []
-    for y in range(h):
-        off = data_off + y * row_bytes
-        rows.append(np.frombuffer(content, dtype=np.uint8, count=w * 3, offset=off))
-    img = np.stack(rows).reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if not (0 < w * h * 4 <= 1 << 28):  # alloc guard, bytes at widest output
+        raise MediaDecodeError(f"BMP: implausible dimensions {w}x{h}")
+
+    def palette() -> np.ndarray:
+        n = clr_used or (1 << bpp)
+        if not (0 < n <= 1 << bpp):
+            raise MediaDecodeError(f"BMP: {n} palette entries at {bpp} bpp")
+        raw = content[14 + hdr_size : 14 + hdr_size + 4 * n]
+        if len(raw) < 4 * n:
+            raise MediaDecodeError("BMP: truncated palette")
+        return np.frombuffer(raw, np.uint8).reshape(n, 4)[:, 2::-1]  # BGRX→RGB
+
+    def padded_rows(bits_per_px: int) -> np.ndarray:
+        stride = ((w * bits_per_px + 31) // 32) * 4
+        need = h * stride
+        raw = content[data_off : data_off + need]
+        if len(raw) < need:
+            raise MediaDecodeError("BMP: truncated pixel data")
+        return np.frombuffer(raw, np.uint8).reshape(h, stride)
+
+    meta = {"format": "bmp", "width": w, "height": h, "n_channels": 3}
+    if compression == 0 and bpp == 24:
+        img = padded_rows(24)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 32 and compression in (0, 3):
+        alpha = False
+        if compression == 3:
+            masks = struct.unpack("<III", content[54:66])
+            if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                raise MediaDecodeError(f"BMP: non-canonical bitfields {masks}")
+            amask = struct.unpack("<I", content[66:70])[0] if hdr_size >= 56 else 0
+            alpha = amask == 0xFF000000
+        quads = padded_rows(32)[:, : w * 4].reshape(h, w, 4)
+        img = quads[:, :, 2::-1] if not alpha else np.dstack(
+            [quads[:, :, 2::-1], quads[:, :, 3]]
+        )
+        if alpha:
+            meta["n_channels"] = 4
+    elif compression == 0 and bpp in (1, 4, 8):
+        pal = palette()
+        rows = padded_rows(bpp)
+        idx = rows[:, :w] if bpp == 8 else _png_samples(rows, w, 1, bpp)[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise MediaDecodeError("BMP: palette index out of range")
+        img = pal[idx]
+    elif (compression, bpp) in ((1, 8), (2, 4)):
+        pal = palette()
+        idx = _bmp_rle_decode(content[data_off:], w, h, rle4=compression == 2)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise MediaDecodeError("BMP: palette index out of range")
+        img = pal[idx]
+    else:
+        raise MediaDecodeError(
+            f"BMP: unsupported bpp={bpp}/compression={compression} combination"
+        )
     if flip:
         img = img[::-1]
-    return img.copy(), {"format": "bmp", "width": w, "height": h, "n_channels": 3}
+    return np.ascontiguousarray(img), meta
+
+
+def _bmp_rle_decode(data: bytes, w: int, h: int, rle4: bool) -> np.ndarray:
+    """RLE8/RLE4 → (h, w) palette indices, rows in FILE order (bottom-up
+    flipping is the caller's job). Encoded runs repeat one byte (RLE8) or
+    alternate the byte's two nibbles high-first (RLE4); absolute runs are
+    literal and pad to a word boundary; escapes 0/1/2 are EOL, end of
+    bitmap, and a (dx, dy) cursor delta. Off-canvas writes clip — a
+    malformed stream must not write out of bounds OR loop forever (pos
+    strictly advances)."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n:
+            if rle4:
+                hi, lo = v >> 4, v & 0xF
+                for i in range(n):
+                    if x < w and y < h:
+                        idx[y, x] = hi if i % 2 == 0 else lo
+                    x += 1
+            else:
+                if y < h:
+                    end = min(x + n, w)
+                    if end > x:
+                        idx[y, x:end] = v
+                x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return idx
+        elif v == 2:  # delta
+            if pos + 1 >= len(data):
+                raise MediaDecodeError("BMP RLE: truncated delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: v literal pixels, word-aligned
+            if rle4:
+                nbytes = (v + 1) // 2
+                chunk = data[pos : pos + nbytes]
+                if len(chunk) < nbytes:
+                    raise MediaDecodeError("BMP RLE4: truncated absolute run")
+                for i in range(v):
+                    b = chunk[i // 2]
+                    if x < w and y < h:
+                        idx[y, x] = (b >> 4) if i % 2 == 0 else (b & 0xF)
+                    x += 1
+                pos += nbytes + (nbytes & 1)
+            else:
+                chunk = data[pos : pos + v]
+                if len(chunk) < v:
+                    raise MediaDecodeError("BMP RLE8: truncated absolute run")
+                if y < h:
+                    end = min(x + v, w)
+                    if end > x:
+                        idx[y, x:end] = np.frombuffer(chunk[: end - x], np.uint8)
+                x += v
+                pos += v + (v & 1)
+    return idx
+
+
+def _bmp_headers(
+    w: int, h: int, bpp: int, compression: int, n_pal: int, data_size: int
+) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER + the offsets that bind them."""
+    data_off = 14 + 40 + 4 * n_pal
+    return struct.pack("<2sIHHI", b"BM", data_off + data_size, 0, 0, data_off) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, data_size, 2835, 2835, n_pal, 0
+    )
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → 24-bit bottom-up BI_RGB BMP (4-byte row pad)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.dstack([img] * 3)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp wants (H, W, 3)")
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = img[y, :, ::-1].tobytes()  # RGB→BGR
+        rows.append(line + b"\x00" * (stride - len(line)))
+    data = b"".join(rows)
+    return _bmp_headers(w, h, 24, 0, 0, len(data)) + data
+
+
+def encode_bmp_indexed(
+    indices: np.ndarray, palette: np.ndarray, rle: bool = False
+) -> bytes:
+    """(H, W) indices + (N, 3) palette → 8-bit BMP, uncompressed or RLE8
+    (run-encoded per row + EOL, EOS at the end — the round-trip validator
+    for the RLE decoder)."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 0 < len(palette) <= 256:
+        raise ValueError("palette must be (N<=256, 3) uint8")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette.tolist())
+    if not rle:
+        stride = (w + 3) & ~3
+        data = b"".join(
+            indices[y].tobytes() + b"\x00" * (stride - w) for y in range(h - 1, -1, -1)
+        )
+        return _bmp_headers(w, h, 8, 0, len(palette), len(data)) + pal + data
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = indices[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            out += bytes([run, int(row[x])])
+            x += run
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # end of bitmap
+    return _bmp_headers(w, h, 8, 1, len(palette), len(out)) + pal + bytes(out)
 
 
 # ---------------------------------------------------------------------------

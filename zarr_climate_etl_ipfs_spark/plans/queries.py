@@ -72,7 +72,9 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
     if fmt == 0:
         # r12b rotation: Adam7 interlace on d%8==1, color-type-3 palette
         # (1-bit, single-entry PLTE) on d%8==2, 4-bit palette + Adam7 on
-        # d%8==6 — constant rasters keep every variant bit-exact, so the
+        # d%8==6, and a palettized RLE8 BMP on d%8==4 (the sixth container
+        # rides the PNG slot — the oracles are format-independent) —
+        # constant rasters keep every variant bit-exact, so the
         # closed-form oracles hold unchanged
         if rotate_variants and d % 8 == 1:
             return encode_png(img, interlace=True)
@@ -84,6 +86,12 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
             return encode_png_indexed(
                 idx, pal, bit_depth=1 if d % 8 == 2 else 4, interlace=d % 8 == 6
             )
+        if rotate_variants and d % 8 == 4:
+            from zarr_climate_etl_ipfs_spark.mediacodecs import encode_bmp_indexed
+
+            pal = np.full((1, 3), shade, dtype=np.uint8)
+            idx = np.zeros((side, side), dtype=np.uint8)
+            return encode_bmp_indexed(idx, pal, rle=True)
         return encode_png(img)
     if fmt == 1:
         return encode_gif(img, interlace=rotate_variants and d % 8 == 1)
@@ -4347,9 +4355,12 @@ def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode as a driver-checkable catalog entry: every doc gets
     a REAL constant-color RGB raster (side = doc_id%7+2, shade = doc_id%251)
-    encoded executor-side — PNG (doc_id%5==0), GIF89a (%5==1, interlaced on
-    %8==1), TIFF (%5==2: big-endian on %8==6, LZW on %8==2, LZW +
-    predictor-2 multi-strip on %8==5, Deflate on %8==4, PackBits on
+    encoded executor-side — PNG (doc_id%5==0: Adam7 on %8==1, 1-bit
+    palette on %8==2, 4-bit palette + Adam7 on %8==6, palettized RLE8
+    BMP riding the slot on %8==4), GIF89a (%5==1, interlaced on
+    %8==1), TIFF (%5==2: 16-bit big-endian Deflate+predictor-2 on %8==6,
+    LZW on %8==2, LZW + predictor-2 multi-strip on %8==5, Deflate on
+    %8==4, PackBits on
     %8==7, new-style JPEG strips on %8==0, JPEG + shared JPEGTables tag +
     multi-strip on %8==1, TILED §15 layout with LZW+predictor-2 on
     %8==3), JPEG
