@@ -605,3 +605,37 @@ def test_malformed_foreign_bytes_single_exception_contract():
                 parse_grib2(bytes(mut))
             except GRIB2Error:
                 pass
+
+
+def test_png_packing_sub_byte_depths_unscale():
+    """Template 5.41 at bits 1/2/4: decode_png applies the PNG DISPLAY
+    scaling 255/(2^d−1) to sub-byte greyscale, but GRIB2 packs raw scaled
+    integers X — _unpack_png must divide the exact factor back out.
+    Before the r12b PNG work these depths refused cleanly; the refusal
+    becoming a decode made the missing unscale a silent-corruption bug
+    (caught staging the PNG upgrade)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from zarr_climate_etl_ipfs_spark.sources.grib2 import _unpack_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    def png(w, depth, scan):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 1, depth, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+
+    assert _unpack_png(png(3, 4, b"\x00\x12\x30"), 3, 4).tolist() == [1, 2, 3]
+    assert _unpack_png(png(3, 1, b"\x00" + bytes([0b10100000])), 3, 1).tolist() == [1, 0, 1]
+    assert _unpack_png(png(3, 2, b"\x00" + bytes([0b11_01_10_00])), 3, 2).tolist() == [3, 1, 2]
+    # 8-bit stays raw (no scaling at byte depth) — regression anchor
+    assert _unpack_png(png(2, 8, b"\x00\x05\xfa"), 2, 8).tolist() == [5, 250]

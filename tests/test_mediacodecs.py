@@ -1975,3 +1975,142 @@ def test_bmp_rle_malformed_fuzz():
             mc.decode_bmp(bytes(blob))
         except mc.MediaDecodeError:
             pass
+
+
+@pytest.mark.parametrize("bits,tol", [(16, 1 / 32768), (24, 1 / (1 << 23)),
+                                      (32, 1 / (1 << 31)), (-32, 0.0)])
+def test_wav_wide_pcm_roundtrip(bits, tol):
+    """PCM 16/24/32-bit and IEEE float32 (bits=-32): round-trip error is
+    bounded by half an LSB of the chosen width; float is exact."""
+    x = np.random.RandomState(41).uniform(-0.99, 0.99, (500, 2)).astype(np.float32)
+    out, meta = mc.decode_wav(mc.encode_wav(x, 44100, bits=bits))
+    assert out.shape == x.shape and meta["sample_rate"] == 44100
+    assert float(np.abs(out - x).max()) <= tol
+
+
+def test_wav_extensible_and_float64():
+    """WAVE_FORMAT_EXTENSIBLE (SubFormat GUID) unwraps to the inner PCM
+    format; IEEE float64 data decodes through the same contract."""
+    import struct
+
+    x = np.random.RandomState(43).uniform(-0.9, 0.9, (200, 2)).astype(np.float32)
+    blob = bytearray(mc.encode_wav(x, 16000, bits=24))
+    i = bytes(blob).find(b"fmt ")
+    (orig_len,) = struct.unpack("<I", blob[i + 4 : i + 8])
+    core = bytes(blob[i + 8 : i + 8 + orig_len])
+    guid = struct.pack("<H", 1) + bytes.fromhex("000000001000800000aa00389b71")
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, *struct.unpack("<HHIIHH", core)[1:])
+        + struct.pack("<HHI", 22, 24, 0x3)
+        + guid
+    )
+    blob2 = (
+        bytes(blob[:i]) + b"fmt " + struct.pack("<I", len(ext)) + ext
+        + bytes(blob[i + 8 + orig_len :])
+    )
+    blob2 = blob2[:4] + struct.pack("<I", len(blob2) - 8) + blob2[8:]
+    out, _ = mc.decode_wav(blob2)
+    assert float(np.abs(out - x).max()) <= 1 / (1 << 23)
+    # a non-PCM SubFormat GUID must refuse, not misread
+    bad = blob2.replace(bytes.fromhex("000000001000800000aa00389b71"),
+                        bytes.fromhex("00000000100080000000000000ff"))
+    with pytest.raises(mc.MediaDecodeError, match="SubFormat"):
+        mc.decode_wav(bad)
+    # float64: rebuild the data chunk at 8 bytes/sample
+    mono = x[:, 0]
+    hdr = bytearray(mc.encode_wav(mono, 8000, bits=-32))
+    j = bytes(hdr).find(b"fmt ")
+    hdr[j + 8 : j + 24] = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 8, 8, 64)
+    k = bytes(hdr).find(b"data")
+    d64 = mono.astype("<f8").tobytes()
+    f64 = bytes(hdr[:k]) + b"data" + struct.pack("<I", len(d64)) + d64
+    f64 = f64[:4] + struct.pack("<I", len(f64) - 8) + f64[8:]
+    o64, _ = mc.decode_wav(f64)
+    assert np.allclose(o64[:, 0], mono)
+
+
+def test_wav_zero_channels_refuses():
+    import struct
+
+    blob = bytearray(mc.encode_wav(np.zeros(8, np.float32)))
+    i = bytes(blob).find(b"fmt ")
+    blob[i + 10 : i + 12] = struct.pack("<H", 0)
+    with pytest.raises(mc.MediaDecodeError, match="zero channels"):
+        mc.decode_wav(bytes(blob))
+
+
+def _gif_anim(frames_spec, sw=4, sh=4, gct=((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))):
+    """Hand-built GIF89a: frames_spec = [(left, top, idx2d, disposal,
+    tindex-or-None), ...] over a shared 4-entry global palette."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | 0x01, 0, 0)  # GCT, 4 entries
+    for r, g, b in gct:
+        out += bytes([r, g, b])
+    for left, top, idx, disposal, tindex in frames_spec:
+        idx = np.asarray(idx, dtype=np.uint8)
+        h, w = idx.shape
+        flags = (disposal << 2) | (1 if tindex is not None else 0)
+        out += bytes([0x21, 0xF9, 0x04, flags, 5, 0, tindex or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        mcs = 2
+        out += bytes([mcs])
+        payload = mc._gif_lzw_encode(idx.reshape(-1), mcs)
+        for i in range(0, len(payload), 255):
+            part = payload[i : i + 255]
+            out += bytes([len(part)]) + part
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_transparency_composites_delta_frames():
+    """Frame 2 draws a 2×2 patch whose transparent pixels must keep frame
+    1's canvas underneath — the delta-frame convention every animation
+    encoder emits."""
+    f1 = np.full((4, 4), 1, np.uint8)              # all red
+    f2 = np.array([[3, 0], [0, 3]], np.uint8)      # blue/transparent checker
+    gif = _gif_anim([(0, 0, f1, 0, None), (1, 1, f2, 0, 0)])
+    frames, meta = mc.decode_gif_frames(gif)
+    assert meta["n_frames"] == 2
+    assert np.array_equal(frames[0], np.tile([255, 0, 0], (4, 4, 1)))
+    # frame 2: blue at (1,1) and (2,2); red shows through the 0-index holes
+    assert frames[1][1, 1].tolist() == [0, 0, 255]
+    assert frames[1][2, 2].tolist() == [0, 0, 255]
+    assert frames[1][1, 2].tolist() == [255, 0, 0]
+    assert frames[1][2, 1].tolist() == [255, 0, 0]
+
+
+def test_gif_disposal_background_and_previous():
+    """Disposal 2 clears the drawn rect to background (black) before the
+    next frame; disposal 3 restores the canvas under the previous draw."""
+    base = np.full((4, 4), 1, np.uint8)            # red canvas
+    patch = np.full((2, 2), 2, np.uint8)           # green patch
+    dot = np.array([[3]], np.uint8)                # blue dot
+    # disposal 2 on the patch: frame 3's canvas shows BLACK where the
+    # patch was (except where the dot draws)
+    gif2 = _gif_anim([(0, 0, base, 0, None), (1, 1, patch, 2, None), (0, 0, dot, 0, None)])
+    frames, _ = mc.decode_gif_frames(gif2)
+    assert frames[1][1, 1].tolist() == [0, 255, 0]
+    assert frames[2][1, 1].tolist() == [0, 0, 0]       # cleared to background
+    assert frames[2][0, 0].tolist() == [0, 0, 255]     # the new dot
+    assert frames[2][3, 3].tolist() == [255, 0, 0]     # untouched canvas
+    # disposal 3 on the patch: frame 3 shows the canvas UNDER the patch
+    gif3 = _gif_anim([(0, 0, base, 0, None), (1, 1, patch, 3, None), (0, 0, dot, 0, None)])
+    frames3, _ = mc.decode_gif_frames(gif3)
+    assert frames3[1][1, 1].tolist() == [0, 255, 0]
+    assert frames3[2][1, 1].tolist() == [255, 0, 0]    # restored to previous
+    assert frames3[2][0, 0].tolist() == [0, 0, 255]
+
+
+def test_gif_full_canvas_animation_regression():
+    """encode_gif_animation's full-canvas disposal-0 frames decode exactly
+    as before the compositing upgrade."""
+    rng = np.random.RandomState(47)
+    frames = rng.randint(0, 256, (3, 5, 7, 3), dtype=np.uint8)
+    # quantization-free content: constant frames
+    frames = np.stack([np.full((5, 7, 3), 40 * (i + 1), np.uint8) for i in range(3)])
+    dec, meta = mc.decode_gif_frames(mc.encode_gif_animation(frames))
+    assert meta["n_frames"] == 3
+    assert np.array_equal(dec, frames)

@@ -144,9 +144,12 @@ def decode_gif_frames(
     content: bytes, max_frames: int | None = None
 ) -> tuple[np.ndarray, dict[str, Any]]:
     """GIF87a/89a → (n_frames, H, W, 3) uint8 RGB — ALL frames, composited
-    onto the logical-screen canvas in order (disposal method "none": each
-    image block draws over the previous canvas, the baseline for the
-    full-canvas frames animation encoders emit).  This is the repo's real
+    onto the logical-screen canvas in order with full 89a animation
+    semantics: per-frame transparency masks the draw (delta frames keep
+    the canvas underneath), disposal 2 restores the drawn rect to
+    background (black, the browser convention) before the next frame,
+    disposal 3 restores the canvas under the previous draw, and 0/1
+    leave the canvas as drawn.  This is the repo's real
     video decode path: animated GIF is the one motion format whose decode
     is pure stdlib, so frame sampling runs for real instead of via a
     stubbed MP4 seam.
@@ -175,6 +178,13 @@ def decode_gif_frames(
     pending_delay = 0
     n_skipped = 0
     transparent = None
+    # per-frame GCE state (89a): transparency masks the draw, disposal
+    # decides what the NEXT frame composites onto
+    pend_transparent: int | None = None
+    pend_disposal = 0
+    prev_disposal = 0
+    prev_rect = None  # (top, left, h, w) of the last drawn frame
+    prev_under = None  # canvas copy for disposal 3 (restore to previous)
     while pos < len(content):
         block = content[pos]
         pos += 1
@@ -190,6 +200,8 @@ def decode_gif_frames(
                 gce = content[sub0 + 1 : sub0 + 1 + content[sub0]]
                 if len(gce) >= 4:
                     pending_delay = struct.unpack("<H", gce[1:3])[0]
+                    pend_transparent = gce[3] if gce[0] & 0x01 else None
+                    pend_disposal = (gce[0] >> 2) & 0x7
                     if not frames and gce[0] & 0x01:
                         transparent = gce[3]
             pos += 1
@@ -244,8 +256,30 @@ def decode_gif_frames(
             arr = rows
         if int(arr.max(initial=0)) >= len(ct):
             raise MediaDecodeError("GIF: pixel index out of palette range")
+        # apply the PREVIOUS frame's disposal before compositing this one:
+        # 2 = restore the drawn rect to the background (black — browsers
+        # treat the background as transparent-black), 3 = restore the
+        # canvas under the previous draw; 0/1 leave the canvas as drawn
         canvas = canvas.copy()
-        canvas[top : top + h, left : left + w] = ct[arr]
+        if prev_rect is not None:
+            pt, pl, ph, pw = prev_rect
+            if prev_disposal == 2:
+                canvas[pt : pt + ph, pl : pl + pw] = 0
+            elif prev_disposal == 3 and prev_under is not None:
+                canvas = prev_under.copy()
+        prev_under = canvas.copy()
+        region = canvas[top : top + h, left : left + w]
+        drawn = ct[arr[: region.shape[0], : region.shape[1]]]
+        if pend_transparent is not None:
+            # transparent pixels keep what the canvas already shows —
+            # the delta-frame convention every animation encoder uses
+            keep = (arr[: region.shape[0], : region.shape[1]] == pend_transparent)
+            drawn = np.where(keep[..., None], region, drawn)
+        canvas[top : top + h, left : left + w] = drawn
+        prev_rect = (top, left, h, w)
+        prev_disposal = pend_disposal
+        pend_transparent = None
+        pend_disposal = 0
         frames.append(canvas)
         delays.append(pending_delay)
         pending_delay = 0
@@ -1731,10 +1765,12 @@ def encode_bmp_indexed(
 
 @_clean_errors
 def decode_wav(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
-    """WAV → (n_samples, n_channels) float32 in [-1, 1] + meta."""
+    """WAV → (n_samples, n_channels) float32 in [-1, 1] + meta. PCM
+    8/16/24/32-bit and IEEE float 32/64, plain or WAVE_FORMAT_EXTENSIBLE
+    (SubFormat GUID unwrapped) — the flavors studio/field recorders ship."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise MediaDecodeError("not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fmt_body = 12, None, None, b""
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
@@ -1742,17 +1778,44 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         pos += 8 + clen + (clen & 1)
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
     if fmt is None or data is None:
         raise MediaDecodeError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16):
-        raise MediaDecodeError(f"only PCM 8/16-bit WAV (fmt={audio_fmt}, bits={bits})")
-    if bits == 16:
+    if audio_fmt == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes
+        # of the SubFormat GUID in the fmt extension (bytes 24:40) — the
+        # container every writer uses for >16-bit and multichannel PCM
+        if len(fmt_body) < 40:
+            raise MediaDecodeError("WAV extensible fmt chunk too short")
+        (audio_fmt,) = struct.unpack("<H", fmt_body[24:26])
+        if fmt_body[26:40] != bytes.fromhex("000000001000800000aa00389b71"):
+            raise MediaDecodeError("WAV: non-PCM extensible SubFormat GUID")
+    if n_ch == 0:
+        raise MediaDecodeError("WAV: zero channels")
+    if audio_fmt == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
-    else:
+    elif audio_fmt == 1 and bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 24:
+        # 3-byte little-endian signed: widen via a zero-padded uint8 view
+        # (value lands in the top 3 bytes of an int32, then scale by 2^31)
+        b3 = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8).reshape(-1, 3)
+        i32 = np.zeros((len(b3), 4), np.uint8)
+        i32[:, 1:] = b3
+        samples = i32.view("<i4")[:, 0].astype(np.float32) / 2147483648.0
+    elif audio_fmt == 1 and bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_fmt == 3 and bits == 64:
+        samples = np.frombuffer(data, dtype="<f8").astype(np.float32)
+    else:
+        raise MediaDecodeError(
+            f"only PCM 8/16/24/32-bit or IEEE-float WAV (fmt={audio_fmt}, bits={bits})"
+        )
     n = samples.size // n_ch
     samples = samples[: n * n_ch].reshape(n, n_ch)
     meta = {
@@ -1764,16 +1827,38 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     return samples, meta
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """(n,) or (n, C) float32 in [-1, 1] → 16-bit PCM WAV bytes."""
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """(n,) or (n, C) float32 in [-1, 1] → PCM WAV bytes at 16/24/32 bits,
+    or IEEE float32 with ``bits=-32`` (negative = float, mirroring the
+    fmt-chunk dichotomy)."""
     arr = np.asarray(samples, dtype=np.float32)
     if arr.ndim == 1:
         arr = arr[:, None]
     n, c = arr.shape
-    # round (not truncate) and use the decoder's /32768 scale so the
-    # round-trip error is bounded by half an LSB
-    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, c, sample_rate, sample_rate * c * 2, c * 2, 16)
+    # round (not truncate) at the decoder's scale so the round-trip error
+    # is bounded by half an LSB of the chosen width
+    if bits == 16:
+        pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        i32 = np.clip(
+            np.round(arr.astype(np.float64) * 2147483648.0), -2147483648, 2147483647
+        ).astype("<i4")
+        pcm = np.ascontiguousarray(i32.view(np.uint8).reshape(-1, 4)[:, 1:]).tobytes()
+    elif bits == 32:
+        pcm = np.clip(
+            np.round(arr.astype(np.float64) * 2147483648.0), -2147483648, 2147483647
+        ).astype("<i4").tobytes()
+    elif bits == -32:
+        pcm = arr.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"encode_wav: unsupported bits {bits}")
+    afmt, width = (3, 4) if bits == -32 else (1, abs(bits) // 8)
+    fmt = struct.pack(
+        "<HHIIHH", afmt, c, sample_rate, sample_rate * c * width, c * width,
+        8 * width,
+    )
     return (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))

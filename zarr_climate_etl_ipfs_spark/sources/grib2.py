@@ -389,6 +389,14 @@ def _unpack_png(payload: bytes, n: int, bits: int) -> np.ndarray:
         if c != 1:
             raise GRIB2Error(f"PNG packing with {bits} bits expects greyscale, got {c} channels")
         x = flat[:, 0]
+        if bits < 8:
+            # decode_png applies the PNG DISPLAY scaling 255/(2^d − 1) to
+            # sub-byte greyscale; GRIB2 packs raw scaled integers X, so
+            # divide the exact factor back out (it divides evenly by
+            # construction). Without this, 1/2/4-bit 5.41 payloads would
+            # decode to silently inflated values — caught when the r12b
+            # PNG work turned the old depth<8 refusal into a decode.
+            x = x // (255 // ((1 << bits) - 1))
     elif bits == 24 and c == 3:
         x = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
     elif bits == 32 and c == 4:
