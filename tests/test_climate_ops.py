@@ -246,3 +246,25 @@ def test_idw_regrid_two_point_weights(spark):
     assert out[(4, 3)]["idw_value"] == 0.0
     # kernel support is the 3×3 neighbourhood: nothing lands 2 cells out
     assert (3, 3) not in out and (8, 3) not in out
+
+
+def test_tx90p_exceedance_hand_case(spark):
+    """21 days of tmax = 1..21: the rank-picked p90 is ceil(0.9·21) = the
+    19th order statistic, so exactly days 20 and 21 exceed and the warm
+    amplitude is (20−19) + (21−19) = 3."""
+    import tempfile
+
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 12), 1, "a", float(i + 1), "{}")
+        for i in range(21)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(td, rows)
+        out = {r["event_type"]: r for r in REGISTRY["tx90p_exceedance"].fn(spark, td).collect()}
+    a = out["a"]
+    assert a["n_days"] == 21
+    assert a["p90_threshold"] == 19.0
+    assert a["n_tx90p_days"] == 2
+    assert a["warm_amplitude"] == 3.0

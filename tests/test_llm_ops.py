@@ -1057,3 +1057,31 @@ def test_encoding_quality_flags(spark):
     # mean over the four non-empty docs: (0 + 1/3 + 0 + 1) / 4
     assert r["avg_nonascii_ratio"] == round((1 / 3 + 1.0) / 4, 4)
     assert r["n_clean"] == 1
+
+
+def test_source_span_overlap_hand_case(spark):
+    """One 16-word sentence shared verbatim across two sources yields
+    exactly one pair row with one shared span; a third unrelated source
+    stays off the matrix."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from zarr_climate_etl_ipfs_spark.plans.queries import REGISTRY
+
+    sent = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, sent, "en", len(sent), "srcA"),
+        (2, sent + " tail words here", "en", 1, "srcB"),
+        (3, " ".join(f"z{i}" for i in range(20)), "en", 1, "srcC"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "n_chars", "source"]).to_parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = REGISTRY["source_span_overlap"].fn(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("srcA", "srcB")
+    assert r["n_shared_spans"] == 1

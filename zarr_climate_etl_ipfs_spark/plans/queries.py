@@ -9108,3 +9108,164 @@ def idw_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gx", "gy")
     )
+
+
+@q(
+    "tx90p_exceedance",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, MAX(value) AS tmax
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), ranked AS (
+      SELECT event_type, day, tmax,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tmax, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), thr AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN tmax END) AS p90
+      FROM ranked GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(thr.p90), 4) AS p90_threshold,
+           CAST(SUM(CASE WHEN d.tmax > thr.p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tx90p_days,
+           ROUND(SUM(GREATEST(d.tmax - thr.p90, 0.0)), 2) + 0.0 AS warm_amplitude
+    FROM daily d JOIN thr ON d.event_type = thr.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def tx90p_exceedance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI tx90p — the percentile-based temperature index tier
+    (rx5day/etccdi_day_counts cover accumulation and absolute thresholds;
+    dry_spell covers the precipitation family): days whose daily MAXIMUM
+    exceeds the series' own rank-picked 90th percentile, plus the warm
+    amplitude (sum of exceedances). The threshold is a real member of the
+    distribution picked by row_number (dry_spell's trick), daily max is
+    order-independent, and the exceedance comparison is therefore exact
+    on both engines — rounding only touches the display columns.
+
+    Plan: one raw-events shuffle into the daily rollup; every window runs
+    at resample scale (series × days); the threshold is a k-row broadcast
+    join back. Same 100 TB shape as the rest of the ETCCDI family."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.max("value").alias("tmax")
+    )
+    wr = Window.partitionBy("event_type").orderBy("tmax", "day")
+    wn = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "tmax",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    thr = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint"),
+                F.col("tmax"),
+            )
+        ).alias("p90")
+    )
+    ex = F.col("tmax") > F.col("p90")
+    return (
+        daily.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.max("p90"), 4).alias("p90_threshold"),
+            F.sum(ex.cast("int")).alias("n_tx90p_days"),
+            (
+                F.round(F.sum(F.greatest(F.col("tmax") - F.col("p90"), F.lit(0.0))), 2)
+                + F.lit(0.0)
+            ).alias("warm_amplitude"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "source_span_overlap",
+    f"""
+    WITH w AS (
+      SELECT source, {_WORDS_SQL} AS ws FROM documents WHERE source IS NOT NULL
+    ), hs AS (
+      SELECT source,
+             UNNEST([{_MD5INT_SQL.format(
+                 x="ARRAY_TO_STRING(LIST_SLICE(ws, i + 1, i + 16), ' ')")}
+              FOR i IN RANGE(0, LEN(ws) - 15)]) AS h
+      FROM w WHERE LEN(ws) >= 16
+    ), sh AS (
+      SELECT DISTINCT source, h FROM hs
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source ORDER BY source_a, source_b
+    """,
+)
+def source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source copying matrix — the provenance report a corpus
+    curator reads before setting mixture weights: for every pair of
+    sources, how many distinct 16-word spans (duplicate_spans' window
+    hash) appear in BOTH. High off-diagonal mass means one source
+    syndicates another (mirrors, wire copy, scraped re-posts) and its
+    weight double-counts content.
+
+    Plan: tokenize+hash once behind the _mid barrier, ONE distinct on
+    (source, span-hash) — map-side combinable, collapses every repeat
+    within a source BEFORE the join — then a self-equi-join on the hash
+    whose per-key group is bounded by the number of sources carrying
+    that exact span (not by documents), and a count rollup on the tiny
+    pair key. localCheckpoint materializes the distinct so the self-join
+    does not recompute the tokenize subtree for both sides. No document-
+    pair space exists anywhere."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import md5int
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    dws = (
+        d.select(
+            "source",
+            words(F.col("text")).alias("ws"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .filter(F.col("_mid") >= 0)
+        .drop("_mid")
+    )
+    sh = (
+        dws.select(
+            "source",
+            F.explode(
+                F.when(
+                    F.size("ws") >= 16,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 16),
+                        lambda i: md5int(
+                            F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 16))
+                        ),
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_spans"))
+        .orderBy("source_a", "source_b")
+    )
