@@ -39,6 +39,26 @@ QUERIES = [
     "winnowing_fingerprints",
     "tfidf_top_terms",
     "unigram_logprob_quality",
+    # round-11/12 text additions (curves first committed as marker blocks;
+    # listed here so one `python tools/scale_curve.py` reproduces them)
+    "document_chunking",
+    "quota_sample",
+    "repetition_stats",
+    "split_leakage",
+    "shot_boundaries",
+    "image_phash_dedup",
+    "ngram_decontamination",
+    "encoding_quality",
+    "source_span_overlap",
+]
+
+#: events-table queries measured on straight-replicated events (see
+#: build_events_corpora: id offsets keep the px/py lattice and per-type
+#: day keys constant while points per key grow with n)
+EVENTS_QUERIES = [
+    "ols_trend_detrend",
+    "idw_regrid",
+    "tx90p_exceedance",
 ]
 
 #: similarity family measured on replicated embeddings (see build_emb_corpora).
@@ -140,6 +160,36 @@ def build_corpora() -> dict[str, Path]:
     return dirs
 
 
+def build_events_corpora(dirs: dict[str, Path]) -> None:
+    """Replicated events next to each documents corpus: event_id/user_id
+    offset per copy (multiples of 16/8 preserve the px/py lattice), ts
+    unchanged — the daily/node aggregate keys stay constant while points
+    per key grow with n, so output shape is scale-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = Path("/root/testdata/sf0.1/events.parquet")
+    base = pd.read_parquet(src)
+    for label, copies in (("x1", 1), ("x10", 10), ("x100", 100)):
+        out = dirs[label] / "events.parquet"
+        if out.exists():
+            continue
+        if copies == 1:
+            shutil.copy(src, out)
+            continue
+        writer = None
+        for c in range(copies):
+            part = base.copy()
+            part["event_id"] = part["event_id"] + c * 10_000_000
+            part["user_id"] = part["user_id"] + c * 10_000_000
+            tbl = pa.Table.from_pandas(part, preserve_index=False)
+            if writer is None:
+                writer = pq.ParquetWriter(out, tbl.schema)
+            writer.write_table(tbl)
+        writer.close()
+
+
 def build_emb_corpora(dirs: dict[str, Path]) -> None:
     """Replicated embeddings next to each documents corpus: copy c rotates
     every vector's components by c (np.roll), which preserves every
@@ -193,6 +243,7 @@ def main() -> None:
 
     dirs = build_corpora()
     build_emb_corpora(dirs)
+    build_events_corpora(dirs)
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("scale-curve")
@@ -208,8 +259,10 @@ def main() -> None:
     # warm
     REGISTRY["dedup_exact"].fn(spark, str(dirs["x1"])).collect()
 
-    all_names = QUERIES + EMB_QUERIES + list(TEXT_EXTRAS) + list(EMB_EXTRAS)
-    runners = {q: REGISTRY[q].fn for q in QUERIES + EMB_QUERIES}
+    all_names = (
+        QUERIES + EVENTS_QUERIES + EMB_QUERIES + list(TEXT_EXTRAS) + list(EMB_EXTRAS)
+    )
+    runners = {q: REGISTRY[q].fn for q in QUERIES + EVENTS_QUERIES + EMB_QUERIES}
     runners.update(TEXT_EXTRAS)
     runners.update(EMB_EXTRAS)
     results: dict[str, dict[str, dict]] = {q: {} for q in all_names}
@@ -320,6 +373,10 @@ def write_md(out_md: Path, results: dict) -> None:
         "CSE across higher-order-function lambdas) and the same x10 point ran",
         "476 s vs 2.6 s after the split.",
         "",
+        "## Events family (100k → 1M → 10M events; replicated lattice)",
+        "",
+        *_table(results, EVENTS_QUERIES),
+        "",
         "## Embedding similarity family (2k → 20k → 200k vectors)",
         "",
         *_table(results, EMB_QUERIES + list(EMB_EXTRAS)),
@@ -376,13 +433,20 @@ def write_md(out_md: Path, results: dict) -> None:
         "  O(log n), each a fixed number of shuffles; the 100x point pays more",
         "  rounds only if the dup-graph diameter grows.",
     ]
-    # preserve the GridStore write-path section owned by tools/store_bench.py
-    from tools.store_bench import STORE_MARK_BEGIN, STORE_MARK_END
+    # preserve EVERY marker-delimited evidence block other tools and round
+    # sessions own (store_bench's write-path section, the interleave A/B
+    # notes, the multimodal kernel breakdown, per-round addition curves…):
+    # this tool regenerates only its own prose, so a re-run must not
+    # destroy committed evidence it did not produce (the store-only
+    # preservation here previously dropped all the rest)
+    import re as _re
 
-    if out_md.exists() and STORE_MARK_BEGIN in out_md.read_text():
+    if out_md.exists():
         prev = out_md.read_text()
-        block = prev.split(STORE_MARK_BEGIN, 1)[1].split(STORE_MARK_END, 1)[0]
-        lines += ["", STORE_MARK_BEGIN + block + STORE_MARK_END]
+        for m in _re.finditer(
+            r"<!-- ([\w-]+):begin[^>]*-->.*?<!-- \1:end -->", prev, _re.S
+        ):
+            lines += ["", m.group(0)]
     out_md.write_text("\n".join(lines) + "\n")
     print(f"wrote {out_md}")
 
