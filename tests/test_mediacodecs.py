@@ -2114,3 +2114,85 @@ def test_gif_full_canvas_animation_regression():
     dec, meta = mc.decode_gif_frames(mc.encode_gif_animation(frames))
     assert meta["n_frames"] == 3
     assert np.array_equal(dec, frames)
+
+
+@pytest.mark.parametrize("entry", ["png", "bmp"])
+@pytest.mark.parametrize("c", [3, 4])
+def test_ico_roundtrip_both_entry_kinds(entry, c):
+    img = np.random.RandomState(53).randint(0, 256, (9, 7, c), dtype=np.uint8)
+    out, meta = mc.decode_ico(mc.encode_ico(img, entry=entry))
+    assert meta["format"] == "ico" and meta["container_entries"] == 1
+    if entry == "bmp" and c == 3:
+        # classic DIB always carries alpha (opaque mask)
+        assert meta["n_channels"] == 4
+        assert np.array_equal(out[..., :3], img)
+        assert (out[..., 3] == 255).all()
+    else:
+        assert np.array_equal(out[..., :c], img if c == 4 else img)
+
+
+def test_ico_dib_and_mask_becomes_alpha():
+    """Hand-built classic entry: 24-bpp 2×2 XOR block + an AND mask with
+    one transparent pixel — the mask bit drives alpha, bottom-up."""
+    import struct
+
+    # XOR rows bottom-up, BGR, 4-byte padded (2*3=6 -> pad to 8)
+    row_bot = bytes([30, 20, 10, 60, 50, 40]) + b"\x00\x00"   # image row 1
+    row_top = bytes([90, 80, 70, 120, 110, 100]) + b"\x00\x00" # image row 0
+    # AND mask: 1 bpp, 4-byte-aligned rows, bottom-up; set ONLY the
+    # top-left pixel transparent -> in file order that's the LAST row,
+    # first bit
+    mask = (b"\x00" + b"\x00" * 3) + (b"\x80" + b"\x00" * 3)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 4, 1, 24, 0, 0, 0, 0, 0, 0)
+    payload = dib + row_bot + row_top + mask
+    ico = (
+        b"\x00\x00\x01\x00\x01\x00"
+        + bytes([2, 2, 0, 0]) + struct.pack("<HHII", 1, 24, len(payload), 22)
+        + payload
+    )
+    out, meta = mc.decode_ico(ico)
+    assert meta["n_channels"] == 4
+    assert out[0, 0].tolist() == [70, 80, 90, 0]      # transparent
+    assert out[0, 1].tolist() == [100, 110, 120, 255]
+    assert out[1, 0].tolist() == [10, 20, 30, 255]
+    assert out[1, 1].tolist() == [40, 50, 60, 255]
+
+
+def test_ico_multi_entry_picks_largest():
+    small = np.full((4, 4, 3), 10, np.uint8)
+    big = np.full((16, 16, 3), 200, np.uint8)
+    import struct
+
+    p_small, p_big = mc.encode_png(small), mc.encode_png(big)
+    head = b"\x00\x00\x01\x00" + struct.pack("<H", 2)
+    off1 = 6 + 32
+    e1 = bytes([4, 4, 0, 0]) + struct.pack("<HHII", 1, 24, len(p_small), off1)
+    e2 = bytes([16, 16, 0, 0]) + struct.pack("<HHII", 1, 24, len(p_big), off1 + len(p_small))
+    out, meta = mc.decode_ico(head + e1 + e2 + p_small + p_big)
+    assert meta["container_entries"] == 2
+    assert out.shape[:2] == (16, 16) and (out[..., 0] == 200).all()
+
+
+def test_ico_via_decode_image_dispatch_and_probe():
+    img = np.full((8, 8, 3), 90, np.uint8)
+    blob = mc.encode_ico(img)
+    out, meta = mc.decode_image(blob)
+    assert meta["format"] == "ico"
+    assert mc.probe_media(blob)["format"] == "ico"
+
+
+def test_ico_fuzz_fails_cleanly():
+    rng = np.random.RandomState(59)
+    img = rng.randint(0, 256, (11, 9, 4), dtype=np.uint8)
+    bases = [bytearray(mc.encode_ico(img, entry="png")),
+             bytearray(mc.encode_ico(img, entry="bmp"))]
+    for trial in range(1200):
+        blob = bytearray(bases[trial % 2])
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if trial % 5 == 0:
+            blob = blob[: rng.randint(4, len(blob))]
+        try:
+            mc.decode_ico(bytes(blob))
+        except mc.MediaDecodeError:
+            pass

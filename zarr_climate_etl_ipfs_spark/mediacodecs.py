@@ -1759,6 +1759,137 @@ def encode_bmp_indexed(
 
 
 # ---------------------------------------------------------------------------
+# ICO (favicon container: PNG or BMP-DIB entries)
+# ---------------------------------------------------------------------------
+
+
+@_clean_errors
+def decode_ico(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """ICO (the favicon container every crawl collects) → the LARGEST
+    entry decoded. Entries are either embedded PNGs (the modern form) or
+    classic BMP DIBs with a DOUBLED-height header covering the XOR pixel
+    rows plus a 1-bpp AND transparency mask. DIB entries at ≤24 bpp
+    reuse decode_bmp through a synthesized file header and turn the AND
+    mask into an alpha channel; 32-bpp entries carry alpha in-band."""
+    if len(content) < 6 or content[:4] != b"\x00\x00\x01\x00":
+        raise MediaDecodeError("not an ICO")
+    (count,) = struct.unpack("<H", content[4:6])
+    if not 0 < count <= 256:
+        raise MediaDecodeError(f"ICO: implausible entry count {count}")
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        if e + 16 > len(content):
+            raise MediaDecodeError("ICO: truncated directory")
+        w, h = content[e] or 256, content[e + 1] or 256
+        size, off = struct.unpack("<II", content[e + 8 : e + 16])
+        if best is None or w * h > best[0]:
+            best = (w * h, size, off)
+    _, size, off = best
+    data = content[off : off + size]
+    if len(data) < size:
+        raise MediaDecodeError("ICO: entry data out of bounds")
+    if data[:8] == _PNG_SIG:
+        img, m = decode_png(data)
+        m = dict(m)
+        m["format"] = "ico"
+        m["container_entries"] = count
+        return img, m
+    if len(data) < 40:
+        raise MediaDecodeError("ICO: truncated DIB entry")
+    hdr_size, dw, dh2 = struct.unpack("<Iii", data[:12])
+    if hdr_size != 40:
+        raise MediaDecodeError(f"ICO: unsupported DIB header size {hdr_size}")
+    if dw <= 0 or dh2 <= 0 or dh2 % 2:
+        raise MediaDecodeError(f"ICO: bad DIB geometry {dw}x{dh2}")
+    dh = dh2 // 2
+    bpp = struct.unpack("<H", data[14:16])[0]
+    comp = struct.unpack("<I", data[16:20])[0]
+    if comp != 0:
+        raise MediaDecodeError("ICO: compressed DIB entries unsupported")
+    if not (0 < dw * dh * 4 <= 1 << 28):
+        raise MediaDecodeError(f"ICO: implausible dimensions {dw}x{dh}")
+    clr_used = struct.unpack("<I", data[32:36])[0]
+    n_pal = clr_used or ((1 << bpp) if bpp <= 8 else 0)
+    xor_stride = ((dw * bpp + 31) // 32) * 4
+    and_stride = ((dw + 31) // 32) * 4
+    xor_off = 40 + 4 * n_pal
+    mask_off = xor_off + xor_stride * dh
+    if len(data) < mask_off:
+        raise MediaDecodeError("ICO: truncated XOR pixel data")
+    if bpp == 32:
+        # alpha in-band: BGRA quads, bottom-up
+        quads = np.frombuffer(
+            data[xor_off : xor_off + xor_stride * dh], np.uint8
+        ).reshape(dh, xor_stride)[:, : dw * 4].reshape(dh, dw, 4)
+        img = np.dstack([quads[:, :, 2::-1], quads[:, :, 3]])[::-1]
+    else:
+        # synthesize a single-image BMP around the DIB (height un-doubled)
+        # and let decode_bmp do palette/sub-byte/24-bit work
+        ihdr = bytearray(data[:40])
+        ihdr[8:12] = struct.pack("<i", dh)
+        pal = data[40 : 40 + 4 * n_pal]
+        xor_bytes = data[xor_off:mask_off]
+        bmp = (
+            struct.pack(
+                "<2sIHHI", b"BM", 14 + 40 + len(pal) + len(xor_bytes), 0, 0,
+                14 + 40 + len(pal),
+            )
+            + bytes(ihdr)
+            + pal
+            + xor_bytes
+        )
+        rgb, _m = decode_bmp(bmp)
+        mask = data[mask_off : mask_off + and_stride * dh]
+        if len(mask) >= and_stride * dh:
+            rows = np.frombuffer(mask, np.uint8)[: and_stride * dh].reshape(
+                dh, and_stride
+            )
+            bits = _png_samples(rows, dw, 1, 1)[..., 0][::-1]  # bottom-up
+            alpha = np.where(bits == 1, 0, 255).astype(np.uint8)
+            img = np.dstack([rgb[:, :, :3], alpha])
+        else:  # mask absent: fully opaque (tolerant-read, crawl convention)
+            img = rgb
+    return np.ascontiguousarray(img), {
+        "format": "ico", "width": dw, "height": dh,
+        "n_channels": img.shape[2], "container_entries": count,
+    }
+
+
+def encode_ico(img: np.ndarray, entry: str = "png") -> bytes:
+    """(H≤256, W≤256, 3|4) uint8 → single-entry ICO with a PNG payload
+    (``entry="png"``, the modern favicon form) or a classic 32-bpp DIB
+    (``entry="bmp"``: doubled-height header, BGRA bottom-up, all-opaque
+    AND mask) — the round-trip validators for decode_ico's two paths."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.dstack([img] * 3)
+    h, w, c = img.shape
+    if not (0 < h <= 256 and 0 < w <= 256) or c not in (3, 4):
+        raise ValueError("encode_ico wants (H<=256, W<=256, 3|4)")
+    if entry == "png":
+        payload = encode_png(img)
+        bpp = 8 * c
+    elif entry == "bmp":
+        rgba = img if c == 4 else np.dstack([img, np.full((h, w), 255, np.uint8)])
+        quads = np.dstack([rgba[:, :, 2::-1], rgba[:, :, 3]])[::-1]
+        and_stride = ((w + 31) // 32) * 4
+        payload = (
+            struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0, 0, 0, 0, 0)
+            + quads.tobytes()
+            + b"\x00" * (and_stride * h)
+        )
+        bpp = 32
+    else:
+        raise ValueError(f"encode_ico: unknown entry kind {entry!r}")
+    head = b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+    dirent = bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+        "<HHII", 1, bpp, len(payload), 22
+    )
+    return head + dirent + payload
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF PCM 8/16-bit)
 # ---------------------------------------------------------------------------
 
@@ -3058,6 +3189,7 @@ _IMAGE_MAGIC = (
     (b"P5", decode_ppm),
     (b"P6", decode_ppm),
     (b"BM", decode_bmp),
+    (b"\x00\x00\x01\x00", decode_ico),
 )
 
 def decode_image(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:

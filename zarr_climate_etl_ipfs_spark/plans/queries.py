@@ -92,6 +92,13 @@ def _constant_raster_bytes(d: int, rotate_variants: bool) -> bytes:
             pal = np.full((1, 3), shade, dtype=np.uint8)
             idx = np.zeros((side, side), dtype=np.uint8)
             return encode_bmp_indexed(idx, pal, rle=True)
+        if rotate_variants and d % 8 == 5:
+            # ICO container with a PNG entry (the favicon form): exercises
+            # the directory walk + entry dispatch on the same constant
+            # raster, still 3-channel so the closed-form oracle holds
+            from zarr_climate_etl_ipfs_spark.mediacodecs import encode_ico
+
+            return encode_ico(img)
         return encode_png(img)
     if fmt == 1:
         return encode_gif(img, interlace=rotate_variants and d % 8 == 1)
@@ -4357,7 +4364,8 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a REAL constant-color RGB raster (side = doc_id%7+2, shade = doc_id%251)
     encoded executor-side — PNG (doc_id%5==0: Adam7 on %8==1, 1-bit
     palette on %8==2, 4-bit palette + Adam7 on %8==6, palettized RLE8
-    BMP riding the slot on %8==4), GIF89a (%5==1, interlaced on
+    BMP riding the slot on %8==4, ICO-wrapped PNG entry on %8==5),
+    GIF89a (%5==1, interlaced on
     %8==1), TIFF (%5==2: 16-bit big-endian Deflate+predictor-2 on %8==6,
     LZW on %8==2, LZW + predictor-2 multi-strip on %8==5, Deflate on
     %8==4, PackBits on
