@@ -187,6 +187,126 @@ def test_ftp_find_pattern():
     ]
 
 
+class _MiniFTPServer:
+    """Just enough RFC 959 to serve ftplib's anonymous binary RETR:
+    220 greeting, USER/PASS, TYPE I, PASV, RETR, QUIT. Counts control
+    connections so the fresh-connection-per-request contract
+    (reference extractor.py:546-549) is assertable."""
+
+    def __init__(self, files: dict[str, bytes]):
+        import socket
+        import threading
+
+        self.files = files
+        self.connections = 0
+        self._sock = socket.socket()
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(4)
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        import socket
+
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            self.connections += 1
+            try:
+                self._session(conn, socket)
+            except OSError:
+                pass
+            finally:
+                conn.close()
+
+    def _session(self, conn, socket):
+        def send(line):
+            conn.sendall(line.encode("latin-1") + b"\r\n")
+
+        send("220 mini ftp ready")
+        buf = b""
+        data_listener = None
+        while True:
+            while b"\r\n" not in buf:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return
+                buf += chunk
+            line, buf = buf.split(b"\r\n", 1)
+            cmd, _, arg = line.decode("latin-1").partition(" ")
+            cmd = cmd.upper()
+            if cmd == "USER":
+                send("331 anonymous ok, send pass")
+            elif cmd == "PASS":
+                send("230 logged in")
+            elif cmd == "TYPE":
+                send("200 type set")
+            elif cmd == "PASV":
+                data_listener = socket.socket()
+                data_listener.bind(("127.0.0.1", 0))
+                data_listener.listen(1)
+                p = data_listener.getsockname()[1]
+                send(f"227 Entering Passive Mode (127,0,0,1,{p >> 8},{p & 0xFF})")
+            elif cmd == "RETR":
+                payload = self.files.get(arg)
+                if payload is None or data_listener is None:
+                    send("550 no such file")
+                    continue
+                send("150 opening data connection")
+                data, _ = data_listener.accept()
+                data.sendall(payload)
+                data.close()
+                data_listener.close()
+                data_listener = None
+                send("226 transfer complete")
+            elif cmd == "QUIT":
+                send("221 bye")
+                return
+            else:
+                send("502 not implemented")
+
+    def close(self):
+        self._stop.set()
+        self._sock.close()
+
+
+def test_ftp_request_downloads_binary(tmp_path):
+    """S2 (reference extractor.py:508-591): anonymous login + binary RETR
+    lands the exact bytes; each request opens a FRESH control connection."""
+    payload = bytes(range(256)) * 5  # binary-unsafe under TYPE A — proves TYPE I
+    srv = _MiniFTPServer({"pub/chirps_2003.nc": payload, "pub/b.nc": b"second"})
+    try:
+        ex = FTPExtractor(host=f"127.0.0.1:{srv.port}")
+        dest = tmp_path / "sub" / "chirps_2003.nc"
+        assert ex.request("pub/chirps_2003.nc", dest)
+        assert dest.read_bytes() == payload
+        # with no constructor host, the source's first segment is host:port
+        ex2 = FTPExtractor()
+        dest2 = tmp_path / "b.nc"
+        assert ex2.request(f"127.0.0.1:{srv.port}/pub/b.nc", dest2)
+        assert dest2.read_bytes() == b"second"
+        assert srv.connections == 2  # one fresh connection per request
+    finally:
+        srv.close()
+
+
+def test_ftp_request_missing_file_raises(tmp_path):
+    import ftplib
+
+    srv = _MiniFTPServer({})
+    try:
+        ex = FTPExtractor(host=f"127.0.0.1:{srv.port}")
+        with pytest.raises(ftplib.error_perm):
+            ex.request("pub/nope.nc", tmp_path / "nope.nc")
+    finally:
+        srv.close()
+
+
 def test_retry_policy_delays():
     http = RetryPolicy()
     assert list(http.delays())[:3] == [1.0, 2.0, 4.0]

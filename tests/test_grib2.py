@@ -639,3 +639,17 @@ def test_png_packing_sub_byte_depths_unscale():
     assert _unpack_png(png(3, 2, b"\x00" + bytes([0b11_01_10_00])), 3, 2).tolist() == [3, 1, 2]
     # 8-bit stays raw (no scaling at byte depth) — regression anchor
     assert _unpack_png(png(2, 8, b"\x00\x05\xfa"), 2, 8).tolist() == [5, 250]
+    # bits 5/6/7 have no legal PNG greyscale depth: encoders ship them raw
+    # at depth 8; the unscale factor must come from the PNG's ACTUAL depth,
+    # not the declared bits (r13 advisory — deriving it from bits=5 would
+    # integer-divide 0..31 values by 8 into garbage)
+    assert _unpack_png(png(3, 8, b"\x00\x1f\x00\x07"), 3, 5).tolist() == [31, 0, 7]
+    assert _unpack_png(png(2, 8, b"\x00\x7f\x40"), 2, 7).tolist() == [127, 64]
+    # declared bits WIDER than the payload depth cannot be represented —
+    # clean refusal, never a silent mis-decode
+    import pytest
+
+    from zarr_climate_etl_ipfs_spark.sources.grib2 import GRIB2Error
+
+    with pytest.raises(GRIB2Error, match="bit depth"):
+        _unpack_png(png(3, 4, b"\x00\x12\x30"), 3, 8)

@@ -8884,7 +8884,7 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines derive identical keys from identical tokenization.
 
     Plan: gram arrays are one transform/slice/md5 array expression per
-    row (pure codegen); the benchmark side is 1/97 of the corpus —
+    row (pure codegen); the benchmark side is 1/31 of the corpus —
     filtered AT THE SCAN by a cheap doc_id predicate, then exploded and
     BROADCAST, so the corpus side joins without any shuffle of the big
     relation; the per-doc rollup keys on doc_id (uniform). At 100 TB:

@@ -164,15 +164,29 @@ class FTPExtractor(Extractor):
         rx = re.compile(pattern)
         return sorted(name for name in listing if rx.search(name))
 
-    def request(self, source: str, destination: Path) -> bool:  # pragma: no cover
+    def request(self, source: str, destination: Path) -> bool:
+        """S2: anonymous binary RETR. A FRESH connection per request — the
+        reference opens a separate ftplib.FTP per download so concurrent
+        fetches don't serialize on one control channel
+        (extractor.py:546-549). ``host`` may carry an explicit ``:port``
+        (non-standard servers / local test stubs)."""
         import ftplib  # noqa: PLC0415 — deliberate late import
 
-        host, _, path = source.partition("/")
-        with ftplib.FTP(host or self.host, timeout=30) as ftp:
+        if self.host:
+            # reference shape: host on the extractor, source is the path
+            host, path = self.host, source
+        else:
+            host, _, path = source.partition("/")
+        host, _, port_s = host.partition(":")
+        ftp = ftplib.FTP(timeout=30)
+        try:
+            ftp.connect(host, int(port_s) if port_s else 21)
             ftp.login()
             destination.parent.mkdir(parents=True, exist_ok=True)
             with destination.open("wb") as f:
                 ftp.retrbinary(f"RETR {path}", f.write)
+        finally:
+            ftp.close()
         return True
 
 
