@@ -455,6 +455,76 @@ def test_template_numbers_follow_wmo_table_5_0():
         parse_grib2(bytes(raw))
 
 
+def test_j2k_decoder_injection_seam():
+    """Template 5.40 injection seam: a user with a real JPEG2000 codec
+    (OpenJPEG/Pillow/eccodes) passes ``j2k_decoder=`` and gets DATA where
+    the bare parser raises the named error. The seam hands the decoder the
+    raw section-7 payload and applies the R/E/D unscale itself — so the
+    fake decoder here returns known X integers and the test pins the full
+    unscale path. Mirrors the non-HTTP opener= seam (sources/zarr2)."""
+    import datetime as dt
+    import struct as _struct
+
+    msg = GRIB2Message(
+        discipline=0, parameter_category=1, parameter_number=8,
+        ref_time=dt.datetime(2024, 3, 1, 6), forecast_seconds=0,
+        level_type=1, level=0, lats=np.array([1.0]), lons=np.array([2.0, 3.0]),
+        values=np.array([[3.25, 4.75]]), ensemble_member=None, attrs={},
+    )
+    # write as simple packing, then flip section 5's template to 40 and
+    # replace the payload with a fake codestream the injected decoder reads
+    raw = bytearray(write_grib2([msg], bits_per_value=12, template=0))
+    simple = parse_grib2(bytes(raw))[0]  # ground truth incl. R/E/D
+
+    p = 16
+    packing = {}
+    while p < len(raw) - 4:
+        sec_len = int.from_bytes(raw[p : p + 4], "big")
+        if raw[p + 4] == 5:
+            assert _struct.unpack_from(">H", raw, p + 9)[0] == 0
+            raw[p + 9 : p + 11] = (40).to_bytes(2, "big")
+            packing["bits"] = raw[p + 19]
+        if raw[p + 4] == 7:
+            # fake "codestream": SOC marker + the X integers as uint16
+            payload = b"\xff\x4f" + b"".join(
+                int(v).to_bytes(2, "big") for v in _simple_x(bytes(raw), p, sec_len)
+            )
+            new_sec = (5 + len(payload)).to_bytes(4, "big") + bytes([7]) + payload
+            raw[p : p + sec_len] = new_sec
+            raw[8:16] = len(raw).to_bytes(8, "big")  # splice changed the length
+            break
+        p += sec_len
+
+    calls = []
+
+    def fake_j2k(payload: bytes, n: int, bits: int) -> np.ndarray:
+        calls.append((len(payload), n, bits))
+        assert payload[:2] == b"\xff\x4f"  # got the raw codestream bytes
+        return np.frombuffer(payload[2:], dtype=">u2").astype(np.int64)
+
+    # bare parse still refuses with the named error
+    with pytest.raises(GRIB2Error, match="j2k_decoder"):
+        parse_grib2(bytes(raw))
+    got = parse_grib2(bytes(raw), j2k_decoder=fake_j2k)[0]
+    assert calls and calls[0][1] == 2 and calls[0][2] == 12
+    np.testing.assert_allclose(got.values, simple.values)
+    # a short decoder result is a clean refusal, not a crash or mis-decode
+    with pytest.raises(GRIB2Error, match="expected 2"):
+        parse_grib2(bytes(raw), j2k_decoder=lambda pl, n, b: np.array([1]))
+
+
+def _simple_x(raw: bytes, sec7_pos: int, sec_len: int) -> list[int]:
+    """Recover the packed X integers from a simple-packing section 7 (the
+    test writes 12-bit values, so unpack them bit-exactly)."""
+    payload = raw[sec7_pos + 5 : sec7_pos + sec_len]
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    out = []
+    for i in range(2):
+        seg = bits[i * 12 : (i + 1) * 12]
+        out.append(int("".join(map(str, seg)), 2))
+    return out
+
+
 @pytest.mark.parametrize("template", [41, 42])
 def test_constant_field_bits0_wins_over_template_dispatch(template):
     """bits_per_value=0 is a legal CONSTANT field for the PNG/CCSDS

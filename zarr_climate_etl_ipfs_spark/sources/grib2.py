@@ -109,7 +109,7 @@ _TIME_UNIT_SECONDS = {0: 60, 1: 3600, 2: 86400, 10: 10800, 11: 21600, 12: 43200,
 _MAX_POINTS = 1 << 28
 
 
-def parse_grib2(content: bytes, select=None) -> list[GRIB2Message]:
+def parse_grib2(content: bytes, select=None, j2k_decoder=None) -> list[GRIB2Message]:
     """Decode every message, or — with ``select`` — only matching ones.
 
     ``select`` is the message-filter analog of the reference's
@@ -118,7 +118,17 @@ def parse_grib2(content: bytes, select=None) -> list[GRIB2Message]:
     files). It receives a lightweight header dict (``discipline``,
     ``category``, ``number``, ``level_type``, ``level``,
     ``ensemble_member``) BEFORE the data section is unpacked, so rejected
-    messages never pay the bitstream decode."""
+    messages never pay the bitstream decode.
+
+    ``j2k_decoder`` is the template-5.40 (JPEG2000) injection seam — the
+    decoder itself is out of scope here (the JPEG2000 MQ arithmetic-coder
+    tables proved unreproducible in this environment; decision record in
+    SURVEY.md §8), but a user with OpenJPEG / Pillow / eccodes installed
+    plugs it in as ``j2k_decoder(payload: bytes, n_points: int,
+    bits: int) -> np.ndarray`` returning the raw scaled integers X; the
+    R/E/D unscaling is applied here exactly as for every other template.
+    Without it, 5.40 messages raise the named GRIB2Error (never a
+    mis-decode). Mirrors the non-HTTP ``opener=`` seam in sources/zarr2."""
     msgs: list[GRIB2Message] = []
     pos = 0
     found = False
@@ -134,7 +144,7 @@ def parse_grib2(content: bytes, select=None) -> list[GRIB2Message]:
         if total_len < 16:
             raise GRIB2Error(f"GRIB2 total length {total_len} shorter than header")
         try:
-            msg = _parse_message(content[pos : pos + total_len], select)
+            msg = _parse_message(content[pos : pos + total_len], select, j2k_decoder)
         except GRIB2Error:
             raise
         except (ValueError, IndexError, OverflowError, struct.error) as exc:
@@ -149,7 +159,7 @@ def parse_grib2(content: bytes, select=None) -> list[GRIB2Message]:
     return msgs
 
 
-def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
+def _parse_message(m: bytes, select=None, j2k_decoder=None) -> GRIB2Message | None:
     if m[-4:] != b"7777":
         raise GRIB2Error("message missing 7777 end section")
     discipline = m[6]
@@ -242,12 +252,13 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 return None  # skip before sections 5-7: no bitstream decode
         elif sec_num == 5:
             tmpl = _u(s, 9, 2)
-            if tmpl == 40:
+            if tmpl == 40 and j2k_decoder is None:
                 raise GRIB2Error(
                     "data representation template 5.40 (JPEG2000 code "
-                    "stream) needs a JPEG2000 codec (OpenJPEG / Pillow)"
+                    "stream) needs a JPEG2000 codec (OpenJPEG / Pillow) — "
+                    "pass j2k_decoder= to plug one in"
                 )
-            if tmpl not in (0, 2, 3, 41, 42):
+            if tmpl not in (0, 2, 3, 40, 41, 42):
                 raise GRIB2Error(f"data representation template 5.{tmpl} not supported")
             n_claimed = _u(s, 5, 4)
             if n_claimed > _MAX_POINTS:  # same decode guard as the grid dims
@@ -315,6 +326,20 @@ def _parse_message(m: bytes, select=None) -> GRIB2Message | None:
                 # dispatch or a foreign constant-field message would try to
                 # decode its absent payload (wrong values at worst)
                 present = np.full(n, packing["ref"] / 10.0 ** packing["decimal_scale"])
+            elif packing["template"] == 40:
+                # injected-decoder seam: raw X integers come back from the
+                # user's JPEG2000 codec; R/E/D unscale is ours either way
+                x = np.asarray(
+                    j2k_decoder(bytes(s[5:]), n, packing["bits"])
+                ).reshape(-1)
+                if x.size != n:
+                    raise GRIB2Error(
+                        f"injected JPEG2000 decoder returned {x.size} points, "
+                        f"expected {n}"
+                    )
+                present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
+                    10.0 ** packing["decimal_scale"]
+                )
             elif packing["template"] == 41:
                 x = _unpack_png(bytes(s[5:]), n, packing["bits"])
                 present = (packing["ref"] + x * 2.0 ** packing["binary_scale"]) / (
@@ -861,6 +886,7 @@ def grib2_decoder(
     parameter: tuple[int, int] | None = None,
     level_type: int | None = None,
     level: int | None = None,
+    j2k_decoder=None,
 ):
     """Decoder for ``read_binary_gridded`` over GRIB2 bytes — same tall-row
     contract as the other decoders.
@@ -892,7 +918,7 @@ def grib2_decoder(
 
     def decode(path: str, content: bytes) -> pd.DataFrame:
         frames = []
-        for msg in parse_grib2(content, select=select):
+        for msg in parse_grib2(content, select=select, j2k_decoder=j2k_decoder):
             nj, ni = msg.values.shape
             cols = {
                 desc.time_dim: np.repeat(np.datetime64(msg.ref_time, "us"), nj * ni)
