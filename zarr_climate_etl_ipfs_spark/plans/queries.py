@@ -2628,7 +2628,24 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate() fold 9.4 s unbarriered / 3.3 s barriered, 4×14-bit
     packed-lane fold 2.0 s signature alone, 12-bit-lane packed SUMs −8%.
     The plan (linear-shuffle pigeonhole join, batch-bounded kernel
-    memory) is the one we want at 100 TB."""
+    memory) is the one we want at 100 TB.
+
+    Round-13 floor re-certification (4th attempt, interleaved with the
+    DuckDB oracle on a quiet host, min-of-7): 2.30 s vs 0.80 s ≈ 2.9×.
+    Negative result #4: explode + 14 packed 16-bit-lane SUMs (bit k,
+    k+14, k+28, k+42 share a long; fully map-side-combinable; majority
+    unpacked as 56 shift/mask expressions per doc) is value-identical
+    but LOSES to the kernel — signature stage 0.85 s vs 0.66 s warm.
+    Decomposition of the 2.3 s: signature ≈ 0.9 s, pigeonhole join
+    ≈ 0.4 s, final orderBy + 132k-pair driver collect ≈ 0.6 s (orderBy
+    costs an extra range-sampling job but is the scale-correct total
+    sort; the collect is the benchmark's own harness cost, which an
+    in-process engine pays far less for). Measurement gotcha for future
+    rounds: a ``.cache()`` on any probe frame whose logical plan equals
+    the query's signature subplan gets substituted into the full query
+    by the CacheManager — a contaminated run measured 1.30 s and is NOT
+    the floor. Classification stays perf-weak at ~2.9×; the remaining
+    gap is Python-worker + harness fixed costs, not plan shape."""
     from zarr_climate_etl_ipfs_spark.operators.dedup import md5int, simhash_vote_kernel
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
