@@ -1455,6 +1455,41 @@ def test_real_lame_mp3_probe_golden():
     assert mc.probe_media((_REAL / "lame_22k_mono.mp3").read_bytes())["format"] == "mp3"
 
 
+def test_audio_decoder_injection_seam():
+    """MP3/Ogg injection seam (r13 decision record): a user with
+    ffmpeg/miniaudio passes decoder= and gets samples + features where
+    the bare call raises the named error; a contract-violating plugin
+    fails cleanly. The payload is the REAL LAME file, so the seam is
+    exercised with the bytes a production pipeline would route here."""
+    raw = (_REAL / "lame_22k_mono.mp3").read_bytes()
+    with pytest.raises(NotImplementedError, match="decoder="):
+        mc.decode_audio(raw)
+    calls = []
+
+    def fake(content, fmt):
+        calls.append(fmt)
+        assert content is raw
+        t = np.arange(2205, dtype=np.float32) / 22050.0
+        return np.sin(2 * np.pi * 440 * t).reshape(-1, 1), {"sample_rate": 22050}
+
+    samples, meta = mc.decode_audio(raw, decoder=fake)
+    assert calls == ["mp3"]
+    assert samples.shape == (2205, 1) and samples.dtype == np.float32
+    assert meta["format"] == "mp3" and meta["duration_ms"] == 100
+    feats = mc.audio_features(raw, {}, decoder=fake)
+    assert feats.shape == (8,) and feats[2] == 22050
+    # Ogg routes through the same seam
+    with pytest.raises(NotImplementedError, match="decoder="):
+        mc.decode_audio(b"OggS" + bytes(32))
+    s2, m2 = mc.decode_audio(b"OggS" + bytes(32), decoder=lambda c, f: (np.zeros((4, 2)), {"sample_rate": 8000}))
+    assert m2["format"] == "ogg" and s2.shape == (4, 2)
+    # contract violations surface as MediaDecodeError, not numpy blowups
+    with pytest.raises(mc.MediaDecodeError, match="ndim"):
+        mc.decode_audio(raw, decoder=lambda c, f: (np.zeros(7), {"sample_rate": 1}))
+    with pytest.raises(mc.MediaDecodeError, match="sample_rate"):
+        mc.decode_audio(raw, decoder=lambda c, f: (np.zeros((4, 1)), {}))
+
+
 def test_real_gif_decode_golden():
     """A real-encoder GIF (gsutil test data): extension blocks and real
     palette ordering, not this repo's encode_gif output."""

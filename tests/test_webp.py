@@ -342,3 +342,91 @@ def test_webp_palette_oob_index_decodes_transparent_black():
     assert np.array_equal(out[1], pal[1])
     assert np.array_equal(out[2], [0, 0, 0, 0])
     assert np.array_equal(out[3], [0, 0, 0, 0])
+
+
+# -- lossy VP8: header probe + injection seam (round-13 decision record) ------
+
+from pathlib import Path  # noqa: E402
+
+_REAL_VP8 = Path(__file__).parent / "fixtures" / "real" / "cpython_logo_vp8.webp"
+
+
+def _vp8_chunk(content: bytes) -> bytes:
+    pos = 12
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        if tag == b"VP8 ":
+            return content[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def test_probe_vp8_real_libwebp_golden():
+    """probe_vp8 on a REAL libwebp bitstream: every field below the
+    coefficient-probability loop, pinned. These values are recovered
+    through the RFC 6386 boolean arithmetic decoder, so the golden also
+    validates the bool decoder + key-frame header layout end-to-end —
+    a desynchronized parse would yield garbage quantizer/partition
+    fields, not this coherent set."""
+    from zarr_climate_etl_ipfs_spark.webp_vp8 import probe_vp8
+
+    m = probe_vp8(_vp8_chunk(_REAL_VP8.read_bytes()))
+    assert m == {
+        "format": "webp-vp8",
+        "width": 16,
+        "height": 16,
+        "version": 0,
+        "segmentation": False,
+        "filter_type": "normal",
+        "filter_level": 12,
+        "sharpness": 0,
+        "n_dct_partitions": 1,
+        "y_ac_qi": 26,
+        "quant_deltas": {"y1dc": 0, "y2dc": 0, "y2ac": 0, "uvdc": -2, "uvac": 6},
+        "first_partition_bytes": 20,
+    }
+
+
+def test_probe_vp8_malformed():
+    from zarr_climate_etl_ipfs_spark.webp_vp8 import VP8Error, probe_vp8
+
+    good = _vp8_chunk(_REAL_VP8.read_bytes())
+    with pytest.raises(VP8Error, match="key frame"):
+        probe_vp8(bytes([good[0] | 1]) + good[1:])  # interframe bit
+    with pytest.raises(VP8Error, match="start code"):
+        probe_vp8(good[:3] + b"\x00\x00\x00" + good[6:])
+    with pytest.raises(VP8Error, match="shorter"):
+        probe_vp8(good[:6])
+
+
+def test_probe_media_routes_lossy_webp_to_header_probe():
+    """probe_media must answer metadata for lossy WebP WITHOUT the pixel
+    decoder (a probe that raises NotImplementedError is not a probe)."""
+    m = mc.probe_media(_REAL_VP8.read_bytes())
+    assert m["format"] == "webp-vp8" and (m["width"], m["height"]) == (16, 16)
+
+
+def test_webp_lossy_named_error_and_injection_seam():
+    """Real lossy WebP: the bare call raises the NAMED error (never a
+    mis-decode — the decision-record contract), and an injected decoder
+    gets the raw VP8 chunk and returns pixels; a shape-lying plugin is
+    refused against the engine-parsed header dims."""
+    raw = _REAL_VP8.read_bytes()
+    with pytest.raises(NotImplementedError, match="vp8_decoder="):
+        wl.decode_webp(raw)
+
+    calls = []
+
+    def fake_vp8(chunk: bytes):
+        calls.append(len(chunk))
+        assert chunk[3:6] == b"\x9d\x01\x2a"  # got the raw frame payload
+        return np.full((16, 16, 3), 77, np.uint8), {"decoder": "fake"}
+
+    rgb, meta = wl.decode_webp(raw, vp8_decoder=fake_vp8)
+    assert calls == [190]
+    assert rgb.shape == (16, 16, 3)
+    assert meta["format"] == "webp" and meta["lossless"] is False
+    assert meta["y_ac_qi"] == 26 and meta["decoder"] == "fake"
+    with pytest.raises(mc.MediaDecodeError, match="shape"):
+        wl.decode_webp(raw, vp8_decoder=lambda c: (np.zeros((8, 8, 3), np.uint8), {}))

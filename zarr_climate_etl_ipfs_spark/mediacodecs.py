@@ -3228,24 +3228,73 @@ def image_features(content: bytes, meta: dict[str, Any]) -> np.ndarray:
     )
 
 
-def decode_audio(content: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+def decode_audio(
+    content: bytes, decoder=None
+) -> tuple[np.ndarray, dict[str, Any]]:
     """Magic-byte dispatch over the stdlib-decodable audio formats:
-    RIFF/WAVE PCM and FLAC.  MP3/AAC/OGG raise naming the dependency."""
+    RIFF/WAVE PCM and FLAC.  MP3/AAC/OGG raise naming the dependency —
+    unless ``decoder`` is injected.
+
+    ``decoder`` is the compressed-audio injection seam (DECISION RECORD,
+    r13 — same standard as GRIB2 template 5.40): a from-scratch MP3
+    Layer III decoder needs ~3k exact published constants (32 Huffman
+    tables, scalefactor bands, the 512-tap synthesis window) that cannot
+    be recalled reliably in this environment, and unlike a desynchronizing
+    arithmetic coder, Layer III's Huffman region is length-bounded by the
+    side info's part2_3_length — a wrong table mis-decodes WITHOUT a
+    structural failure signal, so a self-consistent-but-wrong decoder
+    could pass its own tests while producing wrong samples. The named
+    error + seam is strictly more honest. Signature:
+    ``decoder(content: bytes, fmt: str) -> (samples float32[n, ch],
+    meta dict with sample_rate/duration_ms)`` — wrap miniaudio, pydub,
+    or ffmpeg. ``probe_mp3``/``probe_media`` still walk real MP3 frame
+    headers without any dependency (tests/fixtures/real/lame_22k_mono.mp3).
+    """
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     if content[:4] == b"fLaC":
         return decode_flac(content)
     if content[:3] == b"ID3" or content[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
-        raise NotImplementedError("MP3 (needs ffmpeg/libmad) — not in this container; inject a decoder")
+        if decoder is not None:
+            return _checked_audio(decoder, content, "mp3")
+        raise NotImplementedError(
+            "MP3 (needs ffmpeg/libmad) — not in this container; pass decoder= "
+            "to plug one in"
+        )
     if content[:4] == b"OggS":
-        raise NotImplementedError("Ogg (needs libvorbis/libopus) — not in this container; inject a decoder")
+        if decoder is not None:
+            return _checked_audio(decoder, content, "ogg")
+        raise NotImplementedError(
+            "Ogg (needs libvorbis/libopus) — not in this container; pass "
+            "decoder= to plug one in"
+        )
     raise MediaDecodeError("unrecognized audio format")
 
 
-def audio_features(content: bytes, meta: dict[str, Any]) -> np.ndarray:
+def _checked_audio(decoder, content: bytes, fmt: str):
+    """Validate an injected decoder's contract so a misbehaving plugin
+    surfaces as a clear error, not a downstream numpy shape blowup."""
+    samples, meta = decoder(content, fmt)
+    samples = np.asarray(samples)
+    if samples.ndim != 2:
+        raise MediaDecodeError(
+            f"injected {fmt} decoder returned ndim={samples.ndim}, want (n, ch)"
+        )
+    if "sample_rate" not in meta:
+        raise MediaDecodeError(f"injected {fmt} decoder meta lacks sample_rate")
+    meta = dict(meta)
+    meta.setdefault("format", fmt)
+    meta.setdefault(
+        "duration_ms", int(samples.shape[0] * 1000 / meta["sample_rate"])
+    )
+    return samples.astype(np.float32, copy=False), meta
+
+
+def audio_features(content: bytes, meta: dict[str, Any], decoder=None) -> np.ndarray:
     """Decode WAV/FLAC + fixed 8-dim feature: (n_samples, channels,
-    sample_rate, duration_ms, rms, peak, zero-crossing rate, dc offset)."""
-    samples, m = decode_audio(content)
+    sample_rate, duration_ms, rms, peak, zero-crossing rate, dc offset).
+    ``decoder`` forwards to :func:`decode_audio`'s MP3/Ogg injection seam."""
+    samples, m = decode_audio(content, decoder=decoder)
     mono = samples.mean(axis=1)
     zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if mono.size > 1 else 0.0
     return np.array(
@@ -3831,6 +3880,20 @@ def probe_media(content: bytes) -> dict[str, Any]:
     if content[:4] == b"fLaC":
         _, meta = decode_flac(content)
         return meta
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        # lossy VP8 probes header-only (validated bool-decoder walk,
+        # webp_vp8.probe_vp8) — a probe must never require the pixel
+        # decoder the container doesn't have; lossless falls through to
+        # the full VP8L decode below
+        pos = 12
+        while pos + 8 <= len(content):
+            fourcc = content[pos : pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            if fourcc == b"VP8 ":
+                from zarr_climate_etl_ipfs_spark.webp_vp8 import probe_vp8
+
+                return probe_vp8(content[pos + 8 : pos + 8 + size])
+            pos += 8 + size + (size & 1)
     _, meta = decode_image(content)
     return meta
 

@@ -675,10 +675,19 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, dict]:
 
 
 @_clean_errors
-def decode_webp(content: bytes) -> tuple[np.ndarray, dict]:
+def decode_webp(content: bytes, vp8_decoder=None) -> tuple[np.ndarray, dict]:
     """RIFF/WEBP container → decoded VP8L image. Walks the chunk list so
-    VP8X-extended files work; lossy VP8 raises NotImplementedError naming
-    libwebp (the injectable seam's contract)."""
+    VP8X-extended files work.
+
+    Lossy VP8 raises NotImplementedError naming libwebp unless
+    ``vp8_decoder`` is injected — the decision record for why there is no
+    from-scratch VP8 pixel decoder (header probe validated on a real
+    libwebp bitstream; coefficient probability tables empirically
+    unrecoverable in this environment) lives in
+    :mod:`zarr_climate_etl_ipfs_spark.webp_vp8`. Signature:
+    ``vp8_decoder(vp8_chunk: bytes) -> (rgb uint8[h, w, 3], meta dict)``
+    — wrap libwebp/Pillow; the container walk, VP8X handling, and
+    header metadata (``webp_vp8.probe_vp8``) stay engine-side."""
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise MediaDecodeError("not a WebP file")
     pos = 12
@@ -689,8 +698,22 @@ def decode_webp(content: bytes) -> tuple[np.ndarray, dict]:
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
         if fourcc == b"VP8 ":
+            if vp8_decoder is not None:
+                from zarr_climate_etl_ipfs_spark.webp_vp8 import probe_vp8
+
+                hdr = probe_vp8(payload)
+                rgb, meta = vp8_decoder(payload)
+                rgb = np.asarray(rgb)
+                if rgb.ndim != 3 or rgb.shape[:2] != (hdr["height"], hdr["width"]):
+                    raise MediaDecodeError(
+                        f"injected VP8 decoder returned shape {rgb.shape}, "
+                        f"header says {hdr['height']}x{hdr['width']}"
+                    )
+                out_meta = {**hdr, **meta, "format": "webp", "lossless": False}
+                return rgb, out_meta
             raise NotImplementedError(
-                "WebP lossy (VP8) needs libwebp — only lossless (VP8L) decodes here"
+                "WebP lossy (VP8) needs libwebp — only lossless (VP8L) decodes "
+                "here; pass vp8_decoder= to plug one in"
             )
         pos += 8 + size + (size & 1)  # chunks pad to even
     raise MediaDecodeError("WebP: no VP8L chunk found")
