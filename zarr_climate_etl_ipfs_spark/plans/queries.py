@@ -9294,3 +9294,354 @@ def source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_spans"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-13 additions: lexical entity resolution + robust statistics
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "typo_candidate_pairs",
+    r"""
+    WITH raw AS (
+      SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS w
+      FROM documents WHERE TRIM(COALESCE(text, '')) <> ''
+    ), toks AS (
+      SELECT w FROM raw
+      UNION ALL
+      SELECT SUBSTR(w, 1, 1) || SUBSTR(w, 3) AS w
+      FROM raw WHERE doc_id % 13 = 0 AND LEN(w) >= 5
+    ), vocab AS (
+      SELECT w AS word, COUNT(*) AS freq FROM toks
+      WHERE REGEXP_MATCHES(w, '^[a-z]+$') AND LEN(w) >= 4
+      GROUP BY w
+    ), keys AS (
+      SELECT word, freq,
+             UNNEST(LIST_PREPEND(word,
+               LIST_TRANSFORM(RANGE(1, LEN(word) + 1),
+                 i -> SUBSTR(word, 1, i - 1) || SUBSTR(word, i + 1)))) AS k
+      FROM vocab
+    ), cand AS (
+      SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+                      a.freq AS freq_a, b.freq AS freq_b
+      FROM keys a JOIN keys b ON a.k = b.k AND a.word < b.word
+    )
+    SELECT word_a, word_b, freq_a, freq_b
+    FROM cand WHERE LEVENSHTEIN(word_a, word_b) = 1
+    ORDER BY word_a, word_b
+    """,
+)
+def typo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs (OCR/typo normalization — the
+    lexical entity-resolution primitive a corpus-cleaning pipeline runs
+    before frequency-based spell correction à la Norvig; SymSpell is the
+    published algorithm).
+
+    Plan — the 100 TB-safe shape is the SymSpell DELETE-NEIGHBORHOOD
+    equi-join, not a blocked quadratic: two words are within Levenshtein 1
+    iff their {word} ∪ deletes₁(word) key sets intersect (a substitution
+    meets at the shared delete position, an insert/delete meets at the
+    shorter word itself), so candidates come from a linear-shuffle
+    self-equi-join on exploded keys — |keys| = Σ(len+1) over the VOCABULARY
+    (Heaps-law-bounded, not corpus-bounded), per-key groups bounded by the
+    alphabet (≤ 27 words share one delete key). Exact Levenshtein == 1 is
+    then verified JVM-side on the candidates only. The DuckDB oracle uses
+    the identical key construction. No crossJoin, no length-bucket
+    quadratic blocks anywhere.
+
+    The synthetic corpus's 24-word vocabulary carries no natural typos, so
+    a deterministic OCR-noise generator (2nd char dropped from every ≥5-
+    letter token of the doc_id%13 slice, identically in both engines — the
+    pii_scrub synthetic-injection pattern) guarantees the match path is
+    exercised, not just the empty result."""
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
+
+    d = t_wide(spark, sf_dir, "documents")
+    raw = d.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("w")
+    )
+    noisy = raw.filter((F.col("doc_id") % 13 == 0) & (F.length("w") >= 5)).select(
+        F.concat(F.substring("w", 1, 1), F.expr("substring(w, 3)")).alias("w")
+    )
+    vocab = (
+        raw.select("w")
+        .unionAll(noisy)
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 4))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").alias("freq"))
+    )
+    keys = vocab.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                "concat(array(word), transform(sequence(1, length(word)), "
+                "i -> concat(substring(word, 1, i - 1), substring(word, i + 1))))"
+            )
+        ).alias("k"),
+    )
+    a = keys.select(
+        F.col("word").alias("word_a"), F.col("freq").alias("freq_a"), "k"
+    )
+    b = keys.select(
+        F.col("word").alias("word_b"), F.col("freq").alias("freq_b"), "k"
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .dropDuplicates(["word_a", "word_b"])
+        .filter(F.levenshtein("word_a", "word_b") == 1)
+        .select("word_a", "word_b", "freq_a", "freq_b")
+        .orderBy("word_a", "word_b")
+    )
+
+
+@q(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS vsum,
+             COUNT(*) AS vn
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY 1, 2
+    ), means AS (
+      SELECT event_type, day,
+             CAST(day - DATE '2024-01-01' AS BIGINT) AS dnum,
+             CAST(vsum AS DOUBLE) / vn / 1e6 AS m
+      FROM daily
+    ), slopes AS (
+      SELECT a.event_type,
+             (b.m - a.m) / (b.dnum - a.dnum) AS slope
+      FROM means a JOIN means b
+        ON a.event_type = b.event_type AND a.dnum < b.dnum
+    )
+    SELECT event_type,
+           ROUND(MEDIAN(slope), 6) AS sen_slope,
+           COUNT(*) AS n_pairs
+    FROM slopes GROUP BY event_type ORDER BY event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per series: the median of all pairwise
+    daily-mean slopes — the estimator climate trend analyses prefer over
+    OLS (ols_trend_detrend's twin) because one bad sensor month cannot
+    drag it. Published method (Sen 1968); breakdown point 29%.
+
+    Exactness: daily means derive from integer-micro-unit sums (one
+    CAST(ROUND(value*1e6)) per row), so both engines build bit-identical
+    means regardless of aggregation order; each pairwise slope is then
+    one identical double division, and the median is an order statistic
+    (mean of the two middles on even counts) — hash-stable end to end.
+
+    Plan: map-side-combinable daily aggregate, then the pair join runs per
+    SERIES over the (tiny) daily-mean relation — T(T-1)/2 pairs where T is
+    the number of DAYS, bounded by the archive length, never by row count;
+    at 100 TB the heavy input collapses in the first aggregate and the
+    quadratic stage operates on thousands of rows per series. The join key
+    is the series, so skew is bounded by series count."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("vsum"),
+            F.count("*").alias("vn"),
+        )
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("dnum"),
+            (F.col("vsum").cast("double") / F.col("vn") / 1e6).alias("m"),
+        )
+    )
+    a = daily.select("event_type", F.col("dnum").alias("d1"), F.col("m").alias("m1"))
+    b = daily.select("event_type", F.col("dnum").alias("d2"), F.col("m").alias("m2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            ((F.col("m2") - F.col("m1")) / (F.col("d2") - F.col("d1"))).alias("slope"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias("sen_slope"),
+            F.count("*").alias("n_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "robust_zscore_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL AND ISFINITE(value)
+    ), med AS (
+      SELECT event_type, MEDIAN(value) AS med FROM v GROUP BY event_type
+    ), mad AS (
+      SELECT v.event_type, ANY_VALUE(med.med) AS med,
+             MEDIAN(ABS(v.value - med.med)) AS mad
+      FROM v JOIN med USING (event_type) GROUP BY v.event_type
+    )
+    SELECT v.event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (ABS(v.value - mad.med) > 3 * 1.4826 * mad.mad)
+             AS n_outliers,
+           ROUND(ANY_VALUE(mad.med), 6) AS med,
+           ROUND(ANY_VALUE(mad.mad), 6) AS mad,
+           ROUND(MAX(ABS(v.value - mad.med)), 6) AS max_abs_dev
+    FROM v JOIN mad USING (event_type)
+    GROUP BY v.event_type ORDER BY v.event_type
+    """,
+)
+def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier gate (the robust twin of the streaming z-score
+    anomaly query): a value is anomalous when its absolute deviation from
+    the series median exceeds 3 × 1.4826 × MAD — the QC screen that, unlike
+    mean/stddev, is not itself corrupted by the outliers it hunts (Q2's
+    random-value scan generalized; Leys et al. 2013 is the standard cite).
+
+    Exactness: medians are order statistics (identical interpolation rule
+    both engines), deviations and the 3·1.4826 threshold are identical
+    double arithmetic from identical medians — hash-stable without integer
+    scaling. Plan: two exact-percentile aggregates and one broadcast join
+    of the per-series medians back onto the values (series count is tiny);
+    one scan feeds the first percentile, one re-scan the deviation pass —
+    at 100 TB both are full scans but shuffle only (series, value) pairs,
+    and the exact percentile is the operator the reference's QC layer
+    needs (approx_percentile would break the oracle and the QC contract).
+    """
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    v = ev.select("event_type", "value")
+    med = v.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    scored = v.join(F.broadcast(mad), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.round(F.max("adev"), 6).alias("max_abs_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS ds
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL AND ISFINITE(value)
+      GROUP BY 1, 2
+    ), walked AS (
+      SELECT event_type, day,
+             SUM(ds) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS prefix,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             SUM(ds) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ), scored AS (
+      SELECT event_type, day, n_days,
+             n_days * prefix - i * total AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(n_days * prefix - i * total) DESC,
+                                         day ASC) AS rk
+      FROM walked
+    )
+    SELECT event_type, day AS changepoint_day,
+           CAST(ABS(c) AS BIGINT) AS max_abs_cusum,
+           n_days
+    FROM scored WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per series: the day where the
+    cumulative deviation from the series mean peaks — the classic
+    level-shift locator (Page 1954; the reference's cadence/QC layer
+    flags WHEN a feed's behavior changed, this finds WHERE in the data
+    it changed).
+
+    Exactness trick: the textbook statistic cusum_i = Σ_{j≤i}(x_j − x̄)
+    is fractional (x̄ = total/n); scaling by n gives
+    C_i = n·prefix_i − i·total — ALL integer in micro-units, so argmax
+    and magnitude are exact on both engines with zero float drift
+    (pagerank_exact's integer-micro-units discipline). Ties break to the
+    earliest day, deterministically, in both engines.
+
+    Plan: map-side-combinable daily aggregate, then two windows over the
+    per-series daily relation (days-bounded, thousands of rows per series
+    at any corpus size) — the per-series window state is the scale unit,
+    never the raw rows. One final per-series top-1 via row_number."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("ds")
+    )
+    wtype = Window.partitionBy("event_type")
+    worder = wtype.orderBy("day")
+    walked = daily.select(
+        "event_type",
+        "day",
+        F.sum("ds").over(worder.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.row_number().over(worder).alias("i"),
+        F.sum("ds").over(wtype).alias("total"),
+        F.count("*").over(wtype).alias("n_days"),
+    )
+    scored = walked.withColumn(
+        "c", F.col("n_days") * F.col("prefix") - F.col("i") * F.col("total")
+    ).withColumn(
+        "rk",
+        F.row_number().over(wtype.orderBy(F.abs("c").desc(), F.col("day").asc())),
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.abs("c").alias("max_abs_cusum"),
+            "n_days",
+        )
+        .orderBy("event_type")
+    )
