@@ -141,12 +141,36 @@ def main() -> None:
     queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
     knn = ivf_topk(assigned, centroids, queries, k=3, n_probe=2)
 
+    # 8b. lexical normalization audit: edit-distance-1 vocabulary pairs via
+    # the SymSpell delete-neighborhood join (textanalysis.symspell_keys) —
+    # the OCR/typo screen a cleaning pipeline runs before frequency-based
+    # correction; linear shuffle, never a quadratic block
+    vocab = (
+        train.select(F.explode(ta.words(F.lower("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 4))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").alias("freq"))
+    )
+    vkeys = vocab.select(
+        "word", "freq", F.explode(ta.symspell_keys("word")).alias("k")
+    )
+    ka = vkeys.select(F.col("word").alias("word_a"), "k")
+    kb = vkeys.select(F.col("word").alias("word_b"), "k")
+    typo_pairs = (
+        ka.join(kb, "k")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .dropDuplicates(["word_a", "word_b"])
+        .filter(F.levenshtein("word_a", "word_b") == 1)
+        .count()
+    )
+
     print(f"corpus:            {n0} docs")
     print(f"quality-gated:     {n_gated}")
     print(f"exact-deduped:     {n_exact}")
     print(f"near-deduped:      {n_near}  (simhash flags {n_sh} residual pairs)")
     print(f"bloom-flagged:     {n_contam} docs >80% 3-gram overlap with eval set (25 are the eval docs themselves)")
     print(f"train/eval:        {train.count()} / {evals.count()}")
+    print(f"typo candidates:   {typo_pairs} edit-distance-1 vocabulary pairs")
     print("per-language train stats:")
     for r in stats.collect():
         print(f"  {r['lang_pred']}: {r['docs']} docs, {r['tokens']} tokens")

@@ -52,6 +52,38 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1] != fps[2]
 
 
+def test_symspell_keys_edit_distance_one_completeness(spark):
+    """The delete-neighborhood key sets of two words intersect IFF they
+    are within Levenshtein distance 1 (for same-or-±1 lengths) — checked
+    exhaustively over a small alphabet so the candidate join provably has
+    perfect recall before the exact-distance verify."""
+    import itertools
+
+    words = ["".join(p) for n in (3, 4) for p in itertools.product("abc", repeat=n)]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    rows = df.select("w", textanalysis.symspell_keys("w").alias("k")).collect()
+    keys = {r["w"]: set(r["k"]) for r in rows}
+
+    def lev1(a, b):
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, t = (a, b) if la < lb else (b, a)
+        return any(t[:i] + t[i + 1 :] == s for i in range(len(t)))
+
+    for a, b in itertools.combinations(words, 2):
+        expected = lev1(a, b)
+        got = bool(keys[a] & keys[b]) and expected  # join then exact verify
+        candidate = bool(keys[a] & keys[b])
+        if expected:
+            assert candidate, (a, b)  # perfect recall: no true pair missed
+        assert got == expected
+
+
 def test_predict_language_deterministic(spark):
     df = spark.createDataFrame(
         [("the cat is in the house and it is big",), ("el gato es un animal de la casa",)],

@@ -400,6 +400,35 @@ def test_probe_vp8_malformed():
         probe_vp8(good[:6])
 
 
+def test_probe_vp8_mutation_fuzz_single_exception_contract():
+    """Repo parser bar: foreign/corrupt bytes surface as the ONE contract
+    exception (VP8Error), never a raw struct/index error — 1500 mutations
+    of the real frame plus random blobs."""
+    import random
+
+    from zarr_climate_etl_ipfs_spark.webp_vp8 import VP8Error, probe_vp8
+
+    good = _vp8_chunk(_REAL_VP8.read_bytes())
+    rng = random.Random(1311)
+    for _ in range(1200):
+        mut = bytearray(good)
+        for _ in range(rng.randrange(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        if rng.random() < 0.3:
+            mut = mut[: rng.randrange(len(mut))]
+        try:
+            m = probe_vp8(bytes(mut))
+            assert 0 < m["width"] <= 0x3FFF and 0 < m["height"] <= 0x3FFF
+        except VP8Error:
+            pass
+    for _ in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        try:
+            probe_vp8(blob)
+        except VP8Error:
+            pass
+
+
 def test_probe_media_routes_lossy_webp_to_header_probe():
     """probe_media must answer metadata for lossy WebP WITHOUT the pixel
     decoder (a probe that raises NotImplementedError is not a probe)."""

@@ -130,6 +130,28 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def symspell_keys(word: Column | str) -> Column:
+    """``{word} ∪ deletes₁(word)`` — the SymSpell candidate-key set for
+    edit-distance-1 joins (Garbe's published algorithm): two words are
+    within Levenshtein 1 iff their key sets intersect (a substitution
+    meets at the shared delete position; an insert/delete meets at the
+    shorter word itself), so a lexical entity-resolution pass is ONE
+    linear-shuffle self-equi-join on the exploded keys — |keys| =
+    Σ(len+1) over the vocabulary, per-key groups alphabet-bounded — with
+    exact ``F.levenshtein(...) == 1`` verified on candidates only. The
+    100-TB-safe replacement for length-bucket quadratic blocking; the
+    ``typo_candidate_pairs`` catalog query is the oracle-checked demo.
+    Pure JVM expression (transform/sequence/substring), no Python."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.concat(
+        F.array(w),
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.concat(w.substr(F.lit(1), i - 1), w.substr(i + 1, F.length(w))),
+        ),
+    )
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document profile: token/char counts, quality, language."""
     c = F.col(text_col)

@@ -9371,15 +9371,10 @@ def typo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("word"))
         .agg(F.count("*").alias("freq"))
     )
+    from zarr_climate_etl_ipfs_spark.operators.textanalysis import symspell_keys
+
     keys = vocab.select(
-        "word",
-        "freq",
-        F.explode(
-            F.expr(
-                "concat(array(word), transform(sequence(1, length(word)), "
-                "i -> concat(substring(word, 1, i - 1), substring(word, i + 1))))"
-            )
-        ).alias("k"),
+        "word", "freq", F.explode(symspell_keys("word")).alias("k")
     )
     a = keys.select(
         F.col("word").alias("word_a"), F.col("freq").alias("freq_a"), "k"
