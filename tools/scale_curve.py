@@ -50,6 +50,9 @@ QUERIES = [
     "ngram_decontamination",
     "encoding_quality",
     "source_span_overlap",
+    # round-13: SymSpell delete-neighborhood lexical ER — |keys| grows with
+    # the VOCABULARY (mutated copies add variant words), not the corpus
+    "typo_candidate_pairs",
 ]
 
 #: events-table queries measured on straight-replicated events (see
@@ -59,6 +62,13 @@ EVENTS_QUERIES = [
     "ols_trend_detrend",
     "idw_regrid",
     "tx90p_exceedance",
+    # round-13 robust-statistics family: day-key space is constant under
+    # replication, so the quadratic stage (Theil-Sen pair join) and the
+    # window state (CUSUM) stay FIXED while the input grows — the curves
+    # should be dominated by the linear daily aggregate / percentile scans
+    "theil_sen_trend",
+    "robust_zscore_outliers",
+    "cusum_changepoint",
 ]
 
 #: similarity family measured on replicated embeddings (see build_emb_corpora).

@@ -9640,3 +9640,86 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "streaming_cusum_drift",
+    """
+    WITH x AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND ISFINITE(value) AND event_type IS NOT NULL
+        AND ts IS NOT NULL AND event_id IS NOT NULL
+    ), base AS (
+      SELECT event_type, SUM(cents) AS sum_b FROM x
+      WHERE rn <= 20 GROUP BY event_type HAVING COUNT(*) = 20
+    ), post AS (
+      SELECT x.event_type, x.rn,
+             CAST(SUM(20 * cents - sum_b - 20 * 50)
+                  OVER (PARTITION BY x.event_type ORDER BY x.rn) AS BIGINT) AS p
+      FROM x JOIN base USING (event_type) WHERE rn > 20
+    ), s AS (
+      SELECT event_type,
+             p - LEAST(CAST(0 AS BIGINT),
+                       MIN(p) OVER (PARTITION BY event_type ORDER BY rn)) AS s
+      FROM post
+    )
+    SELECT event_type, COUNT(*) AS n_post,
+           CAST(COALESCE(SUM(CASE WHEN s > 20 * 500 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_alarms,
+           CAST(MAX(GREATEST(s, 0)) AS BIGINT) AS max_s
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift detection with an exact SQL oracle — Page's
+    one-sided CUSUM carried as integer state across micro-batches
+    (streaming/incremental.py:cusum_drift), the streaming twin of the
+    batch ``cusum_changepoint`` locator. The stateful op evaluates the
+    max(0, S+d) recurrence directly; the oracle evaluates the identical
+    sequence via the prefix-sum identity S_i = P_i − least(0, min P_j) in
+    windowed SQL — agreement is bit-exact because every term is integer
+    (values fixed-pointed to cents, baseline mean kept as the unscaled
+    baseline SUM with all comparisons cross-multiplied by n_b). Per-batch
+    partials (counts sum, running max maxes) make the result independent
+    of micro-batch boundaries."""
+    from pyspark.sql import types as T
+
+    from zarr_climate_etl_ipfs_spark.streaming.incremental import cusum_drift
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    filtered = stream.filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    return (
+        _drain_memory_sink(
+            spark,
+            cusum_drift(filtered).writeStream.format("memory").outputMode("append"),
+            "cusum_drift",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_batch").alias("n_post"),
+            F.sum("n_alarms").alias("n_alarms"),
+            F.max("max_s").alias("max_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -282,6 +282,90 @@ def zscore_anomalies_exact(
     )
 
 
+def cusum_drift(
+    events: DataFrame,
+    key_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    baseline_n: int = 20,
+    slack_cents: int = 50,
+    h_cents: int = 500,
+):
+    """One-sided Page CUSUM drift detector (Page 1954) as an exact-integer
+    stateful streaming operator — the streaming twin of the batch
+    ``cusum_changepoint`` query: learn a baseline from the first
+    ``baseline_n`` finite values per key, then accumulate
+    ``S_i = max(0, S_{i-1} + (x_i − x̄_b − slack))`` and count how often the
+    drift statistic exceeds ``h`` (non-resetting exceedance count — the
+    alerting-dashboard convention).
+
+    Exactness: everything is scaled by ``baseline_n`` so the baseline mean
+    never becomes a float — with cents ``c`` and baseline sum ``B``,
+    ``d_i = n_b·c_i − B − n_b·slack`` and the max(0,·) recurrence is
+    evaluated directly in Python ints; the SQL oracle evaluates the SAME
+    sequence through the prefix-sum identity
+    ``S_i = P_i − least(0, min_{j≤i} P_j)`` (P_0 = 0), so streaming and
+    batch agree bit-for-bit. Per-batch output is (n_batch, alarm partial,
+    running max S); partials sum and the running max MAXes, so the final
+    aggregate is micro-batch-boundary invariant. State is five int64 per
+    key; |P| stays under 2⁶³ for ~10¹² post-baseline events/key at
+    |v| ≤ 300 and n_b = 20 — beyond the per-series envelope of any feed.
+    Same ordering discipline as ``zscore_anomalies_exact``: rows sort by
+    ``order_cols`` within a batch, batches arrive time-ordered (dated file
+    drops give this naturally)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n_batch long, n_alarms long, max_s long"
+    state_schema = "k long, sum_b long, p long, minp long, max_s long"
+
+    def detect(key, pdf_iter, state: GroupState):
+        import math
+
+        import pandas as pd  # executor-side
+
+        k, sum_b, p, minp, max_s = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        k, sum_b, p, minp, max_s = (int(k), int(sum_b), int(p), int(minp), int(max_s))
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        n_batch = 0
+        n_alarms = 0
+        for v in pdf[value_col].astype(float):
+            if not math.isfinite(v):
+                continue  # corrupt-record guard, as in zscore_anomalies_exact
+            cents = int(math.floor(v * 100.0 + 0.5))
+            if k < baseline_n:
+                k += 1
+                sum_b += cents
+                continue
+            d = baseline_n * cents - sum_b - baseline_n * slack_cents
+            p += d
+            if p < minp:
+                minp = p
+            s = p - min(0, minp)
+            if s > max_s:
+                max_s = s
+            if s > baseline_n * h_cents:
+                n_alarms += 1
+            n_batch += 1
+        state.update((k, sum_b, p, minp, max_s))
+        if n_batch == 0:
+            return  # still in baseline (or garbage-only batch): no row
+        yield pd.DataFrame(
+            [[key[0], n_batch, n_alarms, max_s]],
+            columns=[key_col, "n_batch", "n_alarms", "max_s"],
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_extremes(
     events: DataFrame,
     key_col: str = "user_id",
