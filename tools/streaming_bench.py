@@ -168,6 +168,9 @@ OP_NAMES = [
     "running_extremes_v1",
     "running_extremes_v2_rocksdb",
     "dedup_within_watermark",
+    # round-13: Page-CUSUM drift — five int64 per key, same flat-latency
+    # contract as the other keyed exact-integer ops
+    "cusum_drift",
 ]
 
 
@@ -183,6 +186,11 @@ def _resolve_op(name: str):
 
     if name == "zscore_exact_v1":
         return zscore_anomalies_exact, False
+    if name == "cusum_drift":
+        from zarr_climate_etl_ipfs_spark.streaming.incremental import cusum_drift
+
+        # keyed on the fixed user population; the corpus has no event_type
+        return (lambda s: cusum_drift(s, key_col="user_id", key_type="long")), False
     if name == "running_extremes_v1":
         return running_extremes, False
     if name == "running_extremes_v2_rocksdb":

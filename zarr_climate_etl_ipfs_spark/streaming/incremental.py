@@ -290,6 +290,7 @@ def cusum_drift(
     baseline_n: int = 20,
     slack_cents: int = 50,
     h_cents: int = 500,
+    key_type: str = "string",
 ):
     """One-sided Page CUSUM drift detector (Page 1954) as an exact-integer
     stateful streaming operator — the streaming twin of the batch
@@ -315,7 +316,7 @@ def cusum_drift(
     drops give this naturally)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key_col} string, n_batch long, n_alarms long, max_s long"
+    out_schema = f"{key_col} {key_type}, n_batch long, n_alarms long, max_s long"
     state_schema = "k long, sum_b long, p long, minp long, max_s long"
 
     def detect(key, pdf_iter, state: GroupState):
