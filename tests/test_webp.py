@@ -434,6 +434,9 @@ def test_probe_media_routes_lossy_webp_to_header_probe():
     decoder (a probe that raises NotImplementedError is not a probe)."""
     m = mc.probe_media(_REAL_VP8.read_bytes())
     assert m["format"] == "webp-vp8" and (m["width"], m["height"]) == (16, 16)
+    # VP8X extended-container fields ride along (this file has an ALPH chunk)
+    assert m["has_alpha"] is True and m["has_animation"] is False
+    assert (m["canvas_width"], m["canvas_height"]) == (16, 16)
 
 
 def test_webp_lossy_named_error_and_injection_seam():

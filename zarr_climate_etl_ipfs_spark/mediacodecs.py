@@ -3886,13 +3886,22 @@ def probe_media(content: bytes) -> dict[str, Any]:
         # decoder the container doesn't have; lossless falls through to
         # the full VP8L decode below
         pos = 12
+        vp8x: dict[str, Any] = {}
         while pos + 8 <= len(content):
             fourcc = content[pos : pos + 4]
             (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            if fourcc == b"VP8X" and size >= 10:
+                pl = content[pos + 8 : pos + 8 + size]
+                vp8x = {
+                    "has_alpha": bool(pl[0] & 0x10),
+                    "has_animation": bool(pl[0] & 0x02),
+                    "canvas_width": (pl[4] | pl[5] << 8 | pl[6] << 16) + 1,
+                    "canvas_height": (pl[7] | pl[8] << 8 | pl[9] << 16) + 1,
+                }
             if fourcc == b"VP8 ":
                 from zarr_climate_etl_ipfs_spark.webp_vp8 import probe_vp8
 
-                return probe_vp8(content[pos + 8 : pos + 8 + size])
+                return {**probe_vp8(content[pos + 8 : pos + 8 + size]), **vp8x}
             pos += 8 + size + (size & 1)
     _, meta = decode_image(content)
     return meta
