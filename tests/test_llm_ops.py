@@ -53,10 +53,12 @@ def test_fingerprint_normalization(spark):
 
 
 def test_symspell_keys_edit_distance_one_completeness(spark):
-    """The delete-neighborhood key sets of two words intersect IFF they
-    are within Levenshtein distance 1 (for same-or-±1 lengths) — checked
-    exhaustively over a small alphabet so the candidate join provably has
-    perfect recall before the exact-distance verify."""
+    """The candidate join has PERFECT RECALL at Levenshtein 1 (every true
+    pair shares a delete-neighborhood key) but NOT perfect precision
+    (transpositions like abc/acb collide at distance 2) — both directions
+    checked exhaustively over a small alphabet, so the exact-distance
+    verify in typo_candidate_pairs is provably load-bearing, not a
+    redundant filter."""
     import itertools
 
     words = ["".join(p) for n in (3, 4) for p in itertools.product("abc", repeat=n)]
@@ -75,13 +77,18 @@ def test_symspell_keys_edit_distance_one_completeness(spark):
         s, t = (a, b) if la < lb else (b, a)
         return any(t[:i] + t[i + 1 :] == s for i in range(len(t)))
 
+    false_candidates = 0
     for a, b in itertools.combinations(words, 2):
         expected = lev1(a, b)
-        got = bool(keys[a] & keys[b]) and expected  # join then exact verify
         candidate = bool(keys[a] & keys[b])
         if expected:
             assert candidate, (a, b)  # perfect recall: no true pair missed
-        assert got == expected
+        elif candidate:
+            false_candidates += 1  # collision beyond distance 1
+    # the converse direction genuinely fails (abc/acb share 'ab') — if this
+    # ever hits zero the verify step's justification needs re-examination
+    assert false_candidates > 0
+    assert keys["abc"] & keys["acb"] and not lev1("abc", "acb")
 
 
 def test_predict_language_deterministic(spark):

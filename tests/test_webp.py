@@ -439,6 +439,64 @@ def test_probe_media_routes_lossy_webp_to_header_probe():
     assert (m["canvas_width"], m["canvas_height"]) == (16, 16)
 
 
+def test_probe_media_webp_failure_contract_and_lossless_vp8x():
+    """Round-13 review fixes: (a) a truncated VP8X and a corrupt VP8 chunk
+    must surface as MediaDecodeError (the module's adversarial-bytes
+    contract), never IndexError/VP8Error; (b) VP8X canvas/alpha fields
+    ride along for extended LOSSLESS files too — the probe surface must
+    not depend on which codec the still used."""
+    import struct as _struct
+
+    def riff(chunks):
+        body = b"WEBP"
+        for tag, payload in chunks:
+            body += tag + _struct.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                body += b"\x00"
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    # (a) VP8X declares 10 bytes but the buffer truncates to 1
+    trunc = riff([(b"VP8X", _struct.pack("<I", 0))])  # bogus tiny payload
+    with pytest.raises(mc.MediaDecodeError):
+        mc.probe_media(riff([(b"VP8X", b"\x10"), (b"VP8 ", b"\x00" * 12)]))
+    del trunc
+    # corrupt VP8 chunk (interframe bit) → MediaDecodeError, not VP8Error
+    good = _REAL_VP8.read_bytes()
+    vp8 = bytearray(_vp8_chunk(good))
+    vp8[0] |= 1
+    with pytest.raises(mc.MediaDecodeError, match="VP8 chunk"):
+        mc.probe_media(riff([(b"VP8 ", bytes(vp8))]))
+
+    # (b) extended-lossless: wrap a real VP8L encode in a VP8X container
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    px[..., 1] = 200
+    plain = wl.encode_webp(px)
+    vp8l = None
+    for tag, payload in wl.iter_webp_chunks(plain):
+        if tag == b"VP8L":
+            vp8l = payload
+    vp8x_payload = bytes([0x10, 0, 0, 0]) + b"\x03\x00\x00" + b"\x03\x00\x00"
+    ext = riff([(b"VP8X", vp8x_payload), (b"VP8L", vp8l)])
+    m = mc.probe_media(ext)
+    assert m["has_alpha"] is True and (m["canvas_width"], m["canvas_height"]) == (4, 4)
+    assert m["width"] == 4  # the VP8L decode's own meta is still there
+
+
+def test_injected_audio_decoder_bad_sample_rate():
+    """A plugin returning sample_rate=0 (or junk) must fail as
+    MediaDecodeError, not ZeroDivisionError (round-13 review)."""
+    raw = b"OggS" + bytes(32)
+    import numpy as np
+
+    for bad_rate in (0, -1, "44100", None, True):
+        with pytest.raises(mc.MediaDecodeError, match="sample_rate"):
+            mc.decode_audio(
+                raw, decoder=lambda c, f: (np.zeros((4, 1)), {"sample_rate": bad_rate})
+            )
+
+
 def test_webp_lossy_named_error_and_injection_seam():
     """Real lossy WebP: the bare call raises the NAMED error (never a
     mis-decode — the decision-record contract), and an injected decoder

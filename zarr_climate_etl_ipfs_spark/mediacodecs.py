@@ -3280,13 +3280,14 @@ def _checked_audio(decoder, content: bytes, fmt: str):
         raise MediaDecodeError(
             f"injected {fmt} decoder returned ndim={samples.ndim}, want (n, ch)"
         )
-    if "sample_rate" not in meta:
-        raise MediaDecodeError(f"injected {fmt} decoder meta lacks sample_rate")
+    rate = meta.get("sample_rate")
+    if not isinstance(rate, (int, float)) or isinstance(rate, bool) or rate <= 0:
+        raise MediaDecodeError(
+            f"injected {fmt} decoder meta needs a positive sample_rate, got {rate!r}"
+        )
     meta = dict(meta)
     meta.setdefault("format", fmt)
-    meta.setdefault(
-        "duration_ms", int(samples.shape[0] * 1000 / meta["sample_rate"])
-    )
+    meta.setdefault("duration_ms", int(samples.shape[0] * 1000 / rate))
     return samples.astype(np.float32, copy=False), meta
 
 
@@ -3884,25 +3885,25 @@ def probe_media(content: bytes) -> dict[str, Any]:
         # lossy VP8 probes header-only (validated bool-decoder walk,
         # webp_vp8.probe_vp8) — a probe must never require the pixel
         # decoder the container doesn't have; lossless falls through to
-        # the full VP8L decode below
-        pos = 12
-        vp8x: dict[str, Any] = {}
-        while pos + 8 <= len(content):
-            fourcc = content[pos : pos + 4]
-            (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
-            if fourcc == b"VP8X" and size >= 10:
-                pl = content[pos + 8 : pos + 8 + size]
-                vp8x = {
-                    "has_alpha": bool(pl[0] & 0x10),
-                    "has_animation": bool(pl[0] & 0x02),
-                    "canvas_width": (pl[4] | pl[5] << 8 | pl[6] << 16) + 1,
-                    "canvas_height": (pl[7] | pl[8] << 8 | pl[9] << 16) + 1,
-                }
-            if fourcc == b"VP8 ":
-                from zarr_climate_etl_ipfs_spark.webp_vp8 import probe_vp8
+        # the full VP8L decode below. Every failure in this branch lands
+        # as MediaDecodeError (the module's adversarial-bytes contract):
+        # VP8Error and truncated-VP8X are parse failures, not crashes.
+        from zarr_climate_etl_ipfs_spark.webp_vp8 import VP8Error, probe_vp8
+        from zarr_climate_etl_ipfs_spark.webp_vp8l import iter_webp_chunks, parse_vp8x
 
-                return {**probe_vp8(content[pos + 8 : pos + 8 + size]), **vp8x}
-            pos += 8 + size + (size & 1)
+        vp8x: dict[str, Any] = {}
+        for fourcc, payload in iter_webp_chunks(content):
+            if fourcc == b"VP8X":
+                vp8x = parse_vp8x(payload)
+            if fourcc == b"VP8 ":
+                try:
+                    return {**probe_vp8(payload), **vp8x}
+                except VP8Error as e:
+                    raise MediaDecodeError(f"WebP VP8 chunk: {e}") from e
+        # VP8X features ride along for extended LOSSLESS files too — the
+        # probe surface must not depend on which codec the still used
+        _, meta = decode_image(content)
+        return {**meta, **vp8x}
     _, meta = decode_image(content)
     return meta
 

@@ -132,16 +132,19 @@ def fingerprint(text: Column | str) -> Column:
 
 def symspell_keys(word: Column | str) -> Column:
     """``{word} ∪ deletes₁(word)`` — the SymSpell candidate-key set for
-    edit-distance-1 joins (Garbe's published algorithm): two words are
-    within Levenshtein 1 iff their key sets intersect (a substitution
-    meets at the shared delete position; an insert/delete meets at the
-    shorter word itself), so a lexical entity-resolution pass is ONE
-    linear-shuffle self-equi-join on the exploded keys — |keys| =
-    Σ(len+1) over the vocabulary, per-key groups alphabet-bounded — with
-    exact ``F.levenshtein(...) == 1`` verified on candidates only. The
-    100-TB-safe replacement for length-bucket quadratic blocking; the
-    ``typo_candidate_pairs`` catalog query is the oracle-checked demo.
-    Pure JVM expression (transform/sequence/substring), no Python."""
+    edit-distance-1 joins (Garbe's published algorithm): any two words
+    within Levenshtein 1 share a key (a substitution meets at the shared
+    delete position; an insert/delete meets at the shorter word itself),
+    so a lexical entity-resolution pass is ONE linear-shuffle
+    self-equi-join on the exploded keys — |keys| = Σ(len+1) over the
+    vocabulary, per-key groups alphabet-bounded. PERFECT RECALL but not
+    precision: distance-2 pairs can also collide (``abc``/``acb`` — a
+    transposition — share the delete ``ab``), so the exact
+    ``F.levenshtein(...) == 1`` verify on the candidates is REQUIRED,
+    never an optimization to skip. The 100-TB-safe replacement for
+    length-bucket quadratic blocking; the ``typo_candidate_pairs``
+    catalog query is the oracle-checked demo. Pure JVM expression
+    (transform/sequence/substring), no Python."""
     w = F.col(word) if isinstance(word, str) else word
     return F.concat(
         F.array(w),

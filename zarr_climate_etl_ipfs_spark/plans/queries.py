@@ -9339,11 +9339,13 @@ def typo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     published algorithm).
 
     Plan — the 100 TB-safe shape is the SymSpell DELETE-NEIGHBORHOOD
-    equi-join, not a blocked quadratic: two words are within Levenshtein 1
-    iff their {word} ∪ deletes₁(word) key sets intersect (a substitution
-    meets at the shared delete position, an insert/delete meets at the
-    shorter word itself), so candidates come from a linear-shuffle
-    self-equi-join on exploded keys — |keys| = Σ(len+1) over the VOCABULARY
+    equi-join, not a blocked quadratic: every pair within Levenshtein 1
+    shares a {word} ∪ deletes₁(word) key (a substitution meets at the
+    shared delete position, an insert/delete meets at the shorter word
+    itself — perfect recall; the converse is FALSE: transpositions like
+    abc/acb also collide, which is why the exact verify below is load-
+    bearing), so candidates come from a linear-shuffle self-equi-join on
+    exploded keys — |keys| = Σ(len+1) over the VOCABULARY
     (Heaps-law-bounded, not corpus-bounded), per-key groups bounded by the
     alphabet (≤ 27 words share one delete key). Exact Levenshtein == 1 is
     then verified JVM-side on the candidates only. The DuckDB oracle uses

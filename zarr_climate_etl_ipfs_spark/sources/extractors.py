@@ -168,19 +168,32 @@ class FTPExtractor(Extractor):
         """S2: anonymous binary RETR. A FRESH connection per request — the
         reference opens a separate ftplib.FTP per download so concurrent
         fetches don't serialize on one control channel
-        (extractor.py:546-549). ``host`` may carry an explicit ``:port``
-        (non-standard servers / local test stubs)."""
+        (extractor.py:546-549).
+
+        Host resolution (explicit, round-13 review): when the extractor
+        carries a ``host``, the WHOLE source is the RETR path (the
+        reference's shape — host on the manager, sources are paths); embed
+        ``host[:port]/path`` in the source only on a host-less extractor.
+        The optional ``:port`` suffix supports non-21 servers and local
+        test stubs; IPv4/hostnames only — bracket-less IPv6 literals pass
+        through un-split (``[host]:port`` IPv6 syntax is not parsed)."""
         import ftplib  # noqa: PLC0415 — deliberate late import
 
         if self.host:
-            # reference shape: host on the extractor, source is the path
             host, path = self.host, source
         else:
             host, _, path = source.partition("/")
-        host, _, port_s = host.partition(":")
+        port = 21
+        if host.count(":") == 1:  # a lone colon is host:port; "::1" is IPv6
+            h, _, port_s = host.partition(":")
+            try:
+                port = int(port_s)
+                host = h
+            except ValueError:
+                pass  # not a port — leave the host string intact
         ftp = ftplib.FTP(timeout=30)
         try:
-            ftp.connect(host, int(port_s) if port_s else 21)
+            ftp.connect(host, port)
             ftp.login()
             destination.parent.mkdir(parents=True, exist_ok=True)
             with destination.open("wb") as f:

@@ -674,6 +674,35 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, dict]:
     return rgb, meta
 
 
+def iter_webp_chunks(content: bytes):
+    """Yield ``(fourcc, payload)`` over a RIFF/WEBP container (even-byte
+    chunk padding per RIFF). The ONE chunk walk shared by decode_webp and
+    mediacodecs.probe_media — duplicated walks diverge on truncation
+    handling (round-13 review). Raises MediaDecodeError on a non-WebP
+    header; a chunk whose declared size overruns the buffer yields the
+    truncated payload (callers decide whether that is fatal)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise MediaDecodeError("not a WebP file")
+    pos = 12
+    while pos + 8 <= len(content):
+        fourcc = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        yield fourcc, content[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def parse_vp8x(payload: bytes) -> dict:
+    """VP8X extended-container header → canvas size + feature flags."""
+    if len(payload) < 10:
+        raise MediaDecodeError(f"VP8X chunk truncated ({len(payload)} bytes)")
+    return {
+        "has_alpha": bool(payload[0] & 0x10),
+        "has_animation": bool(payload[0] & 0x02),
+        "canvas_width": (payload[4] | payload[5] << 8 | payload[6] << 16) + 1,
+        "canvas_height": (payload[7] | payload[8] << 8 | payload[9] << 16) + 1,
+    }
+
+
 @_clean_errors
 def decode_webp(content: bytes, vp8_decoder=None) -> tuple[np.ndarray, dict]:
     """RIFF/WEBP container → decoded VP8L image. Walks the chunk list so
@@ -688,13 +717,7 @@ def decode_webp(content: bytes, vp8_decoder=None) -> tuple[np.ndarray, dict]:
     ``vp8_decoder(vp8_chunk: bytes) -> (rgb uint8[h, w, 3], meta dict)``
     — wrap libwebp/Pillow; the container walk, VP8X handling, and
     header metadata (``webp_vp8.probe_vp8``) stay engine-side."""
-    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
-        raise MediaDecodeError("not a WebP file")
-    pos = 12
-    while pos + 8 <= len(content):
-        fourcc = content[pos : pos + 4]
-        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
-        payload = content[pos + 8 : pos + 8 + size]
+    for fourcc, payload in iter_webp_chunks(content):
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
         if fourcc == b"VP8 ":
@@ -715,7 +738,6 @@ def decode_webp(content: bytes, vp8_decoder=None) -> tuple[np.ndarray, dict]:
                 "WebP lossy (VP8) needs libwebp — only lossless (VP8L) decodes "
                 "here; pass vp8_decoder= to plug one in"
             )
-        pos += 8 + size + (size & 1)  # chunks pad to even
     raise MediaDecodeError("WebP: no VP8L chunk found")
 
 
