@@ -303,6 +303,32 @@ def test_ftp_request_missing_file_raises(tmp_path):
         ex = FTPExtractor(host=f"127.0.0.1:{srv.port}")
         with pytest.raises(ftplib.error_perm):
             ex.request("pub/nope.nc", tmp_path / "nope.nc")
+        # a failed RETR must NOT leave a zero-byte destination (or a
+        # temp remnant) that a later existence check mistakes for a
+        # completed download — round-13 advice; the reference has this flaw
+        assert not (tmp_path / "nope.nc").exists()
+        assert list(tmp_path.glob("*.part")) == []
+    finally:
+        srv.close()
+
+
+def test_ftp_request_failure_preserves_prior_download(tmp_path):
+    """Re-fetch failure must not truncate a previously completed file:
+    the temp-then-rename contract means the old bytes survive."""
+    import ftplib
+
+    payload = b"good bytes"
+    srv = _MiniFTPServer({"pub/a.nc": payload})
+    try:
+        ex = FTPExtractor(host=f"127.0.0.1:{srv.port}")
+        dest = tmp_path / "a.nc"
+        assert ex.request("pub/a.nc", dest)
+        assert dest.read_bytes() == payload
+        srv.files.clear()  # server loses the file; re-fetch now 550s
+        with pytest.raises(ftplib.error_perm):
+            ex.request("pub/a.nc", dest)
+        assert dest.read_bytes() == payload  # prior download intact
+        assert list(tmp_path.glob("*.part")) == []
     finally:
         srv.close()
 

@@ -91,6 +91,19 @@ def test_symspell_keys_edit_distance_one_completeness(spark):
     assert keys["abc"] & keys["acb"] and not lev1("abc", "acb")
 
 
+def test_symspell_keys_short_words_no_degenerate_empty_key(spark):
+    """Words shorter than 2 chars emit ONLY their identity key: their sole
+    delete is '' — one degenerate key shared by the whole length-≤1
+    vocabulary (a join hot-spot) — and Spark's sequence(1, 0) counts DOWN,
+    which used to fabricate junk '' keys for them (round-13 advice)."""
+    df = spark.createDataFrame([("a",), ("",), ("ab",)], "w string")
+    rows = {r["w"]: list(r["k"]) for r in
+            df.select("w", textanalysis.symspell_keys("w").alias("k")).collect()}
+    assert rows["a"] == ["a"]          # no '' delete key
+    assert rows[""] == [""]            # identity only, no sequence(1,0) junk
+    assert sorted(rows["ab"]) == ["a", "ab", "b"]  # ≥2 chars: full deletes
+
+
 def test_predict_language_deterministic(spark):
     df = spark.createDataFrame(
         [("the cat is in the house and it is big",), ("el gato es un animal de la casa",)],

@@ -518,5 +518,61 @@ def test_webp_lossy_named_error_and_injection_seam():
     assert rgb.shape == (16, 16, 3)
     assert meta["format"] == "webp" and meta["lossless"] is False
     assert meta["y_ac_qi"] == 26 and meta["decoder"] == "fake"
+    # VP8X fields must match what probe_media surfaces for the same file
+    # (round-13 advice: the two metadata surfaces were inconsistent)
+    assert meta["has_alpha"] is True and meta["has_animation"] is False
+    assert (meta["canvas_width"], meta["canvas_height"]) == (16, 16)
     with pytest.raises(mc.MediaDecodeError, match="shape"):
         wl.decode_webp(raw, vp8_decoder=lambda c: (np.zeros((8, 8, 3), np.uint8), {}))
+
+
+def test_probe_vp8_zero_first_partition_raises():
+    """part1_size == 0 (or a few bytes) must raise VP8Error, not return a
+    structurally-valid dict decoded from synthetic zero bits (round-13
+    advice: _BoolDec used to read zeros past the buffer end)."""
+    import struct as _struct
+
+    from zarr_climate_etl_ipfs_spark.webp_vp8 import VP8Error, probe_vp8
+
+    def frame(part1: int, tail: bytes) -> bytes:
+        # key frame, version 0, show=1: 3-byte tag carries part1_size
+        tag = (part1 << 5) | (1 << 4)
+        return (
+            bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+            + b"\x9d\x01\x2a"
+            + _struct.pack("<HH", 16, 16)
+            + tail
+        )
+
+    with pytest.raises(VP8Error, match="exhausted"):
+        probe_vp8(frame(0, b"\x00" * 32))
+    with pytest.raises(VP8Error, match="exhausted"):
+        probe_vp8(frame(1, b"\x00" * 32))
+    # the real frame still probes clean (its 20-byte partition suffices)
+    m = probe_vp8(_vp8_chunk(_REAL_VP8.read_bytes()))
+    assert m["first_partition_bytes"] == 20
+
+
+def test_probe_media_animated_lossy_webp_returns_vp8x_meta():
+    """Animated lossy WebP nests VP8 frames inside ANMF, so there is no
+    top-level VP8/VP8L chunk; probe_media must return the VP8X metadata
+    (typed as an animation) instead of dying with a misleading
+    'no VP8L chunk found' (round-13 advice)."""
+    import struct as _struct
+
+    def riff(chunks):
+        body = b"WEBP"
+        for tag, payload in chunks:
+            body += tag + _struct.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                body += b"\x00"
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    # VP8X: animation bit (0x02), canvas 32x24; ANIM + one ANMF frame
+    vp8x = bytes([0x02, 0, 0, 0]) + b"\x1f\x00\x00" + b"\x17\x00\x00"
+    anim = b"\x00\x00\x00\xff\x00\x00"  # bg color + loop count
+    anmf = bytes(16) + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4
+    m = mc.probe_media(riff([(b"VP8X", vp8x), (b"ANIM", anim), (b"ANMF", anmf)]))
+    assert m["format"] == "webp" and m["codec"] == "animated"
+    assert m["has_animation"] is True
+    assert (m["canvas_width"], m["canvas_height"]) == (32, 24)

@@ -3900,6 +3900,13 @@ def probe_media(content: bytes) -> dict[str, Any]:
                     return {**probe_vp8(payload), **vp8x}
                 except VP8Error as e:
                     raise MediaDecodeError(f"WebP VP8 chunk: {e}") from e
+        # Animated lossy WebP nests its VP8 frames inside ANMF chunks, so
+        # the top-level walk above finds no VP8 chunk; falling through to
+        # decode_image would die with a misleading "no VP8L chunk found".
+        # The VP8X header already carries the probe-relevant facts —
+        # return them, typed as an animation.
+        if vp8x.get("has_animation"):
+            return {"format": "webp", "codec": "animated", **vp8x}
         # VP8X features ride along for extended LOSSLESS files too — the
         # probe surface must not depend on which codec the still used
         _, meta = decode_image(content)

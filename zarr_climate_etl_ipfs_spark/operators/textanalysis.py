@@ -137,22 +137,35 @@ def symspell_keys(word: Column | str) -> Column:
     delete position; an insert/delete meets at the shorter word itself),
     so a lexical entity-resolution pass is ONE linear-shuffle
     self-equi-join on the exploded keys — |keys| = Σ(len+1) over the
-    vocabulary, per-key groups alphabet-bounded. PERFECT RECALL but not
-    precision: distance-2 pairs can also collide (``abc``/``acb`` — a
-    transposition — share the delete ``ab``), so the exact
-    ``F.levenshtein(...) == 1`` verify on the candidates is REQUIRED,
-    never an optimization to skip. The 100-TB-safe replacement for
-    length-bucket quadratic blocking; the ``typo_candidate_pairs``
-    catalog query is the oracle-checked demo. Pure JVM expression
-    (transform/sequence/substring), no Python."""
+    vocabulary. Per-key group size is O(26·len): a delete key ``k`` is
+    shared by every single-character insertion into ``k`` at any position
+    — up to ``26·(len(k)+1) + 1`` vocabulary words — linear in word
+    length, never corpus-sized, but NOT a constant. PERFECT RECALL among
+    words of length ≥ 2, but not precision: distance-2 pairs can also
+    collide (``abc``/``acb`` — a transposition — share the delete ``ab``),
+    so the exact ``F.levenshtein(...) == 1`` verify on the candidates is
+    REQUIRED, never an optimization to skip.
+
+    Words shorter than 2 characters emit NO delete keys (only the identity
+    key): their sole delete is the empty string, one degenerate key shared
+    by the entire length-≤1 vocabulary — a join hot-spot — and Spark's
+    ``sequence(1, 0)`` counts DOWN, which would otherwise fabricate junk
+    ``''`` keys for them. Consequence: a distance-1 pair of two
+    single-character words (``a``/``b``) is not recalled; callers wanting
+    those pairs must handle length-1 words separately (they are a closed
+    26-element set). The 100-TB-safe replacement for length-bucket
+    quadratic blocking; the ``typo_candidate_pairs`` catalog query is the
+    oracle-checked demo. Pure JVM expression (transform/sequence/
+    substring), no Python."""
     w = F.col(word) if isinstance(word, str) else word
-    return F.concat(
-        F.array(w),
+    deletes = F.when(
+        F.length(w) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.length(w)),
             lambda i: F.concat(w.substr(F.lit(1), i - 1), w.substr(i + 1, F.length(w))),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.array(w), deletes)
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:

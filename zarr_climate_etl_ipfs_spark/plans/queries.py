@@ -9346,8 +9346,10 @@ def typo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     abc/acb also collide, which is why the exact verify below is load-
     bearing), so candidates come from a linear-shuffle self-equi-join on
     exploded keys — |keys| = Σ(len+1) over the VOCABULARY
-    (Heaps-law-bounded, not corpus-bounded), per-key groups bounded by the
-    alphabet (≤ 27 words share one delete key). Exact Levenshtein == 1 is
+    (Heaps-law-bounded, not corpus-bounded), per-key groups O(26·len): a
+    delete key k is shared by up to 26·(len(k)+1)+1 words (every
+    single-char insertion into k at any position) — length-linear, never
+    corpus-sized. Exact Levenshtein == 1 is
     then verified JVM-side on the candidates only. The DuckDB oracle uses
     the identical key construction. No crossJoin, no length-bucket
     quadratic blocks anywhere.

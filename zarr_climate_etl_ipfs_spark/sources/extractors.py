@@ -192,12 +192,22 @@ class FTPExtractor(Extractor):
             except ValueError:
                 pass  # not a port — leave the host string intact
         ftp = ftplib.FTP(timeout=30)
+        # Download to a sibling temp path and rename only after RETR
+        # succeeds: a failed transfer (550, timeout) must not leave a
+        # zero-byte file at the destination that a later existence check
+        # mistakes for a completed download (round-13 advice — the
+        # reference shares this flaw; extractor.py:546-549 writes direct).
+        tmp = destination.with_name(destination.name + ".part")
         try:
             ftp.connect(host, port)
             ftp.login()
             destination.parent.mkdir(parents=True, exist_ok=True)
-            with destination.open("wb") as f:
+            with tmp.open("wb") as f:
                 ftp.retrbinary(f"RETR {path}", f.write)
+            tmp.replace(destination)
+        except BaseException:
+            tmp.unlink(missing_ok=True)
+            raise
         finally:
             ftp.close()
         return True

@@ -44,11 +44,15 @@ class _BoolDec:
     Validated against a real libwebp stream via the header fields it
     recovers (see module docstring)."""
 
-    __slots__ = ("buf", "pos", "rng", "val", "bitcnt", "end")
+    __slots__ = ("buf", "pos", "rng", "val", "bitcnt", "end", "overrun")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.end = len(buf)
+        # Reading past the partition would silently decode synthetic zero
+        # bits — structurally valid garbage. Track it so callers can
+        # reject a walk that exhausted its partition (e.g. part1_size 0).
+        self.overrun = self.end < 2
         b0 = buf[0] if self.end > 0 else 0
         b1 = buf[1] if self.end > 1 else 0
         self.val = (b0 << 8) | b1
@@ -72,7 +76,10 @@ class _BoolDec:
             self.bitcnt += 1
             if self.bitcnt == 8:
                 self.bitcnt = 0
-                self.val |= self.buf[self.pos] if self.pos < self.end else 0
+                if self.pos < self.end:
+                    self.val |= self.buf[self.pos]
+                else:
+                    self.overrun = True
                 self.pos += 1
         return ret
 
@@ -143,6 +150,11 @@ def probe_vp8(data: bytes) -> dict:
     deltas = {}
     for name in ("y1dc", "y2dc", "y2ac", "uvdc", "uvac"):
         deltas[name] = bd.signed(4) if bd.bool() else 0
+    if bd.overrun:
+        raise VP8Error(
+            f"first partition ({part1_size} bytes) exhausted mid-header — "
+            "probe fields would be synthetic zero bits"
+        )
     return {
         "format": "webp-vp8",
         "width": width,

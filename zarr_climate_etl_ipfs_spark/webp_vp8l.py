@@ -717,7 +717,13 @@ def decode_webp(content: bytes, vp8_decoder=None) -> tuple[np.ndarray, dict]:
     ``vp8_decoder(vp8_chunk: bytes) -> (rgb uint8[h, w, 3], meta dict)``
     — wrap libwebp/Pillow; the container walk, VP8X handling, and
     header metadata (``webp_vp8.probe_vp8``) stay engine-side."""
+    vp8x: dict = {}
     for fourcc, payload in iter_webp_chunks(content):
+        if fourcc == b"VP8X":
+            # captured so the injected-decoder meta below matches what
+            # probe_media surfaces for the same extended lossy file
+            # (has_alpha/has_animation/canvas_*)
+            vp8x = parse_vp8x(payload)
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
         if fourcc == b"VP8 ":
@@ -732,7 +738,7 @@ def decode_webp(content: bytes, vp8_decoder=None) -> tuple[np.ndarray, dict]:
                         f"injected VP8 decoder returned shape {rgb.shape}, "
                         f"header says {hdr['height']}x{hdr['width']}"
                     )
-                out_meta = {**hdr, **meta, "format": "webp", "lossless": False}
+                out_meta = {**hdr, **vp8x, **meta, "format": "webp", "lossless": False}
                 return rgb, out_meta
             raise NotImplementedError(
                 "WebP lossy (VP8) needs libwebp — only lossless (VP8L) decodes "
