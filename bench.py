@@ -15,6 +15,35 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def plan_fingerprint(df) -> str:
+    """Stable fingerprint of the EXECUTED physical plan (round-13 verdict
+    #3): separates "the plan changed" from "the host moved" when a bench
+    number drifts round-over-round. Normalizes away everything that varies
+    run-to-run without a plan change — expression ids, AQE plan ids,
+    temp/scale-factor paths, row-count/size statistics — then sha256s the
+    shape. Call AFTER an action so AQE has settled on the final plan.
+
+    Contract for riser triage: equal sha ⇒ the plan did NOT change (blame
+    the host); different sha ⇒ diff the plans before concluding anything —
+    a small class of plans renders two equivalent forms (Spark's
+    RewriteDistinctAggregates enumerates multi-distinct Expand groups in
+    nondeterministic order, permuting gid assignment), so sha inequality
+    alone is not proof of a plan change."""
+    import hashlib
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[A-Z]*", "#", s)               # exprIds
+    s = re.sub(r"\b([a-z]+)_\d+#", r"\1_#", s)      # HOF lambda var counter (x_4#, y_12#)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)       # AQE/exchange plan ids
+    s = re.sub(r"\[id=#?\]?|\[id=#\d+\]", "", s)
+    s = re.sub(r"/[^\s,\)\]]*(?:/tmp/|sf[0-9.]+|spark-warehouse)[^\s,\)\]]*", "/PATH", s)
+    s = re.sub(r"\d+(\.\d+)?\s*(B|KiB|MiB|GiB|TiB)\b", "SZ", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"rowCount=\d+", "rowCount=", s)
+    s = re.sub(r"\b\d{4,}\b", "N", s)               # partition counts, sizes
+    return hashlib.sha256(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -104,6 +133,7 @@ def main() -> None:
     # gaps_islands drift); give them extra iterations so the min settles
     runs_fast = int(os.environ.get("BENCH_RUNS_FAST", "5"))
     timings: dict[str, float] = {}
+    plan_shas: dict[str, str] = {}
     errors: dict[str, str] = {}
     for name, qd in selected.items():
         # fault isolation: one broken query must never zero the whole round's
@@ -111,12 +141,17 @@ def main() -> None:
         best = float("inf")
         try:
             done = 0
+            df = None
             while done < runs or (best < 1.0 and done < runs_fast):
                 t0 = time.perf_counter()
-                len(qd.fn(spark, sf_dir).collect())
+                df = qd.fn(spark, sf_dir)
+                len(df.collect())
                 best = min(best, time.perf_counter() - t0)
                 done += 1
             timings[name] = round(best, 4)
+            # post-action so AQE has settled; riser triage consults this
+            # before blaming the host (round-13 verdict #3)
+            plan_shas[name] = plan_fingerprint(df)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 4)
@@ -158,6 +193,7 @@ def main() -> None:
         "subset": "all" if run_all else "headline",
         "n_queries": len(selected),
         "queries": timings,
+        "plan_sha": plan_shas,
         "sf": sf,
         "runs_per_query": runs,
     }

@@ -190,3 +190,23 @@ def test_no_broadcast_hints_on_sf_scaled_base_tables(spark):
         f"broadcast hints over SF-scaled base tables: {offenders} — drop the "
         "hint and let AQE decide (dims broadcast, facts shuffle)"
     )
+
+
+def test_plan_fingerprint_stable_and_normalized(spark):
+    """bench.plan_fingerprint (round-13 verdict #3): two fresh builds of
+    the same query hash identically — exprIds, HOF lambda counters, AQE
+    plan ids, and paths are normalized away — and different queries hash
+    differently (the fingerprint actually carries plan shape)."""
+    import bench
+
+    def fp(name):
+        df = REGISTRY[name].fn(spark, SF)
+        df.collect()
+        return bench.plan_fingerprint(df)
+
+    a1, a2 = fp("pricing_summary"), fp("pricing_summary")
+    assert a1 == a2, "same query, same session: fingerprint must be stable"
+    # lambda-counter normalization: HOF-heavy query stable across rebuilds
+    b1, b2 = fp("minhash_lsh_neardups"), fp("minhash_lsh_neardups")
+    assert b1 == b2
+    assert a1 != b1, "different plans must not collide"
