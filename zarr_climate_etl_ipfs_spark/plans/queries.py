@@ -3449,9 +3449,29 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.052 s warm) but 5× SLOWER inside this query's fused
     join+filter+project+sort shape (4.4 vs 0.85 s warm on the sibling
     embedding_neardup_pairs; same blowup here) — the huge single
-    expression destroys the fused stage's JIT behavior. With Arrow
-    transfer (r7), vector-carry (r8), and flat-codegen (r9) all measured
-    losers, the ~1.0 s interpreted-HOF verify is the documented floor."""
+    expression destroys the fused stage's JIT behavior.
+
+    FOURTH (FINAL) negative result (r14, the round-13 verdict's last
+    unexplored shapes; FLOOR RECORD — roster entry frozen the way
+    simhash_neardups froze at four attempts): (a) the single-aggregate
+    fold over arrays_zip'd structs and (b) the sequence-index fold
+    (aggregate over sequence(0,63) with two element_at lookups, zero
+    intermediate arrays) both measured EQUAL to the shipped
+    zip_with+aggregate within noise — same-session interleaved fresh
+    builds, minima 3.95 / 3.50 vs 3.88 s (shipped REGISTRY 3.41 s in the
+    same window), value-identical on all 1,989 rows. (c) The
+    quantized-int prefilter is structurally dominated, not worth a
+    measurement: a sound prefilter must still run one interpreted fold
+    per candidate pair (int multiplies are not cheaper than double
+    multiplies under interpreted HOF evaluation) PLUS the exact fold on
+    survivors, so it strictly adds work at any survivor rate. With Arrow
+    transfer (r7), vector-carry (r8), flat-codegen (r9), and
+    single-aggregate/index-fold (r14) all measured losers, the
+    interpreted-HOF verify IS the floor: a JVM engine evaluating a
+    per-element lambda ~30M times cannot meet an in-process C++ columnar
+    kernel on a 464k-pair/2k-vector workload; the gap closes only with
+    data scale (SCALE.md: the banded plan is linear-shuffle and beats the
+    oracle's quadratic candidate growth at 10×/100×)."""
     from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
     from zarr_climate_etl_ipfs_spark.operators.similarity import (
         rademacher_planes,
@@ -3625,7 +3645,23 @@ def embedding_lsh_neardups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the identical md5-derived Rademacher planes
     relationally (range × range + list_inner_product), so the band
     predicate is part of the contract on both sides and greenness does not
-    ride on probabilistic recall."""
+    ride on probabilistic recall.
+
+    FLOOR RECORD (r14; roster entry frozen): the r13 local riser
+    1.19→3.12 s was interleave-A/B'd (BENCH_interleave_r13risers.json) —
+    quiet-host min 1.79 s, so the 3.12 s row was mostly ENVIRONMENT, with
+    a residual ~1.5× vs the r12 row that motivated one last attempt: a
+    pure-JVM 48-plane expression signature (no Python worker) is
+    bit-identical and FASTER in isolation (0.52 vs 0.65 s for the
+    signature stage) but 3.5× SLOWER end-to-end (4.82 vs 1.38 s min,
+    same-session interleaved) — the r9 flat-codegen pathology: the
+    3072-literal expression tree is re-executed in all three subtree
+    references (banded + both verify sides) and wrecks codegen. At 2,000
+    vectors the query is ~4 jobs of fixed Arrow/scheduler overhead
+    (signature stage alone: 0.58 s Arrow, of which <0.05 s is compute);
+    DuckDB's in-process run has no such floor. The 2× letter is
+    unreachable at demo scale by construction; the plan is the right one
+    at data scale (SCALE.md 200k-vector curve)."""
     from zarr_climate_etl_ipfs_spark.operators.similarity import srp_neardup_pairs
 
     emb = t_wide(spark, sf_dir, "embeddings")
@@ -9441,7 +9477,18 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number of DAYS, bounded by the archive length, never by row count;
     at 100 TB the heavy input collapses in the first aggregate and the
     quadratic stage operates on thousands of rows per series. The join key
-    is the series, so skew is bounded by series count."""
+    is the series, so skew is bounded by series count.
+
+    T² BOUND (round-13 verdict #8): the pair stage is quadratic in days-
+    per-series. Fine for T ≲ 10⁴ (27-year daily ≈ 48M pairs/series — one
+    shuffle-free map stage over a per-series relation that fits in an
+    executor); a 30-year HOURLY archive (T ≈ 2.6×10⁵, 3.4×10¹⁰
+    pairs/series) needs a mitigation: Siegel's repeated-median (median of
+    per-point medians, T² work but T-sized memory and embarrassingly
+    row-parallel — a windowed groupBy twin of this plan) or windowed
+    Theil-Sen (pairs restricted to |d2-d1| ≤ W, linear in T·W, the standard
+    large-archive form). SCALE.md carries the bound table; neither variant
+    is needed at the catalog's daily cadence."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("event_type").isNotNull()
