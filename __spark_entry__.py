@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_keep_first.
 _ROTATE_FIRST = [
     'typo_candidate_pairs', 'theil_sen_trend', 'robust_zscore_outliers',
-    'cusum_changepoint', 'streaming_cusum_drift', 'asof_nearest',
+    'cusum_changepoint', 'streaming_cusum_drift', 'siegel_repeated_median_trend',
+    'asof_nearest',
     'pivot_status_priority', 'embedding_lsh_neardups', 'decontamination',
     'doc_chunks', 'term_frequency', 'pii_scrub',
     'repetition_ratio', 'stratified_sample', 'sequence_packing',
@@ -50,7 +51,8 @@ _ROTATE_FIRST = [
     'simhash_neardups', 'dedup_components', 'ivf_knn',
     'hash_sample', 'forecast_store_roundtrip', 'catalog_lifecycle',
     'hindcast_store_roundtrip', 'document_chunking', 'quota_sample',
-    'repetition_stats', 'dedup_keep_first',  # <-- driver cut (50)
+    'repetition_stats',  # <-- driver cut (50)
+    'dedup_keep_first',
     'streaming_hourly_stats',
     'curation_pipeline', 'range_band_join', 'value_percentiles',
     'nested_top_values', 'funnel_conversion', 'image_resize_stats',
