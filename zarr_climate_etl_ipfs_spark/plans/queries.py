@@ -9816,13 +9816,19 @@ def siegel_repeated_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Capability gap closed (round-13 verdict #6 discipline): robust trend
     whose quadratic intermediate never has to be HELD — total pair work is
     still T(T-1) per series, but the inner median collapses each day's
-    T-1 slopes inside one groupBy(series, day) aggregate, so the relation
-    between the two median stages is T rows/series (vs T²/2 pairs feeding
-    theil_sen's single median). At a 30-year-hourly archive that is the
-    difference between a 2.6e5-row and a 3.4e10-row intermediate — the
-    memory-bounded, row-parallel form. Headroom math at add time: full
-    catalog 135.4 s Spark / 95.8 s DuckDB = 1.41x of the 2x gate; this
-    query adds ~0.7 s Spark / ~0.1 s DuckDB -> projected ~1.42x.
+    T-1 slopes inside one groupBy(series, day) aggregate, so the largest
+    percentile group holds T-1 values (vs T²/2 feeding theil_sen's single
+    median). SELECTION RULE, from the measured day-axis curve (SCALE.md
+    "trend-scale" block): at local scale this form COSTS wall time
+    (26.4 s vs theil_sen's 5.7 s at T=3000 — 15k small percentile groups
+    lose to 5 large sorts when the pair relation fits in memory); its
+    value is the memory shape — ~2.6e5-value groups at the 30-year-hourly
+    point where theil_sen's 3.4e10-value per-series sort is not holdable.
+    Use theil_sen while T²/2 per series fits an executor; this estimator
+    (or windowed Theil-Sen) when it does not. Headroom math at add time:
+    full catalog 135.4 s Spark / 95.8 s DuckDB = 1.41x of the 2x gate;
+    this query adds ~0.7 s Spark / ~0.1 s DuckDB -> projected ~1.42x
+    (measured after add: 131.3/102.7 = 1.28x, siegel row 0.56 s).
 
     Exactness: the same integer-micro-unit daily means as theil_sen_trend
     (bit-identical regardless of aggregation order), identical double
