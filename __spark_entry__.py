@@ -30,9 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # `python tools/rotation_audit.py --next-round N` after each round's
 # CORRECTNESS_rN.json lands and paste the emitted list verbatim; the same run
 # regenerates ROTATION_STATUS.md (staleness dashboard). Round-14 order =
-# 5 never-attested r13 additions, 15 r9-era rows, 23 r11-era rows, then
+# 6 never-attested queries (the 5 r13 additions + r14's
+# siegel_repeated_median_trend), 15 r9-era rows, 23 r11-era rows, then
 # r12-era rows in CORRECTNESS_r12.json order; the 50-cut falls at
-# dedup_keep_first.
+# repetition_stats (dedup_keep_first is position 51, below the cut — it
+# must lead round 15 along with everything after it).
 _ROTATE_FIRST = [
     'typo_candidate_pairs', 'theil_sen_trend', 'robust_zscore_outliers',
     'cusum_changepoint', 'streaming_cusum_drift', 'siegel_repeated_median_trend',

@@ -23,12 +23,15 @@ def plan_fingerprint(df) -> str:
     temp/scale-factor paths, row-count/size statistics — then sha256s the
     shape. Call AFTER an action so AQE has settled on the final plan.
 
-    Contract for riser triage: equal sha ⇒ the plan did NOT change (blame
-    the host); different sha ⇒ diff the plans before concluding anything —
+    Contract for riser triage — BOTH directions are evidence, not proof:
+    equal sha ⇒ the plan SHAPE is unchanged up to the normalization (note
+    the 4+-digit literal scrub means a change expressed ONLY in such a
+    literal — a limit 10000→50000, a repartition 1000→8000 — fingerprints
+    identically; if the suspect edit touched a numeric knob, diff the
+    plans); different sha ⇒ diff the plans before concluding anything —
     a small class of plans renders two equivalent forms (Spark's
     RewriteDistinctAggregates enumerates multi-distinct Expand groups in
-    nondeterministic order, permuting gid assignment), so sha inequality
-    alone is not proof of a plan change."""
+    nondeterministic order, permuting gid assignment)."""
     import hashlib
 
     s = df._jdf.queryExecution().executedPlan().toString()
@@ -149,11 +152,17 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 done += 1
             timings[name] = round(best, 4)
-            # post-action so AQE has settled; riser triage consults this
-            # before blaming the host (round-13 verdict #3)
-            plan_shas[name] = plan_fingerprint(df)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        # post-action so AQE has settled; riser triage consults this before
+        # blaming the host (round-13 verdict #3). Own try: a fingerprint
+        # hiccup must not re-record a successfully TIMED query as an error.
+        try:
+            if df is not None:
+                plan_shas[name] = plan_fingerprint(df)
+        except Exception as exc:  # noqa: BLE001
+            plan_shas[name] = f"unavailable: {type(exc).__name__}"
     total = round(sum(timings.values()), 4)
 
     # DuckDB on the same parquet + oracle SQL: the round-over-round baseline,

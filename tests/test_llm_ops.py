@@ -96,12 +96,13 @@ def test_symspell_keys_short_words_no_degenerate_empty_key(spark):
     delete is '' — one degenerate key shared by the whole length-≤1
     vocabulary (a join hot-spot) — and Spark's sequence(1, 0) counts DOWN,
     which used to fabricate junk '' keys for them (round-13 advice)."""
-    df = spark.createDataFrame([("a",), ("",), ("ab",)], "w string")
-    rows = {r["w"]: list(r["k"]) for r in
+    df = spark.createDataFrame([("a",), ("",), ("ab",), (None,)], "w string")
+    rows = {r["w"]: (list(r["k"]) if r["k"] is not None else None) for r in
             df.select("w", textanalysis.symspell_keys("w").alias("k")).collect()}
     assert rows["a"] == ["a"]          # no '' delete key
     assert rows[""] == [""]            # identity only, no sequence(1,0) junk
     assert sorted(rows["ab"]) == ["a", "ab", "b"]  # ≥2 chars: full deletes
+    assert rows[None] is None          # NULL word -> NULL keys, never [NULL]
 
 
 def test_predict_language_deterministic(spark):

@@ -482,6 +482,16 @@ def test_probe_media_webp_failure_contract_and_lossless_vp8x():
     m = mc.probe_media(ext)
     assert m["has_alpha"] is True and (m["canvas_width"], m["canvas_height"]) == (4, 4)
     assert m["width"] == 4  # the VP8L decode's own meta is still there
+    # decode_webp must surface the same VP8X fields for extended lossless
+    # files — probe and decode are ONE metadata surface (r14 review catch:
+    # the r14 fix had only covered the injected-lossy branch)
+    rgb2, dm = wl.decode_webp(ext)
+    assert rgb2.shape == (4, 4, 3)
+    assert dm["has_alpha"] is True and dm["has_animation"] is False
+    assert (dm["canvas_width"], dm["canvas_height"]) == (4, 4)
+    # plain (non-extended) lossless keeps its meta unchanged — empty merge
+    _, plain_meta = wl.decode_webp(plain)
+    assert "canvas_width" not in plain_meta
 
 
 def test_injected_audio_decoder_bad_sample_rate():

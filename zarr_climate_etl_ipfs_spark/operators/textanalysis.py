@@ -165,7 +165,11 @@ def symspell_keys(word: Column | str) -> Column:
             lambda i: F.concat(w.substr(F.lit(1), i - 1), w.substr(i + 1, F.length(w))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.concat(F.array(w), deletes)
+    # NULL word -> NULL key set (the pre-guard behavior), not [NULL]: an
+    # exploded [NULL] row is junk a groupBy/count over keys would surface
+    return F.when(w.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.concat(F.array(w), deletes)
+    )
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -197,7 +197,16 @@ class FTPExtractor(Extractor):
         # zero-byte file at the destination that a later existence check
         # mistakes for a completed download (round-13 advice — the
         # reference shares this flaw; extractor.py:546-549 writes direct).
-        tmp = destination.with_name(destination.name + ".part")
+        # The suffix is unique per process+object so CONCURRENT fetches of
+        # the same destination (speculative/retried tasks — the class this
+        # extractor's fresh-connection contract is designed for) cannot
+        # cross-delete or interleave each other's temp file; last rename
+        # wins atomically.
+        import os  # noqa: PLC0415
+
+        tmp = destination.with_name(
+            f"{destination.name}.{os.getpid()}.{id(self):x}.part"
+        )
         try:
             ftp.connect(host, port)
             ftp.login()

@@ -725,7 +725,11 @@ def decode_webp(content: bytes, vp8_decoder=None) -> tuple[np.ndarray, dict]:
             # (has_alpha/has_animation/canvas_*)
             vp8x = parse_vp8x(payload)
         if fourcc == b"VP8L":
-            return decode_vp8l(payload)
+            rgb, meta = decode_vp8l(payload)
+            # same merge as the injected-lossy branch below: extended
+            # LOSSLESS files must surface the VP8X fields too, matching
+            # probe_media (the review caught the fix as half-applied)
+            return rgb, {**meta, **vp8x}
         if fourcc == b"VP8 ":
             if vp8_decoder is not None:
                 from zarr_climate_etl_ipfs_spark.webp_vp8 import probe_vp8
