@@ -1138,3 +1138,49 @@ def test_source_span_overlap_hand_case(spark):
     r = out[0]
     assert (r["source_a"], r["source_b"]) == ("srcA", "srcB")
     assert r["n_shared_spans"] == 1
+
+
+def test_hyperplane_signature_full_64_planes(spark):
+    """n_planes=64 must build and set bit 63 via shiftleft — F.lit(1 << 63)
+    exceeds Long.MaxValue and used to fail plan-build (round-14 review
+    catch); out-of-range plane counts raise a clear ValueError."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([([1.0] * 64,)], "v array<float>")
+    sig = df.select(similarity.hyperplane_signature("v", n_planes=64).alias("s")).first()["s"]
+    assert isinstance(sig, int)  # built and evaluated; sign bit may be set
+    with _pytest.raises(ValueError, match="n_planes"):
+        similarity.hyperplane_signature("v", n_planes=65)
+    with _pytest.raises(ValueError, match="n_planes"):
+        similarity.hyperplane_signature("v", n_planes=0)
+
+
+def test_lsh_band_divisibility_enforced(spark):
+    """lsh_topk and embedding_near_duplicates enforce the same precondition
+    as srp_band_values: a remainder would silently discard the top
+    n_planes % bands signature bits (round-14 review catch)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, [1.0] * 8)], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.lsh_topk(df, df, n_planes=16, bands=3)
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.embedding_near_duplicates(df, n_planes=13, bands=4)
+
+
+def test_srp_neardup_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """Duplicate vec_ids (dirty corpus re-ingest) collide in every band as
+    identical structs; the pair generator's sorted listing guarantees
+    id_a <= id_b, so without the guard a cosine-1.0 SELF-pair violates the
+    documented id_a < id_b contract (round-14 review catch) — on both the
+    uncapped (min-band dedup) and capped (dropDuplicates) paths."""
+    vec = [1.0, 0.5] * 32
+    rows = [(7, vec), (7, vec), (9, [v + 0.001 for v in vec])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for cap in (None, 100):
+        out = similarity.srp_neardup_pairs(
+            df, threshold=0.9, n_planes=16, bands=4, max_bucket=cap
+        ).collect()
+        assert all(r["id_a"] < r["id_b"] for r in out), (cap, out)
+        # the true near-dup pair (7, 9) still survives
+        assert any((r["id_a"], r["id_b"]) == (7, 9) for r in out), (cap, out)

@@ -593,3 +593,17 @@ def test_timestamp_as_of_time_travel(store, spark, desc):
         store.dataset(version=v1, as_of=t_v1)
     # the log surfaces the commit instants
     assert all("committed_utc" in e for e in store.versions())
+
+
+def test_write_initial_empty_refuses_to_brick_store(tmp_path, desc, spark, initial_df):
+    """An empty initial publish must raise StoreError instead of committing
+    files=[] — that manifest would make has_existing() True while dataset()
+    has no paths to read, wedging every later call (round-14 review catch).
+    The store stays clean for a subsequent real write."""
+    s = GridStore(tmp_path, desc, spark)
+    with pytest.raises(StoreError, match="empty"):
+        s.write_initial(initial_df.limit(0))
+    assert not s.has_existing()  # no manifest committed
+    s.write_initial(initial_df)  # still usable afterwards
+    assert s.has_existing() and s.dataset().count() == initial_df.count()
+    s.destroy()

@@ -447,3 +447,24 @@ def test_running_extremes_v1_v2_identical_output(tmp_path, spark):
     assert v1 == v2
     # and both carry state across batches: user 1's final snapshot spans all runs
     assert (1, 3, 350, 9999) in v1
+
+
+def test_windowed_stats_nan_excluded_from_mean(spark):
+    """NaN is 'missing' for null_share, so it must be missing for mean_value
+    too: avg() skips NULL but would propagate NaN, making the same missing
+    datum yield a valid or NaN mean depending on representation (round-14
+    review catch)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (t0, 10.0),
+        (t0 + dt.timedelta(minutes=1), float("nan")),
+        (t0 + dt.timedelta(minutes=2), None),
+        (t0 + dt.timedelta(minutes=3), 20.0),
+    ]
+    out = windowed_stats(
+        spark.createDataFrame(rows, "ts timestamp, v double"), "ts", "v"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 4
+    assert out[0]["mean_value"] == 15.0  # (10+20)/2 — NaN and NULL excluded
+    assert out[0]["null_share"] == 0.5

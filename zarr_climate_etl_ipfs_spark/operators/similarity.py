@@ -65,6 +65,8 @@ def hyperplane_signature(vec: Column | str, n_planes: int = 16, seed: int = 42, 
     no driver-side randomness, no broadcast of a plane matrix, identical
     across runs and engines that share the hash.
     """
+    if not 1 <= n_planes <= 64:
+        raise ValueError(f"n_planes must be in [1, 64] for a long signature, got {n_planes}")
     v = F.col(vec) if isinstance(vec, str) else vec
 
     def plane_dot(i: int) -> Column:
@@ -80,9 +82,11 @@ def hyperplane_signature(vec: Column | str, n_planes: int = 16, seed: int = 42, 
 
     out = F.lit(0).cast("long")
     for i in range(n_planes):
-        out = out + F.when(plane_dot(i) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        # shiftleft, not F.lit(1 << i): bit 63 exceeds Long.MaxValue as a
+        # Python literal and fails plan-build (round-14 review catch); the
+        # shift is constant-folded by Catalyst, so plans are unchanged
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        out = out + F.when(plane_dot(i) > 0, bit).otherwise(F.lit(0).cast("long"))
     return out
 
 
@@ -99,6 +103,11 @@ def lsh_topk(
     """Approximate top-k: candidates and queries hashed to hyperplane
     signatures split into bands; exact cosine only for candidates sharing at
     least one band with the query (multi-probe recall knob = bands)."""
+    if n_planes % bands:
+        # same precondition srp_band_values enforces: a remainder would
+        # silently discard the top n_planes % bands signature bits, so the
+        # effective recall differs from the requested configuration
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
 
@@ -152,6 +161,8 @@ def embedding_near_duplicates(
     Same banded-signature bucketing as lsh_topk but self-joined: near-
     identical vectors agree on most sign bits, so they collide in ≥1 band
     with high probability; exact cosine verifies in-bucket."""
+    if n_planes % bands:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
     sig = hyperplane_signature(vec_col, n_planes)
@@ -327,11 +338,7 @@ def srp_neardup_pairs(
     s = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        F.sqrt(
-            F.aggregate(
-                vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-            )
-        ).alias("_n"),
+        l2_norm(vec_col).alias("_n"),  # bit-identical fold, shared helper
         srp_band_values(vec_col, planes, bands).alias("_bvs"),
         F.monotonically_increasing_id().alias("_mid"),
     ).filter(
@@ -404,7 +411,14 @@ def srp_neardup_pairs(
                 )
             ).alias("p")
         )
-        cand = pairs.filter(F.col("p").isNotNull()).select("p.id_a", "p.id_b")
+        # id_a != id_b: the sorted in-bucket listing guarantees id_a <= id_b,
+        # so duplicate vec_ids in a dirty corpus would otherwise emit a
+        # cosine-1.0 SELF-pair, violating the id_a < id_b contract
+        cand = (
+            pairs.filter(F.col("p").isNotNull())
+            .select("p.id_a", "p.id_b")
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
     else:
         pairs = buckets.select(
             F.explode_outer(
@@ -421,8 +435,10 @@ def srp_neardup_pairs(
                 )
             ).alias("p")
         ).select("p.id_a", "p.id_b")
-        cand = pairs.dropDuplicates(["id_a", "id_b"]).repartition(
-            sc.defaultParallelism
+        cand = (
+            pairs.filter(F.col("id_a") != F.col("id_b"))  # same self-pair guard
+            .dropDuplicates(["id_a", "id_b"])
+            .repartition(sc.defaultParallelism)
         )
     va = s.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_n").alias("_na")
@@ -434,14 +450,9 @@ def srp_neardup_pairs(
     # and must yield NULL cosine (threshold-dropped on both engines; the
     # DuckDB oracle's LIST_COSINE_SIMILARITY yields -1.0 there) instead of
     # an ANSI-mode DIVIDE_BY_ZERO error (round-8 adversarial-corpus catch)
-    cos_expr = F.try_divide(
-        F.aggregate(
-            F.zip_with("_va", "_vb", lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        F.col("_na") * F.col("_nb"),
-    )
+    # dot() is the identical fold (same casts, same left-to-right
+    # accumulation — bit-identical); norms were hoisted per row above
+    cos_expr = F.try_divide(dot("_va", "_vb"), F.col("_na") * F.col("_nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -544,12 +555,20 @@ def ivf_index(
         train = (
             candidates if train_fraction >= 1.0 else candidates.sample(train_fraction, seed)
         )
+        if train.isEmpty():
+            # same graceful empty-corpus contract as the dataframe branch
+            # (r9 catch, applied to both trainers per the r14 review): an
+            # empty fit would die inside MLlib with an opaque error
+            return candidates.withColumn("cell", F.lit(None).cast("int")), []
         km = KMeans(
             k=n_cells, seed=seed, featuresCol="_features", maxIter=max_iter, initMode=init_mode
         )
         model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("_features")))
         centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    assigned = assign_ivf_cell(candidates, centroids, vec_col)
+    # pandas assignment on both branches: one BLAS matmul per Arrow batch
+    # vs the literal-expression argmin whose n_cells x dim tree dominates
+    # analysis time at 64x64 (search_ivf_index docstring measurement)
+    assigned = assign_ivf_cell(candidates, centroids, vec_col, method="pandas")
     return assigned, centroids
 
 
@@ -558,7 +577,7 @@ def assign_ivf_cell(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     method: str = "expr",
-) -> Column:
+) -> DataFrame:
     """Add a ``cell`` column: index of the nearest centroid (L2).
 
     ``method="expr"`` inlines the centroids as literals — a pure codegen'd
@@ -1219,8 +1238,8 @@ def compact_ivf_index(spark, path: str, max_files_per_cell: int = 1) -> dict:
     from pathlib import Path as _Path
 
     _assigned, _centroids, meta = read_ivf_index(spark, path)
+    # read_ivf_index already ran _recover_cells on this root — no second pass
     cells_root = _Path(path) / "cells"
-    _recover_cells(cells_root)
     crowded: dict[str, int] = {}
     for cell_dir in sorted(cells_root.glob("cell=*")):
         n = sum(1 for p in cell_dir.glob("*.parquet"))

@@ -519,6 +519,14 @@ class GridStore:
         try:
             obs_df, obs = self._observe_rng(df)
             files = self._stage_files(obs_df)
+            if not files:
+                # an empty initial publish would commit files=[] and brick
+                # the store: has_existing() turns True but dataset() has no
+                # paths to read (round-14 review catch) — refuse clearly
+                raise StoreError(
+                    "write_initial: input produced no data files (empty "
+                    "DataFrame?) — refusing to commit an empty manifest"
+                )
             self._commit("initial", files, obs.get)
         finally:
             # the in-progress flag must clear even on a failed write —
@@ -565,10 +573,31 @@ class GridStore:
         bucket files leave the manifest but stay on disk (time travel)."""
         if dry_run:
             return
-        td = self.desc.time_dim
         update = self._with_bucket(df.select(*self.desc.schema().fieldNames()))
-        replaced_times = update.select(td).distinct()
+        replaced_times = update.select(self.desc.time_dim).distinct()
         touched = {r[0] for r in update.select(_BUCKET_COL).distinct().collect()}
+        self._rewrite_touched(df, replaced_times, touched, action="insert")
+
+    def _rewrite_touched(
+        self,
+        df: DataFrame,
+        anti_keys: DataFrame,
+        touched: set,
+        action: str,
+        prev_end: Any = None,
+    ) -> None:
+        """Shared carry-over pipeline for :meth:`insert` and
+        :meth:`_update_mixed` (they differ only in how ``touched`` /
+        ``anti_keys`` are derived, the action label, and ``prev_end``):
+        flag, observe the NEW rows' leg (the manifest's time range / row
+        count describe the update, not the carried-over bucket rows), read
+        the touched bucket files, broadcast anti-join out the replaced
+        times, union the new leg, stage, and commit untouched + staged
+        against the snapshot's base version. No conflict retry: the
+        rewritten buckets were computed against the snapshot this writer
+        READ — a racing commit is a true conflict the caller must re-plan
+        against (Delta parity)."""
+        td = self.desc.time_dim
         m = self.manifest()
         prev = m["files"]
         touched_paths = [
@@ -576,8 +605,6 @@ class GridStore:
         ]
         self._flag_update(True, append_only=False)
         try:
-            # observe only the NEW rows' leg: the manifest's time range / row
-            # count describe the update, not the carried-over bucket rows
             new_leg, obs = self._observe_rng(
                 df.select(*self.desc.schema().fieldNames())
             )
@@ -585,7 +612,7 @@ class GridStore:
                 existing = self.spark.read.option(
                     "basePath", str(self.data_path)
                 ).parquet(*touched_paths)
-                keep = existing.join(F.broadcast(replaced_times), td, "left_anti").drop(
+                keep = existing.join(F.broadcast(anti_keys), td, "left_anti").drop(
                     _BUCKET_COL
                 )
                 combined = keep.unionByName(new_leg)
@@ -593,11 +620,12 @@ class GridStore:
                 combined = new_leg
             files = self._stage_files(combined)
             untouched = [f for f in prev if _bucket_of(f) not in touched]
-            # no conflict retry here: the rewritten buckets were computed
-            # against the snapshot this insert READ — a racing commit is a
-            # true conflict the caller must re-plan against (Delta parity)
             self._commit(
-                "insert", untouched + files, obs.get, base_version=m["version"]
+                action,
+                untouched + files,
+                obs.get,
+                base_version=m["version"],
+                prev_end=prev_end,
             )
         finally:
             self._flag_update(False, append_only=False)
@@ -699,37 +727,9 @@ class GridStore:
             r[0]
             for r in inserts.select(F.date_format(F.col(td), fmt)).distinct().collect()
         }
-        m = self.manifest()
-        prev = m["files"]
-        touched_paths = [
-            str(self.data_path / f) for f in prev if _bucket_of(f) in touched
-        ]
-        self._flag_update(True, append_only=False)
-        try:
-            new_leg, obs = self._observe_rng(
-                df.select(*self.desc.schema().fieldNames())
-            )
-            if touched_paths:
-                existing = self.spark.read.option(
-                    "basePath", str(self.data_path)
-                ).parquet(*touched_paths)
-                keep = existing.join(F.broadcast(inserts), td, "left_anti").drop(
-                    _BUCKET_COL
-                )
-                combined = keep.unionByName(new_leg)
-            else:
-                combined = new_leg
-            files = self._stage_files(combined)
-            untouched = [f for f in prev if _bucket_of(f) not in touched]
-            self._commit(
-                "update",
-                untouched + files,
-                obs.get,
-                base_version=m["version"],
-                prev_end=last_append,
-            )
-        finally:
-            self._flag_update(False, append_only=False)
+        self._rewrite_touched(
+            df, inserts, touched, action="update", prev_end=last_append
+        )
 
     def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
         """Small-file compaction (Delta OPTIMIZE analog). Every append/insert

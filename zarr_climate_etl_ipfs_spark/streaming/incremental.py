@@ -80,9 +80,13 @@ def windowed_stats(
     if df.isStreaming:
         df = df.withWatermark(time_col, watermark)
     isnull = F.col(value_col).isNull() | F.isnan(value_col)
+    # mean over the NON-missing values only: avg() skips NULL but would
+    # propagate NaN, making the same missing datum yield a valid mean or a
+    # NaN mean depending on representation while null_share counts both as
+    # missing (round-14 review catch)
     return df.groupBy(F.window(time_col, window).alias("w")).agg(
         F.count("*").alias("n"),
-        F.round(F.avg(value_col), 4).alias("mean_value"),
+        F.round(F.avg(F.when(~isnull, F.col(value_col))), 4).alias("mean_value"),
         F.round(F.avg(isnull.cast("double")), 4).alias("null_share"),
     ).select(
         F.col("w.start").alias("window_start"),
