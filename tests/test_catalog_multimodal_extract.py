@@ -41,6 +41,26 @@ def test_bbox_geometry_closed_ring():
     assert ring[0] == ring[-1] and len(ring) == 5
 
 
+def test_temporal_extent_union_widens_past_fractional_seconds(tmp_path, desc, initial_df, spark):
+    """isoformat() includes microseconds only when nonzero, and '...00Z'
+    sorts ABOVE '...00.500000Z' lexicographically — a string max() silently
+    failed to widen the collection extent past a fractional-second endpoint
+    (round-14 review catch). Union must compare chronologically."""
+    import datetime as dt
+
+    from zarr_climate_etl_ipfs_spark.plans.catalog import StacCatalog
+
+    cat = StacCatalog(tmp_path / "stac")
+    cat.create_or_update_collection(desc, initial_df)
+    later = initial_df.withColumn(
+        "time",
+        F.lit(dt.datetime(2022, 1, 31, 0, 0, 0, 500000)).cast("timestamp"),
+    )
+    coll = cat.create_or_update_collection(desc, later)
+    hi = coll["extent"]["temporal"]["interval"][0][1]
+    assert hi == "2022-01-31T00:00:00.500000Z"  # widened chronologically
+
+
 def test_catalog_lifecycle(tmp_path, desc, initial_df, spark):
     cat = StacCatalog(tmp_path / "stac")
     coll = cat.create_or_update_collection(desc, initial_df)

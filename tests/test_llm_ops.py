@@ -1184,3 +1184,46 @@ def test_srp_neardup_pairs_no_self_pairs_on_duplicate_ids(spark):
         assert all(r["id_a"] < r["id_b"] for r in out), (cap, out)
         # the true near-dup pair (7, 9) still survives
         assert any((r["id_a"], r["id_b"]) == (7, 9) for r in out), (cap, out)
+
+
+def test_dedup_exact_null_text_keeps_one_representative(spark):
+    """fingerprint(NULL) is NULL and a NULL equi-join key matches nothing,
+    so every NULL-text doc used to VANISH from dedup_exact instead of one
+    surviving (round-14 review catch, verified live). NULL-text docs now
+    group under a sentinel key, distinct from empty-text docs."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello"), (3, None), (4, None), (5, ""), (6, "x")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df, "doc_id", "text").collect())
+    assert kept == [1, 3, 5, 6]  # one 'hello', one NULL rep, '' distinct, unique
+    groups = {tuple(r["dup_ids"]) for r in dedup.exact_duplicates(df, "doc_id", "text").collect()}
+    assert (1, 2) in groups and (3, 4) in groups
+
+
+def test_bpe_ish_token_count_null_is_zero(spark):
+    """NULL text counts 0 tokens, same invariant as token_count — the char
+    terms used to turn the whole sum NULL (round-14 review catch)."""
+    df = spark.createDataFrame([(None,), ("hi, there!",)], "text string")
+    got = [r["n"] for r in df.select(textanalysis.bpe_ish_token_count("text").alias("n")).collect()]
+    assert got[0] == 0 and got[1] == 4  # 2 words + ',' + '!'
+
+
+def test_simhash_near_duplicates_kernel_signature_identical(spark, docs):
+    """simhash_near_duplicates now routes through simhash_vote_kernel (the
+    measured ~4x fast path); the swap is sound because the two signature
+    paths share the 2*ones > n majority rule and the empty->0 convention —
+    pinned here over the real corpus plus the edge shapes."""
+    edge = spark.createDataFrame(
+        [(100, ""), (101, None), (102, "one"), (103, "one one two")],
+        "doc_id long, text string",
+    )
+    for frame in (docs.limit(50).select("doc_id", "text"), edge):
+        feats = F.transform(
+            F.array_distinct(textanalysis.words(F.col("text"))), lambda w: F.xxhash64(w)
+        )
+        both = frame.select(
+            dedup.simhash("text").alias("slow"),
+            dedup.simhash_vote_kernel(feats, bits=64).alias("fast"),
+        )
+        assert both.filter(F.col("slow") != F.col("fast")).count() == 0

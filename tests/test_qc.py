@@ -140,3 +140,52 @@ def test_post_parse_quality_check_time_budget_short_circuits(spark, desc, initia
     out = spark.createDataFrame(corrupted, schema=desc.schema())
     # cap of 0 s is exhausted by the source count itself -> clean give-up
     post_parse_quality_check(src, out, desc, n_samples=50, time_cap_s=0.0)
+
+
+def test_sample_value_check_allows_nan_when_declared(spark, desc, initial_pdf):
+    """has_nans=True must actually permit NaN: Spark orders NaN above every
+    numeric, so abs(NaN) > 1e100 and NaN > hi are both TRUE — permitted
+    NaNs used to trip the infinity/extreme checks (round-14 review catch)."""
+    import dataclasses
+
+    d = dataclasses.replace(desc, has_nans=True, expected_nan_frequency=0.5)
+    pdf = initial_pdf.copy()
+    pdf.loc[pdf.index[: len(pdf) // 2], "data"] = float("nan")
+    df = spark.createDataFrame(pdf)
+    sample_value_check(df, d, n=1000)  # must NOT raise
+    # while a genuine +inf still fails even with has_nans=True
+    pdf2 = initial_pdf.copy()
+    pdf2.loc[pdf2.index[0], "data"] = float("inf")
+    with pytest.raises(QualityCheckError):
+        sample_value_check(spark.createDataFrame(pdf2), d, n=1000)
+
+
+def test_compare_datasets_sign_matters_for_inf(spark, desc, initial_pdf):
+    """+inf vs -inf (or huge values of opposite sign) is a REAL mismatch:
+    the magnitude-only both-infinityish rule passed a sign-corrupted
+    publish (round-14 review catch); same-sign infinities still match."""
+    src = initial_pdf.copy()
+    out = initial_pdf.copy()
+    src.loc[src.index[0], "data"] = float("inf")
+    out.loc[out.index[0], "data"] = float("-inf")
+    bad = compare_datasets(
+        spark.createDataFrame(src), spark.createDataFrame(out), desc
+    ).collect()
+    assert len(bad) == 1
+    # same-sign: matches
+    out2 = initial_pdf.copy()
+    out2.loc[out2.index[0], "data"] = float("inf")
+    assert compare_datasets(
+        spark.createDataFrame(src), spark.createDataFrame(out2), desc
+    ).count() == 0
+
+
+def test_compare_datasets_missing_keys_still_reported(spark, desc, initial_pdf):
+    """The broadcast-correct restructure (inner + anti) must keep reporting
+    sampled keys absent from the published table, with a NULL _out."""
+    src = initial_pdf.copy()
+    out = initial_pdf.iloc[5:].copy()  # first 5 keys missing from 'written'
+    bad = compare_datasets(
+        spark.createDataFrame(src), spark.createDataFrame(out), desc
+    ).collect()
+    assert len(bad) == 5 and all(r["_out"] is None for r in bad)

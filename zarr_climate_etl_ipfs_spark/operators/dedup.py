@@ -40,10 +40,23 @@ def md5int(c: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+#: grouping key for NULL-text documents: fingerprint() propagates NULL
+#: (md5(NULL) is NULL), and a NULL key silently fails every equi-join —
+#: without the sentinel, dedup_exact dropped EVERY NULL-text doc instead of
+#: keeping one representative (round-14 review catch, verified live). A
+#: sentinel (not '') keeps NULL-text docs distinct from empty-text docs.
+_NULL_FP = "__null_text__"
+
+
+def _fp_key(text_col: str):
+    return F.coalesce(fingerprint(text_col), F.lit(_NULL_FP))
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (after normalization) documents:
-    (fingerprint, n_dups, keep_id, dup_ids)."""
-    fp = df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+    (fingerprint, n_dups, keep_id, dup_ids). NULL-text docs form their own
+    group under the ``__null_text__`` sentinel key."""
+    fp = df.select(F.col(id_col).alias("id"), _fp_key(text_col).alias("fp"))
     return (
         fp.groupBy("fp")
         .agg(
@@ -72,7 +85,9 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     keyed = (
         df.select(
             "*",
-            fingerprint(text_col).alias("_fp"),
+            # sentinel for NULL text: a NULL join key matches nothing, so
+            # every NULL-text doc used to vanish instead of one surviving
+            _fp_key(text_col).alias("_fp"),
             F.monotonically_increasing_id().alias("_mid"),
         )
         .filter(F.col("_mid") >= 0)  # pushdown barrier, always true
@@ -281,7 +296,19 @@ def dedup_minhash(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dedup: LSH candidates → exact Jaccard ≥ threshold → drop the
-    higher id of each surviving pair (greedy, deterministic)."""
+    higher id of each surviving pair (greedy, deterministic).
+
+    RECALL BOUND under a bucket cap (r14 review catch): an over-cap LSH
+    bucket is star-linked through its min-id representative, and this
+    function then filters PAIRS by exact Jaccard — it does not take
+    connected components — so two near-identical members of a capped
+    bucket whose shared representative is DISSIMILAR to both are never
+    compared and both survive. This is a documented extension of the
+    drop-the-hot-bucket recall trade, not component-preserving dedup; when
+    capped buckets can mix similarity families, either raise
+    ``bucket_cap``/``bands`` so true dups collide in an uncapped band, or
+    run :func:`connected_components` over the star edges and apply a
+    per-component policy instead of the pairwise threshold."""
     cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
     dups = (
         jaccard_pairs(df, cands, id_col, text_col)
@@ -644,8 +671,20 @@ def simhash_near_duplicates(
     connected-component grouping keeps the bucket linked. Filter
     ``~F.col("is_star")`` when only verified within-budget pairs are
     wanted; with ``bucket_cap=None`` every row is verified
-    (``is_star`` is always false)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    (``is_star`` is always false).
+
+    Signature path (r14 review catch): feature hashes are computed
+    JVM-side (``transform(array_distinct(words), xxhash64)``) and voted by
+    :func:`simhash_vote_kernel` — the measured ~4× fast path — instead of
+    :func:`simhash`'s 64 interpreted per-row aggregate folds. The two are
+    bit-identical by construction (same ``2·ones > n`` majority rule, same
+    empty→0 signature; equivalence pinned by test), and the trailing
+    ``repartition`` pins the kernel-reuse barrier the kernel's docstring
+    mandates for self-joined frames."""
+    feats = F.transform(F.array_distinct(words(F.col(text_col))), lambda w: F.xxhash64(w))
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_vote_kernel(feats, bits=64).alias("sh")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     return hamming_blocked_pairs(
         sh, max_hamming=max_hamming, bits=64, bucket_cap=bucket_cap
     )

@@ -57,12 +57,20 @@ def sample_value_check(
     """
     var = F.col(desc.data_var)
     sample = df.select(var.alias("v")).sample(False, fraction, seed).limit(n)
-    pred = is_infinityish(F.col("v"))
-    if not desc.has_nans:
-        pred = pred | F.col("v").isNull() | F.isnan(F.col("v"))
+    v = F.col("v")
+    missing = v.isNull() | F.isnan(v)
+    viol = is_infinityish(v)
     bounds = desc.extreme_bounds()
     if bounds is not None:
-        pred = pred | is_extreme(F.col("v"), bounds)
+        viol = viol | is_extreme(v, bounds)
+    if desc.has_nans:
+        # NaN is ALLOWED here — and it must not trip the value checks
+        # either: Spark orders NaN greater than every numeric, so
+        # abs(NaN) > 1e100 and NaN > hi are both TRUE (r14 review catch,
+        # verified live) — a permitted NaN read as an infinity violation
+        pred = ~missing & viol
+    else:
+        pred = missing | viol
     bad = sample.filter(pred)
     n_bad = bad.count()
     if n_bad:
@@ -126,8 +134,16 @@ def nan_binomial_check(
     cell_rank = F.pmod(
         F.xxhash64(*[F.col(d) for d in desc.dims[1:]], F.lit(seed)), F.lit(1_000_000)
     )
-    # keep ~sample_per_step cells per step: estimate cells/step from one step
-    per_step = df.groupBy(time_dim).count().agg(F.max("count")).first()[0] or 1
+    # keep ~sample_per_step cells per step: estimate cells/step from ONE
+    # step (LIMIT-1 probe for a timestamp, then a pushdown-pruned count) —
+    # the old groupBy(time).count() pre-pass scanned and SHUFFLED the whole
+    # cell table before the sampled aggregation even started, doubling the
+    # job's I/O at archive scale (r14 review catch)
+    first = df.select(F.col(time_dim).alias("_t")).first()
+    if first is None:
+        per_step = 1
+    else:
+        per_step = df.filter(F.col(time_dim) == F.lit(first["_t"])).count() or 1
     keep = min(1_000_000, max(1, int(1_000_000 * sample_per_step / per_step)))
     is_nan = (F.col(var).isNull() | F.isnan(var)).cast("long")
     counts = (
@@ -170,20 +186,40 @@ def compare_datasets(
     published table — equi-join on the dim key, NaN/∞ matching rules and the
     1e-4 tolerance from utils/publish.py:857-894, 24 (10e-5).
 
-    Returns mismatching rows (empty == pass). Join is on the full dim key so
-    Catalyst can broadcast the (small) source sample against the big table.
+    Returns mismatching rows (empty == pass): value mismatches plus sampled
+    keys absent from the published table (reported with a NULL ``_out``).
+
+    Join shape (r14 review catch, verified live): ``broadcast(s)`` on the
+    preserved LEFT of a left-outer join is an inapplicable hint Spark
+    silently drops (BroadcastHashJoin supports LeftOuter only with
+    BuildRight), so the big published table was being shuffled for a
+    100-row sample. Restructured as an INNER join with the small sample as
+    the broadcast build side, plus a broadcast anti-join against the
+    (tiny) matched-key set for the missing-key leg — every stage's build
+    side is now sample-sized.
     """
     dims = desc.dims
     var = desc.data_var
     s = source.select(*dims, F.col(var).alias("_src"))
     w = written.select(*dims, F.col(var).alias("_out"))
-    j = F.broadcast(s).join(w, dims, "left")
+    j = w.join(F.broadcast(s), dims)
     src, out = F.col("_src"), F.col("_out")
     both_nan = (src.isNull() | F.isnan(src)) & (out.isNull() | F.isnan(out))
-    both_inf = is_infinityish(src) & is_infinityish(out)
+    # sign must match: +inf vs -inf (or 1e200 vs -3e150) is a REAL
+    # mismatch — a magnitude-only rule passed a sign-corrupted publish
+    # (r14 review catch)
+    both_inf = (
+        is_infinityish(src) & is_infinityish(out) & (F.signum(src) == F.signum(out))
+    )
     close = F.abs(src - out) <= F.lit(tolerance)
     ok = both_nan | both_inf | close
-    return j.filter(~F.coalesce(ok, F.lit(False)))
+    bad_vals = j.filter(~F.coalesce(ok, F.lit(False))).select(*dims, "_src", "_out")
+    matched = j.select(*dims)
+    missing = (
+        s.join(F.broadcast(matched), dims, "left_anti")
+        .select(*dims, "_src", F.lit(None).cast("float").alias("_out"))
+    )
+    return bad_vals.unionByName(missing)
 
 
 def post_parse_quality_check(
@@ -225,7 +261,3 @@ def post_parse_quality_check(
             f"post-parse check failed: {len(bad)}+ sampled cells mismatch, "
             f"first: {[tuple(r) for r in bad[:2]]}"
         )
-    if _time.monotonic() - t0 > time_cap_s:
-        # expired budget with nothing found so far: logged give-up on any
-        # further confirmation passes, not a failure
-        return

@@ -45,9 +45,13 @@ def token_count(text: Column | str) -> Column:
 
 def bpe_ish_token_count(text: Column | str) -> Column:
     """Sub-word-ish token count: words plus punctuation marks counted
-    separately (a cheap, deterministic proxy for BPE tokenizers)."""
+    separately (a cheap, deterministic proxy for BPE tokenizers).
+    NULL text counts as 0 — the same NULL->0 invariant words() enforces
+    (the char-count terms otherwise made the whole sum NULL, silently
+    dropping the doc from AVG/SUM budget aggregations; r14 review catch)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(words(text)) + F.length(c) - F.length(F.regexp_replace(c, PUNCT_RE, ""))
+    nn = F.coalesce(c, F.lit(""))
+    return F.size(words(c)) + F.length(nn) - F.length(F.regexp_replace(nn, PUNCT_RE, ""))
 
 
 def avg_word_length(text: Column | str) -> Column:
@@ -125,7 +129,11 @@ def predict_language_from_words(ws: Column) -> Column:
 
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
-    the exact-dedup key. Engine-portable (md5 is standard)."""
+    the exact-dedup key. Engine-portable (md5 is standard). NULL text
+    yields a NULL fingerprint (md5(NULL) propagates, matching the SQL
+    oracle's ``_FP_SQL`` exactly); consumers that JOIN or GROUP on the
+    fingerprint must coalesce it first (dedup.``_fp_key`` does) — a NULL
+    equi-join key matches nothing and silently drops rows."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 

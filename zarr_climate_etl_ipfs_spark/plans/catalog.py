@@ -32,6 +32,13 @@ from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
 STAC_VERSION = "1.0.0"
 
 
+def _iso_key(s: str) -> dt.datetime:
+    """Chronological sort key for the catalog's own ISO-8601 'Z' strings
+    (variable fractional-second precision makes them lexicographically
+    unordered: '...00Z' > '...00.5Z' as strings)."""
+    return dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+
+
 def spatial_extent(df: DataFrame, rounding: int = 5) -> list[float]:
     """A1: [min_lon, min_lat, max_lon, max_lat] bbox (convenience.py:444-464)."""
     row = df.agg(
@@ -118,8 +125,16 @@ class StacCatalog:
             old_bbox = coll["extent"]["spatial"]["bbox"][0]
             coll["extent"]["spatial"]["bbox"] = [union_extent(old_bbox, bbox)]
             old_int = coll["extent"]["temporal"]["interval"][0]
+            # compare as datetimes, not ISO strings: isoformat() includes
+            # microseconds only when nonzero, and '...00Z' sorts ABOVE
+            # '...00.500000Z' lexicographically ('.' < 'Z'), so a string
+            # max() silently failed to widen past a fractional-second
+            # endpoint (r14 review catch)
             coll["extent"]["temporal"]["interval"] = [
-                [min(old_int[0], interval[0]), max(old_int[1], interval[1])]
+                [
+                    min(old_int[0], interval[0], key=_iso_key),
+                    max(old_int[1], interval[1], key=_iso_key),
+                ]
             ]
         else:
             coll = {
