@@ -2929,7 +2929,11 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_first",
     f"""
     WITH keyed AS (
-      SELECT source, doc_id, {_FP_SQL} AS fp FROM documents
+      -- sentinel mirrors dedup._fp_key: md5(NULL) is NULL and a NULL join
+      -- key matches nothing, so NULL-text docs would all read as dropped
+      -- instead of one representative surviving (r14 review fix)
+      SELECT source, doc_id, COALESCE({_FP_SQL}, '__null_text__') AS fp
+      FROM documents
     ), keep AS (
       SELECT fp, MIN(doc_id) AS doc_id FROM keyed GROUP BY fp
     )
