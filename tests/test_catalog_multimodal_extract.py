@@ -353,6 +353,41 @@ def test_ftp_request_failure_preserves_prior_download(tmp_path):
         srv.close()
 
 
+def test_ftp_request_sweeps_stale_part_files(tmp_path):
+    """A hard-killed process leaves its uniquely-suffixed .part behind (the
+    in-process cleanup never ran); the next fetch of the same destination
+    must sweep remnants older than the liveness threshold but leave a
+    YOUNG sibling alone (it may belong to a live concurrent transfer) —
+    r15 advice fix."""
+    import os
+    import time
+
+    payload = b"fresh bytes"
+    srv = _MiniFTPServer({"pub/a.nc": payload})
+    try:
+        ex = FTPExtractor(host=f"127.0.0.1:{srv.port}")
+        dest = tmp_path / "a.nc"
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        stale = dest.with_name("a.nc.9999.dead.part")
+        stale.write_bytes(b"orphan")
+        old = time.time() - 7200
+        os.utime(stale, (old, old))
+        live = dest.with_name("a.nc.8888.live.part")
+        live.write_bytes(b"in flight")
+        assert ex.request("pub/a.nc", dest)
+        assert dest.read_bytes() == payload
+        assert not stale.exists()  # swept
+        assert live.exists()  # young sibling untouched
+        # unrelated destinations' temps are never touched
+        other = tmp_path / "b.nc.1.1.part"
+        other.write_bytes(b"x")
+        os.utime(other, (old, old))
+        assert ex.request("pub/a.nc", dest)
+        assert other.exists()
+    finally:
+        srv.close()
+
+
 def test_retry_policy_delays():
     http = RetryPolicy()
     assert list(http.delays())[:3] == [1.0, 2.0, 4.0]

@@ -457,6 +457,32 @@ def test_ivf_dataframe_engine_and_pandas_assign(spark, embeddings):
     assert by_expr == by_pandas
 
 
+def test_assign_ivf_cell_null_and_ragged_rows(spark):
+    """NULL / wrong-width embeddings must yield a NULL cell on BOTH
+    assignment paths instead of crashing the pandas kernel's np.stack
+    (r15 advice fix)."""
+    centroids = [[0.0, 0.0, 0.0], [10.0, 10.0, 10.0]]
+    df = spark.createDataFrame(
+        [
+            (0, [0.1, 0.2, 0.3]),
+            (1, None),
+            (2, [9.0, 9.0, 9.0]),
+            (3, [1.0, 2.0]),  # ragged: wrong width
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    for method in ("expr", "pandas"):
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in similarity.assign_ivf_cell(df, centroids, "embedding", method=method)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert got[0] == 0 and got[2] == 1, method
+        assert got[1] is None, method
+        assert got[3] is None, method
+
+
 def test_ivf_topk_recall_and_exactness(spark, embeddings):
     """IVF with all cells probed == exact; with fewer probes, high recall."""
     assigned, centroids = similarity.ivf_index(embeddings, n_cells=8)

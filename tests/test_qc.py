@@ -103,6 +103,30 @@ def test_compare_datasets_nan_matches_nan(spark, desc, initial_pdf):
     assert compare_datasets(a, a, desc).count() == 0
 
 
+def test_compare_datasets_missing_key_keeps_var_dtype(spark, desc, initial_pdf):
+    """The missing-key leg's NULL _out must carry the published var's OWN
+    dtype — a hardcoded float cast relied on union type-widening (silent
+    for double, analysis error for integer vars) — r15 advice fix."""
+    pdf = initial_pdf.copy()
+    pdf["data"] = pdf["data"].astype("float64")
+    d = replace(desc)
+    schema = "time timestamp_ntz, latitude float, longitude float, data double"
+    src = spark.createDataFrame(pdf, schema=schema)
+    out = spark.createDataFrame(pdf.iloc[100:], schema=schema)  # 100 keys missing
+    result = compare_datasets(src, out, d)
+    assert dict(result.dtypes)["_out"] == "double"  # not widened from float
+    assert result.count() == 100
+    # integer data var: would have been an analysis error under the old cast
+    ipdf = pdf.copy()
+    ipdf["data"] = (ipdf["data"] * 0).astype("int64")
+    ischema = "time timestamp_ntz, latitude float, longitude float, data long"
+    isrc = spark.createDataFrame(ipdf, schema=ischema)
+    iout = spark.createDataFrame(ipdf.iloc[50:], schema=ischema)
+    ires = compare_datasets(isrc, iout, d)
+    assert dict(ires.dtypes)["_out"] == "bigint"
+    assert ires.count() == 50
+
+
 def test_compare_datasets_tolerance_boundary(spark, desc, initial_pdf):
     nudged = initial_pdf.copy()
     nudged["data"] = nudged["data"] + np.float32(5e-5)  # within 1e-4

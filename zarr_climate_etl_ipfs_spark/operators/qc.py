@@ -134,16 +134,34 @@ def nan_binomial_check(
     cell_rank = F.pmod(
         F.xxhash64(*[F.col(d) for d in desc.dims[1:]], F.lit(seed)), F.lit(1_000_000)
     )
-    # keep ~sample_per_step cells per step: estimate cells/step from ONE
-    # step (LIMIT-1 probe for a timestamp, then a pushdown-pruned count) —
-    # the old groupBy(time).count() pre-pass scanned and SHUFFLED the whole
-    # cell table before the sampled aggregation even started, doubling the
-    # job's I/O at archive scale (r14 review catch)
-    first = df.select(F.col(time_dim).alias("_t")).first()
-    if first is None:
+    # keep ~sample_per_step cells per step: estimate cells/step from a few
+    # probed steps (bounded LIMIT scan for candidate timestamps, then ONE
+    # pushdown-pruned count, MAX over the probes) — the old
+    # groupBy(time).count() pre-pass scanned and SHUFFLED the whole cell
+    # table before the sampled aggregation even started, doubling the job's
+    # I/O at archive scale (r14 review catch). MAX over ≥3 probes rather
+    # than a single first() so one partial/atypical step can't skew the
+    # effective sample size (r15 advice fix); sampling-rate only — the
+    # binomial test itself uses the true per-step n either way.
+    probe = [
+        r["_t"]
+        for r in df.select(F.col(time_dim).alias("_t"))
+        .limit(50_000)
+        .distinct()
+        .limit(3)
+        .collect()
+    ]
+    if not probe:
         per_step = 1
     else:
-        per_step = df.filter(F.col(time_dim) == F.lit(first["_t"])).count() or 1
+        row = (
+            df.filter(F.col(time_dim).isin(probe))
+            .groupBy(time_dim)
+            .count()
+            .agg(F.max("count").alias("_m"))
+            .first()
+        )
+        per_step = (row["_m"] if row is not None else None) or 1
     keep = min(1_000_000, max(1, int(1_000_000 * sample_per_step / per_step)))
     is_nan = (F.col(var).isNull() | F.isnan(var)).cast("long")
     counts = (
@@ -215,9 +233,14 @@ def compare_datasets(
     ok = both_nan | both_inf | close
     bad_vals = j.filter(~F.coalesce(ok, F.lit(False))).select(*dims, "_src", "_out")
     matched = j.select(*dims)
+    # NULL _out carries the published var's OWN dtype, not a hardcoded
+    # float: a hardcoded cast relied on union type-widening (silent for
+    # double, a confusing analysis error for a future integer/decimal var)
+    # (r15 advice fix)
+    out_type = w.schema["_out"].dataType
     missing = (
         s.join(F.broadcast(matched), dims, "left_anti")
-        .select(*dims, "_src", F.lit(None).cast("float").alias("_out"))
+        .select(*dims, "_src", F.lit(None).cast(out_type).alias("_out"))
     )
     return bad_vals.unionByName(missing)
 

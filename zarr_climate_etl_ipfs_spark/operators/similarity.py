@@ -583,18 +583,36 @@ def assign_ivf_cell(
     ``method="expr"`` inlines the centroids as literals — a pure codegen'd
     argmin with no Python in the loop. ``method="pandas"`` computes the
     argmin as one Arrow-batched BLAS matmul per batch
-    (argmin‖v−c‖² == argmax(v·c − ‖c‖²/2), ties → lowest cell id in both
-    paths) — ~10× faster per pass on wide embeddings, the trade the
-    guide's "vectorized Pandas UDF for embedding math" case describes."""
+    (argmin‖v−c‖² == argmax(v·c − ‖c‖²/2); exact-distance ties → lowest
+    cell id in both paths, though the two formulas can round differently
+    in the last float64 ulp, so a *near*-tie may assign differently
+    between methods) — ~10× faster per pass on wide embeddings, the trade
+    the guide's "vectorized Pandas UDF for embedding math" case describes.
+
+    NULL / wrong-width embeddings get a NULL ``cell`` on BOTH paths via an
+    explicit width guard (r15 advice fix). Neither path was safe before:
+    the pandas ``np.stack`` raised on a ragged batch (one bad row killed
+    the job), and the expr path's struct-argmin silently assigned cell 0 —
+    a NULL distance sorts FIRST in Spark's struct ordering, so
+    ``array_min`` picked ``{d: NULL, i: 0}`` (measured, not the
+    NULL-propagation one might assume from aggregate semantics)."""
     if method == "pandas":
         cmat = np.asarray(centroids, dtype=np.float64)  # (k, d)
+        dim = cmat.shape[1] if cmat.ndim == 2 else 0
         half = (cmat * cmat).sum(axis=1) / 2.0
 
         @F.pandas_udf("int")
         def _cell(v: pd.Series) -> pd.Series:
-            mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
-            scores = mat @ cmat.T - half
-            return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+            vals = v.to_numpy()
+            ok = np.array(
+                [x is not None and len(x) == dim for x in vals], dtype=bool
+            )
+            out = np.full(len(vals), None, dtype=object)
+            if ok.any():
+                mat = np.stack(vals[ok]).astype(np.float64)  # (m, d)
+                scores = mat @ cmat.T - half
+                out[ok] = np.argmax(scores, axis=1).astype(np.int32)
+            return pd.Series(out, dtype="Int32")
 
         return df.withColumn("cell", _cell(F.col(vec_col)))
     v = F.col(vec_col)
@@ -610,7 +628,11 @@ def assign_ivf_cell(
     pairs = F.array(
         *[F.struct(dist2(c).alias("d"), F.lit(i).alias("i")) for i, c in enumerate(centroids)]
     )
-    return df.withColumn("cell", F.array_min(pairs)["i"])
+    dim = len(centroids[0]) if centroids else 0
+    return df.withColumn(
+        "cell",
+        F.when(v.isNotNull() & (F.size(v) == dim), F.array_min(pairs)["i"]),
+    )
 
 
 def ivf_topk(

@@ -132,6 +132,12 @@ class UpdateValidation:
     # matches what the old insert-commit-then-append-commit sequence left
     # behind (the append commit wrote last). Same aggregation pass.
     last_append: dt.datetime | None = None
+    # Distinct storage buckets of the INSERT leg (only when the caller
+    # passed ``insert_bucket_fmt``) — store._update_mixed's touched-bucket
+    # set, folded into the same single aggregation instead of a second
+    # collect over the insert key frame (r15 store-latency consolidation:
+    # one fewer driver-synchronized action per mixed update).
+    insert_buckets: frozenset[str] | None = None
 
 
 def validate_update(
@@ -141,6 +147,7 @@ def validate_update(
     time_dim: str = "time",
     dataset_start: dt.datetime | None = None,
     cadence_bounds: tuple[dt.timedelta, dt.timedelta] | None = None,
+    insert_bucket_fmt: str | None = None,
 ) -> UpdateValidation:
     """Pre-write guards, port of utils/publish.py:604-652 (Q5):
 
@@ -175,21 +182,30 @@ def validate_update(
     is_app = F.col("_e").isNull()
     app_epoch = F.when(is_app, _epoch_s(time_dim))
     s0 = F.min(app_epoch).over(Window.partitionBy())
+    aggs = [
+        F.count("*").alias("n"),
+        F.min(time_dim).alias("lo"),
+        F.sum(is_app.cast("int")).alias("n_app"),
+        F.min(F.when(is_app, F.col(time_dim))).alias("first_append"),
+        F.max(F.when(is_app, F.col(time_dim))).alias("last_append"),
+        # nulls (insert rows) drop out of both grid aggregates
+        F.sum((F.abs(F.col("_k") - F.round("_k")) > 1e-9).cast("int")).alias(
+            "offgrid"
+        ),
+        F.countDistinct(F.round("_k").cast("long")).alias("n_grid"),
+    ]
+    if insert_bucket_fmt is not None:
+        # storage buckets of the insert leg — bounded by calendar arithmetic
+        # (an update window spans few buckets), safe in a collect_set
+        aggs.append(
+            F.collect_set(
+                F.when(~is_app, F.date_format(F.col(time_dim), insert_bucket_fmt))
+            ).alias("ins_buckets")
+        )
     stats_u = (
         u.join(F.broadcast(e.withColumn("_e", F.lit(1))), time_dim, "left")
         .withColumn("_k", (app_epoch - s0) / F.lit(delta_s))
-        .agg(
-            F.count("*").alias("n"),
-            F.min(time_dim).alias("lo"),
-            F.sum(is_app.cast("int")).alias("n_app"),
-            F.min(F.when(is_app, F.col(time_dim))).alias("first_append"),
-            F.max(F.when(is_app, F.col(time_dim))).alias("last_append"),
-            # nulls (insert rows) drop out of both grid aggregates
-            F.sum((F.abs(F.col("_k") - F.round("_k")) > 1e-9).cast("int")).alias(
-                "offgrid"
-            ),
-            F.countDistinct(F.round("_k").cast("long")).alias("n_grid"),
-        )
+        .agg(*aggs)
     )
     stats = stats_u.crossJoin(e.agg(F.max(time_dim).alias("e_end"))).first()
     if stats["n"] == 0:
@@ -238,4 +254,7 @@ def validate_update(
         n_inserts=n_ins,
         n_appends=n_app,
         last_append=stats["last_append"],
+        insert_buckets=(
+            frozenset(stats["ins_buckets"]) if insert_bucket_fmt is not None else None
+        ),
     )

@@ -287,6 +287,23 @@ def _scratch_root(kind: str, sf_dir: str) -> str:
     return f"{base}/{prefix}{_owner_token()}"
 
 
+def _checkpoint_ranked(ranked: DataFrame) -> tuple[DataFrame, int]:
+    """Eagerly materialize the store queries' tiny day-ranked cell frame
+    and return ``(checkpointed_frame, n_days)`` from ONE Spark action:
+    ``max(rd)`` rides the checkpoint as an Observation instead of a
+    second ``agg().first()`` job. These lifecycle queries are pure
+    driver-action-latency floors (SCALE.md store section), so every
+    folded action is a direct wall-clock win at any data scale."""
+    from pyspark.sql import Observation as _Observation
+
+    obs = _Observation()
+    ck = (
+        ranked.observe(obs, F.max("rd").alias("n_days"))
+        .localCheckpoint(eager=True)
+    )
+    return ck, int(obs.get["n_days"] or 0)
+
+
 def _corpus_fingerprint(sf_dir: str, name: str) -> str:
     """Cheap identity of an input table for index-memo invalidation: total
     byte size + newest mtime of the parquet path (file or directory). If
@@ -7492,7 +7509,11 @@ def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # off it (base.head, write_initial, upd.head, update, diff) and would
     # each re-run the events groupBy + row_number pipeline otherwise (8.9 s
     # -> ~3 s in the full-catalog bench). Tiny frame: n_days x 16 cells.
-    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    # n_days rides the SAME action as an Observation on the eager
+    # checkpoint (_checkpoint_ranked) — the separate agg().first() was one
+    # more driver-synchronized job in a query that is pure action-latency
+    # floor (r15 store-lifecycle consolidation).
+    ranked, n_days = _checkpoint_ranked(cells.join(F.broadcast(rd), "day"))
     out_schema = "change string, n_cells bigint, sum_old bigint, sum_new bigint"
 
     def to_store_schema(df: DataFrame) -> DataFrame:
@@ -7503,9 +7524,6 @@ def store_lifecycle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("float").alias("cents"),
         )
 
-    # ONE collected scalar off the materialized frame routes every branch —
-    # the per-branch head() probes were two more driver actions
-    n_days = ranked.agg(F.max("rd")).first()[0] or 0
     if n_days == 0:  # empty corpus: no store, no diff
         return spark.createDataFrame([], out_schema)
     base = ranked.filter(F.col("rd") <= 10).select("day", "la", "lo", "cents")
@@ -7611,11 +7629,10 @@ def hindcast_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wd = Window.orderBy("day")
     rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
-    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    ranked, n_days = _checkpoint_ranked(cells.join(F.broadcast(rd), "day"))
     out_schema = (
         "hrt timestamp, fro bigint, member bigint, sum_cents bigint, n_cells bigint"
     )
-    n_days = ranked.agg(F.max("rd")).first()[0] or 0
     if n_days == 0:
         return spark.createDataFrame([], out_schema)
 
@@ -7736,11 +7753,10 @@ def forecast_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
     # materialized once: four store actions branch off it (store_lifecycle_
     # diff's localCheckpoint pattern); tiny frame, n_days x <=48 cells
-    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    ranked, n_days = _checkpoint_ranked(cells.join(F.broadcast(rd), "day"))
     out_schema = (
         "frt timestamp, step_s bigint, member bigint, sum_cents bigint, n_cells bigint"
     )
-    n_days = ranked.agg(F.max("rd")).first()[0] or 0
     if n_days == 0:
         return spark.createDataFrame([], out_schema)
 
@@ -7858,14 +7874,13 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wd = Window.orderBy("day")
     rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
-    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    ranked, n_days = _checkpoint_ranked(cells.join(F.broadcast(rd), "day"))
     out_schema = (
         "version bigint, start_ts timestamp, end_ts timestamp, "
         "min_lon double, min_lat double, max_lon double, max_lat double, "
         "prev_version bigint, coll_start timestamp, coll_end timestamp, "
         "coll_min_lon double, coll_max_lon double"
     )
-    n_days = ranked.agg(F.max("rd")).first()[0] or 0
     if n_days == 0:
         return spark.createDataFrame([], out_schema)
 
@@ -8285,9 +8300,8 @@ def store_compact_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wd = Window.orderBy("day")
     rd = cells.select("day").distinct().withColumn("rd", F.row_number().over(wd))
-    ranked = cells.join(F.broadcast(rd), "day").localCheckpoint(eager=True)
+    ranked, n_days = _checkpoint_ranked(cells.join(F.broadcast(rd), "day"))
     out_schema = "day date, sum_cents bigint, n_cells bigint"
-    n_days = ranked.agg(F.max("rd")).first()[0] or 0
     if n_days == 0:
         return spark.createDataFrame([], out_schema)
 

@@ -203,6 +203,7 @@ class FTPExtractor(Extractor):
         # cross-delete or interleave each other's temp file; last rename
         # wins atomically.
         import os  # noqa: PLC0415
+        import time  # noqa: PLC0415
 
         tmp = destination.with_name(
             f"{destination.name}.{os.getpid()}.{id(self):x}.part"
@@ -211,6 +212,21 @@ class FTPExtractor(Extractor):
             ftp.connect(host, port)
             ftp.login()
             destination.parent.mkdir(parents=True, exist_ok=True)
+            # Sweep stale sibling temp files before starting: the unique
+            # suffix means a HARD-killed process (the speculative-task
+            # class the suffix targets) leaves its .part behind forever —
+            # the in-process except-cleanup never runs. Anything older
+            # than an hour cannot belong to a live transfer of this file;
+            # a concurrent LIVE fetch's temp is younger and survives
+            # (r15 advice fix).
+            cutoff = time.time() - 3600.0
+            for stale in destination.parent.glob(f"{destination.name}.*.part"):
+                if stale != tmp:
+                    try:
+                        if stale.stat().st_mtime < cutoff:
+                            stale.unlink()
+                    except OSError:
+                        pass  # raced with another sweeper / live writer
             with tmp.open("wb") as f:
                 ftp.retrbinary(f"RETR {path}", f.write)
             tmp.replace(destination)

@@ -646,6 +646,10 @@ class GridStore:
             time_dim=td,
             dataset_start=desc.dataset_start_date,
             cadence_bounds=desc.update_cadence_bounds,
+            # the mixed path's touched-bucket set rides the validator's
+            # single aggregation — collecting it separately in
+            # _update_mixed cost one more driver action per update
+            insert_bucket_fmt=_BUCKET_FMT[desc.time_bucket],
         )
         if not val.ok:
             raise StoreError("; ".join(val.errors))
@@ -691,7 +695,13 @@ class GridStore:
             # Conflict semantics follow insert: the rewritten buckets were
             # computed against this snapshot, so a racing commit is a true
             # conflict (no retry).
-            self._update_mixed(df, inserts, dry_run, last_append=val.last_append)
+            self._update_mixed(
+                df,
+                inserts,
+                dry_run,
+                last_append=val.last_append,
+                touched=val.insert_buckets,
+            )
         return {"inserts": n_ins, "appends": n_app}
 
     def _update_mixed(
@@ -700,6 +710,7 @@ class GridStore:
         inserts: DataFrame,
         dry_run: bool,
         last_append: Any = None,
+        touched: frozenset[str] | None = None,
     ) -> None:
         """Single staged write + single commit for an insert+append update.
         Every row of ``df`` is one leg or the other (its distinct times ARE
@@ -720,15 +731,21 @@ class GridStore:
             return
         td = self.desc.time_dim
         fmt = _BUCKET_FMT[self.desc.time_bucket]
-        # touched buckets come straight from the insert KEY frame — joining
-        # back through the data just to read bucket names would re-execute
-        # the caller's input subtree for one tiny distinct
-        touched = {
-            r[0]
-            for r in inserts.select(F.date_format(F.col(td), fmt)).distinct().collect()
-        }
+        if touched is None:
+            # fallback for direct callers: touched buckets come straight
+            # from the insert KEY frame — joining back through the data
+            # just to read bucket names would re-execute the caller's
+            # input subtree for one tiny distinct. update() passes the set
+            # from the validator's single aggregation instead (one fewer
+            # driver action).
+            touched = frozenset(
+                r[0]
+                for r in inserts.select(F.date_format(F.col(td), fmt))
+                .distinct()
+                .collect()
+            )
         self._rewrite_touched(
-            df, inserts, touched, action="update", prev_end=last_append
+            df, inserts, set(touched), action="update", prev_end=last_append
         )
 
     def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
