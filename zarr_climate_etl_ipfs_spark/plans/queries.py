@@ -25,6 +25,16 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zarr_climate_etl_ipfs_spark.session import tune
+from zarr_climate_etl_ipfs_spark.streaming.incremental import ensure_protobuf
+
+# At IMPORT time, before any SparkSession (and thus the JVM) exists: the
+# transformWithStateInPandas driver worker is forked BY the JVM with the
+# environment the JVM captured at launch, so a lazily-set PYTHONPATH never
+# reaches it — the protobuf shim must land before the harness builds its
+# session (tools/check.py, adversarial_check.py, pytest conftest and the
+# correctness driver all import this module first). No-op where protobuf
+# is pip-installed.
+ensure_protobuf()
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -4765,6 +4775,81 @@ def streaming_running_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run_extremes",
         )
         .groupBy("user_id")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "streaming_running_extremes_v2",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_total,
+           MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_cents,
+           MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents
+    FROM events
+    WHERE value IS NOT NULL AND ISFINITE(value)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_running_extremes_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME running-extremes semantics on the Spark-4 arbitrary-state
+    v2 API (`transformWithStateInPandas` + `StatefulProcessor` ValueState),
+    promoted to a catalog row now that protobuf resolves via the package's
+    `ensure_protobuf` shim (r14 verdict ask #6; the v1≡v2 identity is also
+    pytest-pinned in tests/test_streaming.py). Shares the v1 oracle — the
+    monotone state components make the snapshot collapse micro-batch-
+    invariant on either API. GUARDED LOUDLY: when protobuf is genuinely
+    unimportable the query raises ImportError (a red driver row), never
+    falls back to v1 silently — a regressed environment must be visible,
+    not falsely green. TWS needs the column-family-capable RocksDB state
+    store provider; the conf is scoped to the stream and restored."""
+    from pyspark.sql import types as T
+
+    from zarr_climate_etl_ipfs_spark.streaming.incremental import (
+        running_extremes_v2,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        drained = _drain_memory_sink(
+            spark,
+            running_extremes_v2(stream).writeStream.format("memory")
+            .outputMode("append"),
+            "run_extremes_v2",
+        )
+    finally:
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
+    return (
+        drained.groupBy("user_id")
         .agg(
             F.max("n_total").alias("n_total"),
             F.min("min_cents").alias("min_cents"),

@@ -31,6 +31,54 @@ from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
 from zarr_climate_etl_ipfs_spark.sources.store import GridStore
 
 
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable where no pip install exists by
+    borrowing the pure-Python runtime inside the Google Cloud SDK when one
+    is present (this container: protobuf 6.32 under the appengine platform
+    dir). ``transformWithStateInPandas`` is the only consumer — its pb2
+    gencode (6.33) is one minor ahead of that runtime, so the upstream
+    escape hatch TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK is set; the
+    message set is plain scalar fields, unaffected by the 6.32→6.33 delta.
+    PYTHONPATH is extended too so Spark's forked Python workers (which run
+    the stateful processor) resolve the same module. Lives in the PACKAGE
+    (not test conftest) so the ``streaming_running_extremes_v2`` catalog
+    entry resolves protobuf under the correctness driver and tools/check.py
+    as well as pytest. Returns importability; reverts FULLY when the SDK
+    copy is unusable so workers never inherit a known-broken module."""
+    import os
+    import sys
+
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        pass
+    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
+        return False
+    prev_check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+    prev_pp = os.environ.get("PYTHONPATH")
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    sys.path.append(sdk)  # append: never shadow a real site-packages install
+    pp = prev_pp or ""
+    if sdk not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pp + os.pathsep + sdk) if pp else sdk
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+
+        return True
+    except Exception:  # noqa: BLE001 — SDK copy unusable; revert FULLY
+        sys.path.remove(sdk)
+        if prev_pp is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = prev_pp
+        if prev_check is None:
+            os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+        return False
+
+
 def stream_ingest(
     spark: SparkSession,
     landing_dir: str,
@@ -451,6 +499,7 @@ def running_extremes_v2(
     oracle-checked via the ``streaming_running_extremes`` catalog entry,
     and the test suite asserts the two operators emit identical output
     over identical micro-batch sequences."""
+    ensure_protobuf()  # resolve the SDK copy outside pytest (driver/check)
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:
