@@ -1253,3 +1253,115 @@ def test_simhash_near_duplicates_kernel_signature_identical(spark, docs):
             dedup.simhash_vote_kernel(feats, bits=64).alias("fast"),
         )
         assert both.filter(F.col("slow") != F.col("fast")).count() == 0
+
+
+# -- gram_bucket_pairs (the r15 fifth verify shape) --------------------------
+
+
+def _brute_cosine_pairs(rows, threshold):
+    """Python reference: all id_a < id_b pairs with cosine >= threshold,
+    NULL/zero-norm/ragged-width rows contributing nothing."""
+    import itertools
+
+    dim = max(
+        (len(v) for _, v in rows if v is not None),
+        default=0,
+    )
+    clean = [(i, np.asarray(v, dtype=np.float64)) for i, v in rows
+             if v is not None and len(v) == dim]
+    out = {}
+    for (ia, va), (ib, vb) in itertools.combinations(sorted(clean), 2):
+        if ia == ib:
+            continue
+        na, nb = np.sqrt((va * va).sum()), np.sqrt((vb * vb).sum())
+        if na == 0 or nb == 0:
+            continue
+        c = float(va @ vb) / (na * nb)
+        if c >= threshold:
+            out[(ia, ib)] = c
+    return out
+
+
+def test_gram_bucket_pairs_matches_bruteforce_single_group(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").withColumn(
+        "g", F.lit(0)
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.gram_bucket_pairs(df, ["g"], threshold=0.3).collect()
+    }
+    want = _brute_cosine_pairs(rows, 0.3)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_gram_bucket_pairs_strip_mining_identical(spark):
+    """block_rows smaller than the group must not change the output."""
+    rng = np.random.default_rng(6)
+    rows = [(i, rng.normal(size=8).astype(np.float32).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").withColumn(
+        "g", F.lit(0)
+    )
+    full = similarity.gram_bucket_pairs(df, ["g"], threshold=0.2).collect()
+    strip = similarity.gram_bucket_pairs(df, ["g"], threshold=0.2, block_rows=7).collect()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, full)) == sorted(map(key, strip))
+    # cosines agree to the last few ulps only: gemm blocking changes the
+    # summation order (the docstring's summation-order note) — the
+    # query-level F.round(…, 4) absorbs this entirely
+    fv = {key(r): r["cosine"] for r in full}
+    sv = {key(r): r["cosine"] for r in strip}
+    for k in fv:
+        assert abs(fv[k] - sv[k]) < 1e-12
+
+
+def test_gram_bucket_pairs_dirty_rows(spark):
+    """NULL vectors and width-deviant vectors drop (their fold cosine is
+    NULL); zero-norm rows pair with nothing (NaN fails the threshold);
+    duplicate ids emit no self-pair — the HOF-path semantics, preserved."""
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, v), (2, v),                  # true pair, cosine 1.0
+        (2, v),                          # duplicate id: no (2,2) self-pair
+        (3, None),                       # NULL vector
+        (4, [1.0, 0.0]),                 # ragged width
+        (5, [0.0, 0.0, 0.0, 0.0]),       # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").withColumn(
+        "g", F.lit(0)
+    )
+    got = similarity.gram_bucket_pairs(df, ["g"], threshold=0.0).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(1, 2)}
+    assert all(r["id_a"] != r["id_b"] for r in got)
+
+
+def test_gram_bucket_pairs_min_band_dedup_exactly_once(spark):
+    """With sig/band_bits set, a pair agreeing in SEVERAL bands must be
+    emitted exactly once (from its first agreeing band) — the kernel twin
+    of the HOF plan's earlier_agree OR-chain."""
+    v = [1.0, 2.0, 3.0, 4.0]
+    # identical vectors -> identical sigs -> agree on all 4 bands
+    rows = [(1, v, 0x1234), (2, v, 0x1234), (3, v, 0x1234)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, sig long")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("sig", 4 * b).bitwiseAND(F.lit(15)).alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = df.select("vec_id", "sig", "embedding", F.explode(bands).alias("bb")).select(
+        "vec_id", "sig", "embedding",
+        F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
+    )
+    got = similarity.gram_bucket_pairs(
+        banded, ["band", "bv"], threshold=0.9,
+        sig_col="sig", band_col="band", band_bits=4,
+    ).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in got) == [(1, 2), (1, 3), (2, 3)]

@@ -94,12 +94,21 @@ def test_minhash_plan_hashes_once(spark):
 
 
 def test_embedding_neardup_partitions_by_join_key(spark):
-    """The r2 regression guard: the self-join must be fed by a user
-    hash-repartition on the join key (AQE cannot byte-coalesce it under
-    one task), never a round-robin shuffle of the 768-float vectors."""
+    """The r2 regression guard, updated for the r15 gram-kernel plan: the
+    pair work must be clustered BY LABEL into the kernel (one BLAS gram
+    per label group — gram_bucket_pairs), never a round-robin shuffle of
+    the vectors below it. The only round-robin allowed is the trailing
+    pair-row repartition that pins a shuffle for orderBy's sampling pass
+    (pairs are 24-byte rows there, not vectors)."""
     plan = _plan(spark, "embedding_neardup_pairs")
     assert "hashpartitioning(label" in plan
-    assert "RoundRobinPartitioning" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # vectors must not be round-robined below the kernel: any RoundRobin
+    # exchange in this plan may only carry the kernel's (id_a, id_b,
+    # cosine) output, never the embedding column
+    for seg in plan.split("RoundRobinPartitioning")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "embedding" not in first_line
 
 
 @pytest.mark.parametrize("name", ["update_key_split", "asof_join"])

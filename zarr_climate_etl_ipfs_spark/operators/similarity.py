@@ -462,6 +462,141 @@ def srp_neardup_pairs(
     )
 
 
+def gram_bucket_pairs(
+    banded: DataFrame,
+    group_cols: list[str],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    sig_col: str | None = None,
+    band_col: str = "band",
+    band_bits: int = 0,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Per-bucket exact-cosine pair enumeration as one BLAS gram matrix per
+    group — the FIFTH verify shape for the banded/blocked near-dup family,
+    and the first to beat the interpreted-HOF fold (which four prior
+    measured attempts had certified as the sf0.1 floor; see the
+    embedding_lsh_neardups docstring's negative-result record for attempts
+    one through four).
+
+    What changed: the sf1 measurement (tools/make_sf1.py corpus, 10× rows).
+    The floor rationale explicitly claimed "the gap closes only with data
+    scale" — and sf1 falsified it: with 4-bit bands the per-band bucket
+    count saturates at 16, candidate pairs grow QUADRATICALLY (≈46M at
+    20k vectors vs 464k at 2k), and the per-pair interpreted fold took
+    314 s while DuckDB verified the identical candidate set natively in
+    5.7 s. The structural insight the first four attempts missed: every
+    candidate pair lives INSIDE one band bucket, so the verify does not
+    need per-pair vector transfer (attempt #1's cost) or per-pair lambda
+    evaluation (the fold's cost) at all — one ``V @ V.T`` per bucket
+    computes ALL in-bucket cosines at BLAS speed, and the pair LISTING
+    (previously a struct-allocating HOF explode) falls out of the same
+    ``np.nonzero`` as the threshold mask. Arrow transfer is one vector per
+    ROW per band (n·bands rows total), not two per PAIR — linear, the same
+    reason the simhash vote kernel's transfer is cheap.
+
+    Contract (shared by both catalog consumers): rows are grouped by
+    ``group_cols``; within a group every ``id_a < id_b`` pair with raw
+    float64 ``cosine >= threshold`` is emitted, cosine UNROUNDED (callers
+    apply F.round so engine-side rounding semantics stay exactly what they
+    were). Rows whose vector is NULL or deviates from the bucket's modal
+    width are excluded — their cosine is NULL under the fold (zip_with
+    length mismatch) and threshold-dropped. Zero-norm vectors divide to
+    NaN, which fails ``>= threshold`` exactly like the fold's try_divide
+    NULL (round-8 adversarial-corpus semantics, preserved bit-for-bit at
+    the output level). Duplicate ids emit no self-pair (``id_a != id_b``
+    guard, same as the HOF path).
+
+    With ``sig_col``/``band_bits`` set, min-band dedup runs
+    vectorized INSIDE the kernel: a pair is kept only in the first band
+    whose ``band_bits``-wide signature slice agrees — bit-identical to the
+    ``earlier_agree`` OR-chain it replaces, exactly one emission per pair,
+    still no dedup shuffle. ``block_rows`` bounds the gram slab: a bucket
+    of m rows is processed in (block_rows × m) strips, so kernel transient
+    memory is O(block_rows · m) regardless of bucket size.
+
+    Summation-order note: BLAS pairwise summation and the sequential
+    zip_with fold can differ in the last ulp, so a cosine within ~1e-13 of
+    ``threshold`` could flip admission vs the old plan. This is the same
+    exposure class the fold already has vs the DuckDB oracle's native
+    kernel (different order again), green across all six gates; the gates
+    re-verify this path the same way."""
+    out_schema = "id_a long, id_b long, cosine double"
+    mask_w = (1 << band_bits) - 1
+
+    def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        vecs = pdf[vec_col].to_numpy()
+        lens = np.fromiter(
+            (-1 if v is None else len(v) for v in vecs), dtype=np.int64, count=len(vecs)
+        )
+        good = lens >= 0
+        if not good.any():
+            return empty
+        # modal width = the bucket's vector dimensionality; deviants drop
+        dims, counts = np.unique(lens[good], return_counts=True)
+        dim = int(dims[np.argmax(counts)])
+        keep = lens == dim
+        m = int(keep.sum())
+        if m < 2:
+            return empty
+        pdf = pdf[keep].reset_index(drop=True)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        ids = pdf[id_col].to_numpy()
+        if sig_col is not None:
+            sig = pdf[sig_col].to_numpy().astype(np.int64)
+            band = int(pdf[band_col].iat[0])
+        cols_a: list[np.ndarray] = []
+        cols_b: list[np.ndarray] = []
+        cols_c: list[np.ndarray] = []
+        col_idx = np.arange(m)
+        for i0 in range(0, m - 1, block_rows):
+            i1 = min(i0 + block_rows, m)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = (V[i0:i1] @ V.T) / np.outer(nrm[i0:i1], nrm)
+                sel = (C >= threshold) & (col_idx[None, :] > np.arange(i0, i1)[:, None])
+            ri, cj = np.nonzero(sel)
+            if not len(ri):
+                continue
+            gi = ri + i0
+            if sig_col is not None and band > 0:
+                sa, sb = sig[gi], sig[cj]
+                earlier = np.zeros(len(gi), dtype=bool)
+                for bp in range(band):
+                    earlier |= ((sa >> (band_bits * bp)) & mask_w) == (
+                        (sb >> (band_bits * bp)) & mask_w
+                    )
+                ok = ~earlier
+                gi, cj, ri = gi[ok], cj[ok], ri[ok]
+            neq = ids[gi] != ids[cj]
+            gi, cj, ri = gi[neq], cj[neq], ri[neq]
+            if not len(gi):
+                continue
+            cols_a.append(ids[gi])
+            cols_b.append(ids[cj])
+            cols_c.append(C[ri, cj])
+        if not cols_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(cols_a).astype(np.int64),
+                "id_b": np.concatenate(cols_b).astype(np.int64),
+                "cosine": np.concatenate(cols_c),
+            }
+        )
+
+    return banded.groupBy(*group_cols).applyInPandas(_kern, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed bucket search
 # ---------------------------------------------------------------------------

@@ -1667,8 +1667,14 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan, blocked by the label column (the
     metadata-blocking baseline; operators/similarity.py has the LSH-banded
-    variant for unlabeled corpora). Join key = label keeps the pair space
-    linear-ish; cosine verified exactly.
+    variant for unlabeled corpora). Label groups bound the pair space;
+    cosine verified exactly — since r15 as one BLAS gram matrix per label
+    group (operators/similarity.gram_bucket_pairs) instead of the
+    label self-join + per-pair interpreted fold. Measured min-of-5 warm:
+    sf0.1 1.12 → 0.79 s; sf1 92.8 → 2.5 s (the old plan paid ~20M
+    interpreted 64-element folds; DuckDB 10.8 s — the kernel WINS at 10×).
+    The historical records below describe the pre-r15 join plan and stay
+    for the negative-result audit trail.
 
     Partitioning: hash-repartition by the JOIN KEY, not round-robin. Both
     self-join branches then satisfy the join's distribution requirement, so
@@ -1692,42 +1698,29 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single expression inside the fused join+filter+project stage defeats
     JIT/codegen locality that the isolated aggregate shape preserves.
     The interpreted HOF fold stays."""
-    from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
+    from zarr_climate_etl_ipfs_spark.operators.similarity import gram_bucket_pairs
 
+    # label IS the bucket: one BLAS gram per label group replaces the
+    # self-join + per-pair interpreted fold (gram_bucket_pairs docstring:
+    # the sf1-measured fifth verify shape — at 20k rows the old plan paid
+    # 20M interpreted folds, 93 s vs DuckDB's 10.8; the kernel computes the
+    # same cosines as 10 dgemms). NULL labels produce no pairs under the
+    # old equi-join and are filtered before the kernel for the same result.
+    # Rounding stays engine-side (F.round of the kernel's raw float64).
     emb = (
         t(spark, sf_dir, "embeddings")
-        .select(
-            "*",
-            l2_norm("embedding").alias("_n"),
-            F.monotonically_increasing_id().alias("_mid"),
-        )
-        # always-true pushdown barrier (the dedup_exact note in
-        # operators/dedup.py): the cosine threshold's constraint chain
-        # otherwise plants isnotnull(sqrt(aggregate(embedding,...))) in the
-        # scan's DataFilters — the whole norm, evaluated at file-count
-        # parallelism and again in this projection
-        .filter(F.col("_mid") >= 0)
-        .drop("_mid")
-        .repartition(spark.sparkContext.defaultParallelism, "label")
+        .filter(F.col("label").isNotNull())
+        .select("label", "vec_id", "embedding")
     )
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        F.col("_n").alias("na"), "label",
+    pairs = gram_bucket_pairs(
+        emb, ["label"], id_col="vec_id", vec_col="embedding", threshold=0.35
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        F.col("_n").alias("nb"), "label",
-    )
-    # try_divide: zero-norm vectors yield NULL cosine (dropped by the
-    # threshold on both engines — the oracle's LIST_COSINE_SIMILARITY
-    # yields -1.0 there, also dropped) instead of an ANSI-mode error
-    cos = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+    # repartition pins a shuffle so orderBy's sampling pass reads shuffle
+    # files instead of re-running every label-group kernel (no exchange
+    # reuse across python-UDF stages)
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_c", cos)
-        .filter(F.col("_c") >= 0.35)
-        .select("id_a", "id_b", F.round("_c", 4).alias("cosine"))
+        pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .orderBy("id_a", "id_b")
     )
 
@@ -3502,9 +3495,26 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-element lambda ~30M times cannot meet an in-process C++ columnar
     kernel on a 464k-pair/2k-vector workload; the gap closes only with
     data scale (SCALE.md: the banded plan is linear-shuffle and beats the
-    oracle's quadratic candidate growth at 10×/100×)."""
-    from zarr_climate_etl_ipfs_spark.functions.vectors import dot, l2_norm
+    oracle's quadratic candidate growth at 10×/100×).
+
+    FIFTH shape (r15) — the floor FALLS, and the fourth record's closing
+    scale claim is RETRACTED: the r15 sf1 measurement (tools/make_sf1.py,
+    10× rows) showed candidates growing quadratically (4-bit bands
+    saturate at 16 buckets/band, ≈46M pairs at 20k vectors), the HOF
+    verify at 314 s vs DuckDB's 5.7 s on the identical candidate set —
+    the gap does NOT close with scale; it explodes. The shape all four
+    attempts missed: every candidate lives inside one band bucket, so
+    pair LISTING + min-band dedup + cosine verify collapse into one BLAS
+    ``V @ V.T`` per bucket (operators/similarity.gram_bucket_pairs) with
+    one-vector-per-ROW Arrow transfer (linear — not per-pair like r7's
+    losing attempt #1). Measured min-of-5 warm, value-identical at every
+    gate: sf0.1 3.04 → 2.85 s, sf1 314.0 → 5.9 s (DuckDB 5.75 s — parity
+    at 10×, and the kernel's per-bucket strip-mining keeps memory
+    O(block_rows·bucket) at any scale). The sf0.1 row stays perf-weak
+    (fixed worker-launch + harness floor vs an in-process engine on 2k
+    vectors); the 100 TB answer is now measured, not argued."""
     from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        gram_bucket_pairs,
         rademacher_planes,
         srp_signature_expr,
     )
@@ -3521,7 +3531,6 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id",
             "embedding",
-            l2_norm("embedding").alias("_n"),
             srp_signature_expr("embedding", planes).alias("sig"),
             F.monotonically_increasing_id().alias("_mid"),
         )
@@ -3537,88 +3546,46 @@ def embedding_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ]
     )
-    # Candidate generation over (id, sig) rows via ONE bucket aggregate —
-    # the signature rides along so the min-band dedup below can decide
-    # pair uniqueness locally instead of shuffling pairs to a dedup.
-    item = F.struct(F.col("vec_id").alias("id"), F.col("sig").alias("sg"))
-    banded = s.select(item.alias("it"), F.explode(bands).alias("bb")).select(
-        "it", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    # One (band, bv) explode carrying (id, sig, vector) — 4·n rows, linear
+    # Arrow transfer — then the whole candidate-listing + min-band-dedup +
+    # cosine-verify pipeline collapses into gram_bucket_pairs: one BLAS
+    # V @ V.T per band bucket (the FIFTH verify shape; see that function's
+    # docstring for why the four-attempt floor record inverted at sf1).
+    # Rounding stays engine-side (F.round on the kernel's raw float64), so
+    # the output's rounding semantics are exactly the old plan's.
+    banded = s.select(
+        "vec_id", "sig", "embedding", F.explode(bands).alias("bb")
+    ).select(
+        "vec_id", "sig", "embedding",
+        F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
+    ).repartition(
+        # pre-shuffling by the group key at half-parallelism both feeds the
+        # kernel (the groupBy reuses this clustering) and tunes worker
+        # count: each applyInPandas partition pays worker launch + Arrow
+        # stream setup, and 64 near-empty buckets over 32 workers is
+        # launch-dominated at small SF (measured min-of-5 at sf0.1:
+        # 32 parts 3.45 s / 16 parts 2.85 s / 8 parts 3.40 s; at sf1 the
+        # bigger buckets prefer full width, 5.94 vs 6.57 s — half-width is
+        # the compromise that still scales with the cluster)
+        max(8, spark.sparkContext.defaultParallelism // 2), "band", "bv"
     )
-    # The round-robin spread sits on the BUCKET rows (64 rows, ~640 KB of
-    # id+sig lists), not the exploded pairs (25 MB) — the pair explode and
-    # cosine verify then run cluster-wide as one map stage with zero
-    # pair-width shuffle. REPARTITION_BY_NUM is the one exchange AQE must
-    # leave alone (a keyed repartition would merge into the groupBy's
-    # ENSURE_REQUIREMENTS exchange and coalesce to ~3 partitions,
-    # serializing the verify).
-    buckets = (
-        banded.groupBy("band", "bv")
-        .agg(F.sort_array(F.collect_list("it")).alias("its"))
-        .filter(F.size("its") > 1)
+    pairs = gram_bucket_pairs(
+        banded,
+        ["band", "bv"],
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+        sig_col="sig",
+        band_col="band",
+        band_bits=4,
+    )
+    # The trailing repartition pins a shuffle between the kernel and the
+    # sort: python-UDF stages get no exchange reuse, so orderBy's range-
+    # sampling pass would otherwise re-execute every bucket kernel.
+    return (
+        pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .repartition(spark.sparkContext.defaultParallelism)
-    )
-
-    def earlier_agree(x, y):
-        # true iff the two signatures already agreed on a band BEFORE this
-        # bucket's band — in which case this pair was emitted there and
-        # must be suppressed here (min-band dedup: exactly one emission
-        # per candidate pair, no dedup shuffle). Flat ((band > bp) AND
-        # agree_bp) OR-chain, the same form as operators/similarity's
-        # _earlier_agree — each band extraction evaluated once per pair.
-        conds = None
-        for bp in range(3):
-            c = (F.col("band") > bp) & (
-                F.shiftrightunsigned(x["sg"], 4 * bp).bitwiseAND(F.lit(15))
-                == F.shiftrightunsigned(y["sg"], 4 * bp).bitwiseAND(F.lit(15))
-            )
-            conds = c if conds is None else conds | c
-        return conds
-
-    pairs = buckets.select(
-        F.explode_outer(
-            F.flatten(
-                F.transform(
-                    "its",
-                    lambda x, i: F.filter(
-                        F.transform(
-                            F.slice("its", i + 2, F.size("its")),
-                            lambda y: F.struct(
-                                x["id"].alias("id_a"),
-                                y["id"].alias("id_b"),
-                                earlier_agree(x, y).alias("dup"),
-                            ),
-                        ),
-                        lambda p: ~p["dup"],
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    cand = pairs.filter(F.col("p").isNotNull()).select("p.id_a", "p.id_b")
-    # One projected subtree feeds both verify-side broadcast builds (at
-    # real scale: bucketed joins on vec_id, same shape).
-    vv = s.select("vec_id", "embedding", "_n")
-    A, B = vv.alias("A"), vv.alias("B")
-    # try_divide: zero-norm vectors hash to the all-zero SRP signature on
-    # both engines, pair up there, and must then yield NULL cosine (dropped
-    # by the threshold, matching the oracle's -1.0) instead of erroring
-    cos = F.try_divide(
-        dot(F.col("A.embedding"), F.col("B.embedding")),
-        F.col("A._n") * F.col("B._n"),
-    )
-    verified = (
-        cand.join(F.broadcast(A), F.col("id_a") == F.col("A.vec_id"))
-        .join(F.broadcast(B), F.col("id_b") == F.col("B.vec_id"))
-        .withColumn("_c", cos)
-        .filter(F.col("_c") >= 0.35)
-        .select("id_a", "id_b", F.round("_c", 4).alias("cosine"))
-    )
-    # The trailing repartition pins a shuffle between verify and the sort:
-    # the range-partition sampling pass then re-READS materialized shuffle
-    # files instead of re-EXECUTING the 464k-pair cosine subtree (orderBy
-    # otherwise runs it twice — once to sample bounds, once to sort).
-    return verified.repartition(spark.sparkContext.defaultParallelism).orderBy(
-        "id_a", "id_b"
+        .orderBy("id_a", "id_b")
     )
 
 
