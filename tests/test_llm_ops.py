@@ -1365,3 +1365,60 @@ def test_gram_bucket_pairs_min_band_dedup_exactly_once(spark):
         sig_col="sig", band_col="band", band_bits=4,
     ).collect()
     assert sorted((r["id_a"], r["id_b"]) for r in got) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_hamming_mih_matches_join_engine(spark):
+    """engine='mih' (two-level pigeonhole) must be row-identical to the
+    exact join path — same pairs, same hamming, exactly-once emission."""
+    rng = np.random.default_rng(9)
+    base = int(rng.integers(0, 1 << 56))
+    rows = []
+    for i in range(40):
+        sig = int(rng.integers(0, 1 << 56))
+        rows.append((i, sig))
+    # planted near pairs: flip 1-2 bits off shared bases (several per base
+    # so min-block dedup has multi-band agreements to suppress)
+    for k in range(5):
+        b = int(rng.integers(0, 1 << 56))
+        for j in range(4):
+            sig = b ^ (1 << int(rng.integers(0, 56)))
+            rows.append((100 + 10 * k + j, sig))
+    df = spark.createDataFrame(rows, "id long, sh long")
+    join_out = dedup.hamming_blocked_pairs(
+        df, max_hamming=2, bits=56, bucket_cap=None
+    ).collect()
+    kern_out = dedup.hamming_blocked_pairs(
+        df, max_hamming=2, bits=56, bucket_cap=None, engine="mih"
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"], r["is_star"])  # noqa: E731
+    assert sorted(map(key, join_out)) == sorted(map(key, kern_out))
+    assert len({(r["id_a"], r["id_b"]) for r in kern_out}) == len(kern_out)
+
+
+
+def test_hamming_mih_requires_uncapped(spark):
+    df = spark.createDataFrame([(1, 3)], "id long, sh long")
+    with pytest.raises(ValueError, match="bucket_cap"):
+        dedup.hamming_blocked_pairs(df, bucket_cap=8, engine="mih")
+
+
+def test_hamming_mih_dominant_bucket_corpus(spark):
+    """The hot-bucket shape MIH exists for: one base signature with
+    1-bit-flip satellites puts every row in one dominant level-1 bucket.
+    MIH must agree with the join engine pair-for-pair, emit each pair
+    exactly once, and actually produce the dominant bucket's pair mass."""
+    rng = np.random.default_rng(13)
+    base = int(rng.integers(0, 1 << 56))
+    rows = [(i, base ^ (1 << int(rng.integers(0, 56)))) for i in range(120)]
+    rows += [(1000 + i, int(rng.integers(0, 1 << 56))) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, sh long")
+    mih = dedup.hamming_blocked_pairs(
+        df, max_hamming=2, bits=56, bucket_cap=None, engine="mih"
+    ).collect()
+    join = dedup.hamming_blocked_pairs(
+        df, max_hamming=2, bits=56, bucket_cap=None
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])  # noqa: E731
+    assert sorted(map(key, mih)) == sorted(map(key, join))
+    assert len(mih) > 1000  # the dominant bucket's pairs actually flowed
+    assert len({(r["id_a"], r["id_b"]) for r in mih}) == len(mih)

@@ -419,6 +419,7 @@ def hamming_blocked_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     bucket_cap: int | None = 4096,
+    engine: str = "join",
 ) -> DataFrame:
     """Pairs within ``max_hamming`` of a ``bits``-wide signature, by
     pigeonhole blocking: split the signature into ``max_hamming + 1``
@@ -440,6 +441,30 @@ def hamming_blocked_pairs(
     pairs). ``None`` disables the cap for exact pair enumeration.
 
     Returns columns ``(id_a, id_b, hamming, is_star)``.
+
+    ``engine="mih"`` (exact path only — requires ``bucket_cap=None``) is
+    the scale-mode pair enumerator: a TWO-LEVEL pigeonhole (multi-index
+    hamming join). The single-level join on (block, block_bits) serializes
+    a HOT bucket's b²/2 candidates into one sort-merge task — measured at
+    sf1 (tools/make_sf1.py, 50k docs), a 7,470-doc bucket alone carried
+    28M of simhash_neardups' 110M candidates and the query took 152 s vs
+    DuckDB's 29 s on the identical candidate set. MIH joins on 9
+    (level-1 block, level-2 rotated block) combo keys instead: perfect
+    recall by double pigeonhole, candidates collapse to near output size,
+    hot buckets split across level-2 values, min-combo canon keeps
+    exactly-once emission, all in codegen. Measured at sf1:
+    152 s -> ~16 s engine-side. Two r15 negative results on the same
+    riser, for the record: (a) per-bucket applyInPandas XOR+SWAR-popcount
+    kernel — 24.5 s at sf0.1 (~1 ms × ~30k near-empty groups), and its
+    hybrid hot/cold routings all forced multi-consumer signature
+    re-execution (python-UDF subtrees get no exchange reuse; measured
+    135 s at sf1 un-checkpointed) or extra driver-synchronized jobs;
+    (b) a salted self-join (probe side × 32) — 25.9 s at sf1, 3.9 s at
+    sf0.1. MIH beat both at sf1; the single-level join remains faster on
+    SMALL corpora (1.8 vs ~4 s at sf0.1: 9× explode + wider keys cost
+    more than the skew they prevent when no bucket is hot), so callers
+    choose by corpus size (simhash_neardups uses input file bytes) and
+    the join engine stays the default.
     """
     n_blocks = max_hamming + 1
     bits_per_block = bits // n_blocks
@@ -476,16 +501,16 @@ def hamming_blocked_pairs(
                 F.col("sh").alias("sh_b"),
             )
         )
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block", "block_bits")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block", "block_bits")
-    joined = a.join(b, ["block", "block_bits"]).filter(F.col("id_a") < F.col("id_b"))
-    if bucket_cap is None:
+    def _exact_join(bk: DataFrame) -> DataFrame:
         # Exact path: dedupe map-side by emitting each pair only from its
         # FIRST agreeing block — for every earlier block the two signatures
         # must differ. Replaces a dropDuplicates shuffle over the (large)
         # candidate set with a pure filter. (Unsafe under a cap: an earlier
         # agreeing block may have been dropped as hot, which would orphan
         # the pair — the capped path keeps the shuffle dedup.)
+        ea = bk.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block", "block_bits")
+        eb = bk.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block", "block_bits")
+        ej = ea.join(eb, ["block", "block_bits"]).filter(F.col("id_a") < F.col("id_b"))
         mask = F.shiftleft(F.lit(1).cast("long"), bits_per_block) - 1
 
         def bv(c: Column, j: int) -> Column:
@@ -498,11 +523,86 @@ def hamming_blocked_pairs(
                 | (bv(F.col("sh_a"), j) != bv(F.col("sh_b"), j))
             )
         return (
-            joined.filter(canon)
+            ej.filter(canon)
             .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming", F.lit(False).alias("is_star"))
         )
+
+    if engine == "mih":
+        if bucket_cap is not None:
+            raise ValueError("engine='mih' supports only bucket_cap=None")
+        # Two-level pigeonhole (multi-index hamming join, the HmSearch/MIH
+        # device): a pair within the budget agrees on >= 1 of the three
+        # level-1 blocks AND >= 1 of three blocks of the 9-bit-ROTATED
+        # signature (an independent alignment of the same bits), so
+        # joining on the 9 (combo, v1, v2) keys has perfect recall while
+        # requiring ~2·bits/3 bits of agreement per bucket — candidates
+        # collapse from all-pairs-within-18-bit-buckets to near the output
+        # size, and a hot level-1 bucket splits across its level-2 values.
+        # Exactness does not depend on the blocking (the final hamming
+        # filter is exact); min-COMBO canon emits each pair exactly once.
+        # Pure codegen — no python workers, no multi-consumer signature
+        # re-execution hazard. Uncovered remainder bits (bits % n_blocks)
+        # only make blocking more permissive, never lossy.
+        rot = max(1, bits_per_block // 2)
+        full_mask = F.shiftleft(F.lit(1).cast("long"), bits) - 1
+        rot_sig = (
+            F.shiftrightunsigned("sh", rot).bitwiseOR(F.shiftleft("sh", bits - rot))
+        ).bitwiseAND(full_mask)
+        mask = F.shiftleft(F.lit(1).cast("long"), bits_per_block) - 1
+
+        def bv(c: Column, j: int) -> Column:
+            return F.shiftrightunsigned(c, j * bits_per_block).bitwiseAND(mask)
+
+        combos = F.array(
+            *[
+                F.struct(
+                    F.lit(i * n_blocks + j).alias("combo"),
+                    bv(F.col("sh"), i).alias("v1"),
+                    bv(F.col("rs"), j).alias("v2"),
+                )
+                for i in range(n_blocks)
+                for j in range(n_blocks)
+            ]
+        )
+        mb = (
+            sh.withColumn("rs", rot_sig)
+            .select("id", "sh", "rs", F.explode(combos).alias("bb"))
+            .select(
+                "id", "sh", "rs",
+                F.col("bb.combo").alias("combo"),
+                F.col("bb.v1").alias("v1"),
+                F.col("bb.v2").alias("v2"),
+            )
+        )
+        ma = mb.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+            F.col("rs").alias("rs_a"), "combo", "v1", "v2",
+        )
+        mbb = mb.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+            F.col("rs").alias("rs_b"), "combo", "v1", "v2",
+        )
+        mj = ma.join(mbb, ["combo", "v1", "v2"]).filter(F.col("id_a") < F.col("id_b"))
+        canon = F.lit(True)
+        for c in range(n_blocks * n_blocks):
+            i, j = c // n_blocks, c % n_blocks
+            agree = (bv(F.col("sh_a"), i) == bv(F.col("sh_b"), i)) & (
+                bv(F.col("rs_a"), j) == bv(F.col("rs_b"), j)
+            )
+            canon = canon & ((F.col("combo") <= F.lit(c)) | ~agree)
+        return (
+            mj.filter(canon)
+            .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming", F.lit(False).alias("is_star"))
+        )
+    if bucket_cap is None:
+        return _exact_join(bucketed)
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block", "block_bits")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block", "block_bits")
+    joined = a.join(b, ["block", "block_bits"]).filter(F.col("id_a") < F.col("id_b"))
     pairs = (
         joined.select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -246,6 +246,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _doc_bytes(sf_dir: str) -> int:
+    """Driver-side size probe of documents.parquet (no Spark job) — the
+    cost-based-optimizer signal for engine choices that flip with corpus
+    size (simhash_neardups join-vs-MIH). Returns 0 when unreadable so the
+    small-corpus plan is the fallback."""
+    import os
+
+    try:
+        return os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        return 0
+
+
 def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Loader for compute-heavy derivation stages (shingling, hashing,
     vector math): the test tables are single parquet files → one input
@@ -2694,9 +2707,22 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # too; production corpora use the capped default (star linking)
     return (
         hamming_blocked_pairs(
-            sh, id_col="doc_id", sig_col="simhash", max_hamming=2, bits=56, bucket_cap=None
+            sh, id_col="doc_id", sig_col="simhash", max_hamming=2, bits=56,
+            bucket_cap=None,
+            # Cost-based engine choice on input bytes (both engines are
+            # value-identical): the single-level join wins on small
+            # corpora (1.8 vs ~4 s at sf0.1), the two-level MIH join wins
+            # when hot buckets appear (152 -> ~16 s engine-side at sf1,
+            # where one 18-bit block value held 7,470 docs = 28M
+            # candidates in ONE task). Crossover measured between 0.6 MB
+            # (sf0.1) and 5.5 MB (sf1) of compressed documents.
+            engine="mih" if _doc_bytes(sf_dir) > 2_000_000 else "join",
         )
         .select("id_a", "id_b", "hamming")
+        # pin a shuffle before the sort: orderBy's range-sampling pass
+        # otherwise re-executes the whole pair pipeline (python-UDF stages
+        # get no exchange reuse) — measured 53 s vs 29 s at sf1
+        .repartition(spark.sparkContext.defaultParallelism)
         .orderBy("id_a", "id_b")
     )
 
