@@ -751,6 +751,88 @@ def test_scalar_quantize_recon_snaps_to_levels(spark):
     assert abs(got[3][0] - 0.07) <= step / 2 + 1e-12
 
 
+def test_sq_asym_cosine_scan_matches_expression_path(spark):
+    """The r15 Arrow kernel (sq_asym_cosine_scan) must reproduce the
+    expression path it replaced — recon zip_with + cosine fold — on clean
+    AND dirty rows: NULL vector, ragged vector, zero-norm vector, constant
+    dimension. Comparison at 6 decimals (the query's output rounding;
+    BLAS vs fold summation may differ below that)."""
+    from zarr_climate_etl_ipfs_spark.functions.vectors import cosine_similarity
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        scalar_quantize_bounds,
+        scalar_quantize_recon,
+        sq_asym_cosine_scan,
+    )
+
+    rows = [
+        (0, [1.0, 0.5, 5.0]),       # query vector
+        (1, [0.0, -1.0, 5.0]),
+        (2, [1.5, 1.0, 5.0]),       # dim 3 constant (hi == lo)
+        (3, [0.07, 0.0, 5.0]),
+        (4, None),                   # NULL vector → NULL cosine
+        (5, [1.0, 2.0]),             # short; missing dim constant → scores
+        (6, [0.0, 0.0, 5.0]),
+        (7, [1.0, 2.0, 5.0, 4.0]),   # longer than codebook → NULL cosine
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = F.broadcast(scalar_quantize_bounds(df, dim=3, query_pred=F.col("vec_id") == 0))
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in sq_asym_cosine_scan(
+            df.crossJoin(cb), levels=16
+        ).collect()
+    }
+    bounds = F.broadcast(scalar_quantize_bounds(df, dim=3))
+    qv = F.broadcast(
+        df.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("qvec")
+        )
+    )
+    expected = {
+        r["vec_id"]: r["c"]
+        for r in df.crossJoin(bounds)
+        .select(
+            "vec_id",
+            scalar_quantize_recon("embedding", "mins", "maxs", levels=16).alias("rv"),
+        )
+        .crossJoin(qv)
+        .select("vec_id", cosine_similarity(F.col("rv"), F.col("qvec")).alias("c"))
+        .collect()
+    }
+    assert set(got) == set(expected) == {0, 1, 2, 3, 4, 5, 6, 7}
+    for k in expected:
+        if expected[k] is None:
+            assert got[k] is None, k
+        else:
+            assert got[k] is not None and abs(got[k] - expected[k]) < 5e-7, k
+    assert got[4] is None and got[7] is None and got[5] is not None
+
+
+def test_sq_asym_cosine_scan_query_edge_cases(spark):
+    """No query row → zero output rows (the old filter+crossJoin
+    annihilation); query row present with NULL vector → every cosine
+    NULL but all rows emitted (the old NULL-qvec fold)."""
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        scalar_quantize_bounds,
+        sq_asym_cosine_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cb = F.broadcast(scalar_quantize_bounds(df, dim=2, query_pred=F.col("vec_id") == 0))
+    assert sq_asym_cosine_scan(df.crossJoin(cb), levels=16).count() == 0
+
+    df2 = spark.createDataFrame(
+        [(0, None), (1, [0.5, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cb2 = F.broadcast(
+        scalar_quantize_bounds(df2, dim=2, query_pred=F.col("vec_id") == 0)
+    )
+    out = sq_asym_cosine_scan(df2.crossJoin(cb2), levels=16).collect()
+    assert len(out) == 2 and all(r["cosine"] is None for r in out)
+
+
 def test_simhash_vote_kernel_trailing_empty_groups(spark):
     """Round-7 review regression: a batch whose trailing rows carry empty
     hash arrays must not truncate the preceding group's vote range

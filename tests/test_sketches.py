@@ -130,6 +130,49 @@ def test_bloom_no_false_negatives(spark):
     assert len(fp) / 2000 < 2 * envelope + 0.01
 
 
+def test_bloom_bitmask_probe_matches_join_probe(spark):
+    """The r15 join-free bitmask probe (bloom_bitmask + bloom_hit_mask)
+    must flag exactly the same values as the relational bloom_probe —
+    including with an UNDEDUPED positions frame (bit_or is idempotent),
+    covering every bit word incl. the sign bit (bit 63), and reporting
+    all-false from an EMPTY build set."""
+    from zarr_climate_etl_ipfs_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_bitmask,
+        bloom_hit_mask,
+        bloom_probe,
+    )
+
+    build = spark.range(0, 500).select(F.concat(F.lit("in-"), "id").alias("v"))
+    probe = (
+        spark.range(0, 500).select(F.concat(F.lit("in-"), "id").alias("v"))
+        .union(spark.range(0, 1000).select(F.concat(F.lit("out-"), "id").alias("v")))
+    )
+    pos = bloom_bit_positions(build, "v", m_bits=8192, k=3)
+    expected = {
+        r["v"]: r["bloom_hit"] for r in bloom_probe(probe, "v", pos, 8192, 3).collect()
+    }
+    pos_raw = bloom_bit_positions(build, "v", m_bits=8192, k=3, dedup=False)
+    mask = F.broadcast(bloom_bitmask(pos_raw, m_bits=8192))
+    got = {
+        r["v"]: r["h"]
+        for r in probe.crossJoin(mask)
+        .select("v", bloom_hit_mask("v", "bits", 8192, 3).alias("h"))
+        .collect()
+    }
+    assert got == expected and any(got.values()) and not all(got.values())
+
+    # empty build set: nothing probes true (positions frame is empty)
+    empty_pos = bloom_bit_positions(build.filter("1=0"), "v", 1024, 3, dedup=False)
+    em = F.broadcast(bloom_bitmask(empty_pos, m_bits=1024))
+    got_e = (
+        probe.limit(5).crossJoin(em)
+        .select(bloom_hit_mask("v", "bits", 1024, 3).alias("h"))
+        .collect()
+    )
+    assert len(got_e) == 5 and not any(r["h"] for r in got_e)
+
+
 def test_countmin_one_sided_and_mergeable(spark):
     """cm_est >= true count for EVERY term (never under), and cell-wise
     summing shard sketches equals the whole-corpus sketch."""

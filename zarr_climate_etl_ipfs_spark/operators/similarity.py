@@ -867,21 +867,65 @@ def assign_probe_cells(
 
 
 def scalar_quantize_bounds(
-    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    query_pred: Column | None = None,
 ) -> DataFrame:
     """Per-dimension (min, max) over the corpus as ONE aggregate row of two
     arrays — the training-free codebook of scalar quantization. 2·dim
     partial-aggregated min/max expressions: one scan, one 1-row result,
     broadcastable anywhere. (Contrast with k-means PQ codebooks: SQ needs
     no iterative training, which is what makes it exactly reproducible in
-    a SQL oracle.)"""
-    mins = F.array(
-        *[F.min(F.element_at(F.col(vec_col), i + 1).cast("double")) for i in range(dim)]
+    a SQL oracle.)
+
+    With ``query_pred`` set, the SAME aggregate pass also extracts the
+    query vector (``qvec``, cast to double) and its presence flag
+    (``has_q``) for the row matching the predicate — the r15 job-count
+    optimization: a separate filter + second broadcast build cost a fixed
+    ~0.5 s of scheduling latency per fresh plan against a sub-millisecond
+    aggregate (the whole query is latency-bound at any tested SF; at
+    scale it stays one pass instead of two).
+
+    Construction note (r15, measured): building these 2·dim aggregate
+    expressions column-object-by-column-object cost ~0.8 s of *driver*
+    time per fresh plan — each ``F.min(F.element_at(...).cast(...))`` is
+    several py4j round trips, ~600 in total. One ``F.expr`` string parses
+    the identical expression tree JVM-side in ~10 ms; plan and results
+    are byte-identical. (``try_element_at``, not ``element_at``: under
+    ANSI the latter RAISES on a ragged vector shorter than ``dim``, where
+    the DuckDB oracle's list index reads NULL — try_element_at makes the
+    engine agree with the oracle on ragged corpora, and MIN/MAX skip the
+    NULL identically on both engines.)"""
+    col = f"`{vec_col}`"
+    mins = F.expr(
+        "array("
+        + ",".join(
+            f"min(cast(try_element_at({col}, {i + 1}) as double))" for i in range(dim)
+        )
+        + ")"
     )
-    maxs = F.array(
-        *[F.max(F.element_at(F.col(vec_col), i + 1).cast("double")) for i in range(dim)]
+    maxs = F.expr(
+        "array("
+        + ",".join(
+            f"max(cast(try_element_at({col}, {i + 1}) as double))" for i in range(dim)
+        )
+        + ")"
     )
-    return emb.agg(mins.alias("mins"), maxs.alias("maxs"))
+    aggs = [mins.alias("mins"), maxs.alias("maxs")]
+    if query_pred is not None:
+        aggs.append(
+            F.first(
+                F.when(query_pred, F.col(vec_col).cast("array<double>")),
+                ignorenulls=True,
+            ).alias("qvec")
+        )
+        aggs.append(
+            (F.max(F.when(query_pred, F.lit(1)).otherwise(F.lit(0))) == 1).alias(
+                "has_q"
+            )
+        )
+    return emb.agg(*aggs)
 
 
 def scalar_quantize_recon(
@@ -908,6 +952,120 @@ def scalar_quantize_recon(
             * ((r["hi"] - r["lo"]) / n)
         ),
     )
+
+
+def sq_asym_cosine_scan(
+    joined: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mins_col: str = "mins",
+    maxs_col: str = "maxs",
+    query_col: str = "qvec",
+    has_query_col: str = "has_q",
+    levels: int = 16,
+) -> DataFrame:
+    """Asymmetric SQ cosine scan as one Arrow/NumPy pass — the vectorized
+    twin of ``scalar_quantize_recon(...)`` + ``cosine_similarity(...)``.
+
+    Why: the expression form pays ~5 interpreted HOF passes PER ROW (the
+    codebook ``zip_with(mins, maxs)`` struct build, the recon ``zip_with``,
+    and three ``aggregate`` folds for dot and both norms), two of which
+    re-derive per-row constants (the codebook struct, the query norm).
+    Measured in isolation (noop sink, warm, min-of-5): the sq_ann_topk
+    query spent 1.78 s in that Project against a 0.33 s whole-corpus
+    brute-force cosine — the recon folds, not the scan, were the query.
+    This kernel snaps a whole Arrow batch against the codebook and takes
+    one BLAS matvec for all dots — the gram_bucket_pairs shape for the
+    one-query case.
+
+    Contract: ``joined`` carries (id, vector, mins, maxs, qvec, has_q) per
+    row, where the last four are constant — ONE broadcast crossJoin of a
+    single 1-row aggregate (codebook min/max arrays + the query vector +
+    its presence flag computed in the same pass) keeps the whole query at
+    two jobs and one broadcast build, no driver collect. Emits
+    (id, cosine) with cosine the RAW float64 (callers apply F.round,
+    engine-side rounding semantics unchanged). Semantics mirrored from the
+    expression path it replaced: ``has_q`` false (no query row existed) →
+    NO output rows (the old query-side filter produced an empty frame and
+    the crossJoin annihilated); query row present but its vector NULL or
+    width-deviant → every cosine NULL (zip_with null-padding made the
+    fold NULL there); corpus vector NULL or longer than the codebook →
+    NULL cosine; a SHORT corpus vector NaN-pads, so it still scores when
+    its missing dimensions are all constant (recon reads ``lo`` before
+    looking at x there — the fold's exact behavior) and is NULL
+    otherwise; zero-norm vector or query → NULL (try_divide); hi == lo
+    dimension reconstructs to lo exactly; round is HALF_UP via
+    floor(t + 0.5) on the non-negative quantization ratio, matching
+    F.round. Summation order: BLAS pairwise
+    vs the fold's sequential — same last-ulp exposure class the fold
+    already has vs the DuckDB oracle's native LIST_COSINE_SIMILARITY,
+    green across all gates, and re-verified the same way (the
+    gram_bucket_pairs precedent). One conflation the Arrow boundary
+    forces (pinned empirically on this Spark: ``pa.Array.from_pandas``
+    maps float NaN → NULL): a NaN produced from NaN *data* inside a
+    vector returns as NULL here where the fold yields NaN — no gate
+    corpus contains such a row (NULL vectors, ragged vectors, and zero
+    vectors all behave identically on both paths)."""
+    out_schema = f"{id_col} long, cosine double"
+    n = float(levels - 1)
+
+    def _kern(batches):
+        codebook = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if codebook is None:
+                if not bool(pdf[has_query_col].iloc[0]):
+                    return  # no query row existed: the old plan emitted nothing
+                lo = np.asarray(pdf[mins_col].iloc[0], dtype=np.float64)
+                hi = np.asarray(pdf[maxs_col].iloc[0], dtype=np.float64)
+                qraw = pdf[query_col].iloc[0]
+                rng = hi - lo
+                step = rng / n
+                dim = len(lo)
+                q = None if qraw is None else np.asarray(qraw, dtype=np.float64)
+                if q is not None and len(q) != dim:
+                    q = None  # width-deviant query: fold gave NULL everywhere
+                qn = 0.0 if q is None else float(np.sqrt(q @ q))
+                codebook = True
+            vecs = pdf[vec_col].to_numpy()
+            # NaN rows (wrong width, zero norm, NULL query) all cross the
+            # Arrow boundary as NULL — from_pandas maps NaN → null
+            cos = np.full(len(vecs), np.nan, dtype=np.float64)
+            if q is not None:
+                lens = np.fromiter(
+                    (-1 if v is None else len(v) for v in vecs),
+                    dtype=np.int64,
+                    count=len(vecs),
+                )
+                # exact-width rows compute; SHORT rows pad with NaN — the
+                # fold's zip_with null-pads them, and recon still reads
+                # `lo` for a constant (hi == lo) dimension BEFORE looking
+                # at x, so a short row whose missing dims are all constant
+                # scores a real cosine there; NaN propagates to NULL for
+                # any non-constant missing dim, mirroring the fold's NULL.
+                # Longer-than-codebook rows are NULL on both paths.
+                keep = (lens >= 0) & (lens <= dim)
+                if keep.any():
+                    kept = vecs[keep]
+                    if (lens[keep] == dim).all():  # clean-corpus fast path
+                        V = np.stack(kept).astype(np.float64)
+                    else:
+                        V = np.full((len(kept), dim), np.nan, dtype=np.float64)
+                        for ri, v in enumerate(kept):
+                            V[ri, : len(v)] = v
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t = (V - lo) / rng * n
+                        R = np.where(rng == 0.0, lo, lo + np.floor(t + 0.5) * step)
+                        nrm = np.sqrt((R * R).sum(axis=1))
+                        denom = nrm * qn
+                        c = (R @ q) / denom
+                    c[denom == 0.0] = np.nan
+                    cos[keep] = c
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cosine": cos})
+
+    return joined.mapInPandas(_kern, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

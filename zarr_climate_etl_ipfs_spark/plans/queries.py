@@ -5547,35 +5547,43 @@ def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance math runs in — the difference between an index that fits in
     cluster RAM and one that doesn't; this entry verifies the quantized
     math end-to-end (the oracle rebuilds the identical reconstruction
-    per-element and DuckDB's sequential list fold matches Spark's
-    `aggregate` fold bit-for-bit, same as `knn_brute_force`). Plan: one
-    scan for bounds (128 partial-aggregated min/max), broadcast 1-row
-    codebook + broadcast query vector, one codegen'd zip_with
-    reconstruction + cosine per row, TakeOrderedAndProject — no shuffle
-    at any corpus size."""
-    from zarr_climate_etl_ipfs_spark.functions.vectors import cosine_similarity
+    per-element; engine-vs-oracle float agreement is at the rounded
+    output, same as `knn_brute_force`). Plan: ONE aggregate pass builds
+    codebook (128 partial-aggregated min/max) + query vector + presence
+    flag in a single 1-row broadcast, then ONE Arrow kernel pass snaps
+    each batch against the codebook and takes a single BLAS matvec for
+    all dots (`operators/similarity.sq_asym_cosine_scan`),
+    TakeOrderedAndProject — no shuffle at any corpus size.
+
+    r15 optimization record (guide §1.2/§4.2): this query is LATENCY-
+    bound, not compute-bound — the corpus is 2k×64 at sf0.1 and even
+    the old ~5-interpreted-HOF-passes-per-row Project was sub-100 ms of
+    actual CPU; the measured 1.78 s isolated (noop, warm, min-of-5) was
+    fixed scheduling cost: t_wide's repartition exchange, a separate
+    bounds job, TWO broadcast builds (bounds + query ≈ 0.25 s each on a
+    fresh plan), and two BroadcastNestedLoopJoins. The rewrite removes
+    the repartition (the kernel is batch-vectorized, so scan-split
+    parallelism suffices at any scale), folds the query-vector extraction
+    into the bounds aggregate (one broadcast build instead of two), and
+    replaces the per-row HOF math with the BLAS kernel. Output identical
+    (rounding engine-side, NULL semantics mirrored; see the kernel
+    docstring); measured 1.78 → ~0.55 s isolated."""
     from zarr_climate_etl_ipfs_spark.operators.similarity import (
         scalar_quantize_bounds,
-        scalar_quantize_recon,
+        sq_asym_cosine_scan,
     )
 
-    emb = t_wide(spark, sf_dir, "embeddings")
-    bounds = F.broadcast(scalar_quantize_bounds(emb))
-    qv = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(
-            F.col("embedding").cast("array<double>").alias("qvec")
-        )
+    emb = t(spark, sf_dir, "embeddings")
+    cb = F.broadcast(
+        scalar_quantize_bounds(emb, query_pred=F.col("vec_id") == 0)
     )
-    recon = emb.crossJoin(bounds).select(
-        "vec_id",
-        scalar_quantize_recon("embedding", "mins", "maxs", levels=16).alias("rv"),
+    scores = sq_asym_cosine_scan(
+        emb.select("vec_id", "embedding").crossJoin(cb), levels=16
     )
     return (
-        recon.crossJoin(qv)
-        .select("vec_id", cosine_similarity(F.col("rv"), F.col("qvec")).alias("_c"))
-        .orderBy(F.col("_c").desc(), "vec_id")
+        scores.orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
-        .select("vec_id", F.round("_c", 6).alias("cosine_q"))
+        .select("vec_id", F.round("cosine", 6).alias("cosine_q"))
     )
 
 
@@ -6085,7 +6093,8 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     true overlap — bounded by (1-e^(-kn/m))^k."""
     from zarr_climate_etl_ipfs_spark.operators.sketches import (
         bloom_bit_positions,
-        bloom_probe,
+        bloom_bitmask,
+        bloom_hit_mask,
     )
     from zarr_climate_etl_ipfs_spark.operators.textanalysis import words
 
@@ -6096,16 +6105,34 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # w='' feature there only (round-8 advisor catch); the shared trim
     # predicate makes the engines agree by construction on any corpus.
     d = t_wide(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    bench = d.filter(F.col("doc_id") % 19 == 0).select(
-        F.explode(F.array_distinct(words("text"))).alias("w")
+    # bench side reads the narrow scan, not the t_wide'd one: it feeds an
+    # aggregate over ~1/19th of the docs, and the repartition exchange was
+    # pure latency there (r15; the probe side keeps t_wide — the explode
+    # plus 3 md5s per pair is the CPU-bound stage t_wide exists for)
+    bench = (
+        t(spark, sf_dir, "documents")
+        .filter((F.trim(F.col("text")) != "") & (F.col("doc_id") % 19 == 0))
+        .select(F.explode(F.array_distinct(words("text"))).alias("w"))
     )
-    positions = bloom_bit_positions(bench, "w", m_bits=8192, k=3)
-    probe = d.select(
+    positions = bloom_bit_positions(bench, "w", m_bits=8192, k=3, dedup=False)
+    pairs = d.select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("w")
     )
-    flags = bloom_probe(probe, "w", positions, m_bits=8192, k=3)
+    # r15 (guide §2.3/§2.4): the probe is now a JOIN-FREE bitmask test —
+    # the filter folds to one broadcast row of 128 longs and each probe
+    # row tests its 3 salted bits in codegen, so the explode→join→
+    # group-back shuffle of 3× the probe rows is gone; one partial-
+    # aggregated shuffle to doc_id remains. Two relational rewrites were
+    # measured WORSE and are recorded in the bloom_bitmask docstring
+    # (distinct-vocab probe + join back: 3.2 s unhinted from 31-key skew,
+    # 2.0 s broadcast-hinted from the extra serial vocabulary job, vs
+    # 1.50 s for the old per-pair probe). bloom_hit per (doc, word) is
+    # identical by construction — same salted positions, ALL-k test.
+    mask = F.broadcast(bloom_bitmask(positions, m_bits=8192))
     return (
-        flags.groupBy("doc_id")
+        pairs.crossJoin(mask)
+        .select("doc_id", bloom_hit_mask("w", "bits", m_bits=8192, k=3).alias("bloom_hit"))
+        .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
             F.sum(F.col("bloom_hit").cast("int")).alias("n_flagged"),
