@@ -833,6 +833,54 @@ def test_sq_asym_cosine_scan_query_edge_cases(spark):
     assert len(out) == 2 and all(r["cosine"] is None for r in out)
 
 
+def test_semdedup_census_matches_bruteforce(spark):
+    """r15 internals change (aggregate argmax + gram-kernel verify): the
+    census must equal a NumPy brute-force of the SemDeDup spec — assign
+    to argmax-cosine seed (ties → lowest seed id), drop any vector with a
+    smaller-id same-cluster neighbor at cosine >= threshold. Zero-norm
+    vectors pin cosine -1.0, cluster to the lowest seed, and always
+    survive; exact duplicates drop; expr and pandas assignment paths
+    agree."""
+    import numpy as np
+
+    from zarr_climate_etl_ipfs_spark.operators.similarity import semdedup_census
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.standard_normal(8) for i in range(12)}
+    vecs[12] = vecs[3].copy()            # exact duplicate of id 3
+    vecs[13] = np.zeros(8)               # zero-norm: survives
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k, thr = 3, 0.35
+
+    # brute force in float32-faithful float64 (matches the engine's cast)
+    V = {i: np.asarray([np.float32(x) for x in v], dtype=np.float64)
+         for i, v in vecs.items()}
+    seeds = sorted(V)[:k]
+    def cos(a, b):
+        na, nb = np.sqrt(V[a] @ V[a]), np.sqrt(V[b] @ V[b])
+        return -1.0 if na == 0 or nb == 0 else float(V[a] @ V[b] / (na * nb))
+    cluster = {
+        i: max(seeds, key=lambda s: (cos(i, s), -s)) for i in V
+    }
+    dropped = {
+        j for j in V
+        if any(i < j and cluster[i] == cluster[j] and cos(i, j) >= thr for i in V)
+    }
+    expect = {}
+    for i, c in cluster.items():
+        n, d = expect.get(c, (0, 0))
+        expect[c] = (n + 1, d + (1 if i in dropped else 0))
+
+    for method in ("expr", "pandas"):
+        got = {
+            r["cluster"]: (r["n_vectors"], r["n_dropped"])
+            for r in semdedup_census(df, k=k, threshold=thr, assign_method=method).collect()
+        }
+        assert got == expect, (method, got, expect)
+    assert 12 in dropped and 13 not in dropped
+
+
 def test_simhash_vote_kernel_trailing_empty_groups(spark):
     """Round-7 review regression: a batch whose trailing rows carry empty
     hash arrays must not truncate the preceding group's vote range

@@ -1438,31 +1438,48 @@ def semdedup_census(
             F.try_divide(dot(F.col(vec_col), F.col("sv")), F.col("_n") * F.col("sn")),
             F.lit(-1.0),
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), "seed_id")
+        # r15 (guide §2.4): argmax as ONE hash aggregate instead of a
+        # row_number window — min(struct(-cos, seed_id)) selects exactly
+        # the window's (cos DESC, seed_id ASC) first row (cos is never
+        # NULL/NaN here — try_divide is coalesced to -1.0 — and Spark
+        # orders -0.0 == 0.0, so negation is an exact order reversal).
+        # The aggregate partial-combines map-side: the n·k crossJoin rows
+        # collapse to n BEFORE the exchange, where the window paid a full
+        # sort + two WindowGroupLimit passes over all n·k rows. Measured
+        # 1.15 → ~0.6 s on the assignment subtree at sf0.1.
         assign = (
             emb.crossJoin(F.broadcast(seeds))
             .withColumn("cos", cos_seed)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, F.col("seed_id").alias("cluster"), vec_col, "_n")
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct((-F.col("cos")).alias("nc"), "seed_id")).alias("_m"),
+                F.first(vec_col).alias(vec_col),
+                F.first("_n").alias("_n"),
+            )
+            .select(id_col, F.col("_m.seed_id").alias("cluster"), vec_col, "_n")
         )
     assign = assign.select(id_col, "cluster", vec_col, "_n").repartition(
         emb.sparkSession.sparkContext.defaultParallelism, "cluster"
     )
-    x = assign.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        F.col("_n").alias("na"), "cluster",
+    # r15: within-cluster verify via the per-bucket BLAS gram kernel —
+    # every candidate pair lives inside ONE cluster, which is exactly the
+    # gram_bucket_pairs contract; the previous x⋈y self-join evaluated an
+    # interpreted 64-element fold per pair (Σ n_c² pairs) and executed
+    # the assignment subtree twice more (the join's inferred
+    # isnotnull(cluster) filters broke exchange reuse between its sides).
+    # Same admission semantics: zero-norm → NaN fails ≥ threshold like
+    # the fold's try_divide NULL; NULL/width-deviant rows emit no pairs;
+    # id_a < id_b exactly once. BLAS-vs-fold last-ulp exposure at the
+    # threshold boundary is the documented gram_bucket_pairs class.
+    pairs = gram_bucket_pairs(
+        assign.select(id_col, vec_col, "cluster"),
+        ["cluster"],
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
     )
-    y = assign.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("_n").alias("nb"), "cluster",
-    )
-    pair_cos = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     dropped = (
-        x.join(y, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(pair_cos >= threshold)
-        .select(F.col("id_b").alias(id_col))
+        pairs.select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(1))
     )

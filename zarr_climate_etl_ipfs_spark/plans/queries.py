@@ -2994,15 +2994,34 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *removal* form of exact dedup (operators/dedup.py dedup_exact):
     keep the lowest-id representative per fingerprint group, report
-    kept-vs-total per source. Window-free min-id + semi-join plan: the two
-    shuffles move only (fingerprint, id) pairs, never document bodies."""
-    from zarr_climate_etl_ipfs_spark.operators.dedup import dedup_exact
+    kept-vs-total per source.
 
-    d = t_wide(spark, sf_dir, "documents")
-    kept = dedup_exact(d, "doc_id", "text").groupBy("source").agg(
+    r15 plan (guide §2.4): the census doesn't need dedup_exact's
+    semi-join at all — `min(struct(doc_id, source))` per fingerprint
+    group carries the keeper's source attribution out of ONE aggregate
+    (ids unique, so the struct min is the min-id row exactly), and the
+    per-source keeper counts fall out of a second tiny aggregate. The
+    previous shape (dedup_exact → groupBy source) scanned documents three
+    times, computed the md5 fingerprint twice, and moved bodies through
+    two repartition exchanges; measured 1.77 s isolated at sf0.1 vs
+    ~0.9 s for this form. dedup_exact keeps its semi-join contract for
+    callers that need the kept ROWS — this query only needs the census.
+    The totals side reads the narrow scan (source column only; no
+    repartition — a count per source is scan-bound, not CPU-bound)."""
+    from zarr_climate_etl_ipfs_spark.operators.dedup import _fp_key
+
+    keyed = t_wide(spark, sf_dir, "documents").select(
+        "source", "doc_id", _fp_key("text").alias("_fp")
+    )
+    groups = keyed.groupBy("_fp").agg(
+        F.min(F.struct("doc_id", "source")).alias("rep")
+    )
+    kept = groups.groupBy(F.col("rep.source").alias("source")).agg(
         F.count("*").alias("n_kept")
     )
-    totals = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    totals = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
     return (
         totals.join(kept, "source", "left")
         .select(
