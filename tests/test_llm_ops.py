@@ -833,6 +833,32 @@ def test_sq_asym_cosine_scan_query_edge_cases(spark):
     assert len(out) == 2 and all(r["cosine"] is None for r in out)
 
 
+def test_srp_signature_expr_string_path_bit_identical(spark):
+    """r15 construction fast path: when vec_col is a NAME, the signature
+    expression is built from one parsed SQL string (the Column-object form
+    paid n_planes x dim F.lit py4j round trips — 2.4 s of driver time per
+    fresh 16x64 build). Both paths must produce bit-identical signatures,
+    including the zero vector (all dots 0 → no bits set)."""
+    import numpy as np
+
+    from zarr_climate_etl_ipfs_spark.operators.similarity import (
+        rademacher_planes,
+        srp_signature_expr,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(np.float32(x)) for x in rng.standard_normal(16)]) for i in range(64)]
+    rows.append((64, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = rademacher_planes(12, 16, seed=42)
+    fast = {r["vec_id"]: r["s"] for r in
+            df.select("vec_id", srp_signature_expr("embedding", planes).alias("s")).collect()}
+    slow = {r["vec_id"]: r["s"] for r in
+            df.select("vec_id", srp_signature_expr(F.col("embedding"), planes).alias("s")).collect()}
+    assert fast == slow
+    assert fast[64] == 0
+
+
 def test_semdedup_census_matches_bruteforce(spark):
     """r15 internals change (aggregate argmax + gram-kernel verify): the
     census must equal a NumPy brute-force of the SemDeDup spec — assign

@@ -219,3 +219,32 @@ def test_plan_fingerprint_stable_and_normalized(spark):
     b1, b2 = fp("minhash_lsh_neardups"), fp("minhash_lsh_neardups")
     assert b1 == b2
     assert a1 != b1, "different plans must not collide"
+
+
+def test_table_handle_cache_identity_and_mtime_invalidation(spark, tmp_path):
+    """r15 t() memo: repeated reads of an unchanged table return the SAME
+    lazy handle (the ~0.1 s spark.read round trips are paid once per
+    session), while rewriting the file in place — the adversarial
+    harness's corpus-swap pattern — invalidates the entry and the fresh
+    handle sees the new data."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from zarr_climate_etl_ipfs_spark.plans.queries import _T_CACHE, t
+
+    p = tmp_path / "documents.parquet"
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]}).to_parquet(p)
+    d1 = t(spark, str(tmp_path), "documents")
+    d2 = t(spark, str(tmp_path), "documents")
+    assert d1 is d2, "unchanged table must hit the session memo"
+    assert d1.count() == 2
+
+    _time.sleep(0.01)
+    pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]}).to_parquet(p)
+    os.utime(p)  # belt-and-braces: some filesystems coarsen mtime
+    d3 = t(spark, str(tmp_path), "documents")
+    assert d3 is not d1, "rewritten file must miss the memo"
+    assert d3.count() == 3
+    assert any(k[1].endswith("documents.parquet") for k in _T_CACHE)

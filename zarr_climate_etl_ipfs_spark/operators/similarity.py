@@ -245,8 +245,34 @@ def srp_signature_expr(vec_col: Column | str, planes: "np.ndarray") -> Column:
     the plan — for modest plane counts this wins
     on both latency and stage-launch overhead; prefer the Arrow variant
     when n_planes × dim makes the expression tree unwieldy (≳ thousands of
-    literals)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    literals).
+
+    Construction note (r15, measured): the Column-object form paid
+    n_planes × dim ``F.lit`` py4j round trips — 2.4 s of DRIVER time per
+    fresh embedding_lsh_neardups build at 16×64 (most of that query's
+    isolated wall). When ``vec_col`` is a name, the identical expression
+    tree is now built from ONE parsed SQL string (~10 ms); results are
+    bit-identical (guarded by test), and a Column input keeps the
+    object-built path."""
+    if isinstance(vec_col, str):
+
+        def dlit(x: float) -> str:
+            return f"cast({x!r} as double)"
+
+        terms = []
+        for i in range(planes.shape[0]):
+            arr = ",".join(dlit(float(x)) for x in planes[i])
+            d = (
+                f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+                "(a, b) -> cast(a as double) * b), cast(0.0 as double), "
+                "(acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"(case when {d} > 0 then shiftleft(cast(1 as bigint), {i}) "
+                "else cast(0 as bigint) end)"
+            )
+        return F.expr("cast(0 as bigint) + " + " + ".join(terms))
+    v = vec_col
     out = F.lit(0).cast("long")
     for i in range(planes.shape[0]):
         lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
