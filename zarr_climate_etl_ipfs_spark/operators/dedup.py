@@ -725,22 +725,36 @@ def connected_components(
         except Exception:
             pass
 
-    prev_sig = None
+    # The convergence signature (edge count + xor-fold of edge hashes —
+    # overflow-free under ANSI, and the edge list is distinct so the fold
+    # identifies the SET) rides each eager checkpoint as an Observation:
+    # ONE driver action per round instead of checkpoint + separate
+    # agg().first() (the _checkpoint_ranked device — these rounds are
+    # driver-latency-bound at any scale, so each folded action is a direct
+    # wall win). Seeding prev_sig from the INITIAL edge list's observation
+    # keeps the same convergence criterion (a round that leaves the edge
+    # set unchanged ends the loop) while letting already-canonical graphs
+    # exit after round 1 rather than round 2.
+    from pyspark.sql import Observation as _Observation
+
+    def _observed_checkpoint(df: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = _Observation()
+        ck = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["h"])
+
     _pre = _persistent_ids()
-    e = e.localCheckpoint(eager=True)
+    e, prev_sig = _observed_checkpoint(e)
     prev_round_ids: set = _persistent_ids() - _pre
     for _ in range(max_iterations):
         before = _persistent_ids()
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        e, sig = _observed_checkpoint(small_star(large_star(e)))
         _unpersist(prev_round_ids)
         prev_round_ids = _persistent_ids() - before
-        row = e.agg(
-            F.count("*").alias("n"),
-            # xor-fold of edge hashes: overflow-free under ANSI, and the
-            # edge list is distinct so the fold identifies the SET
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).first()
-        sig = (row["n"], row["h"])
         if sig == prev_sig:
             break
         prev_sig = sig
