@@ -6284,8 +6284,8 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline actually runs: per-document mean negative log
     of P(w2|w1) = 0.7·C(w1w2)/C(w1) + 0.3·C(w2)/T (corpus-estimated,
     fixed interpolation). Bigram extraction is a JVM zip_with over the
-    token array (no UDF); the bigram count rides a count-over-bg window
-    (tfidf's one-pass-df trick — no second corpus scan); the two unigram
+    token array (no UDF); the bigram count rides a count-over-(w1,w2)
+    window (tfidf's one-pass-df trick — no second corpus scan); the two unigram
     lookups are broadcast dimension joins (vocabulary-sized — at 100 TB
     the vocab table is still MBs, the canonical broadcast dim). The float
     Σln is partition-order-dependent in the last ulp; ROUND(…,4) absorbs
@@ -6317,21 +6317,35 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("p.w1").alias("w1"),
             F.col("p.w2").alias("w2"),
-            F.concat_ws(" ", "p.w1", "p.w2").alias("bg"),
         )
     )
-    sp = sp.withColumn("n2", F.count("*").over(Window.partitionBy("bg")))
+    # r16: window keys on (w1, w2) directly — bg = concat_ws(' ', w1, w2)
+    # is a bijection for whitespace-split tokens (they contain no
+    # whitespace), so the count is identical while the exchange carries
+    # two short columns instead of three (the concat duplicated both) —
+    # guide §2.3 "shuffle fewer bytes". Interleaved A/B won 7/8 reps vs
+    # the bg-keyed form.
+    sp = sp.withColumn("n2", F.count("*").over(Window.partitionBy("w1", "w2")))
     cu = (
         lst.select(F.explode("lst").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
-    # r15: total token count derived from the unigram table (Σn == the
-    # explode's COUNT(*) exactly) — one fewer scan + tokenize + explode
-    # subtree. A join-back replacement for the count-over-bg window was
-    # measured WORSE (double tokenization: ~2.0 vs ~1.4 s same-session);
-    # the window stays.
-    tot = cu.agg(F.sum("n").alias("t"))
+    # r16 verdict #1 settlement: the r15 "tot from the unigram table"
+    # rewrite is REVERTED — it chained groupBy+sum onto the critical
+    # broadcast path and both committed r15 artifacts plus this round's
+    # interleaved A/Bs showed it slower (r15 1.91 s vs r14 1.50 s
+    # committed; r16 quiet-window mins S0 1.62-2.13 vs r14-shape
+    # 1.44-1.88 across four sessions). A straight COUNT over the token
+    # explode is a cheap concurrent broadcast-build job; Σn == COUNT(*)
+    # exactly, so results are unchanged. Also measured and rejected this
+    # round (tools/bigram_ab_r16.py): folding t into the unigram
+    # broadcast via an unpartitioned window (mins ~1.5-1.7 s, no AQE
+    # broadcast reuse materialized), a broadcast join-back replacing the
+    # window (2.2 s), a localCheckpoint single-tokenize variant (2.3 s),
+    # and a repartition(w1,w2) pre-agg + exchange-free window (2.6 s) —
+    # all lose to concurrent broadcast builds at this scale.
+    tot = lst.select(F.explode("lst").alias("term")).agg(F.count("*").alias("t"))
     ca = cu.select(F.col("term").alias("w1"), F.col("n").alias("n1"))
     cb = cu.select(F.col("term").alias("w2"), F.col("n").alias("n2u"))
     p = (
@@ -6434,8 +6448,19 @@ def media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["fmt", "codec", "duration_ms", "width", "height", "n_streams"],
         )
 
-    d = t_wide(spark, sf_dir, "documents").select("doc_id", probe("doc_id").alias("m"))
-    return d.select("doc_id", "m.*").orderBy("doc_id")
+    # r16 (verdict #4): the staged decomposition refuted "the cost IS the
+    # codec work" — all 5000 encode+probe calls run in ~0.10 s of plain
+    # Python (OPTIMIZATION_r16.md §4), so the 0.9-1.45 s bench row was
+    # Spark overhead: a t_wide round-robin exchange feeding the UDF, and
+    # orderBy's range-sampling job re-executing the Arrow stage (python
+    # subtrees get no reuse — the simhash lesson). New shape: sort FIRST
+    # on the bare doc_id scan (sampling touches only the scan), then run
+    # the probe on the range-partitioned output — ordering and
+    # parallelism are preserved by the order-preserving projection, the
+    # UDF executes exactly once, and the plan has ONE exchange instead of
+    # two (plans/r16/media_probe_stats_{before,after}.txt).
+    d = t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id")
+    return d.select("doc_id", probe("doc_id").alias("m")).select("doc_id", "m.*")
 
 
 @q(
