@@ -212,7 +212,43 @@ def main() -> None:
     if duck:
         out["duckdb_queries"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 4)
+
+    # r16 (verdict #6): cold-build visibility for the IVF index memo — the
+    # memoized ivf_knn row above measures search-only after iteration 1
+    # (the legitimate index-once/search-many contract), which left the
+    # build path with zero optimization pressure. Time ONE build+search
+    # from a cleared index here. Reported OUTSIDE `queries` so the
+    # headline total stays population-comparable round-over-round
+    # (additions only, per the bench contract).
+    if "ivf_knn" in selected:
+        try:
+            from zarr_climate_etl_ipfs_spark.plans import queries as _qmod
+
+            for _assigned, _ in list(_qmod._IVF_INDEX.values()):
+                try:
+                    _assigned.unpersist()
+                except Exception:  # noqa: BLE001 — best-effort release
+                    pass
+            _qmod._IVF_INDEX.clear()
+            t0 = time.perf_counter()
+            len(REGISTRY["ivf_knn"].fn(spark, sf_dir).collect())
+            out["ivf_knn_cold_sec"] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — visibility row, never fatal
+            out["ivf_knn_cold_err"] = f"{type(exc).__name__}: {exc}"[:200]
+
     print(json.dumps(out))
+    # r16 (verdict #2): the driver's BENCH artifact keeps only a 2000-char
+    # tail of stdout, which lost the r14 per-query times and broke the
+    # round-over-round table. Mirror the EXACT headline JSON to a file so
+    # the numbers survive independent of stdout capture. Additive only —
+    # the one-line stdout contract above is unchanged.
+    try:
+        mirror = Path(__file__).resolve().parent / (
+            "bench_last_all.json" if run_all else "bench_last.json"
+        )
+        mirror.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

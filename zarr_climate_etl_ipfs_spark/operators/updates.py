@@ -138,6 +138,13 @@ class UpdateValidation:
     # collect over the insert key frame (r15 store-latency consolidation:
     # one fewer driver-synchronized action per mixed update).
     insert_buckets: frozenset[str] | None = None
+    # Distinct time keys of the INSERT leg (only when the caller asked) —
+    # r16: store.update routes its legs by literal predicates on these
+    # instead of broadcast semi/anti-joins against the key FRAMES, whose
+    # subtrees (store scan + distinct + join) re-executed inside the
+    # staging write job. Bounded by the same argument as insert_buckets:
+    # an update batch's distinct time steps are bounded by construction.
+    insert_times: tuple | None = None
 
 
 def validate_update(
@@ -148,6 +155,7 @@ def validate_update(
     dataset_start: dt.datetime | None = None,
     cadence_bounds: tuple[dt.timedelta, dt.timedelta] | None = None,
     insert_bucket_fmt: str | None = None,
+    collect_insert_times: bool = False,
 ) -> UpdateValidation:
     """Pre-write guards, port of utils/publish.py:604-652 (Q5):
 
@@ -201,6 +209,10 @@ def validate_update(
             F.collect_set(
                 F.when(~is_app, F.date_format(F.col(time_dim), insert_bucket_fmt))
             ).alias("ins_buckets")
+        )
+    if collect_insert_times:
+        aggs.append(
+            F.collect_set(F.when(~is_app, F.col(time_dim))).alias("ins_times")
         )
     stats_u = (
         u.join(F.broadcast(e.withColumn("_e", F.lit(1))), time_dim, "left")
@@ -256,5 +268,8 @@ def validate_update(
         last_append=stats["last_append"],
         insert_buckets=(
             frozenset(stats["ins_buckets"]) if insert_bucket_fmt is not None else None
+        ),
+        insert_times=(
+            tuple(sorted(stats["ins_times"])) if collect_insert_times else None
         ),
     )

@@ -58,10 +58,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from zarr_climate_etl_ipfs_spark.config import DatasetDescriptor
-from zarr_climate_etl_ipfs_spark.operators.updates import (
-    split_update_times,
-    validate_update,
-)
+from zarr_climate_etl_ipfs_spark.operators.updates import validate_update
 
 _BUCKET_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
 _BUCKET_COL = "time_bucket"
@@ -574,26 +571,37 @@ class GridStore:
         if dry_run:
             return
         update = self._with_bucket(df.select(*self.desc.schema().fieldNames()))
-        replaced_times = update.select(self.desc.time_dim).distinct()
-        touched = {r[0] for r in update.select(_BUCKET_COL).distinct().collect()}
-        self._rewrite_touched(df, replaced_times, touched, action="insert")
+        # r16: ONE collect serves both the replaced time keys (now a literal
+        # anti predicate in the carry-over rewrite — the key-FRAME form
+        # re-executed its store-scan + distinct subtree inside the staging
+        # write job) and the touched bucket set. Bounded by construction:
+        # an update batch's distinct time steps are small (operators/
+        # updates.py module docstring).
+        pairs = update.select(self.desc.time_dim, _BUCKET_COL).distinct().collect()
+        times = sorted({r[0] for r in pairs if r[0] is not None})
+        touched = {r[1] for r in pairs if r[1] is not None}
+        self._rewrite_touched(df, times, touched, action="insert")
 
     def _rewrite_touched(
         self,
         df: DataFrame,
-        anti_keys: DataFrame,
+        anti_times,
         touched: set,
         action: str,
         prev_end: Any = None,
     ) -> None:
         """Shared carry-over pipeline for :meth:`insert` and
         :meth:`_update_mixed` (they differ only in how ``touched`` /
-        ``anti_keys`` are derived, the action label, and ``prev_end``):
+        ``anti_times`` are derived, the action label, and ``prev_end``):
         flag, observe the NEW rows' leg (the manifest's time range / row
         count describe the update, not the carried-over bucket rows), read
-        the touched bucket files, broadcast anti-join out the replaced
-        times, union the new leg, stage, and commit untouched + staged
-        against the snapshot's base version. No conflict retry: the
+        the touched bucket files, filter out the replaced times with a
+        literal NOT-IN (``anti_times`` is the bounded collected key list —
+        r16: the key-FRAME broadcast anti-join this replaces re-executed
+        its store-scan + distinct subtree inside the staging write job;
+        NULL-time rows survive, matching left_anti's non-matching-row
+        semantics), union the new leg, stage, and commit untouched +
+        staged against the snapshot's base version. No conflict retry: the
         rewritten buckets were computed against the snapshot this writer
         READ — a racing commit is a true conflict the caller must re-plan
         against (Delta parity)."""
@@ -612,9 +620,13 @@ class GridStore:
                 existing = self.spark.read.option(
                     "basePath", str(self.data_path)
                 ).parquet(*touched_paths)
-                keep = existing.join(F.broadcast(anti_keys), td, "left_anti").drop(
-                    _BUCKET_COL
-                )
+                if anti_times:
+                    not_replaced = F.coalesce(
+                        ~F.col(td).isin(list(anti_times)), F.lit(True)
+                    )
+                    keep = existing.filter(not_replaced).drop(_BUCKET_COL)
+                else:
+                    keep = existing.drop(_BUCKET_COL)
                 combined = keep.unionByName(new_leg)
             else:
                 combined = new_leg
@@ -650,16 +662,17 @@ class GridStore:
             # single aggregation — collecting it separately in
             # _update_mixed cost one more driver action per update
             insert_bucket_fmt=_BUCKET_FMT[desc.time_bucket],
+            # r16: the insert key TIMES ride the same aggregation, so leg
+            # routing below is a literal predicate on the input frame —
+            # the broadcast semi/anti-joins against the split key frames
+            # re-executed their store-scan + distinct + join subtrees
+            # inside each staging write job. Bounded by construction (an
+            # update batch's distinct steps are small — same argument as
+            # insert_buckets), so the literal IN list stays plan-cheap.
+            collect_insert_times=True,
         )
         if not val.ok:
             raise StoreError("; ".join(val.errors))
-        inserts, appends = split_update_times(existing_times, update_times, td)
-        # Route rows by broadcast semi-join against the key frames — a 100k+
-        # key isin() literal list would bloat the plan tree, a semi join
-        # stays O(1) plan size at any key count. Re-executing these plans
-        # during the write phase is safe: dataset() pins concrete parquet
-        # paths at build time, and committed files are immutable until
-        # vacuum, so the pre-write snapshot stays readable throughout.
         # Split sizes come from the validation pass — counting the semi/anti
         # joins here would cost two more driver actions for numbers the
         # validator's single aggregation already produced.
@@ -680,13 +693,23 @@ class GridStore:
                 stacklevel=2,
             )
             n_ins = 0
+            skipped = val.insert_times or ()
+        else:
+            skipped = ()
         if not n_ins and not n_app:
             return {"inserts": 0, "appends": 0}
+        # r16 leg routing: the old broadcast semi-joins against the split
+        # key frames were IDENTITY on the pure paths (every non-NULL-time
+        # row of df belongs to the sole leg) apart from dropping
+        # NULL-time rows — which the literal filters below preserve.
         if not n_ins:
             # pure append: delegate — keeps the Delta-style conflict retry
-            self.append(df.join(F.broadcast(appends), td, "left_semi"), dry_run)
+            leg = df.filter(F.col(td).isNotNull())
+            if skipped:
+                leg = leg.filter(~F.col(td).isin(list(skipped)))
+            self.append(leg, dry_run)
         elif not n_app:
-            self.insert(df.join(F.broadcast(inserts), td, "left_semi"), dry_run)
+            self.insert(df.filter(F.col(td).isNotNull()), dry_run)
         else:
             # Mixed update: ONE publish cycle (the reference's update_zarr is
             # a single write + publish, publish.py:265-397), so both legs
@@ -697,7 +720,7 @@ class GridStore:
             # conflict (no retry).
             self._update_mixed(
                 df,
-                inserts,
+                val.insert_times,
                 dry_run,
                 last_append=val.last_append,
                 touched=val.insert_buckets,
@@ -707,7 +730,7 @@ class GridStore:
     def _update_mixed(
         self,
         df: DataFrame,
-        inserts: DataFrame,
+        insert_times,
         dry_run: bool,
         last_append: Any = None,
         touched: frozenset[str] | None = None,
@@ -732,20 +755,14 @@ class GridStore:
         td = self.desc.time_dim
         fmt = _BUCKET_FMT[self.desc.time_bucket]
         if touched is None:
-            # fallback for direct callers: touched buckets come straight
-            # from the insert KEY frame — joining back through the data
-            # just to read bucket names would re-execute the caller's
-            # input subtree for one tiny distinct. update() passes the set
-            # from the validator's single aggregation instead (one fewer
-            # driver action).
-            touched = frozenset(
-                r[0]
-                for r in inserts.select(F.date_format(F.col(td), fmt))
-                .distinct()
-                .collect()
-            )
+            # fallback for direct callers: touched buckets derive from the
+            # literal insert key list driver-side (r16 — ``insert_times``
+            # replaced the key FRAME, so no Spark action is needed at
+            # all); the strftime translation mirrors time_sliced's.
+            py_fmt = fmt.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
+            touched = frozenset(t.strftime(py_fmt) for t in insert_times)
         self._rewrite_touched(
-            df, inserts, set(touched), action="update", prev_end=last_append
+            df, insert_times, set(touched), action="update", prev_end=last_append
         )
 
     def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
