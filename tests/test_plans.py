@@ -247,4 +247,4 @@ def test_table_handle_cache_identity_and_mtime_invalidation(spark, tmp_path):
     d3 = t(spark, str(tmp_path), "documents")
     assert d3 is not d1, "rewritten file must miss the memo"
     assert d3.count() == 3
-    assert any(k[1].endswith("documents.parquet") for k in _T_CACHE)
+    assert any(k[2].endswith("documents.parquet") for k in _T_CACHE)

@@ -1467,18 +1467,27 @@ def semdedup_census(
         # r15 (guide §2.4): argmax as ONE hash aggregate instead of a
         # row_number window — min(struct(-cos, seed_id)) selects exactly
         # the window's (cos DESC, seed_id ASC) first row (cos is never
-        # NULL/NaN here — try_divide is coalesced to -1.0 — and Spark
-        # orders -0.0 == 0.0, so negation is an exact order reversal).
+        # NULL here — try_divide is coalesced to -1.0 — and Spark orders
+        # -0.0 == 0.0, so negation is an exact order reversal). r16
+        # advice fix: cos CAN be NaN when a seed vector carries NaN data,
+        # and Spark ranks NaN greatest — the window's cos DESC picked a
+        # NaN-cosine seed FIRST while min(struct(-cos, ...)) would pick
+        # it last (negation does not reorder NaN). Mapping NaN to -inf in
+        # the negated key restores the window's ordering exactly (ties
+        # among NaN seeds break by seed_id ASC in both forms).
         # The aggregate partial-combines map-side: the n·k crossJoin rows
         # collapse to n BEFORE the exchange, where the window paid a full
         # sort + two WindowGroupLimit passes over all n·k rows. Measured
         # 1.15 → ~0.6 s on the assignment subtree at sf0.1.
+        neg_cos = F.when(
+            F.isnan(F.col("cos")), F.lit(float("-inf"))
+        ).otherwise(-F.col("cos"))
         assign = (
             emb.crossJoin(F.broadcast(seeds))
             .withColumn("cos", cos_seed)
             .groupBy(id_col)
             .agg(
-                F.min(F.struct((-F.col("cos")).alias("nc"), "seed_id")).alias("_m"),
+                F.min(F.struct(neg_cos.alias("nc"), "seed_id")).alias("_m"),
                 F.first(vec_col).alias(vec_col),
                 F.first("_n").alias("_n"),
             )
@@ -1493,13 +1502,22 @@ def semdedup_census(
     # interpreted 64-element fold per pair (Σ n_c² pairs) and executed
     # the assignment subtree twice more (the join's inferred
     # isnotnull(cluster) filters broke exchange reuse between its sides).
-    # Same admission semantics: zero-norm → NaN fails ≥ threshold like
-    # the fold's try_divide NULL; NULL/width-deviant rows emit no pairs;
-    # id_a < id_b exactly once. BLAS-vs-fold last-ulp exposure at the
-    # threshold boundary is the documented gram_bucket_pairs class.
+    # r16 advice fix: the kernel group key is (cluster, vector width), not
+    # cluster alone — the kernel compares only a group's MODAL width, but
+    # the fold computed a real cosine for ANY two equal-width vectors,
+    # including pairs deviating from the cluster's common width. Width
+    # subgrouping makes the admission semantics match the fold exactly:
+    # equal-width pairs compare (each width group is uniform), mixed-width
+    # pairs drop (zip_with length mismatch → NULL → threshold-dropped),
+    # NULL vectors land in the NULL-width group and emit nothing. Zero-norm
+    # → NaN fails ≥ threshold like the fold's try_divide NULL; id_a < id_b
+    # exactly once. BLAS-vs-fold last-ulp exposure at the threshold
+    # boundary is the documented gram_bucket_pairs class.
     pairs = gram_bucket_pairs(
-        assign.select(id_col, vec_col, "cluster"),
-        ["cluster"],
+        assign.select(
+            id_col, vec_col, "cluster", F.size(vec_col).alias("_gw")
+        ),
+        ["cluster", "_gw"],
         id_col=id_col,
         vec_col=vec_col,
         threshold=threshold,

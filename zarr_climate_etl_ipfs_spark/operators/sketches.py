@@ -285,8 +285,10 @@ def bloom_hit_mask(
     """Membership test against a `bloom_bitmask` row as a pure column
     expression: a value is flagged iff ALL ``k`` salted positions' bits
     are set — identical semantics to `bloom_probe` (no false negatives,
-    same salted 56-bit md5 positions), O(1) array lookups per salt, fully
-    codegen'd."""
+    same salted 56-bit md5 positions, and — r16 advice fix — a NULL
+    probed value reads ``false``, matching bloom_probe's coalesce(_hit,0)
+    path; md5(NULL) previously propagated NULL through the bit tests),
+    O(1) array lookups per salt, fully codegen'd."""
     pow2 = F.array(*[F.lit(p) for p in _POW2])
     hit = F.lit(True)
     for j in range(k):
@@ -297,7 +299,7 @@ def bloom_hit_mask(
         word = F.element_at(F.col(bits_col), (p / 64).cast("int") + 1)
         mask = F.element_at(pow2, (p % 64).cast("int") + 1)
         hit = hit & (word.bitwiseAND(mask) != 0)
-    return hit
+    return F.coalesce(hit, F.lit(False))
 
 
 def countmin_sketch(

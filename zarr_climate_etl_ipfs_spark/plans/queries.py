@@ -234,18 +234,42 @@ def q(name: str, oracle: str | None):
 #: mtime in the key invalidates the memo when a corpus is rewritten in
 #: place (the adversarial harness does exactly that between corpora); a
 #: new SparkContext gets fresh entries via its unique applicationId.
-_T_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+_T_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _t_sig(path: str) -> tuple:
+    """Content signature for the t() memo key — r16 advice fix for the two
+    staleness/identity holes: (a) a parquet DIRECTORY rewritten with
+    identical file names (or within mtime granularity) now changes the key
+    via per-part sizes and nanosecond mtimes; (b) plain files use
+    (size, mtime_ns) instead of second-granularity mtime."""
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            n = tot = mx = 0
+            for e in _os.scandir(path):
+                if e.name.startswith(("_", ".")):
+                    continue
+                st = e.stat()
+                n += 1
+                tot += st.st_size
+                mx = max(mx, st.st_mtime_ns)
+            return (n, tot, mx)
+        st = _os.stat(path)
+        return (1, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (-1,)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    import os as _os
-
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        mt = _os.path.getmtime(path)
-    except OSError:
-        mt = -1.0
-    key = (spark.sparkContext.applicationId, path, mt)
+    # id(spark) is collision-safe here: the cached DataFrame holds a strong
+    # reference to its session, so a LIVE entry pins the session object and
+    # no other live object can share its id — a second session in the same
+    # application (the advice's hole (b)) therefore always misses and gets
+    # a handle bound to itself.
+    key = (id(spark), spark.sparkContext.applicationId, path, _t_sig(path))
     cached = _T_CACHE.get(key)
     if cached is not None:
         return cached
@@ -3050,8 +3074,17 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = t_wide(spark, sf_dir, "documents").select(
         "source", "doc_id", _fp_key("text").alias("_fp")
     )
+    # r16 advice fix: NULL doc_ids are excluded from the argmax the same
+    # way SQL MIN(doc_id) ignores NULLs (a bare min(struct) would order a
+    # NULL doc_id smallest and elect a NULL-id keeper, diverging from the
+    # oracle's keeper attribution on NULL-id corpora). A group holding
+    # ONLY NULL ids yields rep NULL -> its count lands on a NULL source
+    # key that the left join below drops, matching the oracle's
+    # never-matching k.doc_id = kp.doc_id.
     groups = keyed.groupBy("_fp").agg(
-        F.min(F.struct("doc_id", "source")).alias("rep")
+        F.min(
+            F.when(F.col("doc_id").isNotNull(), F.struct("doc_id", "source"))
+        ).alias("rep")
     )
     kept = groups.groupBy(F.col("rep.source").alias("source")).agg(
         F.count("*").alias("n_kept")
