@@ -132,3 +132,24 @@ def test_scratch_root_pid_isolation_and_dead_pid_sweep(tmp_path, monkeypatch):
         assert stamped_live.exists(), "matching pid+starttime is alive"
     # different sf_dir tag: different namespace entirely
     assert not os.path.basename(_scratch_root("t", "/other/sf")).startswith(prefix)
+
+
+#: r16 sort-first queries: the final orderBy was replaced by a range
+#: repartition + per-partition sort BEFORE the python stages (the
+#: media_probe_stats shape), so global output order is a property of
+#: order-preserving kernels rather than a trailing Sort node. Pin it.
+_SORT_FIRST = {
+    "media_probe_stats": ("doc_id",),
+    "image_resize_stats": ("doc_id",),
+    "audio_feature_extract": ("doc_id",),
+    "multimodal_decode_roundtrip": ("doc_id",),
+    "video_frame_sample": ("doc_id", "frame_idx"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SORT_FIRST))
+def test_sort_first_queries_emit_globally_sorted_rows(spark, name):
+    keycols = _SORT_FIRST[name]
+    rows = REGISTRY[name].fn(spark, SF).collect()
+    keys = [tuple(r[c] for c in keycols) for r in rows]
+    assert keys == sorted(keys), f"{name} lost its global {keycols} order"

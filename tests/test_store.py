@@ -607,3 +607,19 @@ def test_write_initial_empty_refuses_to_brick_store(tmp_path, desc, spark, initi
     s.write_initial(initial_df)  # still usable afterwards
     assert s.has_existing() and s.dataset().count() == initial_df.count()
     s.destroy()
+
+
+def test_empty_batch_append_and_insert_are_clean_noops(store, spark, desc):
+    """r16 /verify catch: an EMPTY batch fed to the low-level append() or
+    insert() primitives staged zero files and then crashed on
+    Observation.get with a bare java AssertionError (the metrics never
+    materialize when the staging write runs zero tasks). Both now warn
+    and skip the commit — no new version for no data. (update() keeps its
+    validator's explicit StoreError("empty update").)"""
+    empty = spark.createDataFrame([], schema=desc.schema())
+    before = [v["version"] for v in store.versions()]
+    with pytest.warns(UserWarning, match="no data files"):
+        store.append(empty)
+    with pytest.warns(UserWarning, match="no data files"):
+        store.insert(empty)
+    assert [v["version"] for v in store.versions()] == before

@@ -4567,9 +4567,23 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             [_constant_raster_bytes(int(d), rotate_variants=True) for d in doc_id]
         )
 
-    d = t_wide(spark, sf_dir, "documents").select(
-        "doc_id", gen_img("doc_id").alias("content")
+    # r16: sort FIRST on the bare doc_id scan (the media_probe_stats
+    # shape) — the trailing orderBy's range-sampling re-executed the
+    # generate + decode Arrow stages; sampling now touches only the scan
+    # and both kernels run exactly once, order preserved end to end.
+    # Range count n_part (not the 32-way shuffle default): each python
+    # stage pays per-task worker/Arrow-stream setup, and 32-way split of
+    # a 5k-row corpus measured SLOWER than the sorted 8-way shape
+    # (image_resize_stats 2.58 vs 0.82 s min) — same cores/4 rule, and
+    # the same floor-8 scaling, as the simhash signature barrier.
+    n_part = max(8, spark.sparkContext.defaultParallelism // 4)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(n_part, "doc_id")
+        .sortWithinPartitions("doc_id")
     )
+    d = d.select("doc_id", gen_img("doc_id").alias("content"))
     feats = mm.extract_features(d)
     names = [
         "height", "width", "channels", "mean_val", "std_val",
@@ -4580,7 +4594,7 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         *[F.get(fv, i).alias(n) for i, n in enumerate(names)],
-    ).orderBy("doc_id")
+    )
 
 
 @q(
@@ -5412,13 +5426,29 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(encode_gif_animation(frames, delay_cs=10))
         return pd.Series(out)
 
-    d = t_wide(spark, sf_dir, "documents").select(
-        "doc_id", gen_vid("doc_id").alias("content")
+    # r16: sort FIRST on the bare doc_id scan (the media_probe_stats
+    # shape) — the trailing orderBy's range-sampling re-executed the
+    # generate + decode Arrow stages. The flat-map kernel emits each
+    # doc's frames in ascending frame_idx and preserves input row order,
+    # so range-partitioned doc_id order in means (doc_id, frame_idx)
+    # order out, with the kernels executing exactly once.
+    # Range count n_part (not the 32-way shuffle default): each python
+    # stage pays per-task worker/Arrow-stream setup, and 32-way split of
+    # a 5k-row corpus measured SLOWER than the sorted 8-way shape
+    # (image_resize_stats 2.58 vs 0.82 s min) — same cores/4 rule, and
+    # the same floor-8 scaling, as the simhash signature barrier.
+    n_part = max(8, spark.sparkContext.defaultParallelism // 4)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(n_part, "doc_id")
+        .sortWithinPartitions("doc_id")
     )
+    d = d.select("doc_id", gen_vid("doc_id").alias("content"))
     sampled = mm.sample_frames(d, every_n=2)
     return sampled.select(
         "doc_id", "frame_idx", "f_height", "f_width", "f_mean"
-    ).orderBy("doc_id", "frame_idx")
+    )
 
 
 @q(
@@ -5498,9 +5528,23 @@ def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    d = t_wide(spark, sf_dir, "documents").select(
-        "doc_id", wav_stats(gen_wav("doc_id")).alias("s")
+    # r16: sort FIRST on the bare doc_id scan (the media_probe_stats
+    # shape) — the trailing orderBy's range-sampling re-executed the
+    # encode+decode Arrow stage; sampling now touches only the scan and
+    # the kernel runs exactly once, order preserved by the projection.
+    # Range count n_part (not the 32-way shuffle default): each python
+    # stage pays per-task worker/Arrow-stream setup, and 32-way split of
+    # a 5k-row corpus measured SLOWER than the sorted 8-way shape
+    # (image_resize_stats 2.58 vs 0.82 s min) — same cores/4 rule, and
+    # the same floor-8 scaling, as the simhash signature barrier.
+    n_part = max(8, spark.sparkContext.defaultParallelism // 4)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(n_part, "doc_id")
+        .sortWithinPartitions("doc_id")
     )
+    d = d.select("doc_id", wav_stats(gen_wav("doc_id")).alias("s"))
     return d.select(
         "doc_id",
         F.element_at("s", 1).alias("n_samples"),
@@ -5509,7 +5553,7 @@ def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("s", 4).alias("duration_ms"),
         F.element_at("s", 5).alias("peak_q"),
         F.element_at("s", 6).alias("n_zero_cross"),
-    ).orderBy("doc_id")
+    )
 
 
 #: deterministic messy-URL synthesis shared by the Spark query and oracle —
@@ -5794,13 +5838,30 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             [_constant_raster_bytes(int(d), rotate_variants=False) for d in doc_id]
         )
 
-    d = t_wide(spark, sf_dir, "documents").select(
-        "doc_id", gen_img("doc_id").alias("content")
+    # r16: sort FIRST on the bare doc_id scan (the media_probe_stats
+    # shape) — with the sort last, orderBy's range-sampling job re-executed
+    # BOTH Arrow stages (python subtrees get no reuse); sampling now
+    # touches only the scan, the t_wide round-robin exchange is replaced
+    # by the range exchange, and generate+resize run exactly once. The
+    # kernels are order-preserving maps, so the output stays globally
+    # sorted by doc_id.
+    # Range count n_part (not the 32-way shuffle default): each python
+    # stage pays per-task worker/Arrow-stream setup, and 32-way split of
+    # a 5k-row corpus measured SLOWER than the sorted 8-way shape
+    # (image_resize_stats 2.58 vs 0.82 s min) — same cores/4 rule, and
+    # the same floor-8 scaling, as the simhash signature barrier.
+    n_part = max(8, spark.sparkContext.defaultParallelism // 4)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(n_part, "doc_id")
+        .sortWithinPartitions("doc_id")
     )
+    d = d.select("doc_id", gen_img("doc_id").alias("content"))
     resized = mm.resize_images(d, target_h=3, target_w=3)
     return resized.select(
         "doc_id", "in_h", "in_w", "out_h", "out_w", "out_mean"
-    ).orderBy("doc_id")
+    )
 
 
 @q(
@@ -6505,7 +6566,18 @@ def media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism are preserved by the order-preserving projection, the
     # UDF executes exactly once, and the plan has ONE exchange instead of
     # two (plans/r16/media_probe_stats_{before,after}.txt).
-    d = t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id")
+    # Range count n_part (not the 32-way shuffle default): each python
+    # stage pays per-task worker/Arrow-stream setup, and 32-way split of
+    # a 5k-row corpus measured SLOWER than the sorted 8-way shape
+    # (image_resize_stats 2.58 vs 0.82 s min) — same cores/4 rule, and
+    # the same floor-8 scaling, as the simhash signature barrier.
+    n_part = max(8, spark.sparkContext.defaultParallelism // 4)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(n_part, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
     return d.select("doc_id", probe("doc_id").alias("m")).select("doc_id", "m.*")
 
 

@@ -549,6 +549,19 @@ class GridStore:
             m = self.manifest()
             obs_df, obs = self._observe_rng(df)
             files = self._stage_files(obs_df)
+            if not files:
+                # empty batch: nothing staged, and obs.get would raise a
+                # bare AssertionError (the metrics never materialize when
+                # the write runs zero tasks). Warn-and-skip like update()'s
+                # zero-leg path — no new version for no data.
+                import warnings
+
+                warnings.warn(
+                    "append: input produced no data files (empty DataFrame?) "
+                    "— skipping commit",
+                    stacklevel=2,
+                )
+                return
             rng = obs.get
             for attempt in range(max_retries + 1):
                 try:
@@ -631,6 +644,19 @@ class GridStore:
             else:
                 combined = new_leg
             files = self._stage_files(combined)
+            if not files:
+                # only reachable for an empty input frame (a non-empty df
+                # stages at least one file, and touched/anti_times derive
+                # from df): skip the commit instead of letting obs.get
+                # raise a bare AssertionError on unmaterialized metrics
+                import warnings
+
+                warnings.warn(
+                    f"{action}: input produced no data files (empty "
+                    "DataFrame?) — skipping commit",
+                    stacklevel=2,
+                )
+                return
             untouched = [f for f in prev if _bucket_of(f) not in touched]
             self._commit(
                 action,
